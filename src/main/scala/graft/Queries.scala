@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.Relational
 
 /** The query registry: name -> (spark, sfDir) => DataFrame, plus the DuckDB
   * oracle SQL for each. Grouped by SURVEY.md §2 section. Kept in one file so
@@ -12,7 +13,8 @@ import graft.core.Tables
   * Conventions for oracle parity (driver sorts columns by name, hashes
   * values): every computed column is aliased identically on both sides;
   * double aggregates are `round(_, 2)`; timestamps are emitted as epoch
-  * seconds (bigint) or formatted strings, never raw timestamps.
+  * seconds (bigint) or formatted strings, never raw timestamps (events.ts is
+  * ns-precision: Spark truncates to micros, DuckDB keeps ns).
   */
 object Queries {
 
@@ -20,19 +22,256 @@ object Queries {
 
   private def t(s: SparkSession, dir: String) = Tables.Tpch(s, dir)
 
-  // ————— §2.6 A1-A4/A7: grouped aggregation (the flagship) —————
-  // Reference semantics: multi-measure sums per dim tuple,
-  // …/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:225-275
+  // —————————————————————— §2.6 aggregation ——————————————————————
+
+  /** A2/A4/A7 multi-measure grouped aggregation (flagship).
+    * Ref: …/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:225-275 */
   val q1_agg: Q = (s, dir) =>
     t(s, dir).lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
         count(lit(1)).as("cnt"))
 
+  /** A1 tumbling 10 s event-time window + count/sum per window & key.
+    * Ref: …/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:105-113 */
+  val q2_window_tumble: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** A5 daily-distinct (batch form): first-seen day per user, then new users
+    * per day. Ref: …/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:86-116 */
+  val q3_daily_new_users: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("first_day"))
+      .groupBy(col("first_day"))
+      .agg(count(lit(1)).as("new_users"))
+
+  /** A6 exact distinct count per group (reference's `Set orderIdSet`).
+    * Ref: …/bean/TradeProvinceOrderWindow.java:29 */
+  val q4_distinct_count: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        count(lit(1)).as("cnt"))
+
+  /** A7+ rollup (grouping sets — absent in reference, Catalyst-native). */
+  val q5_rollup: Q = (s, dir) =>
+    t(s, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+
+  /** Conditional aggregation — pivot-style measure columns from one pass
+    * (traffic bean: uvCt/svCt/pvCt per dim). Ref: …/bean/TrafficPageViewBean.java */
+  val q6_conditional_agg: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0d)), 2)
+          .as("purchase_value"))
+
+  // —————————————————————— §2.3 filters / projections ——————————————————————
+
+  /** P4/P5/P10 filter + computed projection (decimal-style money math).
+    * Ref: …/app/dwd/db/DwdTradeOrderPreProcess.java:68-86 */
+  val q7_filter_project: Q = (s, dir) =>
+    t(s, dir).lineitem
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 25)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // raw double, NOT rounded: per-row IEEE arithmetic is bit-identical
+        // across engines, while round() half-boundary behavior is not
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("charge"))
+
+  /** P6 conditional projection (if/when-otherwise).
+    * Ref: …/app/dwd/db/DwdTradeCartAdd.java:84-93 */
+  val q8_when_otherwise: Q = (s, dir) =>
+    t(s, dir).orders
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"))
+      .groupBy(col("price_band"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // —————————————————————— §2.5 joins ——————————————————————
+
+  /** J1 header⋈detail inner equi-join + agg.
+    * Ref: …/app/dwd/db/DwdTradeOrderPreProcess.java:162-164 */
+  val q9_join_inner: Q = (s, dir) => {
+    val tp = t(s, dir)
+    tp.orders.join(tp.lineitem, col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** J2 left outer join preserving unmatched left rows.
+    * Ref: …/app/dwd/db/DwdTradeOrderPreProcess.java:165-168 */
+  val q10_join_left: Q = (s, dir) => {
+    val tp = t(s, dir)
+    tp.customer.join(tp.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("orders_cnt"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("customers_without_orders_rows"))
+  }
+
+  /** J3/J5 broadcast dictionary join chain (small dims).
+    * Ref lookup join: …/app/dwd/db/DwdTradeCartAdd.java:112-114 */
+  val q11_join_dict: Q = (s, dir) => {
+    val tp = t(s, dir)
+    tp.customer
+      .join(broadcast(tp.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tp.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+  }
+
+  /** J4 multi-hop dimension enrichment chain (6 hops in reference; here
+    * lineitem→part→supplier→orders→customer→nation→region, all small sides
+    * broadcast). Ref: …/app/dws/DwsTradeTrademarkCategoryUserSpuOrderWindow.java:215-339 */
+  val q12_join_chain: Q = (s, dir) => {
+    val tp = t(s, dir)
+    tp.lineitem
+      .join(broadcast(tp.part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(tp.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(tp.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(tp.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tp.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tp.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  val q13_join_semi: Q = (s, dir) => {
+    val tp = t(s, dir)
+    tp.customer
+      .join(tp.orders.filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  val q14_join_anti: Q = (s, dir) => {
+    val tp = t(s, dir)
+    tp.customer
+      .join(tp.orders.filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // —————————————————————— §2.7 dedup / ranking ——————————————————————
+
+  /** D1 last-row-wins dedup by key. Ref: …/app/dws/DwsTradeOrderWindow.java:122-164 */
+  val q15_dedup_latest: Q = (s, dir) =>
+    Relational.latestByKey(t(s, dir).events, Seq("user_id"), Seq(col("event_id")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+
+  /** Top-k per group (rank window). */
+  val q16_topk: Q = (s, dir) => {
+    val spend = t(s, dir).events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total_value"))
+    Relational.topKPerGroup(spend, Seq("event_type"),
+      Seq(col("total_value").desc, col("user_id").asc), 3)
+  }
+
+  /** Analytic window functions: lag + running sum with frame spec. */
+  val q17_running_sum: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(s, dir).orders
+      .withColumn("running_spend", round(sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("running_spend"), col("prev_price"))
+  }
+
+  /** P7-analogue status-transition pairs via lag. */
+  val q18_transitions: Q = (s, dir) =>
+    Relational.transitions(t(s, dir).events, "user_id", "event_id", "event_type")
+      .groupBy(col("prev_state"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** T6-analogue gap sessionization (30 min), batch form. */
+  val q19_sessionize: Q = (s, dir) =>
+    Relational.sessionize(t(s, dir).events, "user_id", "ts", "event_id", 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("sessions"),
+        max(col("events_in_session")).as("max_session_events"))
+
+  // —————————————————————— §2.8 set ops / §2.4 explode ——————————————————————
+
+  /** U1 union of measure streams pre-aggregation.
+    * Ref: …/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:205-206 */
+  val q20_union: Q = (s, dir) => {
+    val ev = t(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), lit(1L).as("pv"), lit(0L).as("uv"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), lit(0L).as("pv"), lit(1L).as("uv"))
+    views.unionByName(clicks)
+      .groupBy(col("user_id"))
+      .agg(sum(col("pv")).as("pv_ct"), sum(col("uv")).as("uv_ct"))
+  }
+
+  /** X2 tokenize + explode (keyword UDTF analogue).
+    * Ref: …/app/func/KeywordUDTF.java:13-20 */
+  val q21_explode_tokens: Q = (s, dir) =>
+    t(s, dir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // —————————————————————— registry ——————————————————————
+
   def all: Map[String, Q] = Map(
-    "q1_agg" -> q1_agg
+    "q1_agg" -> q1_agg,
+    "q2_window_tumble" -> q2_window_tumble,
+    "q3_daily_new_users" -> q3_daily_new_users,
+    "q4_distinct_count" -> q4_distinct_count,
+    "q5_rollup" -> q5_rollup,
+    "q6_conditional_agg" -> q6_conditional_agg,
+    "q7_filter_project" -> q7_filter_project,
+    "q8_when_otherwise" -> q8_when_otherwise,
+    "q9_join_inner" -> q9_join_inner,
+    "q10_join_left" -> q10_join_left,
+    "q11_join_dict" -> q11_join_dict,
+    "q12_join_chain" -> q12_join_chain,
+    "q13_join_semi" -> q13_join_semi,
+    "q14_join_anti" -> q14_join_anti,
+    "q15_dedup_latest" -> q15_dedup_latest,
+    "q16_topk" -> q16_topk,
+    "q17_running_sum" -> q17_running_sum,
+    "q18_transitions" -> q18_transitions,
+    "q19_sessionize" -> q19_sessionize,
+    "q20_union" -> q20_union,
+    "q21_explode_tokens" -> q21_explode_tokens
   )
 
   def oracles: Map[String, String] = Map(
@@ -40,7 +279,133 @@ object Queries {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
         |  count(*) AS cnt
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_window_tumble" ->
+      """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS window_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q3_daily_new_users" ->
+      """SELECT first_day, count(*) AS new_users FROM (
+        |  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS first_day
+        |  FROM events GROUP BY 1
+        |) GROUP BY 1""".stripMargin,
+    "q4_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q5_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q6_conditional_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q7_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25""".stripMargin,
+    "q8_when_otherwise" ->
+      """SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+        |            WHEN o_totalprice > 100000 THEN 'mid'
+        |            ELSE 'low' END AS price_band, count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q9_join_inner" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q10_join_left" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS orders_cnt,
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS customers_without_orders_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q11_join_dict" ->
+      """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q12_join_chain" ->
+      """SELECT r_name, p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q13_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |GROUP BY 1""".stripMargin,
+    "q14_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1""".stripMargin,
+    "q15_dedup_latest" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+    "q16_topk" ->
+      """SELECT event_type, user_id, total_value, rank FROM (
+        |  SELECT event_type, user_id, total_value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY total_value DESC, user_id ASC) AS rank
+        |  FROM (SELECT event_type, user_id, round(sum(value), 2) AS total_value
+        |        FROM events GROUP BY 1, 2)
+        |) WHERE rank <= 3""".stripMargin,
+    "q17_running_sum" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+        |FROM orders""".stripMargin,
+    "q18_transitions" ->
+      """SELECT prev_state, event_type, count(*) AS cnt FROM (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_state
+        |  FROM events
+        |) WHERE prev_state IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "q19_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT, 1)
+        |      OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+        |      OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS events_in_session
+        |  FROM sessions GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS sessions,
+        |  max(events_in_session) AS max_session_events
+        |FROM per_session GROUP BY 1""".stripMargin,
+    "q20_union" ->
+      """SELECT user_id, sum(pv) AS pv_ct, sum(uv) AS uv_ct FROM (
+        |  SELECT user_id, 1::BIGINT AS pv, 0::BIGINT AS uv FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, 0::BIGINT AS pv, 1::BIGINT AS uv FROM events WHERE event_type = 'click'
+        |) GROUP BY 1""".stripMargin,
+    "q21_explode_tokens" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY 1""".stripMargin
   )
 }

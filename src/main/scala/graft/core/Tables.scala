@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the canonical test tables (TESTDATA.md).
   *
@@ -17,6 +19,20 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's TimestampType
+    * (micros) cannot represent; read nanos as raw long and truncate to a
+    * micros timestamp. Truncation (not rounding) keeps whole-second
+    * bucketing identical to engines that read the nanos natively.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+      case _        => raw
+    }
+  }
+
   /** Convenience bundle: all tables of one scale factor. */
   final case class Tpch(spark: SparkSession, sfDir: String) {
     def region: DataFrame     = load(spark, sfDir, "region")
@@ -26,7 +42,7 @@ object Tables {
     def part: DataFrame       = load(spark, sfDir, "part")
     def orders: DataFrame     = load(spark, sfDir, "orders")
     def lineitem: DataFrame   = load(spark, sfDir, "lineitem")
-    def events: DataFrame     = load(spark, sfDir, "events")
+    def events: DataFrame     = loadEvents(spark, sfDir)
     def documents: DataFrame  = load(spark, sfDir, "documents")
     def embeddings: DataFrame = load(spark, sfDir, "embeddings")
   }

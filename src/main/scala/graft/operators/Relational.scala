@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators distilled from SURVEY.md §2.
+  *
+  * Each is a pure `DataFrame => DataFrame` transform built from declarative
+  * Spark primitives so Catalyst keeps full pushdown/pruning/codegen freedom.
+  * Scale notes are on each method: these run on 100 TB inputs, so nothing
+  * here collects to the driver or forces a single partition.
+  */
+object Relational {
+
+  /** Last-row-wins dedup by unique key (SURVEY §2.7 D1; reference keeps
+    * max-`row_op_ts` row per order_detail_id via keyed state + timer,
+    * …/app/dws/DwsTradeOrderWindow.java:122-164).
+    *
+    * Batch form: `row_number() = 1` over (key, order desc). One shuffle on
+    * `keys`; at scale prefer pre-bucketed storage on the same keys to make
+    * this shuffle-free. `tieBreakers` must make the ordering total or the
+    * result is nondeterministic under retries.
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-k rows per group by a total ordering (SURVEY §2.7 — absent in the
+    * reference, provided because Catalyst gives it nearly free). Spark
+    * rewrites rank-filter windows into a per-partition top-k (WindowGroupLimit)
+    * so only k rows per group survive the shuffle.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Gap-based sessionization (SURVEY §2.9 T6's session notion, batch form).
+    * A new session starts when the gap to the previous event of the same key
+    * exceeds `gapSeconds`. Event order must be total — pass an id column.
+    * One shuffle on `keyCol`; both window functions share the same
+    * partitioning so Catalyst plans a single exchange + sort.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    // compare at whole-second resolution: parity with engines that floor
+    // sub-second precision differently (see .claude/skills/verify gotchas)
+    val sec = col(tsCol).cast("long")
+    val prevSec = lag(sec, 1).over(w)
+    val newSession = when(prevSec.isNull || sec - prevSec > gapSeconds, 1).otherwise(0)
+    df.withColumn("__new_session", newSession)
+      .withColumn("session_id", sum(col("__new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_session")
+  }
+
+  /** Status-transition detection (SURVEY §2.3 P7: `old['order_status'] is not
+    * null and order_status='1003'` — here generalized to (prev, next) pairs
+    * via `lag` since the batch tables carry no CDC `old` map).
+    */
+  def transitions(df: DataFrame, keyCol: String, orderCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    df.withColumn("prev_state", lag(col(stateCol), 1).over(w))
+      .filter(col("prev_state").isNotNull)
+  }
+}

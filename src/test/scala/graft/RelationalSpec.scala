@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("latestByKey keeps exactly one row per key, the max-order one") {
+    val df = Seq(
+      ("a", 1L, "x"), ("a", 3L, "y"), ("a", 2L, "z"),
+      ("b", 9L, "p")).toDF("k", "seq", "v")
+    val got = Relational.latestByKey(df, Seq("k"), Seq(col("seq")))
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("a", 3L, "y"), ("b", 9L, "p")))
+  }
+
+  test("topKPerGroup returns k rows per group in rank order") {
+    val df = Seq(("g", 5), ("g", 3), ("g", 9), ("g", 1), ("h", 2)).toDF("g", "x")
+    val got = Relational.topKPerGroup(df, Seq("g"), Seq(col("x").desc), 2)
+      .orderBy("g", "rank").collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq(("g", 9, 1), ("g", 5, 2), ("h", 2, 1)))
+  }
+
+  test("sessionize splits on gaps > gapSeconds") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(plusSec: Long) = new java.sql.Timestamp(base.getTime + plusSec * 1000)
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(100)),          // session 1
+      (1L, 3L, ts(4000)),                          // session 2 (gap > 1800)
+      (2L, 4L, ts(0))).toDF("user_id", "event_id", "ts")
+    val got = Relational.sessionize(df, "user_id", "ts", "event_id", 1800)
+      .select("user_id", "event_id", "session_id")
+      .orderBy("user_id", "event_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("transitions emits (prev,next) pairs skipping first event per key") {
+    val df = Seq((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "b"), (2, 4L, "c"))
+      .toDF("k", "seq", "st")
+    val got = Relational.transitions(df, "k", "seq", "st")
+      .select("k", "prev_state", "st").orderBy("k", "st").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1, "a", "b"), (1, "b", "b")))
+  }
+
+  test("all registered queries run at sf0.001 and return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, TestSession.sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("broadcast hints survive into the physical plan for the dict join") {
+    val plan = Queries.q11_join_dict(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+}
