@@ -22,6 +22,16 @@ object Queries {
 
   private def t(s: SparkSession, dir: String) = Tables.Tpch(s, dir)
 
+  /** Deterministic money-sum: double sums are order-dependent (partition
+    * count changes the result in the last ulp, which flips `round(_, 2)` at
+    * half-cent boundaries — observed on q12 at sf0.001). Casting each row to
+    * DECIMAL(18,6) first makes the aggregation exact and engine-independent;
+    * the final cast back to double is a single deterministic conversion.
+    * Oracle twin: `round(sum((expr)::DECIMAL(18,6)), 2)::DOUBLE`.
+    */
+  private[graft] def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2).cast("double")
+
   // —————————————————————— §2.6 aggregation ——————————————————————
 
   /** A2/A4/A7 multi-measure grouped aggregation (flagship).
@@ -31,8 +41,8 @@ object Queries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        round(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6))) / count(lit(1)), 2).cast("double").as("avg_price"),
         count(lit(1)).as("cnt"))
 
   /** A1 tumbling 10 s event-time window + count/sum per window & key.
@@ -40,7 +50,7 @@ object Queries {
   val q2_window_tumble: Q = (s, dir) =>
     t(s, dir).events
       .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .select(
         col("window.start").cast("long").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
@@ -78,7 +88,7 @@ object Queries {
         sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
         sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
-        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0d)), 2)
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(0d))
           .as("purchase_value"))
 
   // —————————————————————— §2.3 filters / projections ——————————————————————
@@ -116,7 +126,7 @@ object Queries {
     tp.orders.join(tp.lineitem, col("o_orderkey") === col("l_orderkey"), "inner")
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("cnt"))
   }
 
@@ -139,7 +149,7 @@ object Queries {
       .join(broadcast(tp.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(tp.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("acctbal_sum"))
   }
 
   /** J4 multi-hop dimension enrichment chain (6 hops in reference; here
@@ -156,7 +166,7 @@ object Queries {
       .join(broadcast(tp.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("p_brand"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("cnt"))
   }
 
@@ -192,7 +202,7 @@ object Queries {
   val q16_topk: Q = (s, dir) => {
     val spend = t(s, dir).events
       .groupBy(col("event_type"), col("user_id"))
-      .agg(round(sum(col("value")), 2).as("total_value"))
+      .agg(dsum(col("value")).as("total_value"))
     Relational.topKPerGroup(spend, Seq("event_type"),
       Seq(col("total_value").desc, col("user_id").asc), 3)
   }
@@ -250,7 +260,9 @@ object Queries {
 
   // —————————————————————— registry ——————————————————————
 
-  def all: Map[String, Q] = Map(
+  def all: Map[String, Q] = base ++ TextQueries.all
+
+  private def base: Map[String, Q] = Map(
     "q1_agg" -> q1_agg,
     "q2_window_tumble" -> q2_window_tumble,
     "q3_daily_new_users" -> q3_daily_new_users,
@@ -274,17 +286,19 @@ object Queries {
     "q21_explode_tokens" -> q21_explode_tokens
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = baseOracles ++ TextQueries.oracles
+
+  private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  (round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2))::DOUBLE AS revenue,
+        |  (round(sum(l_extendedprice::DECIMAL(18,6)) / count(*), 2))::DOUBLE AS avg_price,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q2_window_tumble" ->
       """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS window_start, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  count(*) AS cnt, (round(sum(value::DECIMAL(18,6)), 2))::DOUBLE AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q3_daily_new_users" ->
       """SELECT first_day, count(*) AS new_users FROM (
@@ -303,7 +317,7 @@ object Queries {
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value
+        |  (round(sum((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)::DECIMAL(18,6)), 2))::DOUBLE AS purchase_value
         |FROM events GROUP BY 1""".stripMargin,
     "q7_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
@@ -316,7 +330,7 @@ object Queries {
         |FROM orders GROUP BY 1""".stripMargin,
     "q9_join_inner" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  (round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2))::DOUBLE AS revenue,
         |  count(*) AS cnt
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
@@ -326,14 +340,14 @@ object Queries {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
     "q11_join_dict" ->
-      """SELECT r_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS acctbal_sum
+      """SELECT r_name, count(*) AS cnt, (round(sum(c_acctbal::DECIMAL(18,6)), 2))::DOUBLE AS acctbal_sum
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
     "q12_join_chain" ->
       """SELECT r_name, p_brand,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  (round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2))::DOUBLE AS revenue,
         |  count(*) AS cnt
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -363,7 +377,7 @@ object Queries {
         |  SELECT event_type, user_id, total_value,
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY total_value DESC, user_id ASC) AS rank
-        |  FROM (SELECT event_type, user_id, round(sum(value), 2) AS total_value
+        |  FROM (SELECT event_type, user_id, (round(sum(value::DECIMAL(18,6)), 2))::DOUBLE AS total_value
         |        FROM events GROUP BY 1, 2)
         |) WHERE rank <= 3""".stripMargin,
     "q17_running_sum" ->

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline, over the
+  * `documents` table (TESTDATA.md). Generalizes the reference's one custom
+  * text function (IK keyword tokenizer, …/app/func/KeywordUDTF.java:13-20)
+  * into the ops a 100 TB corpus pipeline needs: token stats, quality
+  * scoring, language-ID, fingerprinting.
+  *
+  * All per-row work is HOF expressions (no UDFs); every query aggregates or
+  * projects without extra shuffles beyond its one groupBy.
+  */
+object TextQueries {
+  import Queries.Q
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
+
+  /** Token counting per source: whitespace tokens + distinct tokens + chars.
+    * One scan, one shuffle (groupBy source).
+    */
+  val q22_token_stats: Q = (s, dir) =>
+    t(s, dir).documents
+      .select(
+        col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_uniq"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens_sum"),
+        sum(col("n_uniq")).as("uniq_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+
+  /** Quality scoring: unique-token ratio discounted by stopword ratio;
+    * keep-flag at 0.5. The formula is arbitrary but deterministic — the
+    * operator shape (per-doc ratios → threshold filter) is what a corpus
+    * cleaner runs before training.
+    */
+  val q23_quality_score: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val uniqRatio = size(array_distinct(toks)) / nTok
+    val stopRatio = size(filter(toks, t => t.isin("a", "the"))) / nTok
+    t(s, dir).documents
+      .select(
+        col("doc_id"),
+        round(uniqRatio, 6).as("uniq_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(uniqRatio * (lit(1.0) - stopRatio), 6).as("quality"))
+      .withColumn("keep", (col("quality") >= 0.35).cast("int"))
+  }
+
+  /** Language-ID by marker-token votes (n-gram heuristic family).
+    * Markers per language are parameters; prediction is the arg-max with a
+    * fixed tie-break order (en>de>fr>es>zh). Emits the (actual, predicted)
+    * confusion counts.
+    */
+  val q24_langid: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    def score(markers: Seq[String]) =
+      size(filter(toks, t => t.isin(markers: _*)))
+    val sEn = score(Seq("the", "a", "table"))
+    val sDe = score(Seq("der", "die", "und"))
+    val sFr = score(Seq("le", "la", "et"))
+    val best = greatest(sEn, sDe, sFr)
+    val predicted = when(best === 0, "unknown")
+      .when(sEn === best, "en")
+      .when(sDe === best, "de")
+      .otherwise("fr")
+    t(s, dir).documents
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Document fingerprinting: portable polynomial hash of the raw text and
+    * of the normalized (lower/trimmed) text. Exact-dup detection joins on
+    * `fp_norm` downstream; per-row, shuffle-free here.
+    */
+  val q25_fingerprint: Q = (s, dir) =>
+    t(s, dir).documents
+      .select(
+        col("doc_id"),
+        polyHash(col("text")).as("fp"),
+        polyHash(trim(lower(col("text")))).as("fp_norm"))
+
+  def all: Map[String, Q] = Map(
+    "q22_token_stats" -> q22_token_stats,
+    "q23_quality_score" -> q23_quality_score,
+    "q24_langid" -> q24_langid,
+    "q25_fingerprint" -> q25_fingerprint)
+
+  // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
+  def oracles: Map[String, String] = Map(
+    "q22_token_stats" ->
+      """WITH d AS (
+        |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |         length(text) AS n_chars
+        |  FROM documents)
+        |SELECT source, count(*) AS docs,
+        |  sum(len(toks)) AS tokens_sum,
+        |  sum(len(list_distinct(toks))) AS uniq_sum,
+        |  sum(n_chars) AS chars_sum
+        |FROM d GROUP BY 1""".stripMargin,
+    "q23_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS uniq_ratio,
+        |    round(len(list_filter(toks, t -> t IN ('a','the'))) / len(toks)::DOUBLE, 6) AS stop_ratio,
+        |    round((len(list_distinct(toks)) / len(toks)::DOUBLE)
+        |      * (1.0 - len(list_filter(toks, t -> t IN ('a','the'))) / len(toks)::DOUBLE), 6) AS quality
+        |  FROM d)
+        |SELECT doc_id, uniq_ratio, stop_ratio, quality,
+        |  CASE WHEN quality >= 0.35 THEN 1 ELSE 0 END AS keep
+        |FROM r""".stripMargin,
+    "q24_langid" ->
+      """WITH d AS (
+        |  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, t -> t IN ('the','a','table'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','und'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('le','la','et'))) AS s_fr
+        |  FROM d)
+        |SELECT lang,
+        |  CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'unknown'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+        |       ELSE 'fr' END AS predicted,
+        |  count(*) AS cnt
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (h, a) -> (h * 31 + a) % 1000000007) AS fp,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(trim(lower(text)), ''), c -> ascii(c)::BIGINT)),
+        |    (h, a) -> (h * 31 + a) % 1000000007) AS fp_norm
+        |FROM documents""".stripMargin)
+}

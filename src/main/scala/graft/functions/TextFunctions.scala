@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable text/hash column builders.
+  *
+  * Everything here is built from Spark's native higher-order functions
+  * (`transform`/`aggregate`/`filter`/`zip_with`), so the expressions are
+  * Catalyst-native (no Scala UDF serialization, null-safety for free, and
+  * the surrounding plan stays in whole-stage codegen). Each formula is
+  * deliberately *portable*: the DuckDB oracle replicates it operation for
+  * operation, so hash values compare bit-for-bit across engines.
+  *
+  * Scale notes: all of these are per-row, shuffle-free, and columnar-input
+  * friendly — at 100 TB they cost one scan, no exchange.
+  *
+  * Reference analogue: the one true custom function of the reference system
+  * is the IK tokenizer UDTF (…/app/func/KeywordUDTF.java:13-20,
+  * …/utils/KeywordUtil.java:15-30); `tokens` + `explode` is its Spark shape
+  * (SURVEY.md §2.4 X2).
+  */
+object TextFunctions {
+
+  /** Prime modulus for the portable polynomial hash. Chosen < 2^30 so that
+    * `h*31 + a` (< 2^35) and `a_i*h + b_i` (< 2^60) stay well inside Long.
+    */
+  val HashMod: Long = 1000000007L
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Portable polynomial string hash: fold over characters of
+    * `h = (h*31 + codepoint) mod HashMod`. Equals the classic Java
+    * `String.hashCode` recurrence but modular, so it is expressible as a
+    * left-fold in any SQL engine with lambda support (DuckDB:
+    * `list_reduce`). ASCII-safe; for multi-byte text both engines use the
+    * first-codepoint `ascii` semantics.
+    */
+  def polyHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, a) => pmod(h * 31 + a, lit(HashMod)))
+
+  /** Hash each element of a string array. */
+  def hashAll(arr: Column): Column = transform(arr, polyHash(_))
+
+  /** `n`-token shingles (joined with '_'), e.g. tokens [a,b,c,d], n=3 →
+    * ["a_b_c","b_c_d"]. Empty when the document has fewer than n tokens
+    * (guarded: Spark's `sequence(0, negative)` would count down).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws("_", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle hashes — the standard MinHash input set. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(hashAll(shingles(tokens(text), n)))
+
+  /** MinHash signature of a hash set: for each of `k` permutations
+    * `h_i(x) = (a_i*x + b_i) mod HashMod` with Knuth-style constants
+    * `a_i = (2654435761*(i+1)) mod HashMod`, `b_i = (40503*(i+1)+17) mod
+    * HashMod`, the signature entry is `min_x h_i(x)`.
+    *
+    * Returns an array<long> of length k (HashMod sentinel for empty input
+    * so downstream banding stays total). Per-row only — the signature
+    * replaces the O(|doc|) shingle set with O(k) longs, which is the whole
+    * point at 100 TB: the LSH band join shuffles k longs per doc, not the
+    * text.
+    */
+  def minhash(hashes: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val a = pmod(lit(2654435761L) * (i + 1), lit(HashMod))
+      val b = pmod(lit(40503L) * (i + 1) + 17, lit(HashMod))
+      coalesce(
+        array_min(transform(hashes, x => pmod(a * x + b, lit(HashMod)))),
+        lit(HashMod))
+    })
+
+  /** LSH band key: fold `r` consecutive signature entries (band `b`) into
+    * one long. Docs sharing any band key are near-dup candidates.
+    */
+  def bandKey(sig: Column, band: Int, r: Int): Column =
+    aggregate(slice(sig, band * r + 1, r), lit(0L),
+      (h, x) => pmod(h * 31 + x, lit(HashMod)))
+
+  /** SimHash over a set of token hashes, `bits` wide (≤ 30 — the poly hash
+    * has ~30 usable bits). Bit j of the result is 1 iff the count of
+    * hashes with bit j set exceeds half the set size (the ±1 vote sum is
+    * positive).
+    */
+  def simhash(hashes: Column, bits: Int): Column = {
+    val n = size(hashes)
+    (0 until bits).map { j =>
+      val ones = aggregate(hashes, lit(0L),
+        (c, h) => c + shiftright(h, j).bitwiseAND(1L))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}
