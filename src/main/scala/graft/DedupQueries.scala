@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Deduplication suite over `documents`: exact, MinHash signature,
+  * LSH-banded near-dup with exact-Jaccard verification, SimHash with
+  * pigeonhole-banded Hamming pairs. The sf0.01 corpus has 25 planted
+  * near-dup pairs (3-shingle Jaccard >= 0.8) which q28 must surface.
+  *
+  * The oracles replicate the identical portable hash arithmetic
+  * (h*31+ascii mod 1e9+7; minhash perms a_i=2654435761*(i+1) mod p,
+  * b_i=40503*(i+1)+17 mod p) so signatures compare bit-for-bit.
+  */
+object DedupQueries {
+  import Queries.Q
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
+
+  val SHINGLE_N = 3
+  val MINHASH_K = 16
+  val LSH_BANDS = 4
+  val SIMHASH_BITS = 24
+  // The synthetic corpus draws every doc from the same 31-word vocabulary,
+  // so 24-bit simhashes cluster tightly (3 893 identical pairs at sf0.01).
+  // Hamming <= 1 keeps the pair set bounded; real corpora are far sparser.
+  val MAX_HAMMING = 1
+
+  val q26_dedup_exact: Q = (s, dir) =>
+    Dedup.exactDedup(t(s, dir).documents, "doc_id", "text")
+
+  val q27_minhash_sig: Q = (s, dir) =>
+    Dedup.minhashSignatures(t(s, dir).documents, "doc_id", "text", SHINGLE_N, MINHASH_K)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "sig")))
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("sig"))
+
+  val q28_lsh_neardup: Q = (s, dir) =>
+    Dedup.nearDupPairs(t(s, dir).documents, "doc_id", "text",
+      SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5)
+      .select(col("d1"), col("d2"), col("jacc"))
+
+  val q29_simhash: Q = (s, dir) =>
+    Dedup.simhashOf(t(s, dir).documents, "doc_id", "text", SIMHASH_BITS)
+
+  val q30_simhash_pairs: Q = (s, dir) =>
+    Dedup.simhashPairs(t(s, dir).documents, "doc_id", "text", SIMHASH_BITS, MAX_HAMMING)
+
+  def all: Map[String, Q] = Map(
+    "q26_dedup_exact" -> q26_dedup_exact,
+    "q27_minhash_sig" -> q27_minhash_sig,
+    "q28_lsh_neardup" -> q28_lsh_neardup,
+    "q29_simhash" -> q29_simhash,
+    "q30_simhash_pairs" -> q30_simhash_pairs)
+
+  // Shared oracle CTE fragments (DuckDB).
+  private val polyHashSql = (e: String) =>
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)),
+       |      (h, a) -> (h * 31 + a) % 1000000007)""".stripMargin
+
+  private val shingleCtes =
+    s"""d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |     FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_transform(range(len(toks) - 2),
+       |        i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]),
+       |      s -> ${polyHashSql("s")})) AS hs
+       |  FROM d),
+       |sig AS (SELECT doc_id, hs,
+       |    list_transform(range($MINHASH_K), i ->
+       |      coalesce(list_min(list_transform(hs, x ->
+       |        (((2654435761 * (i+1)) % 1000000007) * x
+       |         + (40503 * (i+1) + 17) % 1000000007) % 1000000007)),
+       |       1000000007)) AS sig
+       |  FROM sh)""".stripMargin
+
+  private val simhashCtes =
+    s"""d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |     FROM documents),
+       |th AS (SELECT doc_id,
+       |    list_distinct(list_transform(toks, t -> ${polyHashSql("t")})) AS hs
+       |  FROM d),
+       |sim AS (SELECT doc_id,
+       |    list_sum(list_transform(range($SIMHASH_BITS), j ->
+       |      CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> j) & 1)) > len(hs)
+       |           THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+       |  FROM th)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q26_dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, ${polyHashSql("trim(lower(text))")} AS fp
+         |  FROM documents)
+         |GROUP BY fp""".stripMargin,
+    "q27_minhash_sig" ->
+      s"""WITH $shingleCtes
+         |SELECT doc_id, i, sig[i+1] AS sig
+         |FROM sig, (SELECT unnest(range($MINHASH_K)) AS i)""".stripMargin,
+    "q28_lsh_neardup" ->
+      s"""WITH $shingleCtes,
+         |bands AS (SELECT doc_id, b,
+         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, round(
+         |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
+         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+         |    6) AS jacc
+         |FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+         |WHERE round(
+         |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
+         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+         |    6) >= 0.5""".stripMargin,
+    "q29_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sim""".stripMargin,
+    "q30_simhash_pairs" ->
+      s"""WITH $simhashCtes
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MAX_HAMMING""".stripMargin)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus deduplication operators for the training-data pipeline:
+  * exact (fingerprint groupBy), MinHash+LSH banding, SimHash with
+  * pigeonhole-banded Hamming search.
+  *
+  * All of these scale by construction:
+  *  - signatures/fingerprints are per-row HOF expressions (one scan);
+  *  - candidate generation shuffles O(k) longs per doc (band keys), never
+  *    the text;
+  *  - verification joins only the candidate pair set back to the shingle
+  *    sets.
+  * Skew note: a degenerate corpus (millions of identical docs) makes one
+  * band bucket hot; the exact-dedup pass below runs FIRST in a real
+  * pipeline precisely to remove that mass before LSH.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized-text fingerprint.
+    * One shuffle (groupBy fp) with map-side partial min; the text itself
+    * never shuffles. Collision caveat: fingerprints are 30-bit here for
+    * oracle portability — a production run would widen to 128-bit
+    * (e.g. two independent poly-hash moduli) at zero structural change.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(polyHash(trim(lower(col(textCol)))).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+
+  /** id + distinct word-n-gram shingle hashes + k-entry MinHash signature. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame =
+    df.select(
+      col(idCol),
+      shingleHashes(col(textCol), n).as("hashes"))
+      .withColumn("sig", minhash(col("hashes"), k))
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `k/bands` rows, emit (band, bandKey) per doc, self-join on equality.
+    * Shuffle payload per doc = `bands` longs. `distinct` collapses pairs
+    * that collide in several bands.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("bk"))
+    }: _*)
+    val keyed = sigs
+      .select(col(idCol), explode(bandStructs).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = keyed.select(col("band"), col("bk"), col(idCol).as("d1"))
+    val b = keyed.select(col("band"), col("bk"), col(idCol).as("d2"))
+    a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates verified with exact Jaccard
+    * over the distinct shingle-hash sets, kept at `jacc >= threshold`.
+    * Only candidate pairs (a tiny fraction of n²) ever join back to the
+    * shingle arrays.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val cand = lshCandidatePairs(sigs, idCol, k, bands)
+    val sets = sigs.select(col(idCol), col("hashes"))
+    val inter = size(array_intersect(col("h1"), col("h2"))).cast("double")
+    val union = (size(col("h1")) + size(col("h2"))).cast("double") - inter
+    cand
+      .join(sets.select(col(idCol).as("d1"), col("hashes").as("h1")), "d1")
+      .join(sets.select(col(idCol).as("d2"), col("hashes").as("h2")), "d2")
+      .select(col("d1"), col("d2"), round(inter / union, 6).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  /** Per-doc SimHash over distinct token hashes. */
+  def simhashOf(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
+    df.select(
+      col(idCol),
+      simhash(array_distinct(hashAll(tokens(col(textCol)))), bits).as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
+    * pigeonhole banding: the `bits`-wide hash is split into
+    * `maxHamming + 1` blocks — any pair within distance maxHamming must
+    * agree on at least one whole block, so an equality self-join per block
+    * finds every qualifying pair (no recall loss), then the exact Hamming
+    * filter removes false candidates. Same output as the O(n²) scan the
+    * oracle runs, at O(n · blocks) shuffle cost.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    val w = bits / blocks // bits must divide evenly for full coverage
+    require(w * blocks == bits, s"bits=$bits not divisible into $blocks blocks")
+    val sh = simhashOf(df, idCol, textCol, bits)
+    val blockStructs = array((0 until blocks).map { j =>
+      struct(lit(j).as("blk"),
+        shiftright(col("simhash"), j * w).bitwiseAND((1L << w) - 1).as("bv"))
+    }: _*)
+    val keyed = sh.select(col(idCol), col("simhash"), explode(blockStructs).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    val a = keyed.select(col("blk"), col("bv"), col(idCol).as("d1"), col("simhash").as("s1"))
+    val b = keyed.select(col("blk"), col("bv"), col(idCol).as("d2"), col("simhash").as("s2"))
+    a.join(b, Seq("blk", "bv")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), hamming(col("s1"), col("s2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

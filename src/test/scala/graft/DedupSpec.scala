@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, TestSession.sf, "documents")
+
+  test("exactDedup keeps one id per distinct normalized text") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "  A b C "), (4L, "x y z"))
+      .toDF("doc_id", "text")
+    // 1,2 identical; 3 differs only by case/trim — all collapse to min id 1
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+  }
+
+  test("minhash signature: identical docs get identical signatures; k entries") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 16)
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 16)
+  }
+
+  test("LSH near-dup pipeline surfaces the 25 planted pairs at sf0.001") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)
+    assert(pairs.count() >= 25)
+    // every surviving pair really is >= 0.5 jaccard (verification worked)
+    assert(pairs.filter($"jacc" < 0.5).count() == 0)
+  }
+
+  test("banded simhashPairs equals brute-force hamming filter (no recall loss)") {
+    val sample = docs.filter($"doc_id" < 120)
+    val banded = Dedup.simhashPairs(sample, "doc_id", "text", 24, 1)
+      .select($"d1", $"d2", $"hamming").as[(Long, Long, Int)].collect().toSet
+    val sh = Dedup.simhashOf(sample, "doc_id", "text", 24)
+    val brute = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        TextFunctions.hamming($"a.simhash", $"b.simhash").as("h"))
+      .filter($"h" <= 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // dense corpus: the comparison is not vacuous
+  }
+
+  test("shingles guard: doc shorter than n yields empty set, null-safe minhash") {
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 4)
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == Seq.fill(4)(TextFunctions.HashMod)) // sentinel
+    assert(sigs(2L).forall(_ < TextFunctions.HashMod))
+  }
+}
