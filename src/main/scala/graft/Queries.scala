@@ -260,7 +260,8 @@ object Queries {
 
   // —————————————————————— registry ——————————————————————
 
-  def all: Map[String, Q] = base ++ TextQueries.all ++ DedupQueries.all
+  def all: Map[String, Q] =
+    base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   private def base: Map[String, Q] = Map(
     "q1_agg" -> q1_agg,
@@ -286,7 +287,8 @@ object Queries {
     "q21_explode_tokens" -> q21_explode_tokens
   )
 
-  def oracles: Map[String, String] = baseOracles ++ TextQueries.oracles ++ DedupQueries.oracles
+  def oracles: Map[String, String] =
+    baseOracles ++ TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->

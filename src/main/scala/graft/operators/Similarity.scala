@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Dot products and norms are strict left-folds (`aggregate`) in index
+  * order, so results are bit-identical to any engine folding the same way
+  * (the DuckDB oracles use `list_reduce`). All math is in double.
+  *
+  * Scale design:
+  *  - brute-force kNN broadcasts the (small) query set against the corpus —
+  *    one scan, no shuffle of the corpus, per-query top-k via window;
+  *  - the all-pairs variants exist as verification baselines; the scale
+  *    path is `lshTopPairs`, which buckets by deterministic random
+  *    hyperplane signs and only scores within buckets (candidate count
+  *    ~ n·avg_bucket_size instead of n²);
+  *  - a production IVF step would replace the hash bucketing with k-means
+  *    centroids but keep the identical bucket-join shape.
+  */
+object Similarity {
+
+  /** float[] -> double[] (exact widening, engine-independent). */
+  def asDouble(vec: Column): Column = vec.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (small set, broadcast),
+    * score every corpus vector, keep the k best. Ties broken by neighbor id.
+    */
+  def knn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+          k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All-pairs cosine, globally most-similar `limit` pairs (verification
+    * baseline — O(n²); Spark plans the sort+limit as TakeOrderedAndProject,
+    * so only `limit` rows ever reach the driver side of the exchange).
+    */
+  def topPairs(df: DataFrame, idCol: String, vecCol: String, limit: Int): DataFrame = {
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val a = v.select(col(idCol).as("d1"), col("v").as("v1"))
+    val b = v.select(col(idCol).as("d2"), col("v").as("v2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+      .limit(limit)
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):
+    * uniform in [-1, 1] with step 1e-3, derived from the portable integer
+    * hash so any engine reproduces it.
+    */
+  private def planeCoef(j: Int, d: Column): Column =
+    (pmod(pmod((lit(j.toLong * 64L) + d + 1L) * 2654435761L, lit(1000000007L)), lit(2001L)) - 1000L)
+      .cast("double") / 1000.0
+
+  /** LSH bucket id from `planes` hyperplane sign bits. Per-row, shuffle-free. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { j =>
+      val proj = aggregate(
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => element_at(vec, d + 1) * planeCoef(j, d)),
+        lit(0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN scale path: score only pairs sharing an LSH bucket, keep the
+    * globally best `limit`. Recall < 1 by construction (measured against
+    * `topPairs` in the spec); cost drops from n² to sum over buckets of
+    * bucket_size². Skewed buckets (low-entropy corpora) would get a salted
+    * two-stage top-k; not needed at current selectivity.
+    */
+  def lshTopPairs(df: DataFrame, idCol: String, vecCol: String,
+                  planes: Int, dims: Int, limit: Int): DataFrame = {
+    val v = df.select(col(idCol),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+    val a = v.select(col("bucket"), col(idCol).as("d1"), col("v").as("v1"))
+    val b = v.select(col("bucket"), col(idCol).as("d2"), col("v").as("v2"))
+    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .distinct() // a pair may share several buckets only if planes differ — cheap guard
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+      .limit(limit)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.load(spark, TestSession.sf, "embeddings")
+
+  test("knn returns exactly k neighbors per query, self excluded, ranks 1..k") {
+    val got = Similarity.knn(emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", 3)
+    val perQuery = got.groupBy($"query_id").agg(count(lit(1)).as("n"),
+      max($"rank").as("maxr")).collect()
+    assert(perQuery.length == 5)
+    assert(perQuery.forall(r => r.getLong(1) == 3 && r.getInt(2) == 3))
+    assert(got.filter($"query_id" === $"neighbor_id").count() == 0)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(1)
+      .select(Similarity.cosine(
+        Similarity.asDouble($"embedding"), Similarity.asDouble($"embedding")).as("c"))
+      .as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("lshTopPairs is a subset of brute-force pairs with nonzero recall") {
+    val brute = Similarity.topPairs(emb, "vec_id", "embedding", 50)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopPairs(emb, "vec_id", "embedding", 4, 64, 50)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val allPairsScored = Similarity.topPairs(emb, "vec_id", "embedding", Int.MaxValue)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(allPairsScored))
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    info(f"ANN recall@50 vs brute force: $recall%.2f")
+    assert(recall > 0.05) // random unit vectors: 4-plane LSH keeps ~1/8 of pairs
+  }
+}
