@@ -273,6 +273,18 @@ object Queries {
         min(col("k")).as("k_min"),
         max(col("k")).as("k_max"))
 
+  /** Multimodal plumbing end-to-end: documents → binary payload + metadata
+    * struct → batched mapPartitions feature extraction (decode stubbed,
+    * see operators/Multimodal.scala). Oracle recomputes the fake features
+    * from the source text (ASCII bytes == codepoints).
+    */
+  val q35_multimodal: Q = (s, dir) =>
+    graft.operators.Multimodal.extractFeatures(s,
+      graft.operators.Multimodal.toMedia(t(s, dir).documents, "doc_id", "text"))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+
   // —————————————————————— registry ——————————————————————
 
   def all: Map[String, Q] =
@@ -300,7 +312,8 @@ object Queries {
     "q19_sessionize" -> q19_sessionize,
     "q20_union" -> q20_union,
     "q21_explode_tokens" -> q21_explode_tokens,
-    "q34_json_extract" -> q34_json_extract
+    "q34_json_extract" -> q34_json_extract,
+    "q35_multimodal" -> q35_multimodal
   )
 
   def oracles: Map[String, String] =
@@ -445,6 +458,17 @@ object Queries {
         |FROM (
         |  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
         |  FROM events)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q35_multimodal" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text)::BIGINT AS n_bytes,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |      (h, a) -> (h * 31 + a) % 1000000007) AS checksum
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, checksum,
+        |  checksum % 1024 + 16 AS width,
+        |  checksum % 768 + 16 AS height
+        |FROM f""".stripMargin
   )
 }
