@@ -285,6 +285,19 @@ object Queries {
       .select(col("doc_id"), col("n_bytes"), col("checksum"),
         col("width").cast("long").as("width"), col("height").cast("long").as("height"))
 
+  /** Native session windows (gap 30 min) — Spark's built-in
+    * `session_window` (streaming-capable) computing the same gap sessions
+    * as the hand-rolled q19; session start = first event time.
+    */
+  val q36_session_window: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(session_window(col("ts"), "1800 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("cnt"))
+
   // —————————————————————— registry ——————————————————————
 
   def all: Map[String, Q] =
@@ -313,7 +326,8 @@ object Queries {
     "q20_union" -> q20_union,
     "q21_explode_tokens" -> q21_explode_tokens,
     "q34_json_extract" -> q34_json_extract,
-    "q35_multimodal" -> q35_multimodal
+    "q35_multimodal" -> q35_multimodal,
+    "q36_session_window" -> q36_session_window
   )
 
   def oracles: Map[String, String] =
@@ -469,6 +483,21 @@ object Queries {
         |SELECT doc_id, n_bytes, checksum,
         |  checksum % 1024 + 16 AS width,
         |  checksum % 768 + 16 AS height
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    // session_window semantics: windows [t, t+gap) merge while they overlap,
+    // so a gap of exactly 1800 s starts a NEW session (>=, unlike q19's >).
+    // Compare at microsecond precision to match Spark's truncated nanos.
+    "q36_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, (min(us) // 1000000)::BIGINT AS session_start, count(*) AS cnt
+        |FROM s GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators re-expressing the reference's keyed-state semantics
+  * on Structured Streaming (SURVEY.md §2.6 A5, §2.7 D1, §2.9 T1-T6).
+  *
+  * Each op works identically under `readStream` (micro-batch, keyed state
+  * in the state store, watermark-driven timeouts) and is spec-tested with
+  * `MemoryStream`. Batch analogues of the same semantics live in
+  * `operators.Relational` and are oracle-verified; these are the
+  * incremental forms.
+  *
+  * Scale notes: every stateful op shuffles once on its key; state size is
+  * O(active keys) with watermark/timeout-driven eviction — the reference's
+  * unbounded-join-state defect (SURVEY.md §7.4-2) is deliberately not
+  * reproduced.
+  */
+object StreamOps {
+
+  /** A page-view event for the jump (bounce) detector and UV flagger.
+    * `lastPageId == None` marks a session entry (reference predicate,
+    * …/app/dwd/log/DwdTrafficUserJumpDetail.java:107-118).
+    */
+  case class PageView(mid: String, lastPageId: Option[String], ts: java.sql.Timestamp)
+
+  /** Watermarked 10 s tumbling aggregation (A1/A2/T1/T2): the canonical
+    * DWS shape — `withWatermark` bounds state; late rows beyond the delay
+    * are dropped (reference allowedLateness ≈ a larger delay).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, delay: String,
+                     windowLen: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("stt") +: col("window.end").as("edt")
+        +: keys.map(col) :+ col("cnt"): _*)
+
+  /** D1 dedup, any-row-suffices form: first row per key wins within the
+    * watermark horizon (`dropDuplicates` keyed state, evicted by
+    * watermark). The exact latest-row-wins form is `latestByKeyStream`.
+    */
+  def dedupAnyRow(events: DataFrame, tsCol: String, delay: String,
+                  keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** A5: per-key daily-distinct flagger. Emits every row with `isFirst`
+    * set when the key's last-seen date differs — downstream windowed sums
+    * of the 0/1 flag compute UV/new-user counts exactly like the
+    * reference's ValueState<lastVisitDate> pattern
+    * (…/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:86-116).
+    * State: one date string per key (the 1-day TTL of the reference is an
+    * eviction optimization; semantics live in the date comparison).
+    */
+  def dailyDistinctFlags(spark: SparkSession, views: Dataset[PageView])
+      : Dataset[(String, String, Boolean)] = {
+    import spark.implicits._
+    views.groupByKey(_.mid)
+      .flatMapGroupsWithState[String, (String, String, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (mid, events, state: GroupState[String]) =>
+          val out = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
+          var lastDate = state.getOption.getOrElse("")
+          events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            // UTC-pinned day bucketing (the reference hardcodes GMT+8,
+            // …/utils/DateFormatUtil.java:19 — we make the zone explicit)
+            val d = java.time.Instant.ofEpochMilli(e.ts.getTime)
+              .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString
+            out += ((mid, d, d != lastDate))
+            if (d != lastDate) lastDate = d
+          }
+          state.update(lastDate)
+          out.iterator
+      }
+  }
+
+  /** D1 exact form: latest-row-wins per key, flushed when the event-time
+    * watermark passes firstSeen + `flushDelayMs` (the reference uses a 5 s
+    * processing-time timer, …/app/dws/DwsTradeOrderWindow.java:122-164;
+    * event-time makes it deterministic and replayable).
+    * Rows: (key, orderTs, payload); highest orderTs wins.
+    */
+  def latestByKeyStream(spark: SparkSession,
+                        rows: Dataset[(String, Long, String)],
+                        wmCol: String, delay: String,
+                        flushDelayMs: Long): Dataset[(String, Long, String)] = {
+    import spark.implicits._
+    rows.toDF("key", "ord", "payload")
+      .withColumn("eventTime", timestamp_millis(col("ord")))
+      .withWatermark("eventTime", delay)
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Long), (String, Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, events, state: GroupState[(Long, String, Long)]) =>
+          if (state.hasTimedOut) {
+            val (ord, payload, _) = state.get
+            state.remove()
+            Iterator.single((key, ord, payload))
+          } else {
+            val best0 = state.getOption
+            val evs = events.toSeq
+            val bestNew = evs.maxBy(_._2)
+            val best = best0 match {
+              case Some((o, p, flushAt)) =>
+                if (bestNew._2 > o) (bestNew._2, bestNew._3, flushAt)
+                else (o, p, flushAt)
+              case None =>
+                (bestNew._2, bestNew._3, evs.map(_._2).min + flushDelayMs)
+            }
+            state.update(best)
+            state.setTimeoutTimestamp(best._3)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** T6 CEP jump-out (bounce) detection. Pattern over each mid's
+    * event-time-ordered page views: a session-entry view (lastPageId null)
+    * is a bounce if the NEXT view is also a session entry, or if no view
+    * arrives within `gapMs`. Match and timeout both emit — the reference
+    * unions the CEP match stream with the timeout side-output
+    * (…/app/dwd/log/DwdTrafficUserJumpDetail.java:104-155); here one
+    * state machine emits both cases.
+    */
+  def jumpDetect(spark: SparkSession, views: Dataset[PageView],
+                 delay: String, gapMs: Long): Dataset[PageView] = {
+    import spark.implicits._
+    views
+      .withWatermark("ts", delay)
+      .groupByKey(_.mid)
+      .flatMapGroupsWithState[PageView, PageView](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (mid, events, state: GroupState[PageView]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.get
+            state.remove()
+            Iterator.single(buffered)
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[PageView]()
+            var buffered = state.getOption
+            events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val isEntry = e.lastPageId.isEmpty
+              buffered match {
+                case Some(b) =>
+                  if (e.ts.getTime - b.ts.getTime > gapMs) out += b // late flush
+                  else if (isEntry) out += b                        // entry→entry: bounce
+                  buffered = if (isEntry) Some(e) else None
+                case None =>
+                  buffered = if (isEntry) Some(e) else None
+              }
+            }
+            buffered match {
+              case Some(b) =>
+                state.update(b)
+                state.setTimeoutTimestamp(b.ts.getTime + gapMs)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+}
