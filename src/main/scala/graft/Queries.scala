@@ -301,7 +301,17 @@ object Queries {
   // —————————————————————— registry ——————————————————————
 
   def all: Map[String, Q] =
-    base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+    (base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all)
+      .view.mapValues(withEngineFunctions).toMap
+
+  /** Engine functions (plans.PolyHash etc.) resolve via the function
+    * registry; make every query self-contained by registering them on the
+    * session it runs under (idempotent).
+    */
+  private def withEngineFunctions(q: Q): Q = (s, dir) => {
+    graft.plans.GraftFunctions.register(s)
+    q(s, dir)
+  }
 
   private def base: Map[String, Q] = Map(
     "q1_agg" -> q1_agg,

@@ -32,13 +32,18 @@ object TextFunctions {
     filter(split(text, " "), t => t =!= "")
 
   /** Portable polynomial string hash: fold over characters of
-    * `h = (h*31 + codepoint) mod HashMod`. Equals the classic Java
-    * `String.hashCode` recurrence but modular, so it is expressible as a
-    * left-fold in any SQL engine with lambda support (DuckDB:
-    * `list_reduce`). ASCII-safe; for multi-byte text both engines use the
-    * first-codepoint `ascii` semantics.
+    * `h = (h*31 + codepoint) mod HashMod`. Expressible as a left-fold in
+    * any SQL engine with lambda support (DuckDB: `list_reduce`), which is
+    * exactly what the oracles do. The engine-side implementation is the
+    * native codegen expression `plans.PolyHash` (byte-walking, no per-char
+    * allocation); `polyHashHof` below is the reference formulation the
+    * spec proves equal.
     */
   def polyHash(text: Column): Column =
+    graft.plans.GraftFunctions.poly_hash(text)
+
+  /** HOF reference implementation of [[polyHash]] (oracle-parity spec). */
+  def polyHashHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),

@@ -16,6 +16,7 @@ object TestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftFunctions.register(s)
     s
   }
   val sf = "/root/testdata/sf0.001"
