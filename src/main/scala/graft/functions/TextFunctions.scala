@@ -62,8 +62,14 @@ object TextFunctions {
         i => concat_ws("_", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct shingle hashes — the standard MinHash input set. */
+  /** Distinct shingle hashes — the standard MinHash input set. Native
+    * one-pass expression (plans.TextExprs); HOF reference kept below.
+    */
   def shingleHashes(text: Column, n: Int): Column =
+    call_function("shingle_hashes", text, lit(n))
+
+  /** HOF reference implementation of [[shingleHashes]] (parity spec). */
+  def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(hashAll(shingles(tokens(text), n)))
 
   /** MinHash signature of a hash set: for each of `k` permutations
@@ -78,6 +84,10 @@ object TextFunctions {
     * text.
     */
   def minhash(hashes: Column, k: Int): Column =
+    call_function("minhash_sig", hashes, lit(k))
+
+  /** HOF reference implementation of [[minhash]] (parity spec). */
+  def minhashHof(hashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i => {
       val a = pmod(lit(2654435761L) * (i + 1), lit(HashMod))
       val b = pmod(lit(40503L) * (i + 1) + 17, lit(HashMod))
@@ -98,7 +108,11 @@ object TextFunctions {
     * hashes with bit j set exceeds half the set size (the ±1 vote sum is
     * positive).
     */
-  def simhash(hashes: Column, bits: Int): Column = {
+  def simhash(hashes: Column, bits: Int): Column =
+    call_function("simhash_of", hashes, lit(bits))
+
+  /** HOF reference implementation of [[simhash]] (parity spec). */
+  def simhashHof(hashes: Column, bits: Int): Column = {
     val n = size(hashes)
     (0 until bits).map { j =>
       val ones = aggregate(hashes, lit(0L),

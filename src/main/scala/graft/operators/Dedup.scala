@@ -79,11 +79,13 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
-  /** Per-doc SimHash over distinct token hashes. */
+  /** Per-doc SimHash over distinct token hashes (a token is a 1-shingle,
+    * so the native one-pass shingle hasher feeds the native simhash).
+    */
   def simhashOf(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame =
     df.select(
       col(idCol),
-      simhash(array_distinct(hashAll(tokens(col(textCol)))), bits).as("simhash"))
+      simhash(shingleHashes(col(textCol), 1), bits).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * pigeonhole banding: the `bits`-wide hash is split into

@@ -25,7 +25,11 @@ object Similarity {
   /** float[] -> double[] (exact widening, engine-independent). */
   def asDouble(vec: Column): Column = vec.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** Native in-order dot product (plans.VecDot); HOF reference below. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** HOF reference implementation of [[dot]] (parity spec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -37,13 +41,16 @@ object Similarity {
     */
   def knn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
           k: Int): DataFrame = {
+    // norms once per row BEFORE the pair join: each pair then costs one dot
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -56,10 +63,12 @@ object Similarity {
     */
   def topPairs(df: DataFrame, idCol: String, vecCol: String, limit: Int): DataFrame = {
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val a = v.select(col(idCol).as("d1"), col("v").as("v1"))
-    val b = v.select(col(idCol).as("d2"), col("v").as("v2"))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select(col(idCol).as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = v.select(col(idCol).as("d2"), col("v").as("v2"), col("nrm").as("n2"))
     a.crossJoin(b).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
       .limit(limit)
   }
@@ -93,10 +102,12 @@ object Similarity {
     val v = df.select(col(idCol),
       asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dims))
-    val a = v.select(col("bucket"), col(idCol).as("d1"), col("v").as("v1"))
-    val b = v.select(col("bucket"), col(idCol).as("d2"), col("v").as("v2"))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select(col("bucket"), col(idCol).as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = v.select(col("bucket"), col(idCol).as("d2"), col("v").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
       .distinct() // a pair may share several buckets only if planes differ — cheap guard
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
       .limit(limit)

@@ -86,11 +86,15 @@ object GraftFunctions {
     */
   def poly_hash(c: Column): Column = call_function("poly_hash", c)
 
-  /** Register `poly_hash` on a live session (idempotent overwrite). */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = PolyHash.descriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  private[plans] val descriptors = Seq(
+    PolyHash.descriptor, ShingleHashes.descriptor,
+    MinHashSig.descriptor, SimHashOf.descriptor, VecDot.descriptor)
+
+  /** Register all engine functions on a live session (idempotent overwrite). */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` injects the engine's
@@ -99,5 +103,5 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(PolyHash.descriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Similarity
+
+/** Native expressions must be bit-identical to their HOF reference
+  * formulations (which in turn are what the DuckDB oracles replicate).
+  */
+class NativeExprsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.load(spark, TestSession.sf, "documents")
+  lazy val emb = Tables.load(spark, TestSession.sf, "embeddings")
+
+  test("shingle_hashes native == HOF on the corpus + edge cases") {
+    val edge = Seq((9001L, ""), (9002L, "a b"), (9003L, "  x   y  z  "),
+      (9004L, "中文 分词 测试 句子")).toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(edge)
+    val diff = all.select(
+      TextFunctions.shingleHashes($"text", 3).as("native"),
+      TextFunctions.shingleHashesHof($"text", 3).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("minhash_sig native == HOF including empty-set sentinel") {
+    val diff = docs.select(TextFunctions.shingleHashes($"text", 3).as("hs"))
+      .select(
+        TextFunctions.minhash($"hs", 16).as("native"),
+        TextFunctions.minhashHof($"hs", 16).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+    assert(diff.count() == 0)
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(TextFunctions.minhash($"hs", 4).as("sig"))
+      .as[Seq[Long]].head()
+    assert(empty == Seq.fill(4)(TextFunctions.HashMod))
+  }
+
+  test("simhash_of native == HOF incl. distinct-token path") {
+    val diff = docs.select(
+      TextFunctions.simhash(TextFunctions.shingleHashes($"text", 1), 24).as("native"),
+      TextFunctions.simhashHof(
+        array_distinct(TextFunctions.hashAll(TextFunctions.tokens($"text"))), 24).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("vec_dot native == HOF fold (order-sensitive double sum)") {
+    val v = emb.select(Similarity.asDouble($"embedding").as("v")).limit(100)
+    val pairs = v.crossJoin(v.select($"v".as("w")).limit(7))
+    val diff = pairs.select(
+      Similarity.dot($"v", $"w").as("native"),
+      Similarity.dotHof($"v", $"w").as("hof"))
+      .filter($"native" =!= $"hof") // exact equality: same fold order
+    assert(diff.count() == 0)
+  }
+}
