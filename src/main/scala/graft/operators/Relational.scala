@@ -59,6 +59,30 @@ object Relational {
       .drop("__new_session")
   }
 
+  /** Skew-breaking salted equi-join (SURVEY §2 "Optimize for scale").
+    *
+    * A hot key on the probe side overloads one shuffle partition; salting
+    * spreads it: the big side gets a per-row salt in [0, buckets), the
+    * small side is exploded `buckets`× (one copy per salt), and the join
+    * runs on (key, salt). Result set provably equals the plain join (spec);
+    * cost trades `buckets`× duplication of the SMALL side for even
+    * distribution of the BIG side. AQE's skew-join split handles moderate
+    * skew automatically; salting is for the pathological keys AQE can't
+    * split (single-key hot spots inside one task).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, buckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val exploded = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(exploded,
+      salted(bigKey) === exploded(smallKey) && salted("__salt") === exploded("__salt"),
+      joinType)
+      .drop("__salt")
+  }
+
   /** Status-transition detection (SURVEY §2.3 P7: `old['order_status'] is not
     * null and order_status='1003'` — here generalized to (prev, next) pairs
     * via `lag` since the batch tables carry no CDC `old` map).
