@@ -39,6 +39,23 @@ object StreamOps {
       .select(col("window.start").as("stt") +: col("window.end").as("edt")
         +: keys.map(col) :+ col("cnt"): _*)
 
+  /** A2/A4 generalization: watermarked tumbling window summing the given
+    * measure columns (outName per measure) plus a `pv_ct` row count —
+    * the multi-measure DWS bean shape (stt/edt window bounds + sums).
+    */
+  def tumblingSums(events: DataFrame, tsCol: String, delay: String,
+                   windowLen: String, keys: Seq[String],
+                   sums: Map[String, String]): DataFrame = {
+    val aggs = sums.toSeq.map { case (in, out) => sum(col(in)).as(out) } :+
+      count(lit(1)).as("pv_ct")
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowLen) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("stt") +: col("window.end").as("edt")
+        +: keys.map(col) ++: (sums.values.toSeq :+ "pv_ct").map(col): _*)
+  }
+
   /** D1 dedup, any-row-suffices form: first row per key wins within the
     * watermark horizon (`dropDuplicates` keyed state, evicted by
     * watermark). The exact latest-row-wins form is `latestByKeyStream`.
