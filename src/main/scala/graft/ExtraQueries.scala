@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Second relational wave: grouping sets beyond rollup, set operations,
+  * ranking family, pivot, ordered collection, arg-max — all
+  * Catalyst-built-in (SURVEY.md §2.6-§2.8 "absent in reference,
+  * Catalyst provides" lines), each with a DuckDB oracle.
+  */
+object ExtraQueries {
+  import Queries.Q
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
+
+  /** CUBE over two dims (all four grouping sets in one pass). */
+  val q37_cube: Q = (s, dir) =>
+    t(s, dir).lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** INTERSECT / EXCEPT: viewers who purchased, viewers who never did. */
+  val q38_setops: Q = (s, dir) => {
+    val ev = t(s, dir).events
+    def users(tpe: String) =
+      ev.filter(col("event_type") === tpe).select(col("user_id")).distinct()
+    val both = users("view").intersect(users("purchase"))
+      .withColumn("segment", lit("view_and_purchase"))
+    val only = users("view").except(users("purchase"))
+      .withColumn("segment", lit("view_only"))
+    both.unionByName(only)
+      .groupBy(col("segment")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** dense_rank + ntile + percent_rank with a total ordering. */
+  val q39_rank_funcs: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, dir).orders
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"))
+      .filter(col("drank") <= 20)
+  }
+
+  /** Pivot: one row per day, one count column per event type. */
+  val q40_pivot: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("view", "click", "purchase"))
+      .agg(count(lit(1)))
+
+  /** Ordered distinct collection rendered as string (engine-stable). */
+  val q41_collect_sorted: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"))
+
+  /** Per-group arg-max with deterministic tie-break: the event with the
+    * highest (value, event_id) per type — max(struct) pattern.
+    */
+  val q42_argmax: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("value"), col("event_id"))).as("m"))
+      .select(col("event_type"), col("m.event_id").as("event_id"),
+        col("m.value").as("value"))
+
+  def all: Map[String, Q] = Map(
+    "q37_cube" -> q37_cube,
+    "q38_setops" -> q38_setops,
+    "q39_rank_funcs" -> q39_rank_funcs,
+    "q40_pivot" -> q40_pivot,
+    "q41_collect_sorted" -> q41_collect_sorted,
+    "q42_argmax" -> q42_argmax)
+
+  def oracles: Map[String, String] = Map(
+    "q37_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q38_setops" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |seg AS (
+        |  SELECT user_id, 'view_and_purchase' AS segment FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
+        |  UNION ALL
+        |  SELECT user_id, 'view_only' AS segment FROM (SELECT * FROM v EXCEPT SELECT * FROM p))
+        |SELECT segment, count(*) AS cnt FROM seg GROUP BY 1""".stripMargin,
+    "q39_rank_funcs" ->
+      """SELECT o_orderkey, o_orderpriority, drank, quartile, prank FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    dense_rank() OVER w AS drank,
+        |    ntile(4) OVER w AS quartile,
+        |    round(percent_rank() OVER w, 6) AS prank
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC))
+        |WHERE drank <= 20""".stripMargin,
+    "q40_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase
+        |FROM events GROUP BY 1""".stripMargin,
+    "q41_collect_sorted" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY 1""".stripMargin,
+    "q42_argmax" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin)
+}

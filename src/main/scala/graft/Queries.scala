@@ -301,7 +301,8 @@ object Queries {
   // —————————————————————— registry ——————————————————————
 
   def all: Map[String, Q] =
-    (base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all)
+    (base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+      ++ ExtraQueries.all)
       .view.mapValues(withEngineFunctions).toMap
 
   /** Engine functions (plans.PolyHash etc.) resolve via the function
@@ -341,7 +342,8 @@ object Queries {
   )
 
   def oracles: Map[String, String] =
-    baseOracles ++ TextQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles
+    baseOracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ ExtraQueries.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->
