@@ -1,0 +1,34 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.LogSplit
+
+/** The keyword pipeline (SURVEY.md §7.2 step 2 — the minimum end-to-end
+  * slice): …/app/dws/DwsTrafficSourceKeywordPageViewWindow.java.
+  * page stream → search filter (`last_page_id='search' and
+  * item_type='keyword'`, :86-92) → tokenize+explode (the IK UDTF becomes a
+  * pluggable tokenizer column — default whitespace split, :96-102) →
+  * 10 s tumbling count per keyword (:105-113).
+  *
+  * One shuffle (window+keyword groupBy); tokenize/explode are per-row.
+  */
+object KeywordWindow {
+
+  def apply(logs: DataFrame, windowLen: String = "10 seconds",
+            delay: String = "5 seconds",
+            tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+              c => split(c, " ")): DataFrame =
+    LogSplit.split(logs)("page")
+      .filter(col("page.last_page_id") === "search" &&
+        col("page.item_type") === "keyword" && col("page.item").isNotNull)
+      .select(timestamp_millis(col("ts")).as("eventTime"),
+        explode(tokenizer(col("page.item"))).as("keyword"))
+      .filter(col("keyword") =!= "")
+      .withWatermark("eventTime", delay)
+      .groupBy(window(col("eventTime"), windowLen), col("keyword"))
+      .agg(count(lit(1)).as("keyword_count"))
+      .select(col("window.start").as("stt"), col("window.end").as("edt"),
+        col("keyword"), col("keyword_count"))
+}

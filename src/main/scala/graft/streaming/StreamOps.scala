@@ -136,6 +136,42 @@ object StreamOps {
       }
   }
 
+  /** A5 variant — is_new repair (…/app/dwd/log/BaseLogApp.java:112-149):
+    * devices claiming `is_new=1` are corrected to "0" when keyed state
+    * proves an earlier visit date; devices first seen with `is_new=0` get
+    * state primed to "yesterday" so later days stay 0. Emits every event
+    * with the repaired flag.
+    */
+  def repairIsNew(spark: SparkSession,
+                  views: Dataset[(String, String, java.sql.Timestamp)])
+      : Dataset[(String, String, java.sql.Timestamp)] = {
+    import spark.implicits._
+    def day(ts: java.sql.Timestamp) =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atOffset(java.time.ZoneOffset.UTC).toLocalDate
+    views.groupByKey(_._1)
+      .flatMapGroupsWithState[String, (String, String, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (mid, events, state: GroupState[String]) =>
+          var firstDate = state.getOption.getOrElse("")
+          val out = events.toSeq.sortBy(_._3.getTime).map { case (m, isNew, ts) =>
+            val d = day(ts).toString
+            val repaired =
+              if (isNew == "1") {
+                if (firstDate.isEmpty) { firstDate = d; "1" }
+                else if (firstDate == d) "1"
+                else "0" // seen on an earlier date: not actually new
+              } else {
+                if (firstDate.isEmpty) firstDate = day(ts).minusDays(1).toString
+                "0"
+              }
+            (m, repaired, ts)
+          }
+          state.update(firstDate)
+          out.iterator
+      }
+  }
+
   /** T6 CEP jump-out (bounce) detection. Pattern over each mid's
     * event-time-ordered page views: a session-entry view (lastPageId null)
     * is a bounce if the NEXT view is also a session entry, or if no view
