@@ -26,9 +26,13 @@ object TrafficPageViewWindow {
                      isNew: String, lastPageId: Option[String],
                      duringTime: Long, ts: java.sql.Timestamp)
 
-  /** logs (parsed LogSplit schema) -> windowed measure rows. */
+  /** logs (parsed LogSplit schema) -> windowed measure rows. `zone` pins
+    * the day-bucketing timezone (explicit parameter, SURVEY.md §7.4-6 —
+    * the reference hardcodes GMT+8 in DateFormatUtil).
+    */
   def apply(spark: SparkSession, logs: DataFrame,
-            windowLen: String = "10 seconds", delay: String = "5 seconds"): DataFrame = {
+            windowLen: String = "10 seconds", delay: String = "5 seconds",
+            zone: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
     import spark.implicits._
     val pages = LogSplit.split(logs)("page")
       .select(
@@ -49,7 +53,7 @@ object TrafficPageViewWindow {
           var lastDate = state.getOption.getOrElse("")
           val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
             val d = java.time.Instant.ofEpochMilli(e.ts.getTime)
-              .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString
+              .atZone(zone).toLocalDate.toString
             val uv = if (d != lastDate) 1 else 0
             if (d != lastDate) lastDate = d
             (e, uv)

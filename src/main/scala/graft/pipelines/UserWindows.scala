@@ -21,7 +21,8 @@ object UserWindows {
   case class Login(uid: String, ts: java.sql.Timestamp)
 
   /** Emit (uid, ts, uu, back) flags from per-uid state. */
-  def loginFlags(spark: SparkSession, logins: Dataset[Login])
+  def loginFlags(spark: SparkSession, logins: Dataset[Login],
+                 zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
       : DataFrame = {
     import spark.implicits._
     logins.groupByKey(_.uid)
@@ -31,7 +32,7 @@ object UserWindows {
           var lastDate = state.getOption.getOrElse("")
           val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
             val d = java.time.Instant.ofEpochMilli(e.ts.getTime)
-              .atOffset(java.time.ZoneOffset.UTC).toLocalDate
+              .atZone(zone).toLocalDate
             val uu = if (lastDate.isEmpty || lastDate != d.toString) 1 else 0
             val back =
               if (lastDate.nonEmpty &&

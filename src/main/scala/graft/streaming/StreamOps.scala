@@ -73,7 +73,8 @@ object StreamOps {
     * State: one date string per key (the 1-day TTL of the reference is an
     * eviction optimization; semantics live in the date comparison).
     */
-  def dailyDistinctFlags(spark: SparkSession, views: Dataset[PageView])
+  def dailyDistinctFlags(spark: SparkSession, views: Dataset[PageView],
+                         zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
       : Dataset[(String, String, Boolean)] = {
     import spark.implicits._
     views.groupByKey(_.mid)
@@ -83,10 +84,11 @@ object StreamOps {
           val out = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
           var lastDate = state.getOption.getOrElse("")
           events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            // UTC-pinned day bucketing (the reference hardcodes GMT+8,
-            // …/utils/DateFormatUtil.java:19 — we make the zone explicit)
+            // day bucketing under an EXPLICIT zone — the reference
+            // hardcodes GMT+8 (…/utils/DateFormatUtil.java:19); making it a
+            // parameter is SURVEY.md §7.4-6's fix
             val d = java.time.Instant.ofEpochMilli(e.ts.getTime)
-              .atOffset(java.time.ZoneOffset.UTC).toLocalDate.toString
+              .atZone(zone).toLocalDate.toString
             out += ((mid, d, d != lastDate))
             if (d != lastDate) lastDate = d
           }
@@ -143,12 +145,12 @@ object StreamOps {
     * with the repaired flag.
     */
   def repairIsNew(spark: SparkSession,
-                  views: Dataset[(String, String, java.sql.Timestamp)])
+                  views: Dataset[(String, String, java.sql.Timestamp)],
+                  zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
       : Dataset[(String, String, java.sql.Timestamp)] = {
     import spark.implicits._
     def day(ts: java.sql.Timestamp) =
-      java.time.Instant.ofEpochMilli(ts.getTime)
-        .atOffset(java.time.ZoneOffset.UTC).toLocalDate
+      java.time.Instant.ofEpochMilli(ts.getTime).atZone(zone).toLocalDate
     views.groupByKey(_._1)
       .flatMapGroupsWithState[String, (String, String, java.sql.Timestamp)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
