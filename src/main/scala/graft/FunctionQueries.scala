@@ -63,13 +63,36 @@ object FunctionQueries {
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
         datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_98end"))
 
+  /** Correlated scalar subquery — Catalyst decorrelates to an aggregate +
+    * join (SURVEY.md §4 "subquery decorrelation: inherited"). Decimal math
+    * keeps the threshold comparison engine-exact.
+    */
+  val q47_correlated_subquery: Q = (s, dir) => {
+    t(s, dir).orders.createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o.o_orderpriority, count(*) AS big_spenders
+        |FROM orders_v o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,6)) >
+        |  (SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+        |   FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY 1""".stripMargin)
+  }
+
   def all: Map[String, Q] = Map(
+    "q47_correlated_subquery" -> q47_correlated_subquery,
     "q43_percentiles" -> q43_percentiles,
     "q44_string_funcs" -> q44_string_funcs,
     "q45_array_funcs" -> q45_array_funcs,
     "q46_date_funcs" -> q46_date_funcs)
 
   def oracles: Map[String, String] = Map(
+    "q47_correlated_subquery" ->
+      """SELECT o.o_orderpriority, count(*) AS big_spenders
+        |FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,6)) >
+        |  (SELECT 1.5 * avg(CAST(o2.o_totalprice AS DECIMAL(18,6)))
+        |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY 1""".stripMargin,
     "q43_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,
