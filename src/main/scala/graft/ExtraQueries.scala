@@ -70,7 +70,19 @@ object ExtraQueries {
       .select(col("event_type"), col("m.event_id").as("event_id"),
         col("m.value").as("value"))
 
+  /** Explicit GROUPING SETS with grouping flags (A7 full form). */
+  val q48_grouping_sets: Q = (s, dir) => {
+    t(s, dir).lineitem.createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |  count(*) AS cnt
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   def all: Map[String, Q] = Map(
+    "q48_grouping_sets" -> q48_grouping_sets,
     "q37_cube" -> q37_cube,
     "q38_setops" -> q38_setops,
     "q39_rank_funcs" -> q39_rank_funcs,
@@ -79,6 +91,12 @@ object ExtraQueries {
     "q42_argmax" -> q42_argmax)
 
   def oracles: Map[String, String] = Map(
+    "q48_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag)::INT AS g_flag, grouping(l_linestatus)::INT AS g_status,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q37_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,

@@ -19,12 +19,12 @@ object TradeProvinceOrderWindow {
 
   def apply(wideDetail: DataFrame, provinceDim: DataFrame,
             windowLen: String = "10 seconds", delay: String = "5 seconds"): DataFrame = {
-    // dropDuplicatesWithinWatermark is streaming-only; batch mode gets the
-    // equivalent any-row dedup (same semantics, no state horizon needed)
+    // Streaming contract: `wideDetail` already carries its eventTime
+    // watermark from the source leaves (re-applying one above a stateful
+    // operator is disallowed). dropDuplicatesWithinWatermark is
+    // streaming-only; batch gets the equivalent any-row dedup.
     val deduped =
-      if (wideDetail.isStreaming)
-        wideDetail.withWatermark("eventTime", delay)
-          .dropDuplicatesWithinWatermark("id")
+      if (wideDetail.isStreaming) wideDetail.dropDuplicatesWithinWatermark("id")
       else wideDetail.dropDuplicates("id")
 
     val agg = deduped

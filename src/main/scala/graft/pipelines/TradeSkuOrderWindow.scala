@@ -27,10 +27,9 @@ object TradeSkuOrderWindow {
   def apply(wideDetail: DataFrame, hops: Seq[DimHop],
             groupCols: Seq[String],
             windowLen: String = "10 seconds", delay: String = "5 seconds"): DataFrame = {
+    // watermark comes from the source leaves (see TradeProvinceOrderWindow)
     val deduped =
-      if (wideDetail.isStreaming)
-        wideDetail.withWatermark("eventTime", delay)
-          .dropDuplicatesWithinWatermark("id")
+      if (wideDetail.isStreaming) wideDetail.dropDuplicatesWithinWatermark("id")
       else wideDetail.dropDuplicates("id")
 
     val enriched = hops.foldLeft(deduped) { (df, h) =>
