@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Relational}
+import graft.plans.PolyHash
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based invariants over generated inputs (raw ScalaCheck Gen —
+  * the scalatest bridge artifact is not in the offline cache, so cases are
+  * drawn explicitly with a fixed seed for reproducibility).
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("PolyHash.hash in [0, Mod) and equals the definitional fold (100 random ASCII strings)") {
+    val asciiText = Gen.listOf(Gen.frequency(
+      (9, Gen.alphaNumChar), (3, Gen.const(' ')), (1, Gen.oneOf('_', '-', '.'))))
+      .map(_.mkString)
+    cases(asciiText, 100).foreach { s =>
+      val h = PolyHash.hash(UTF8String.fromString(s))
+      assert(h >= 0 && h < PolyHash.Mod)
+      val expected = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % PolyHash.Mod)
+      assert(h == expected, s"mismatch for '$s'")
+    }
+  }
+
+  test("minhash: entries bounded, order-invariant over the input set") {
+    val hashes = Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHash.Mod - 1))
+    cases(hashes, 50).foreach { hs =>
+      val sig = graft.plans.TextExprs.minhashSig(new GenericArrayData(hs.toArray), 8)
+      val shuffled = graft.plans.TextExprs.minhashSig(
+        new GenericArrayData(new scala.util.Random(7).shuffle(hs).toArray), 8)
+      (0 until 8).foreach { i =>
+        assert(sig.getLong(i) >= 0 && sig.getLong(i) < PolyHash.Mod)
+        assert(sig.getLong(i) == shuffled.getLong(i))
+      }
+    }
+  }
+
+  test("simhash: deterministic, within bit width, hamming-to-self 0") {
+    val hashes = Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHash.Mod - 1))
+    cases(hashes, 50).foreach { hs =>
+      val arr = new GenericArrayData(hs.toArray)
+      val a = graft.plans.TextExprs.simhash(arr, 24)
+      val b = graft.plans.TextExprs.simhash(new GenericArrayData(hs.toArray), 24)
+      assert(a == b)
+      assert(a >= 0 && a < (1L << 24))
+    }
+  }
+
+  test("saltedJoin == plain join across bucket counts") {
+    val big = spark.range(500).select(($"id" % 7).as("k"), $"id".as("p"))
+    val small = spark.range(7).select($"id".as("sk"), concat(lit("v"), $"id").as("v"))
+    val plain = big.join(small, $"k" === $"sk").select($"p", $"v")
+      .as[(Long, String)].collect().sorted.toSeq
+    for (buckets <- Seq(1, 2, 5, 16)) {
+      val salted = Relational.saltedJoin(big, small, "k", "sk", buckets)
+        .select($"p", $"v").as[(Long, String)].collect().sorted.toSeq
+      assert(salted == plain, s"buckets=$buckets")
+    }
+  }
+
+  test("exactDedup: distinct representatives, one per normalized text") {
+    val docsGen = Gen.listOfN(30, Gen.oneOf("a b", "c d", "e f", "A B ", "x"))
+    cases(docsGen, 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val kept = Dedup.exactDedup(df, "doc_id", "text").as[Long].collect()
+      assert(kept.distinct.length == kept.length)
+      assert(kept.toSet.subsetOf(texts.indices.map(_.toLong).toSet))
+      assert(kept.length == texts.map(_.trim.toLowerCase).distinct.length)
+    }
+  }
+}
