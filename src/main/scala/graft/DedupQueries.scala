@@ -47,7 +47,29 @@ object DedupQueries {
   val q30_simhash_pairs: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir).documents, "doc_id", "text", SIMHASH_BITS, MAX_HAMMING)
 
+  /** MinHash as an ESTIMATOR: per LSH candidate pair, the fraction of
+    * agreeing signature entries estimates Jaccard; emitted beside the
+    * exact value — the accuracy/cost tradeoff a 100 TB dedup run tunes k
+    * by (estimate-only dedup never touches the shingle sets again).
+    */
+  val q49_minhash_estimate: Q = (s, dir) => {
+    val sigs = Dedup.minhashSignatures(t(s, dir).documents, "doc_id", "text",
+      SHINGLE_N, MINHASH_K)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", MINHASH_K, LSH_BANDS)
+    val inter = size(array_intersect(col("h1"), col("h2"))).cast("double")
+    val union = (size(col("h1")) + size(col("h2"))).cast("double") - inter
+    val agree = size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b),
+      x => x)).cast("double")
+    cand
+      .join(sigs.select(col("doc_id").as("d1"), col("hashes").as("h1"), col("sig").as("s1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("hashes").as("h2"), col("sig").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(agree / MINHASH_K, 6).as("est_jacc"),
+        round(inter / union, 6).as("exact_jacc"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q49_minhash_estimate" -> q49_minhash_estimate,
     "q26_dedup_exact" -> q26_dedup_exact,
     "q27_minhash_sig" -> q27_minhash_sig,
     "q28_lsh_neardup" -> q28_lsh_neardup,
@@ -90,6 +112,21 @@ object DedupQueries {
        |  FROM th)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q49_minhash_estimate" ->
+      s"""WITH $shingleCtes,
+         |bands AS (SELECT doc_id, b,
+         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT d1, d2,
+         |  round(len(list_filter(list_transform(range($MINHASH_K),
+         |      i -> s1.sig[i+1] = s2.sig[i+1]), x -> x))::DOUBLE / $MINHASH_K, 6) AS est_jacc,
+         |  round(len(list_intersect(s1.hs, s2.hs))::DOUBLE
+         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+         |    6) AS exact_jacc
+         |FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id""".stripMargin,
     "q26_dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id FROM (
          |  SELECT doc_id, ${polyHashSql("trim(lower(text))")} AS fp
