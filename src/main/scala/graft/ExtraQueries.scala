@@ -81,8 +81,26 @@ object ExtraQueries {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
   }
 
+  /** Interval join, batch-oracle form (J1 semantics — the streaming twin
+    * is StreamJoins.intervalJoin, spec'd in OrderPreProcessSpec): purchases
+    * within 1 hour after a view by the same user. Microsecond-exact bounds.
+    */
+  val q50_interval_join: Q = (s, dir) => {
+    val ev = t(s, dir).events
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    graft.streaming.StreamJoins.intervalJoin(
+      views, buys, "v_ts", "b_ts",
+      col("v_user") === col("b_user"), 0L, 3600L, "inner")
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("view_buy_pairs"))
+  }
+
   def all: Map[String, Q] = Map(
     "q48_grouping_sets" -> q48_grouping_sets,
+    "q50_interval_join" -> q50_interval_join,
     "q37_cube" -> q37_cube,
     "q38_setops" -> q38_setops,
     "q39_rank_funcs" -> q39_rank_funcs,
@@ -91,6 +109,13 @@ object ExtraQueries {
     "q42_argmax" -> q42_argmax)
 
   def oracles: Map[String, String] = Map(
+    "q50_interval_join" ->
+      """SELECT v.user_id AS user_id, count(*) AS view_buy_pairs
+        |FROM (SELECT user_id, epoch_us(ts) AS v_us FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, epoch_us(ts) AS b_us FROM events WHERE event_type = 'purchase') b
+        |  ON v.user_id = b.user_id
+        | AND b.b_us >= v.v_us AND b.b_us <= v.v_us + 3600000000
+        |GROUP BY 1""".stripMargin,
     "q48_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  grouping(l_returnflag)::INT AS g_flag, grouping(l_linestatus)::INT AS g_status,

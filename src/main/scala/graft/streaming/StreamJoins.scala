@@ -29,18 +29,27 @@ object StreamJoins {
   def watermarked(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
 
-  /** Equi-join with symmetric event-time bound
-    * |leftTs - rightTs| <= rangeSeconds. Both inputs must already carry
-    * watermarks (see [[watermarked]]); chained joins then compose freely
+  /** Equi-join with asymmetric event-time bound (Flink intervalJoin shape):
+    * `leftTs + lowerSeconds <= rightTs <= leftTs + upperSeconds`.
+    * Both inputs must already carry watermarks (see [[watermarked]]);
+    * chained joins then compose freely
     * (`spark.sql.streaming.statefulOperator.allowMultiple`, default on).
     * `joinType`: "inner" or "left_outer". Identical in batch.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftTsCol: String, rightTsCol: String,
-                   keys: Column, rangeSeconds: Long,
+                   keys: Column, lowerSeconds: Long, upperSeconds: Long,
                    joinType: String): DataFrame = {
-    val bound = col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $rangeSeconds SECONDS") &&
-      col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $rangeSeconds SECONDS")
+    val bound = col(rightTsCol) >= col(leftTsCol) + expr(s"INTERVAL $lowerSeconds SECONDS") &&
+      col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $upperSeconds SECONDS")
     left.join(right, keys && bound, joinType)
   }
+
+  /** Symmetric convenience: |leftTs - rightTs| <= rangeSeconds. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftTsCol: String, rightTsCol: String,
+                   keys: Column, rangeSeconds: Long,
+                   joinType: String): DataFrame =
+    intervalJoin(left, right, leftTsCol, rightTsCol, keys,
+      -rangeSeconds, rangeSeconds, joinType)
 }
