@@ -79,6 +79,36 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph by iterative min-label propagation — the correct keep rule
+    * at scale (keep ONE doc per component; pairwise d2-dropping can drop
+    * transitive members whose only witness was itself dropped).
+    *
+    * Pure DataFrame iteration: each round joins current labels across
+    * edges and takes the min; fixed `maxIter` bounds chain length (dup
+    * chains longer than 2^maxIter hops are vanishingly rare — labels
+    * propagate along shortest paths, halving remaining distance per
+    * round in the undirected join). No driver-side graph state.
+    * Returns (doc_id, cluster) for every vertex in `pairs`.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2"))
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .distinct().cache()
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+    for (_ <- 1 to maxIter) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
+        .select(col("d1").as("doc_id"), col("cluster"))
+      labels = labels.union(viaNeighbor)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster")).as("cluster"))
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Per-doc SimHash over distinct token hashes (a token is a 1-shingle,
     * so the native one-pass shingle hasher feeds the native simhash).
     */

@@ -44,7 +44,11 @@ object CorpusPipeline {
 
     val nearPairs = Dedup.nearDupPairs(afterExact, "doc_id", "text",
       cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.jaccardThreshold)
-    val dropNear = nearPairs.select(col("d2").as("doc_id")).distinct()
+    // resolve pair graph to components; keep one doc per duplicate cluster
+    // (per-pair d2-dropping can orphan transitive members)
+    val dropNear = Dedup.duplicateClusters(nearPairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
     val cleaned = afterExact.join(dropNear, Seq("doc_id"), "left_anti")
 
     val stats = docs.select(col("lang"), lit("input").as("stage"))

@@ -54,6 +54,19 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // dense corpus: the comparison is not vacuous
   }
 
+  test("duplicateClusters: min-label propagation finds connected components") {
+    // chain 1-2-3, clique {10,11,12}, isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+      .toDF("d1", "d2")
+    val labels = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L && labels(12L) == 10L)
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    // keep rule: one representative per component
+    assert(labels.values.toSet == Set(1L, 10L, 20L))
+  }
+
   test("shingles guard: doc shorter than n yields empty set, null-safe minhash") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 4)

@@ -50,4 +50,29 @@ class IsNewKeywordSpec extends AnyFunSuite {
       (100L, "apple", 2L), (100L, "phone", 1L), (100L, "case", 1L),
       (100L, "watch", 1L), (110L, "phone", 1L)))
   }
+
+  test("keyword pipeline streaming: finalized windows emit after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def search(tsSec: Long, item: String) =
+      s"""{"common":{"ar":"1","ch":"web","is_new":"0","mid":"m","uid":"u","vc":"v"},
+         |"page":{"during_time":1,"item":"$item","item_type":"keyword","last_page_id":"search","page_id":"good_list"},
+         |"ts":${tsSec * 1000}}""".stripMargin.replace("\n", "")
+    val in = MemoryStream[String]
+    val (clean, _) = LogSplit.parse(in.toDF().toDF("value"), "value")
+    val q = KeywordWindow(clean)
+      .select($"stt".cast("long").as("stt"), $"keyword", $"keyword_count")
+      .writeStream.format("memory").queryName("kw").outputMode("append").start()
+    try {
+      in.addData(search(101, "apple phone"), search(103, "apple"))
+      q.processAllAvailable()
+      in.addData(search(200, "x")) // advance watermark past window [100,110)
+      q.processAllAvailable()
+      in.addData(search(210, "x"))
+      q.processAllAvailable()
+      val rows = spark.table("kw").as[(Long, String, Long)].collect().toSet
+      assert(rows.contains((100L, "apple", 2L)))
+      assert(rows.contains((100L, "phone", 1L)))
+    } finally q.stop()
+  }
 }
