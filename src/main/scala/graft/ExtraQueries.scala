@@ -98,9 +98,37 @@ object ExtraQueries {
       .agg(count(lit(1)).as("view_buy_pairs"))
   }
 
+  /** Unpivot (melt): one row per (day, event_type) from the pivoted wide
+    * shape — the inverse of q40.
+    */
+  val q51_unpivot: Q = (s, dir) => {
+    val wide = q40_pivot(s, dir)
+    wide.unpivot(
+      Array(col("day")),
+      Array(col("view"), col("click"), col("purchase")),
+      "event_type", "cnt")
+  }
+
+  /** RANGE-framed window: per customer, sum of order values within 30 days
+    * BEFORE each order (value-range frame — deterministic under ties,
+    * unlike ROWS frames with non-total orders).
+    */
+  val q52_range_frame: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, -1L)
+    t(s, dir).orders
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        coalesce(round(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6))).over(w), 2)
+          .cast("double"), lit(0d)).as("prior_30d_spend"))
+  }
+
   def all: Map[String, Q] = Map(
     "q48_grouping_sets" -> q48_grouping_sets,
     "q50_interval_join" -> q50_interval_join,
+    "q51_unpivot" -> q51_unpivot,
+    "q52_range_frame" -> q52_range_frame,
     "q37_cube" -> q37_cube,
     "q38_setops" -> q38_setops,
     "q39_rank_funcs" -> q39_rank_funcs,
@@ -116,6 +144,22 @@ object ExtraQueries {
         |  ON v.user_id = b.user_id
         | AND b.b_us >= v.v_us AND b.b_us <= v.v_us + 3600000000
         |GROUP BY 1""".stripMargin,
+    "q51_unpivot" ->
+      """WITH p AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) FILTER (event_type = 'view') AS view,
+        |    count(*) FILTER (event_type = 'click') AS click,
+        |    count(*) FILTER (event_type = 'purchase') AS purchase
+        |  FROM events GROUP BY 1)
+        |SELECT day, 'view' AS event_type, view AS cnt FROM p
+        |UNION ALL SELECT day, 'click', click FROM p
+        |UNION ALL SELECT day, 'purchase', purchase FROM p""".stripMargin,
+    "q52_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  coalesce((round(sum(o_totalprice::DECIMAL(18,6)) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate::TIMESTAMP)::BIGINT
+        |    RANGE BETWEEN 2592000 PRECEDING AND 1 PRECEDING), 2))::DOUBLE, 0) AS prior_30d_spend
+        |FROM orders""".stripMargin,
     "q48_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  grouping(l_returnflag)::INT AS g_flag, grouping(l_linestatus)::INT AS g_status,
