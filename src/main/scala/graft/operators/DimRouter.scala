@@ -38,17 +38,19 @@ object DimRouter {
       .select(col("sink_table"), col("type"), col("data"), col("ts"))
   }
 
-  /** Batch/`foreachBatch` writer: one directory per dim table, latest row
-    * per PK wins (replaces the reference's Phoenix upsert,
-    * …/app/func/MyPhoenixSink.java:9-28). `partitionBy(sink_table)` gives
-    * one writer task group per dim table — at scale each dim is its own
-    * parquet/Delta table and this becomes a MERGE; the routing plan is
-    * identical.
+  /** Batch/`foreachBatch` writer: one directory per dim table (replaces
+    * the reference's Phoenix upsert, …/app/func/MyPhoenixSink.java:9-28).
+    * APPEND per micro-batch — overwrite would clobber earlier batches;
+    * upsert semantics live on the read side (`Sinks.upsertView` by `pk`,
+    * ordered by `ts`), the engine's changelog convention.
+    * `partitionBy(sink_table)` gives one writer group per dim table — at
+    * scale each dim is its own parquet/Delta table and this becomes a
+    * MERGE; the routing plan is identical.
     */
   def writeRouted(routed: DataFrame, outDir: String): Unit =
     routed
       .withColumn("pk", col("data")("id"))
-      .write.mode("overwrite")
+      .write.mode("append")
       .partitionBy("sink_table")
       .parquet(outDir)
 }
