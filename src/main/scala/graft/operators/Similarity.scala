@@ -108,7 +108,7 @@ object Similarity {
     a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
-      .distinct() // a pair may share several buckets only if planes differ — cheap guard
+      .distinct() // each vector has exactly one bucket, so pairs are already unique; cheap guard
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
       .limit(limit)
   }
