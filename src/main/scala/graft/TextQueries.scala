@@ -89,7 +89,43 @@ object TextQueries {
         polyHash(col("text")).as("fp"),
         polyHash(trim(lower(col("text")))).as("fp_norm"))
 
+  /** Text normalization (corpus-cleaning preprocessing): trim + lowercase +
+    * whitespace collapse, fingerprinted. The normalize step is what makes
+    * exact dedup robust to formatting noise.
+    */
+  val q53_normalize: Q = (s, dir) =>
+    t(s, dir).documents
+      .select(
+        col("doc_id"),
+        polyHash(regexp_replace(trim(lower(col("text"))), " +", " ")).as("norm_fp"),
+        length(regexp_replace(trim(lower(col("text"))), " +", " ")).as("norm_len"))
+
+  /** Value histogram by fixed-width buckets (floor arithmetic — portable,
+    * unlike engine-specific width_bucket variants).
+    */
+  val q54_histogram: Q = (s, dir) =>
+    t(s, dir).events
+      .groupBy(floor(col("value") / 25).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Edit-distance fuzzy matching (levenshtein is exactly defined, so it
+    * compares across engines): distance between 24-char prefixes of all
+    * doc pairs among the first 30 docs, kept when <= 12.
+    */
+  val q55_levenshtein: Q = (s, dir) => {
+    val p = t(s, dir).documents.filter(col("doc_id") < 30)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("prefix"))
+    val a = p.select(col("doc_id").as("d1"), col("prefix").as("p1"))
+    val b = p.select(col("doc_id").as("d2"), col("prefix").as("p2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), levenshtein(col("p1"), col("p2")).as("dist"))
+      .filter(col("dist") <= 12)
+  }
+
   def all: Map[String, Q] = Map(
+    "q53_normalize" -> q53_normalize,
+    "q54_histogram" -> q54_histogram,
+    "q55_levenshtein" -> q55_levenshtein,
     "q22_token_stats" -> q22_token_stats,
     "q23_quality_score" -> q23_quality_score,
     "q24_langid" -> q24_langid,
@@ -97,6 +133,24 @@ object TextQueries {
 
   // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
   def oracles: Map[String, String] = Map(
+    "q53_normalize" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ''),
+        |      c -> ascii(c)::BIGINT)),
+        |    (h, a) -> (h * 31 + a) % 1000000007) AS norm_fp,
+        |  length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS norm_len
+        |FROM documents""".stripMargin,
+    "q54_histogram" ->
+      """SELECT floor(value / 25)::BIGINT AS bucket, count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "q55_levenshtein" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 24) AS prefix
+        |           FROM documents WHERE doc_id < 30)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  levenshtein(a.prefix, b.prefix)::INT AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 12""".stripMargin,
     "q22_token_stats" ->
       """WITH d AS (
         |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
