@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Tables
+import graft.operators.Relational
 
 /** Second relational wave: grouping sets beyond rollup, set operations,
   * ranking family, pivot, ordered collection, arg-max — all
@@ -124,7 +125,23 @@ object ExtraQueries {
           .cast("double"), lit(0d)).as("prior_30d_spend"))
   }
 
+  /** As-of join: each purchase picks the user's most recent view at or
+    * before it (LOCF composition in Spark — Relational.asOfJoin — checked
+    * against DuckDB's native ASOF LEFT JOIN).
+    */
+  val q56_asof_join: Q = (s, dir) => {
+    val ev = t(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("v_event"))
+    Relational.asOfJoin(purchases, views, Seq("user_id"), "ts", "v_ts", Seq("v_event"))
+      .select(col("user_id"), col("p_event"), col("v_event"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q56_asof_join" -> q56_asof_join,
     "q48_grouping_sets" -> q48_grouping_sets,
     "q50_interval_join" -> q50_interval_join,
     "q51_unpivot" -> q51_unpivot,
@@ -137,6 +154,13 @@ object ExtraQueries {
     "q42_argmax" -> q42_argmax)
 
   def oracles: Map[String, String] = Map(
+    "q56_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS v_event
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id AS p_event, ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.p_event, v.v_event
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
     "q50_interval_join" ->
       """SELECT v.user_id AS user_id, count(*) AS view_buy_pairs
         |FROM (SELECT user_id, epoch_us(ts) AS v_us FROM events WHERE event_type = 'view') v

@@ -59,6 +59,51 @@ object Relational {
       .drop("__new_session")
   }
 
+  /** As-of join (SURVEY §2.5 lists it absent from reference and Spark):
+    * for each left row, the single right row with the greatest
+    * `rightTs <= leftTs` per key.
+    *
+    * Implemented as union + last-observation-carried-forward window rather
+    * than the naive `join(rightTs <= leftTs)` + rank: the naive form blows
+    * up to O(|matches|) pairs before ranking; this shape is ONE shuffle on
+    * (key) and O(n log n) sort, no intermediate blowup — the scalable plan
+    * at 100 TB. Right rows must be unique per (key, rightTs) — pre-dedup
+    * with `latestByKey` if not. At equal timestamps the right row is
+    * visible to the left row (<= semantics, DuckDB ASOF-compatible).
+    *
+    * `carried`: right columns to attach (null when no prior right row).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, carried: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) ++
+        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")) ++
+        Seq(col("__ts"), col("__side"))): _*)
+    // key columns must carry the SAME names on both sides; non-key left
+    // columns are null-padded on right rows
+    val rKeyed = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select((leftCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        carried.map(c => col(c).as(s"__c_$c")) ++
+        Seq(col("__ts"), col("__side"))): _*)
+    val unioned = lTagged.unionByName(rKeyed)
+    // right (side 0) sorts before left (side 1) at equal ts -> <= semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = carried.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__f_$c", last(col(s"__c_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ carried.map(c => col(s"__f_$c").as(c)): _*)
+  }
+
   /** Skew-breaking salted equi-join (SURVEY §2 "Optimize for scale").
     *
     * A hot key on the probe side overloads one shuffle partition; salting

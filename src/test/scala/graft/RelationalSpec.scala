@@ -36,6 +36,20 @@ class RelationalSpec extends AnyFunSuite {
       Seq(("a", 3L, "y"), ("b", 9L, "p")))
   }
 
+  test("asOfJoin: greatest rightTs <= leftTs per key; equal ts visible; no-prior null") {
+    val left = Seq(("u1", 100L, "p1"), ("u1", 205L, "p2"), ("u2", 50L, "p3"))
+      .toDF("k", "lts", "pid")
+    val right = Seq(("u1", 100L, "v100"), ("u1", 200L, "v200"), ("u1", 300L, "v300"))
+      .toDF("k", "rts", "vid")
+    val got = Relational.asOfJoin(left, right, Seq("k"), "lts", "rts", Seq("vid"))
+      .select($"pid", $"vid").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(
+      ("p1", Some("v100")), // equal ts -> visible
+      ("p2", Some("v200")), // greatest <= 205
+      ("p3", None)))        // u2 has no right rows
+  }
+
   test("topKPerGroup returns k rows per group in rank order") {
     val df = Seq(("g", 5), ("g", 3), ("g", 9), ("g", 1), ("h", 2)).toDF("g", "x")
     val got = Relational.topKPerGroup(df, Seq("g"), Seq(col("x").desc), 2)
