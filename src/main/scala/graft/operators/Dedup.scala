@@ -85,10 +85,10 @@ object Dedup {
     * transitive members whose only witness was itself dropped).
     *
     * Pure DataFrame iteration: each round joins current labels across
-    * edges and takes the min; fixed `maxIter` bounds chain length (dup
-    * chains longer than 2^maxIter hops are vanishingly rare — labels
-    * propagate along shortest paths, halving remaining distance per
-    * round in the undirected join). No driver-side graph state.
+    * edges and takes the min — the minimum label advances one hop per
+    * round, so `maxIter` must be >= the largest component's diameter.
+    * Duplicate clusters are near-cliques (diameter 1-2) in practice;
+    * raise maxIter for pathological chains. No driver-side graph state.
     * Returns (doc_id, cluster) for every vertex in `pairs`.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {

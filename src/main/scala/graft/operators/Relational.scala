@@ -76,6 +76,10 @@ object Relational {
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, carried: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    require(keys.forall(right.columns.contains),
+      s"asOfJoin: keys ${keys.mkString(",")} must exist in right under the same names")
+    require(carried.forall(!leftCols.contains(_)),
+      "asOfJoin: carried right columns must not collide with left column names")
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
