@@ -8,6 +8,12 @@ parquet tables in <sf_dir>, and compares against the Spark-written parquet in
 <verify_out_dir>/<name>/. Mirrors the driver: columns sorted by name, rows
 sorted, values hashed (here: compared with a tiny float tolerance so we can
 see *how* things differ instead of just a hash mismatch).
+
+DTYPE-STRICT: the driver hashes typed values, so an int64 Spark column vs a
+float64 oracle column (e.g. DuckDB sum(INTEGER) -> HUGEINT -> float64) is a
+driver FAIL even when every value is numerically equal. We reproduce that
+here: int-family vs float-family dtype mismatch on a column = FAIL, so local
+green predicts driver green.
 """
 import json, sys, glob, os
 import duckdb
@@ -47,7 +53,15 @@ def main():
         ok = True
         for c in got.columns:
             a, b = got[c].values, want[c].values
-            if np.issubdtype(got[c].dtype, np.floating) or np.issubdtype(want[c].dtype, np.floating):
+            g_float = np.issubdtype(got[c].dtype, np.floating)
+            w_float = np.issubdtype(want[c].dtype, np.floating)
+            g_int = np.issubdtype(got[c].dtype, np.integer)
+            w_int = np.issubdtype(want[c].dtype, np.integer)
+            if (g_float and w_int) or (g_int and w_float):
+                print(f"FAIL {name}: col {c} dtype mismatch spark={got[c].dtype} duck={want[c].dtype} "
+                      f"(driver hash compares typed values — cast the oracle, e.g. ::BIGINT on integer sums)")
+                ok = False; break
+            if g_float or w_float:
                 af = pd.to_numeric(got[c], errors="coerce").values.astype(float)
                 bf = pd.to_numeric(want[c], errors="coerce").values.astype(float)
                 bad = ~(np.isclose(af, bf, rtol=1e-9, atol=1e-9) | (np.isnan(af) & np.isnan(bf)))

@@ -371,9 +371,9 @@ object Queries {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q6_conditional_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS views,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS clicks,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchases,
         |  (round(sum((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)::DECIMAL(18,6)), 2))::DOUBLE AS purchase_value
         |FROM events GROUP BY 1""".stripMargin,
     "q7_filter_project" ->
@@ -393,7 +393,7 @@ object Queries {
         |GROUP BY 1""".stripMargin,
     "q10_join_left" ->
       """SELECT c_mktsegment, count(o_orderkey) AS orders_cnt,
-        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS customers_without_orders_rows
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS customers_without_orders_rows
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1""".stripMargin,
     "q11_join_dict" ->
@@ -469,7 +469,7 @@ object Queries {
         |  max(events_in_session) AS max_session_events
         |FROM per_session GROUP BY 1""".stripMargin,
     "q20_union" ->
-      """SELECT user_id, sum(pv) AS pv_ct, sum(uv) AS uv_ct FROM (
+      """SELECT user_id, sum(pv)::BIGINT AS pv_ct, sum(uv)::BIGINT AS uv_ct FROM (
         |  SELECT user_id, 1::BIGINT AS pv, 0::BIGINT AS uv FROM events WHERE event_type = 'view'
         |  UNION ALL
         |  SELECT user_id, 0::BIGINT AS pv, 1::BIGINT AS uv FROM events WHERE event_type = 'click'
@@ -480,7 +480,7 @@ object Queries {
         |) WHERE word <> '' GROUP BY 1""".stripMargin,
     "q34_json_extract" ->
       """SELECT event_type,
-        |  count(k) AS k_cnt, sum(k) AS k_sum, min(k) AS k_min, max(k) AS k_max
+        |  count(k) AS k_cnt, sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max
         |FROM (
         |  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
         |  FROM events)

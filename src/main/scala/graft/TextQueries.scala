@@ -157,9 +157,9 @@ object TextQueries {
         |         length(text) AS n_chars
         |  FROM documents)
         |SELECT source, count(*) AS docs,
-        |  sum(len(toks)) AS tokens_sum,
-        |  sum(len(list_distinct(toks))) AS uniq_sum,
-        |  sum(n_chars) AS chars_sum
+        |  sum(len(toks))::BIGINT AS tokens_sum,
+        |  sum(len(list_distinct(toks)))::BIGINT AS uniq_sum,
+        |  sum(n_chars)::BIGINT AS chars_sum
         |FROM d GROUP BY 1""".stripMargin,
     "q23_quality_score" ->
       """WITH d AS (
