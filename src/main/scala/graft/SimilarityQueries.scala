@@ -75,7 +75,7 @@ object SimilarityQueries {
          |    sum(CASE WHEN proj >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
          |  FROM pr GROUP BY vec_id),
          |vb AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk ON v.vec_id = bk.vec_id)
-         |SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2, ${cosSql("a.v", "b.v")} AS cos
+         |SELECT a.vec_id AS d1, b.vec_id AS d2, ${cosSql("a.v", "b.v")} AS cos
          |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |ORDER BY cos DESC, d1 ASC, d2 ASC LIMIT 50""".stripMargin)
 }

@@ -47,6 +47,8 @@ object Dedup {
     * that collide in several bands.
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must divide into bands=$bands (trailing entries would be silently ignored)")
     val r = k / bands
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("bk"))
@@ -84,26 +86,41 @@ object Dedup {
     * at scale (keep ONE doc per component; pairwise d2-dropping can drop
     * transitive members whose only witness was itself dropped).
     *
-    * Pure DataFrame iteration: each round joins current labels across
-    * edges and takes the min — the minimum label advances one hop per
-    * round, so `maxIter` must be >= the largest component's diameter.
-    * Duplicate clusters are near-cliques (diameter 1-2) in practice;
-    * raise maxIter for pathological chains. No driver-side graph state.
-    * Returns (doc_id, cluster) for every vertex in `pairs`.
+    * Pure DataFrame iteration to FIXPOINT: each round joins current labels
+    * across edges and takes the min (one hop per round), stopping when no
+    * label changed — so arbitrary-diameter chains (real at 100 TB:
+    * boilerplate near-dup chains) resolve correctly, not just the
+    * near-clique common case. `maxIter` is a runaway cap, not a tuning
+    * knob; the per-round convergence probe is an `isEmpty` (limit-1) on
+    * the changed-label set. Each round's labels are cached so the probe
+    * and the next round share one materialization; no driver-side graph
+    * state beyond the converged flag. Returns (doc_id, cluster) for every
+    * vertex in `pairs`.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .distinct().cache()
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-    for (_ <- 1 to maxIter) {
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
         .select(col("d1").as("doc_id"), col("cluster"))
-      labels = labels.union(viaNeighbor)
+      val next = labels.union(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"))
+        .cache()
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
     }
     edges.unpersist()
     labels

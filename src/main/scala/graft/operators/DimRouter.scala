@@ -26,7 +26,11 @@ import graft.sources.CdcEnvelope
 object DimRouter {
 
   /** Route + prune: returns the envelope rows that match config, with
-    * `sink_table` attached and `data` pruned to the configured columns.
+    * `sink_table` attached, `data` pruned to the configured columns, and
+    * `pk` (= source `data['id']`) extracted BEFORE pruning — a config whose
+    * sink_columns omits `id` must still produce a usable upsert key, or the
+    * read-side upsert (Sinks.upsertView keyed by pk) would collapse all of
+    * that table's rows into one.
     */
   def route(env: DataFrame, config: DataFrame): DataFrame = {
     val cfg = broadcast(config.select(
@@ -34,8 +38,9 @@ object DimRouter {
       col("sink_table"),
       split(col("sink_columns"), ",").as("keep_cols")))
     val joined = env.join(cfg, col("table") === col("source_table"), "inner")
+      .withColumn("pk", col("data")("id"))
     CdcEnvelope.pruneData(joined, col("keep_cols"))
-      .select(col("sink_table"), col("type"), col("data"), col("ts"))
+      .select(col("sink_table"), col("type"), col("data"), col("ts"), col("pk"))
   }
 
   /** Batch/`foreachBatch` writer: one directory per dim table (replaces
@@ -49,7 +54,6 @@ object DimRouter {
     */
   def writeRouted(routed: DataFrame, outDir: String): Unit =
     routed
-      .withColumn("pk", col("data")("id"))
       .write.mode("append")
       .partitionBy("sink_table")
       .parquet(outDir)

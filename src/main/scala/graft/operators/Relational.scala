@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Reusable relational operators distilled from SURVEY.md §2.
   *
@@ -72,6 +73,10 @@ object Relational {
     * visible to the left row (<= semantics, DuckDB ASOF-compatible).
     *
     * `carried`: right columns to attach (null when no prior right row).
+    * All carried values come from the SAME as-of right row: they travel as
+    * one struct through a single LOCF `last(ignoreNulls)` — per-column
+    * fills would let a legitimately-NULL carried value fall through to an
+    * OLDER right row, mixing rows in the output (DuckDB-ASOF-incompatible).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, carried: Seq[String]): DataFrame = {
@@ -80,12 +85,14 @@ object Relational {
       s"asOfJoin: keys ${keys.mkString(",")} must exist in right under the same names")
     require(carried.forall(!leftCols.contains(_)),
       "asOfJoin: carried right columns must not collide with left column names")
+    val payloadType = StructType(carried.map(c => StructField(c, right.schema(c).dataType)))
+    // the payload struct is NULL (not a struct of nulls) on left rows, so
+    // ignoreNulls skips exactly the non-right rows
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select((leftCols.map(col) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"__c_$c")) ++
-        Seq(col("__ts"), col("__side"))): _*)
+        Seq(lit(null).cast(payloadType).as("__p"), col("__ts"), col("__side"))): _*)
     // key columns must carry the SAME names on both sides; non-key left
     // columns are null-padded on right rows
     val rKeyed = right
@@ -94,18 +101,17 @@ object Relational {
       .select((leftCols.map(c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carried.map(c => col(c).as(s"__c_$c")) ++
-        Seq(col("__ts"), col("__side"))): _*)
+        Seq(struct(carried.map(col): _*).cast(payloadType).as("__p"),
+          col("__ts"), col("__side"))): _*)
     val unioned = lTagged.unionByName(rKeyed)
     // right (side 0) sorts before left (side 1) at equal ts -> <= semantics
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__f_$c", last(col(s"__c_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ carried.map(c => col(s"__f_$c").as(c)): _*)
+    unioned
+      .withColumn("__f", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ carried.map(c => col(s"__f.$c").as(c)): _*)
   }
 
   /** Skew-breaking salted equi-join (SURVEY §2 "Optimize for scale").

@@ -73,20 +73,29 @@ object Similarity {
       .limit(limit)
   }
 
+  /** LSH bucket id from `planes` hyperplane sign bits — native codegen
+    * expression (plans.LshBucket). Per-row, shuffle-free.
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    call_function("lsh_bucket", vec, lit(planes), lit(dims))
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):
     * uniform in [-1, 1] with step 1e-3, derived from the portable integer
-    * hash so any engine reproduces it.
+    * hash so any engine reproduces it. HOF reference path only.
     */
-  private def planeCoef(j: Int, d: Column): Column =
-    (pmod(pmod((lit(j.toLong * 64L) + d + 1L) * 2654435761L, lit(1000000007L)), lit(2001L)) - 1000L)
+  private def planeCoef(j: Int, dims: Int, d: Column): Column =
+    (pmod(pmod((lit(j.toLong * dims) + d + 1L) * 2654435761L, lit(1000000007L)), lit(2001L)) - 1000L)
       .cast("double") / 1000.0
 
-  /** LSH bucket id from `planes` hyperplane sign bits. Per-row, shuffle-free. */
-  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+  /** HOF reference implementation of [[lshBucket]] (parity spec only —
+    * interpreted lambdas, ~5 µs/eval; the native expression replaces it in
+    * every query path).
+    */
+  def lshBucketHof(vec: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { j =>
       val proj = aggregate(
         transform(sequence(lit(0), lit(dims - 1)),
-          d => element_at(vec, d + 1) * planeCoef(j, d)),
+          d => element_at(vec, d + 1) * planeCoef(j, dims, d)),
         lit(0d), (acc, v) => acc + v)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -105,10 +114,11 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val a = v.select(col("bucket"), col(idCol).as("d1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = v.select(col("bucket"), col(idCol).as("d2"), col("v").as("v2"), col("nrm").as("n2"))
+    // each vector has exactly one bucket, so pairs are already unique — no
+    // distinct: it would add a full-width exchange before the top-k sort
     a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
-      .distinct() // each vector has exactly one bucket, so pairs are already unique; cheap guard
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
       .limit(limit)
   }

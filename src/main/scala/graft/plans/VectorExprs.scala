@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -20,6 +20,9 @@ import org.apache.spark.sql.types._
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // null also for mismatched-length (non-null) inputs, matching the HOF
+  // zip_with+aggregate reference and the DuckDB oracle
+  override def nullable: Boolean = true
 
   private def isDoubleArray(t: DataType) = t match {
     case ArrayType(DoubleType, _) => true
@@ -32,19 +35,30 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     else TypeCheckResult.TypeCheckFailure(
       "vec_dot(a: array<double>, b: array<double>)")
 
-  protected override def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecDot.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecDot$$.MODULE$$.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.VecDot$$.MODULE$$.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }
 
 object VecDot {
+  /** Lengths are pre-checked equal by the expression (mismatch → NULL). */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0d
     var i = 0
     while (i < n) {
@@ -58,4 +72,80 @@ object VecDot {
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
     (c: Seq[Expression]) => VecDot(c.head, c(1)))
+}
+
+/** lsh_bucket(vec, planes, dims): random-hyperplane LSH bucket id — the
+  * `planes` sign bits of deterministic pseudo-random projections packed
+  * into a long. The ANN probe hot loop (every query row pays it).
+  *
+  * Replaces the interpreted HOF formulation
+  * (`aggregate(transform(sequence(...)))` per plane — 4 planes × 64 dims ×
+  * two lambda evals per element, per row) with one codegen'd loop over
+  * cached coefficients. Coefficient formula is the portable integer hash
+  * `(((j*dims + d + 1) * 2654435761) % 1e9+7) % 2001 - 1000) / 1000`, so
+  * any engine (and the DuckDB oracle) reproduces the buckets exactly;
+  * projections accumulate in index order like the HOF and the oracle's
+  * `list_reduce` (parity pinned in NativeExprsSpec).
+  */
+case class LshBucket(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = (first.dataType, second.dataType, third.dataType) match {
+    case (ArrayType(DoubleType, _), IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "lsh_bucket(vec: array<double>, planes: int, dims: int)")
+  }
+
+  protected override def nullSafeEval(v: Any, p: Any, d: Any): Any =
+    LshBucket.bucket(v.asInstanceOf[ArrayData], p.asInstanceOf[Int], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p, d) => s"graft.plans.LshBucket$$.MODULE$$.bucket($v, $p, $d)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): LshBucket =
+    copy(first = f, second = s, third = t)
+}
+
+object LshBucket {
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
+
+  /** coef(j, d) for plane j, dim d — flat per-plane arrays, computed once
+    * per (planes, dims) per JVM.
+    */
+  private def coefs(planes: Int, dims: Int): Array[Array[Double]] =
+    coefCache.computeIfAbsent((planes, dims), { case (p, dm) =>
+      Array.tabulate(p, dm) { (j, d) =>
+        ((((j.toLong * dm + d + 1) * 2654435761L) % 1000000007L % 2001L) - 1000L) / 1000.0
+      }
+    })
+
+  /** Vectors are expected to carry exactly `dims` elements; shorter arrays
+    * project over their own length (same sign result as padding with 0).
+    */
+  def bucket(vec: ArrayData, planes: Int, dims: Int): Long = {
+    val cs = coefs(planes, dims)
+    val n = math.min(dims, vec.numElements())
+    var bits = 0L
+    var j = 0
+    while (j < planes) {
+      val c = cs(j)
+      var proj = 0d
+      var d = 0
+      while (d < n) {
+        proj += vec.getDouble(d) * c(d)
+        d += 1
+      }
+      if (proj >= 0) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lsh_bucket"),
+    new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+    (c: Seq[Expression]) => LshBucket(c.head, c(1), c(2)))
 }

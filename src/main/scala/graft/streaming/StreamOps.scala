@@ -101,7 +101,10 @@ object StreamOps {
     * watermark passes firstSeen + `flushDelayMs` (the reference uses a 5 s
     * processing-time timer, …/app/dws/DwsTradeOrderWindow.java:122-164;
     * event-time makes it deterministic and replayable).
-    * Rows: (key, orderTs, payload); highest orderTs wins.
+    * Rows: (key, orderTs, payload); highest (orderTs, payload) wins — the
+    * payload is the tie-breaker, making the ordering total so replays and
+    * differing batch arrival orders keep the same row (the batch twin
+    * `latestByKey` documents the same totality requirement).
     */
   def latestByKeyStream(spark: SparkSession,
                         rows: Dataset[(String, Long, String)],
@@ -123,10 +126,11 @@ object StreamOps {
           } else {
             val best0 = state.getOption
             val evs = events.toSeq
-            val bestNew = evs.maxBy(_._2)
+            val bestNew = evs.maxBy(e => (e._2, e._3))
             val best = best0 match {
               case Some((o, p, flushAt)) =>
-                if (bestNew._2 > o) (bestNew._2, bestNew._3, flushAt)
+                if (Ordering[(Long, String)].gt((bestNew._2, bestNew._3), (o, p)))
+                  (bestNew._2, bestNew._3, flushAt)
                 else (o, p, flushAt)
               case None =>
                 (bestNew._2, bestNew._3, evs.map(_._2).min + flushDelayMs)

@@ -67,6 +67,16 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L, 10L, 20L))
   }
 
+  test("duplicateClusters converges on a long chain (diameter > default hop budget)") {
+    // 10-node path 1-2-…-10: min label needs 9 propagation hops; a fixed
+    // 5-iteration run (round-1 behavior) would split it into two clusters
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 10)
+    assert(labels.values.toSet == Set(1L), s"chain not fully converged: $labels")
+  }
+
   test("shingles guard: doc shorter than n yields empty set, null-safe minhash") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 4)

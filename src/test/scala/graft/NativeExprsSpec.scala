@@ -59,4 +59,30 @@ class NativeExprsSpec extends AnyFunSuite {
       .filter($"native" =!= $"hof") // exact equality: same fold order
     assert(diff.count() == 0)
   }
+
+  test("vec_dot mismatched lengths -> NULL, agreeing with the HOF path") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)),     // mismatch -> null
+      (Seq(1.0, 2.0), Seq(3.0, 4.0))           // match -> 11.0
+    ).toDF("a", "b")
+    val got = df.select(
+      Similarity.dot($"a", $"b").as("native"),
+      Similarity.dotHof($"a", $"b").as("hof"))
+    val rows = got.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
+  }
+
+  test("lsh_bucket native == HOF over the corpus; buckets non-degenerate") {
+    val v = emb.select(Similarity.asDouble($"embedding").as("v"))
+    val diff = v.select(
+      Similarity.lshBucket($"v", 4, 64).as("native"),
+      Similarity.lshBucketHof($"v", 4, 64).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+    assert(diff.count() == 0)
+    // sanity: hyperplanes split the corpus into more than one bucket
+    val nb = v.select(Similarity.lshBucket($"v", 4, 64).as("b"))
+      .distinct().count()
+    assert(nb > 1)
+  }
 }

@@ -50,6 +50,21 @@ class RelationalSpec extends AnyFunSuite {
       ("p3", None)))        // u2 has no right rows
   }
 
+  test("asOfJoin: NULL carried value stays NULL — not back-filled from an older row") {
+    // the as-of row at rts=200 has vid NULL; per-column LOCF would leak
+    // v100 from rts=100 into it, mixing two right rows in one output row
+    val left = Seq(("u1", 205L, "p2")).toDF("k", "lts", "pid")
+    val right = Seq(
+      ("u1", 100L, Some("v100"), Some(1L)),
+      ("u1", 200L, None, Some(2L)))
+      .toDF("k", "rts", "vid", "seq")
+    val got = Relational.asOfJoin(left, right, Seq("k"), "lts", "rts", Seq("vid", "seq"))
+      .select($"pid", $"vid", $"seq").collect().head
+    assert(got.getString(0) == "p2")
+    assert(got.isNullAt(1), "vid must be NULL from the rts=200 row, not v100 from rts=100")
+    assert(got.getLong(2) == 2L)
+  }
+
   test("topKPerGroup returns k rows per group in rank order") {
     val df = Seq(("g", 5), ("g", 3), ("g", 9), ("g", 1), ("h", 2)).toDF("g", "x")
     val got = Relational.topKPerGroup(df, Seq("g"), Seq(col("x").desc), 2)
