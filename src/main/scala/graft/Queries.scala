@@ -302,7 +302,7 @@ object Queries {
 
   def all: Map[String, Q] =
     (base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
-      ++ ExtraQueries.all ++ FunctionQueries.all)
+      ++ ExtraQueries.all ++ FunctionQueries.all ++ DwsQueries.all)
       .view.mapValues(withEngineFunctions).toMap
 
   /** Engine functions (plans.PolyHash etc.) resolve via the function
@@ -343,7 +343,8 @@ object Queries {
 
   def oracles: Map[String, String] =
     baseOracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ ExtraQueries.oracles ++ FunctionQueries.oracles
+      SimilarityQueries.oracles ++ ExtraQueries.oracles ++
+      FunctionQueries.oracles ++ DwsQueries.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->

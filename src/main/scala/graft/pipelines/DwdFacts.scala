@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.CdcEnvelope
 
-/** Declarative registry of the reference's 13 DWD fact extractions
+/** Declarative registry of the reference's DWD fact extractions
   * (SURVEY.md §2.3 P4-P8; one row per `…/app/dwd/db` app). Each DWD
   * "app" is a parameterization of the same envelope operators: table
   * filter + type filter + column projection + optional change predicate +
@@ -63,7 +63,18 @@ object DwdFacts {
     // `old` arrives as a JSON STRING in this app (…/DwdToolCouponOrder.java:81)
     FactDef("coupon_order", "coupon_use", Seq("update"),
       Seq("id", "coupon_id", "user_id", "using_time"),
-      predicate = Some(col("old")("using_time").isNotNull)))
+      predicate = Some(col("old")("using_time").isNotNull)),
+    // …/app/dwd/db/DwdToolCouponPay.java:54-66
+    FactDef("coupon_pay", "coupon_use", Seq("update"),
+      Seq("id", "coupon_id", "user_id", "order_id", "used_time"),
+      predicate = Some(col("data")("used_time").isNotNull),
+      extra = Seq("date_id" -> substring(col("data")("used_time"), 1, 10))),
+    // …/app/dwd/db/DwdUserRegister.java:47-55
+    FactDef("user_register", "user_info", Seq("insert"),
+      Seq("create_time"),
+      extra = Seq(
+        "user_id" -> col("data")("id"),
+        "date_id" -> substring(col("data")("create_time"), 1, 10))))
 
   /** Extract one fact stream: table+type filter, change predicate, typed
     * projection + computed columns (evaluated while `type`/`old` are still
@@ -76,7 +87,25 @@ object DwdFacts {
       d.extra.map { case (n, c) => c.as(n) }: _*)
   }
 
-  /** All 13 streams from one envelope frame (Catalyst reuses the scan). */
+  /** All fact streams from one envelope frame (Catalyst reuses the scan). */
   def extractAll(env: DataFrame): Map[String, DataFrame] =
     defs.map(d => d.name -> extract(env, d)).toMap
+
+  /** `base_dic` enrichment applied INSIDE fact extraction — the reference
+    * dict-joins comment facts (…/app/dwd/db/DwdInteractionComment.java:83-86)
+    * and refund facts (…/app/dwd/db/DwdTradeOrderRefund.java:129-134) at
+    * extraction time. Broadcast stream-static left join: the fact stream
+    * never shuffles; code stays alongside its decoded name.
+    */
+  def withDict(fact: DataFrame, dict: DataFrame,
+               codeCol: String, nameCol: String): DataFrame = {
+    val dic = broadcast(dict.select(col("dic_code"), col("dic_name").as(nameCol)))
+    fact.join(dic, fact(codeCol) === dic("dic_code"), "left_outer")
+      .drop("dic_code")
+  }
+
+  /** The comment fact with its appraise code decoded (DwdInteractionComment). */
+  def commentWithDict(env: DataFrame, dict: DataFrame): DataFrame =
+    withDict(extract(env, defs.find(_.name == "comment_info").get),
+      dict, "appraise", "appraise_name")
 }

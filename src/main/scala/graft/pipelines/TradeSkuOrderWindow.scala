@@ -26,11 +26,29 @@ object TradeSkuOrderWindow {
 
   def apply(wideDetail: DataFrame, hops: Seq[DimHop],
             groupCols: Seq[String],
-            windowLen: String = "10 seconds", delay: String = "5 seconds"): DataFrame = {
+            windowLen: String = "10 seconds", delay: String = "5 seconds"): DataFrame =
+    windowed(wideDetail, hops, groupCols,
+      sums = Map("split_total_amount" -> "amount_sum"),
+      countName = "order_detail_ct", windowLen = windowLen)
+
+  /** Generalized dedup → broadcast-dim-hop chain → keyed tumbling window:
+    * the shared spine of the trademark/spu order window AND the
+    * trademark/category refund window
+    * (…/app/dws/DwsTradeTrademarkCategoryUserRefundWindow.java follows the
+    * identical keyBy(id)-dedup → 5 dim hops → keyBy(dims)-window shape).
+    * `sums`: measure column -> output name; a row count is always emitted
+    * under `countName`.
+    */
+  def windowed(wideDetail: DataFrame, hops: Seq[DimHop],
+               groupCols: Seq[String], sums: Map[String, String],
+               countName: String,
+               windowLen: String = "10 seconds",
+               tsCol: String = "eventTime",
+               dedupKey: String = "id"): DataFrame = {
     // watermark comes from the source leaves (see TradeProvinceOrderWindow)
     val deduped =
-      if (wideDetail.isStreaming) wideDetail.dropDuplicatesWithinWatermark("id")
-      else wideDetail.dropDuplicates("id")
+      if (wideDetail.isStreaming) wideDetail.dropDuplicatesWithinWatermark(dedupKey)
+      else wideDetail.dropDuplicates(dedupKey)
 
     val enriched = hops.foldLeft(deduped) { (df, h) =>
       df.join(
@@ -39,12 +57,12 @@ object TradeSkuOrderWindow {
         .drop(h.dimKey)
     }
 
+    val aggs = count(lit(1)).as(countName) +:
+      sums.toSeq.map { case (in, out) => sum(col(in)).as(out) }
     enriched
-      .groupBy(window(col("eventTime"), windowLen) +: groupCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("order_detail_ct"),
-        sum(col("split_total_amount")).as("amount_sum"))
+      .groupBy(window(col(tsCol), windowLen) +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("window.start").as("stt") +: col("window.end").as("edt")
-        +: groupCols.map(col) ++: Seq(col("order_detail_ct"), col("amount_sum")): _*)
+        +: groupCols.map(col) ++: (countName +: sums.values.toSeq).map(col): _*)
   }
 }

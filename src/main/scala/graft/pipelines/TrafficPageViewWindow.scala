@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.LogSplit
@@ -71,5 +71,54 @@ object TrafficPageViewWindow {
     StreamOps.tumblingSums(flagged, "ts", delay, windowLen,
       Seq("vc", "ch", "ar", "is_new"),
       Map("uv" -> "uv_ct", "sv" -> "sv_ct", "dur" -> "dur_sum"))
+  }
+
+  /** DwsTrafficPageViewWindow (…/app/dws/DwsTrafficPageViewWindow.java:
+    * 115-170): home / good_detail daily UV. ONE keyed state per mid holds
+    * BOTH last-visit dates (the reference keeps two ValueStates in the
+    * same KeyedProcessFunction — same thing); a row is emitted only when
+    * at least one flag fires (:163-166), then a 10 s window sums the two
+    * flags. Shuffles: mid (state), window key — same as the reference's
+    * keyBy + windowAll, minus the windowAll single-instance bottleneck.
+    *
+    * Input rows: (mid, pageId, ts) pre-filtered to the two page ids by the
+    * caller or not — the filter here makes the op self-contained (P10).
+    */
+  def homeDetailUvWindow(spark: SparkSession, pages: Dataset[(String, String, java.sql.Timestamp)],
+                         windowLen: String = "10 seconds", delay: String = "5 seconds",
+                         zone: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
+    import spark.implicits._
+    val watermarked =
+      if (pages.isStreaming) pages.withWatermark("_3", delay) else pages
+    val flagged = watermarked
+      .filter(r => r._2 == "home" || r._2 == "good_detail")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, String), (java.sql.Timestamp, Int, Int)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_, events, state: org.apache.spark.sql.streaming.GroupState[(String, String)]) =>
+          var (homeDt, detailDt) = state.getOption.getOrElse(("", ""))
+          val out = events.toSeq.sortBy(_._3.getTime).flatMap { case (_, pageId, ts) =>
+            val d = java.time.Instant.ofEpochMilli(ts.getTime)
+              .atZone(zone).toLocalDate.toString
+            val homeUv = if (pageId == "home" && d != homeDt) 1 else 0
+            val detailUv = if (pageId == "good_detail" && d != detailDt) 1 else 0
+            if (homeUv == 1) homeDt = d
+            if (detailUv == 1) detailDt = d
+            if (homeUv != 0 || detailUv != 0) Some((ts, homeUv, detailUv)) else None
+          }
+          state.update((homeDt, detailDt))
+          out.iterator
+      }
+      .toDF("ts", "home_uv", "detail_uv")
+
+    // re-declare event time: the state op's encoder output drops the tag
+    val timed = if (flagged.isStreaming) flagged.withWatermark("ts", delay) else flagged
+    timed
+      .groupBy(window(col("ts"), windowLen))
+      .agg(sum(col("home_uv")).as("home_uv_ct"),
+        sum(col("detail_uv")).as("good_detail_uv_ct"))
+      .select(col("window.start").as("stt"), col("window.end").as("edt"),
+        col("home_uv_ct"), col("good_detail_uv_ct"))
   }
 }

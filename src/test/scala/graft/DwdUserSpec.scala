@@ -20,7 +20,7 @@ class DwdUserSpec extends AnyFunSuite {
     s"""{"database":"gmall","table":"$table","type":"$tpe","data":${m(data)}$o,"ts":$ts}"""
   }
 
-  test("DwdFacts: all 13 defs extract; predicates gate status transitions") {
+  test("DwdFacts: all 15 defs extract; predicates gate status transitions") {
     val lines = Seq(
       env("cart_info", "insert", 1, Seq("id" -> "c1", "user_id" -> "u", "sku_id" -> "s",
         "sku_num" -> "2", "source_type" -> "2401")),
@@ -40,7 +40,7 @@ class DwdUserSpec extends AnyFunSuite {
         "user_id" -> "u", "using_time" -> "z"), Seq("using_time" -> "")))
     val (clean, _) = CdcEnvelope.parse(lines.toDF("value"), "value")
     val facts = DwdFacts.extractAll(clean)
-    assert(facts.size == 13)
+    assert(facts.size == 15)
     // cart_add: insert + growing update, shrink excluded; deltas 2 and 3
     val cart = facts("cart_add").select($"delta").as[Double].collect().sorted
     assert(cart.toSeq == Seq(2.0, 3.0))
