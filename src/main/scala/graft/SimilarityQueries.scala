@@ -31,10 +31,24 @@ object SimilarityQueries {
   val q33_lsh_ann: Q = (s, dir) =>
     Similarity.lshTopPairs(t(s, dir).embeddings, "vec_id", "embedding", PLANES, DIMS, 50)
 
+  /** IVF ANN (no SQL oracle — k-means is not SQL-expressible; the driver
+    * records the rows-only check, and IvfSpec pins recall + exactness
+    * against the brute-force baseline).
+    */
+  val q61_ivf_ann: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val cents = graft.operators.Ivf.train(emb, "vec_id", "embedding",
+      k = 8, dims = DIMS, iters = 2)
+    val corpus = graft.operators.Ivf.assign(emb, "embedding", cents, DIMS)
+    graft.operators.Ivf.knn(s, corpus, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", cents, DIMS, nprobe = 2, kNeighbors = 5)
+  }
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
-    "q33_lsh_ann" -> q33_lsh_ann)
+    "q33_lsh_ann" -> q33_lsh_ann,
+    "q61_ivf_ann" -> q61_ivf_ann)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private def foldSum(terms: String) =

@@ -92,10 +92,16 @@ object Dedup {
     * boilerplate near-dup chains) resolve correctly, not just the
     * near-clique common case. `maxIter` is a runaway cap, not a tuning
     * knob; the per-round convergence probe is an `isEmpty` (limit-1) on
-    * the changed-label set. Each round's labels are cached so the probe
-    * and the next round share one materialization; no driver-side graph
-    * state beyond the converged flag. Returns (doc_id, cluster) for every
-    * vertex in `pairs`.
+    * the changed-label set.
+    *
+    * Each round `localCheckpoint`s its labels: every iteration references
+    * the previous labels twice (propagation + convergence probe), so an
+    * un-truncated lineage doubles per round — O(2^rounds) plan nodes, a
+    * driver OOM by round ~10. Checkpointing pins the O(V) label rows as
+    * RDD blocks and restarts the plan, the standard shape for iterative
+    * DataFrame graph algorithms (a production run on unreliable executors
+    * would use `checkpoint()` to a reliable store instead). Returns
+    * (doc_id, cluster) for every vertex in `pairs`.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1"), col("d2"))
@@ -103,7 +109,7 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -113,12 +119,11 @@ object Dedup {
       val next = labels.union(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"))
-        .cache()
+        .localCheckpoint()
       converged = next
         .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
         .filter(col("cluster") =!= col("prev"))
         .isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }

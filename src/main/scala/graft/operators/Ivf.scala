@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{asDouble, cosine}
+
+/** IVF (inverted-file) approximate nearest neighbor: k-means centroids
+  * partition the corpus into posting lists; a query probes only the
+  * `nprobe` nearest lists. The production counterpart of the LSH bucketing
+  * in [[Similarity.lshTopPairs]] — same bucket-join shape, but buckets
+  * follow the data distribution instead of random hyperplanes, so recall
+  * per scanned candidate is higher.
+  *
+  * Scale design:
+  *  - training (Lloyd's iterations) scans the corpus `iters` times; each
+  *    scan is one codegen'd `nearest_centroid` pass + one groupBy(cluster,
+  *    dim) average — at 100 TB you train on a SAMPLE (pass `df.sample`),
+  *    which is standard IVF practice, then assign the full corpus once;
+  *  - the model (k×dims doubles) is the ONLY driver-side state — O(k·dims),
+  *    independent of corpus size; it rides into executors as a plan literal;
+  *  - assignment adds one int column per row — no shuffle; the posting-list
+  *    layout materializes via `partitionBy(centroid)` exactly like the LSH
+  *    AnnIndexSpec;
+  *  - search joins queries×probed-centroids (tiny) to the corpus on the
+  *    centroid id: the corpus side shuffles AT MOST once on centroid
+  *    (or not at all when written partitioned), candidates =
+  *    sum of probed list sizes, never n².
+  */
+object Ivf {
+
+  /** Flattened k×dims centroid model trained by `iters` Lloyd rounds.
+    * Deterministic: init = the k lowest-id vectors; ties in assignment
+    * break toward the lower centroid index; per-dimension means average
+    * exact doubles under a groupBy (order-independent since `avg` over a
+    * fixed row SET is deterministic up to FP reassociation — acceptable
+    * here because the model is an index-layout choice, not a query result;
+    * recall is measured, not hash-compared).
+    * Empty clusters keep their previous centroid.
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            k: Int, dims: Int, iters: Int): Array[Double] = {
+    val v = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    var cents: Array[Double] = v.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect()
+      .flatMap(_.getSeq[Double](0))
+    require(cents.length == k * dims,
+      s"need $k init vectors of $dims dims, got ${cents.length / dims.max(1)}")
+    for (_ <- 1 to iters) {
+      val assigned = v.withColumn("__c",
+        call_function("nearest_centroid", col("__v"), lit(cents), lit(dims)))
+      val means = assigned
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(col("__c"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = cents.clone()
+      means.foreach { r =>
+        next(r.getInt(0) * dims + r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Attach the posting-list id (one codegen'd pass, no shuffle). */
+  def assign(df: DataFrame, vecCol: String, cents: Array[Double], dims: Int): DataFrame =
+    df.withColumn("centroid",
+      call_function("nearest_centroid", asDouble(col(vecCol)), lit(cents), lit(dims)))
+
+  /** The model as a k-row DataFrame (for query-side probe ranking). */
+  def centroidFrame(spark: SparkSession, cents: Array[Double], dims: Int): DataFrame = {
+    import spark.implicits._
+    cents.grouped(dims).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid", "cvec")
+  }
+
+  /** Cosine top-k per query probing `nprobe` posting lists. `corpus` must
+    * carry the `centroid` column from [[assign]] (or be read from a
+    * centroid-partitioned index, which prunes the scan to probed lists).
+    */
+  def knn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+          idCol: String, vecCol: String, cents: Array[Double], dims: Int,
+          nprobe: Int, kNeighbors: Int): DataFrame = {
+    val cf = centroidFrame(spark, cents, dims)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // probe plan: queries × k centroids (both tiny), keep nprobe per query
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("centroid").asc)
+    val probes = q.crossJoin(broadcast(cf))
+      .withColumn("cdist",
+        -Similarity.dot(col("qv"), col("cvec")) * 2 +
+          Similarity.dot(col("cvec"), col("cvec")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid"))
+    // candidate join on posting-list id; only probed lists are scored
+    val c = corpus.select(col("centroid"),
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(probes), Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+  }
+}

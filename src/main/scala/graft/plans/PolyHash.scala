@@ -89,7 +89,7 @@ object GraftFunctions {
   private[plans] val descriptors = Seq(
     PolyHash.descriptor, ShingleHashes.descriptor,
     MinHashSig.descriptor, SimHashOf.descriptor, VecDot.descriptor,
-    LshBucket.descriptor)
+    LshBucket.descriptor, NearestCentroid.descriptor)
 
   /** Register all engine functions on a live session (idempotent overwrite). */
   def register(spark: SparkSession): Unit =

@@ -149,3 +149,61 @@ object LshBucket {
     new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
     (c: Seq[Expression]) => LshBucket(c.head, c(1), c(2)))
 }
+
+/** nearest_centroid(vec, centroids, dims): index of the L2-nearest centroid
+  * in a flattened k×dims centroid array — the IVF assignment/probe hot
+  * loop, fully codegen'd (one fused loop per row; the centroid model rides
+  * along as a literal, so it broadcasts with the plan and the corpus never
+  * shuffles for assignment).
+  */
+case class NearestCentroid(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = (first.dataType, second.dataType, third.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "nearest_centroid(vec: array<double>, centroids: array<double>, dims: int)")
+  }
+
+  protected override def nullSafeEval(v: Any, c: Any, d: Any): Any =
+    NearestCentroid.nearest(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, d) => s"graft.plans.NearestCentroid$$.MODULE$$.nearest($v, $c, $d)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): NearestCentroid =
+    copy(first = f, second = s, third = t)
+}
+
+object NearestCentroid {
+  /** Ties (equal distance) break toward the lower centroid index, so the
+    * assignment is total and engine-independent.
+    */
+  def nearest(vec: ArrayData, cents: ArrayData, dims: Int): Int = {
+    val k = cents.numElements() / dims
+    val n = math.min(dims, vec.numElements())
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * dims
+      var d = 0d
+      var i = 0
+      while (i < n) {
+        val diff = vec.getDouble(i) - cents.getDouble(off + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nearest_centroid"),
+    new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+    (c: Seq[Expression]) => NearestCentroid(c.head, c(1), c(2)))
+}

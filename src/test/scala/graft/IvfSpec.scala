@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.{Ivf, Similarity}
+
+/** IVF ANN: deterministic k-means training, codegen'd nearest-centroid
+  * assignment, and probe-limited search measured for recall against the
+  * brute-force kNN baseline.
+  */
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.load(spark, TestSession.sf, "embeddings")
+
+  test("nearest_centroid: L2 argmin with low-index tie-break") {
+    val cents = Array(0.0, 0.0, 10.0, 10.0, 0.0, 0.0) // c0=(0,0) c1=(10,10) c2=(0,0) dup
+    val df = Seq(
+      (1L, Seq(1.0, 1.0)),   // nearest c0 (c2 ties -> lower index wins)
+      (2L, Seq(9.0, 9.0)),   // nearest c1
+      (3L, Seq(5.0, 5.0)))   // equidistant c0/c1... (50 vs 50) -> c0
+      .toDF("id", "v")
+    val got = Ivf.assign(df, "v", cents, 2)
+      .select($"id", $"centroid").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
+  test("train separates well-separated clusters and keeps empty clusters stable") {
+    // three tight clusters in 2D; ids 1..3 seed one point from each
+    val pts = Seq(
+      (1L, Seq(0.0, 0.1)), (4L, Seq(0.1, 0.0)), (7L, Seq(-0.1, 0.1)),
+      (2L, Seq(10.0, 10.1)), (5L, Seq(10.1, 9.9)), (8L, Seq(9.9, 10.0)),
+      (3L, Seq(-10.0, -10.0)), (6L, Seq(-10.1, -9.9)), (9L, Seq(-9.9, -10.1)))
+      .toDF("id", "v")
+    val cents = Ivf.train(pts, "id", "v", k = 3, dims = 2, iters = 3)
+    val assigned = Ivf.assign(pts, "v", cents, 2)
+      .select($"id", $"centroid").as[(Long, Int)].collect().toMap
+    // each cluster's members share a centroid, and the three differ
+    assert(assigned(1L) == assigned(4L) && assigned(4L) == assigned(7L))
+    assert(assigned(2L) == assigned(5L) && assigned(5L) == assigned(8L))
+    assert(assigned(3L) == assigned(6L) && assigned(6L) == assigned(9L))
+    assert(Set(assigned(1L), assigned(2L), assigned(3L)).size == 3)
+  }
+
+  test("ivf knn: recall vs brute force improves with nprobe; scores exact") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.knn(emb, queries, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 3)
+    val corpus = Ivf.assign(emb, "embedding", cents, 64)
+    def recallAt(nprobe: Int): Double = {
+      val got = Ivf.knn(spark, corpus, queries, "vec_id", "embedding",
+        cents, 64, nprobe, 10)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    val r8 = recallAt(8) // probing every list == exact search
+    assert(r8 == 1.0, s"full probe must equal brute force, got $r8")
+    assert(r4 >= r1, s"recall must not drop as nprobe grows: r1=$r1 r4=$r4")
+    assert(r4 > 0.3, s"nprobe=4/8 recall unexpectedly low: $r4")
+  }
+
+  test("ivf search plan: no corpus self-join; candidates bounded by probes") {
+    val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 1)
+    val corpus = Ivf.assign(emb, "embedding", cents, 64)
+    val plan = Ivf.knn(spark, corpus, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", cents, 64, 2, 5)
+      .queryExecution.executedPlan.toString
+    // the only join against the corpus is the broadcast probe join
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$plan")
+  }
+}
