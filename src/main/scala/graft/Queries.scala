@@ -285,6 +285,20 @@ object Queries {
       .select(col("doc_id"), col("n_bytes"), col("checksum"),
         col("width").cast("long").as("width"), col("height").cast("long").as("height"))
 
+  /** Multimodal resize planning: aspect-preserving fit into 256×256, never
+    * upscaling — metadata arithmetic only (the resample is the stubbed
+    * codec seam), so DuckDB can recompute it from the synthetic dims.
+    */
+  val q63_multimodal_resize: Q = (s, dir) =>
+    graft.operators.Multimodal.resizeMeta(
+      graft.operators.Multimodal.toMedia(t(s, dir).documents, "doc_id", "text"),
+      256, 256)
+      .select(col("doc_id"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"))
+
   /** Native session windows (gap 30 min) — Spark's built-in
     * `session_window` (streaming-capable) computing the same gap sessions
     * as the hand-rolled q19; session start = first event time.
@@ -338,7 +352,8 @@ object Queries {
     "q21_explode_tokens" -> q21_explode_tokens,
     "q34_json_extract" -> q34_json_extract,
     "q35_multimodal" -> q35_multimodal,
-    "q36_session_window" -> q36_session_window
+    "q36_session_window" -> q36_session_window,
+    "q63_multimodal_resize" -> q63_multimodal_resize
   )
 
   def oracles: Map[String, String] =
@@ -497,6 +512,24 @@ object Queries {
         |  checksum % 1024 + 16 AS width,
         |  checksum % 768 + 16 AS height
         |FROM f""".stripMargin,
+    // resize plan mirrors q35's synthetic dims; scale/floor are identical
+    // IEEE double ops in both engines, so results match exactly
+    "q63_multimodal_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |      (h, a) -> (h * 31 + a) % 1000000007) AS checksum
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, checksum % 1024 + 16 AS width,
+        |         checksum % 768 + 16 AS height FROM f),
+        |sc AS (
+        |  SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS scale FROM d)
+        |SELECT doc_id, width, height,
+        |  floor(width * scale)::BIGINT AS out_width,
+        |  floor(height * scale)::BIGINT AS out_height
+        |FROM sc""".stripMargin,
     // session_window semantics: windows [t, t+gap) merge while they overlap,
     // so a gap of exactly 1800 s starts a NEW session (>=, unlike q19's >).
     // Compare at microsecond precision to match Spark's truncated nanos.

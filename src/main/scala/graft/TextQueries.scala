@@ -122,6 +122,23 @@ object TextQueries {
       .filter(col("dist") <= 12)
   }
 
+  /** BPE-style pre-tokenization (GPT-2 pre-tokenizer shape, restricted to
+    * ASCII classes so the Java and RE2 regex engines agree): words, digit
+    * runs, and punctuation runs each grab an optional leading space. The
+    * alternatives are class-disjoint, so leftmost-first vs leftmost-longest
+    * matching cannot diverge. Counts both total and distinct pieces per
+    * source — the token-budget accounting a training pipeline runs.
+    */
+  val q62_bpe_tokens: Q = (s, dir) =>
+    t(s, dir).documents
+      .select(col("source"),
+        expr("regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+', 0)")
+          .as("bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(col("bpe"))).as("bpe_sum"),
+        sum(size(array_distinct(col("bpe")))).as("uniq_bpe_sum"))
+
   def all: Map[String, Q] = Map(
     "q53_normalize" -> q53_normalize,
     "q54_histogram" -> q54_histogram,
@@ -129,10 +146,20 @@ object TextQueries {
     "q22_token_stats" -> q22_token_stats,
     "q23_quality_score" -> q23_quality_score,
     "q24_langid" -> q24_langid,
-    "q25_fingerprint" -> q25_fingerprint)
+    "q25_fingerprint" -> q25_fingerprint,
+    "q62_bpe_tokens" -> q62_bpe_tokens)
 
   // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
   def oracles: Map[String, String] = Map(
+    "q62_bpe_tokens" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+') AS bpe
+        |  FROM documents)
+        |SELECT source, count(*) AS docs,
+        |  sum(len(bpe))::BIGINT AS bpe_sum,
+        |  sum(len(list_distinct(bpe)))::BIGINT AS uniq_bpe_sum
+        |FROM d GROUP BY 1""".stripMargin,
     "q53_normalize" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(0::BIGINT,

@@ -81,4 +81,38 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize plan: aspect-preserving fit into a (maxW, maxH) box, never
+    * upscaling. The dimension math is the real operator (it drives batch
+    * grouping and output storage sizing); the pixel resample itself is the
+    * same stubbed codec seam as [[decodeStub]]. Pure per-row projection —
+    * no shuffle, payload untouched.
+    */
+  def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("meta.width"),
+      lit(maxH.toDouble) / col("meta.height"),
+      lit(1.0))
+    media
+      .withColumn("out_width", floor(col("meta.width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("meta.height") * scale).cast("int"))
+  }
+
+  /** Frame sampling for video-like payloads: treat the payload as
+    * `frameBytes`-sized frames and keep every `stride`-th one, exploding to
+    * one row per kept frame with its byte slice. The slice is real
+    * (`substring` over binary); decoding the slice is the codec stub's job.
+    * Row explosion is bounded by nBytes/frameBytes/stride; payload bytes
+    * are sliced per-partition, never shuffled whole per frame.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val nFrames = greatest(floor(col("meta.nBytes") / frameBytes), lit(1L))
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), nFrames - 1, lit(stride.toLong))))
+      .withColumn("frame",
+        substring(col("payload"), (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes)))
+      .select(col("doc_id"), col("frame_idx"), col("frame"))
+  }
 }

@@ -39,4 +39,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fs.forall(_.embedding.forall(v => v >= 0f && v <= 1f)))
     assert(fs(0).embedding.toSeq == fs(1).embedding.toSeq)
   }
+
+  test("resizeMeta: aspect-preserving fit, never upscaling") {
+    def media(w: Int, h: Int) = Seq((1L, Array[Byte](1), (w, h)))
+      .toDF("doc_id", "payload", "wh")
+      .select($"doc_id", $"payload",
+        struct(lit("fake").as("format"), $"wh._1".as("width"),
+          $"wh._2".as("height"), lit(1L).as("nBytes")).as("meta"))
+    def out(w: Int, h: Int) = Multimodal.resizeMeta(media(w, h), 256, 256)
+      .select($"out_width", $"out_height").as[(Int, Int)].head()
+    assert(out(1024, 512) == ((256, 128)))  // landscape: width binds
+    assert(out(512, 1024) == ((128, 256)))  // portrait: height binds
+    assert(out(100, 50) == ((100, 50)))     // already fits: no upscale
+  }
+
+  test("sampleFrames: strided frame slices with exact byte offsets") {
+    val payload = (0 until 40).map(_.toByte).toArray // 5 frames of 8 bytes
+    val media = Seq((7L, payload)).toDF("doc_id", "payload")
+      .select($"doc_id", $"payload",
+        struct(lit("fake").as("format"), lit(1).as("width"), lit(1).as("height"),
+          lit(payload.length.toLong).as("nBytes")).as("meta"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, stride = 2)
+      .orderBy($"frame_idx").collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L)) // every 2nd of 5
+    val f2 = frames(1).getAs[Array[Byte]](2)
+    assert(f2.toSeq == (16 until 24).map(_.toByte).toSeq) // frame 2 = bytes 16..23
+  }
 }
