@@ -87,6 +87,21 @@ class DwsWindowsSpec extends AnyFunSuite {
       (100L, "Globex", "laptops", "electronics", "goods", "u2", 1L, 8.0)))
   }
 
+  test("refundWindow plan: 5 broadcast hops, no shuffle besides dedup+window") {
+    val refunds = Seq(("r1", "u1", "s1", 10.0, ts(101)))
+      .toDF("id", "user_id", "sku_id", "refund_amount", "eventTime")
+    val sku = Seq(("s1", "tm1", "c3a")).toDF("id", "tm_id", "category3_id")
+    val tm = Seq(("tm1", "Acme")).toDF("id", "tm_name")
+    val c3 = Seq(("c3a", "phones", "c2a")).toDF("id", "name", "category2_id")
+    val c2 = Seq(("c2a", "electronics", "c1a")).toDF("id", "name", "category1_id")
+    val c1 = Seq(("c1a", "goods")).toDF("id", "name")
+    val plan = DwsWindows.refundWindow(refunds, sku, tm, c3, c2, c1)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 5,
+      s"expected 5 broadcast dim hops:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dim hop fell back to SMJ:\n$plan")
+  }
+
   test("userRegisterWindow streaming: per-window register counts finalize") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]

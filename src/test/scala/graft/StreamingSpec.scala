@@ -44,6 +44,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window merges gap-overlapping events in streaming append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = in.toDF().toDF("ts", "uid")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "10 seconds"), col("uid"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").cast("long").as("stt"),
+        col("uid"), col("cnt"))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // u1: 100,105,112 chain into ONE session (each gap < 10 s); 140 is new
+      in.addData((ts(100), "u1"), (ts(105), "u1"), (ts(112), "u1"), (ts(140), "u1"))
+      q.processAllAvailable()
+      in.addData((ts(300), "z")) // close both sessions
+      q.processAllAvailable()
+      in.addData((ts(310), "z")) // nudge
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[(Long, String, Long)].collect()
+        .filter(_._2 == "u1").toSet
+      assert(rows == Set((100L, "u1", 3L), (140L, "u1", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("dedupAnyRow drops duplicate keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
