@@ -44,11 +44,21 @@ object SimilarityQueries {
       "vec_id", "embedding", cents, DIMS, nprobe = 2, kNeighbors = 5)
   }
 
+  /** Embedding-cosine near-dup pairs at threshold 0.35. The synthetic
+    * embeddings carry no true duplicates (max same-bucket cosine ≈ 0.48),
+    * so the low threshold exercises the operator shape; a production
+    * near-dup pass runs the same plan at ~0.95.
+    */
+  val q64_embedding_neardup: Q = (s, dir) =>
+    Similarity.lshNearDupPairs(t(s, dir).embeddings, "vec_id", "embedding",
+      PLANES, DIMS, 0.35)
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
     "q33_lsh_ann" -> q33_lsh_ann,
-    "q61_ivf_ann" -> q61_ivf_ann)
+    "q61_ivf_ann" -> q61_ivf_ann,
+    "q64_embedding_neardup" -> q64_embedding_neardup)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private def foldSum(terms: String) =
@@ -91,5 +101,20 @@ object SimilarityQueries {
          |vb AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk ON v.vec_id = bk.vec_id)
          |SELECT a.vec_id AS d1, b.vec_id AS d2, ${cosSql("a.v", "b.v")} AS cos
          |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |ORDER BY cos DESC, d1 ASC, d2 ASC LIMIT 50""".stripMargin)
+         |ORDER BY cos DESC, d1 ASC, d2 ASC LIMIT 50""".stripMargin,
+    "q64_embedding_neardup" ->
+      s"""WITH $vCte,
+         |pr AS (
+         |  SELECT vec_id, j,
+         |    ${foldSum(s"""list_transform(range($DIMS), d ->
+         |      v[d+1] * (((((j*$DIMS + d + 1) * 2654435761) % 1000000007) % 2001 - 1000) / 1000.0))""")} AS proj
+         |  FROM v, (SELECT unnest(range($PLANES)) AS j)),
+         |bk AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN proj >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+         |  FROM pr GROUP BY vec_id),
+         |vb AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk ON v.vec_id = bk.vec_id)
+         |SELECT a.vec_id AS d1, b.vec_id AS d2, ${cosSql("a.v", "b.v")} AS cos
+         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin)
 }

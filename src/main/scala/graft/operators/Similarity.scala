@@ -107,19 +107,38 @@ object Similarity {
     * two-stage top-k; not needed at current selectivity.
     */
   def lshTopPairs(df: DataFrame, idCol: String, vecCol: String,
-                  planes: Int, dims: Int, limit: Int): DataFrame = {
+                  planes: Int, dims: Int, limit: Int): DataFrame =
+    bucketedScoredPairs(df, idCol, vecCol, planes, dims)
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+      .limit(limit)
+
+  /** Embedding-cosine near-duplicate pairs (dedup semantics, not search):
+    * every same-bucket pair with cosine >= threshold. No global sort or
+    * limit — the output is the edge set for `Dedup.duplicateClusters`'
+    * keep-one-per-component rule, completing the dedup family (exact,
+    * MinHash-Jaccard, SimHash-Hamming, embedding-cosine). Recall follows
+    * the bucketing (cross-bucket near-dups are missed; more planes/bands
+    * trade shuffle for recall), same as every LSH path here.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      planes: Int, dims: Int, threshold: Double): DataFrame =
+    bucketedScoredPairs(df, idCol, vecCol, planes, dims)
+      .filter(col("cos") >= threshold)
+
+  /** Shared candidate generation: score every same-bucket pair once.
+    * Each vector lands in exactly one bucket, so pairs are already unique
+    * (no distinct — it would add a full-width exchange).
+    */
+  private def bucketedScoredPairs(df: DataFrame, idCol: String, vecCol: String,
+                                  planes: Int, dims: Int): DataFrame = {
     val v = df.select(col(idCol),
       asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dims))
       .withColumn("nrm", norm(col("v")))
     val a = v.select(col("bucket"), col(idCol).as("d1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = v.select(col("bucket"), col(idCol).as("d2"), col("v").as("v2"), col("nrm").as("n2"))
-    // each vector has exactly one bucket, so pairs are already unique — no
-    // distinct: it would add a full-width exchange before the top-k sort
     a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
-      .limit(limit)
   }
 }

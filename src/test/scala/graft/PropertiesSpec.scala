@@ -69,6 +69,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin: preserves left cardinality for any right side") {
+    val rightsGen = Gen.listOfN(20,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 100L)))
+    cases(rightsGen, 5).foreach { rights =>
+      val left = Seq(("a", 10L, "p1"), ("a", 50L, "p2"), ("b", 0L, "p3"), ("d", 99L, "p4"))
+        .toDF("k", "lts", "pid")
+      // as-of contract requires unique (k, rts) on the right
+      val right = rights.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t * 200 + i, s"v$i") }
+        .toDF("k", "rts", "vid")
+      val out = Relational.asOfJoin(left, right, Seq("k"), "lts", "rts", Seq("vid"))
+      assert(out.count() == 4, s"left rows must survive 1:1, rights=$rights")
+    }
+  }
+
+  test("duplicateClusters: labels form valid components on random graphs") {
+    val edgesGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(1L, 15L), Gen.chooseNum(1L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    cases(edgesGen, 5).foreach { edges =>
+      val pairs = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("d1", "d2")
+      val labels = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+      // every edge endpoint is labeled, endpoints agree, and each label is
+      // the minimum of its own component (a fixpoint property)
+      edges.foreach { case (a, b) =>
+        assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+      }
+      labels.values.foreach(l => assert(labels(l) == l, s"label $l is not a root"))
+      labels.foreach { case (v, l) => assert(l <= v) }
+    }
+  }
+
   test("exactDedup: distinct representatives, one per normalized text") {
     val docsGen = Gen.listOfN(30, Gen.oneOf("a b", "c d", "e f", "A B ", "x"))
     cases(docsGen, 5).foreach { texts =>

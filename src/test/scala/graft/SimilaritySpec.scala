@@ -41,4 +41,20 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"ANN recall@50 vs brute force: $recall%.2f")
     assert(recall > 0.05) // random unit vectors: 4-plane LSH keeps ~1/8 of pairs
   }
+
+  test("lshNearDupPairs: threshold edges feed duplicateClusters (dedup composition)") {
+    val emb = graft.core.Tables.load(spark, TestSession.sf, "embeddings")
+    val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 4, 64, 0.35)
+    val rows = pairs.select($"d1", $"d2", $"cos").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 0.35))
+    assert(rows.forall(r => r._1 < r._2)) // canonical orientation, no dupes
+    // keep-one-per-component: clusters over the edge set
+    val labels = graft.operators.Dedup.duplicateClusters(pairs.select($"d1", $"d2"))
+      .as[(Long, Long)].collect().toMap
+    val vertices = rows.flatMap(r => Seq(r._1, r._2)).toSet
+    assert(labels.keySet == vertices)
+    // every edge's endpoints share a cluster label
+    assert(rows.forall(r => labels(r._1) == labels(r._2)))
+  }
 }
