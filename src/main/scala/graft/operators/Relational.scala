@@ -50,7 +50,7 @@ object Relational {
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
     // compare at whole-second resolution: parity with engines that floor
-    // sub-second precision differently (see .claude/skills/verify gotchas)
+    // sub-second precision differently (events.ts is ns; Spark keeps micros)
     val sec = col(tsCol).cast("long")
     val prevSec = lag(sec, 1).over(w)
     val newSession = when(prevSec.isNull || sec - prevSec > gapSeconds, 1).otherwise(0)

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-count regression net: each audited query's physical plan must
+  * not grow extra shuffle exchanges. A plan that passes correctness but
+  * gains an exchange is exactly the regression that stays invisible at
+  * sf0.01 and dominates at 100 TB, so the budget is pinned here.
+  *
+  * Counts are `Exchange hashpartitioning`/`rangepartitioning` occurrences
+  * in the pre-execution plan (AQE may later coalesce partitions but does
+  * not remove a shuffle boundary); BroadcastExchange is deliberately NOT
+  * counted — broadcasting dims is the design.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def shuffles(q: String): Int = {
+    val plan = SparkEntry.queries(q)(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+  }
+
+  // (query, max shuffle exchanges allowed)
+  private val budget = Seq(
+    "q1_agg" -> 1,                 // groupBy
+    "q2_window_tumble" -> 1,       // window groupBy
+    "q7_filter_project" -> 0,      // pure scan+project
+    "q12_join_chain" -> 1,         // broadcast hops + one final agg
+    "q26_dedup_exact" -> 1,        // fingerprint groupBy
+    "q33_lsh_ann" -> 1,            // bucket join broadcasts at this SF; top-k sort is TakeOrdered
+    "q57_order_uu_window" -> 2,    // user window + agg
+    "q58_payment_uu" -> 2,
+    "q59_home_detail_uv" -> 2,
+    "q60_register_window" -> 2,
+    "q62_bpe_tokens" -> 1,
+    "q63_multimodal_resize" -> 0)
+
+  budget.foreach { case (q, max) =>
+    test(s"$q stays within $max shuffle exchange(s)") {
+      val n = shuffles(q)
+      assert(n <= max, s"$q now plans $n shuffle exchanges (budget $max) — " +
+        "a new shuffle boundary appeared; check join strategy / window keys")
+    }
+  }
+}
