@@ -40,4 +40,22 @@ class SkewAggSpec extends AnyFunSuite {
         countDistinct($"user_id").as("expected"))
     assert(got.filter($"uniq" =!= $"expected").count() == 0)
   }
+
+  test("approx_count_distinct: within rsd of exact and mergeable across splits") {
+    // the sketch behind TradeProvinceOrderWindow's order_ct at scale —
+    // exact Set state (the reference's orderIdSet) is O(distinct) per key
+    val ev = Tables.loadEvents(spark, TestSession.sf)
+    val row = ev.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", 0.02).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+    // mergeability: the same estimator over a union of disjoint halves
+    // equals the whole-table estimate (partial aggregation = sketch merge)
+    val halves = ev.filter($"event_id" % 2 === 0)
+      .unionByName(ev.filter($"event_id" % 2 === 1))
+    val merged = halves.agg(approx_count_distinct($"user_id", 0.02)).head().getLong(0)
+    assert(merged == approx)
+  }
 }
