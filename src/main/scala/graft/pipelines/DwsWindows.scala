@@ -76,7 +76,7 @@ object DwsWindows {
                        delay: String = "5 seconds",
                        zone: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
     import spark.implicits._
-    val deduped = dedupById(details.withWatermark("ts", delay), "id")
+    val deduped = dedupById(ensureEventTime(details, "ts", delay), "id")
     val flagged = firstOfDayFlags[OrderDetail](deduped, _.userId, _.ts, zone)
       .select(col("_1.ts").as("ts"),
         col("_2").as("uu"), col("_3").as("nu"),
@@ -111,7 +111,7 @@ object DwsWindows {
                        delay: String = "5 seconds",
                        zone: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
     import spark.implicits._
-    val deduped = dedupById(payments.withWatermark("ts", delay), "id")
+    val deduped = dedupById(ensureEventTime(payments, "ts", delay), "id")
     val flagged = firstOfDayFlags[Payment](deduped, _.userId, _.ts, zone)
       .select(col("_1.ts").as("ts"), col("_2").as("uu"), col("_3").as("nu"))
     withEventTime(flagged, "ts", delay)
@@ -179,4 +179,15 @@ object DwsWindows {
 
   private def withEventTime(df: DataFrame, tsCol: String, delay: String): DataFrame =
     if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+
+  /** Declare the input watermark ONLY when the column is not already an
+    * event-time column: a pipeline fed from another streaming stage (e.g.
+    * OrderPreProcess's wide detail) carries its source-leaf watermark tag
+    * through the alias, and re-declaring above that stage's stateful
+    * operators is rejected ("Redefining watermark is disallowed").
+    */
+  private def ensureEventTime[T](ds: Dataset[T], tsCol: String, delay: String): Dataset[T] =
+    if (!ds.isStreaming) ds
+    else if (ds.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) ds
+    else ds.withWatermark(tsCol, delay)
 }

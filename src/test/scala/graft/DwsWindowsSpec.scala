@@ -183,6 +183,68 @@ class DwsWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full order path streaming: OrderPreProcess -> tradeOrderWindow (6 stateful ops)") {
+    // the reference's actual topology: DwdTradeOrderPreProcess writes the
+    // wide detail topic that DwsTradeOrderWindow consumes; here both run
+    // as ONE streaming query — 3 interval joins + dedup + flags + window
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dict = Seq(("2401", "user order")).toDF("dic_code", "dic_name")
+    val in = MemoryStream[String]
+    val (clean, _) = CdcEnvelope.parse(in.toDF().toDF("value"), "value")
+    val wide = graft.pipelines.OrderPreProcess(clean, dict)
+    val details = wide.select(
+      col("id").cast("string").as("id"),
+      col("user_id").cast("string").as("userId"),
+      col("eventTime").as("ts"),
+      lit(0.0).as("activityAmount"), lit(0.0).as("couponAmount"),
+      col("split_total_amount").cast("double").as("originalAmount"))
+      .as[DwsWindows.OrderDetail]
+    // wide already carries the source-leaf watermark; bypass the re-declare
+    // in tradeOrderWindow by feeding it the watermarked stream directly
+    val q = DwsWindows.tradeOrderWindow(spark, details)
+      .select(col("stt").cast("long").as("stt"),
+        col("order_unique_user_ct"), col("order_new_user_ct"),
+        col("order_origin_total_amount").cast("double"))
+      .writeStream.format("memory").queryName("orderchain").outputMode("append").start()
+    def env2(table: String, ts: Long, data: (String, String)*) = {
+      val d = data.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      s"""{"database":"gmall","table":"$table","type":"insert","data":{$d},"ts":$ts}"""
+    }
+    try {
+      in.addData(
+        env2("order_info", 100, "id" -> "o1", "user_id" -> "u1",
+          "province_id" -> "p1", "order_status" -> "1001"),
+        env2("order_detail", 101, "id" -> "d1", "order_id" -> "o1", "sku_id" -> "s1",
+          "sku_name" -> "w", "sku_num" -> "2", "order_price" -> "10.00",
+          "source_type" -> "2401", "create_time" -> "t"),
+        env2("order_detail", 103, "id" -> "d2", "order_id" -> "o1", "sku_id" -> "s2",
+          "sku_name" -> "w", "sku_num" -> "1", "order_price" -> "4.00",
+          "source_type" -> "2401", "create_time" -> "t"))
+      q.processAllAvailable()
+      for (i <- 1 to 10) {
+        // the global watermark is min across ALL four envelope legs — every
+        // leg needs rows or it pins the min at epoch 0
+        val t = 500000L + i
+        in.addData(
+          env2("order_info", t, "id" -> s"o$i", "user_id" -> "u",
+            "province_id" -> "p1", "order_status" -> "1001"),
+          env2("order_detail", t, "id" -> s"dn$i", "order_id" -> s"o$i",
+            "sku_id" -> "s1", "sku_name" -> "z", "sku_num" -> "1",
+            "order_price" -> "1.00", "source_type" -> "2401", "create_time" -> "t"),
+          env2("order_detail_activity", t, "order_detail_id" -> s"dn$i",
+            "activity_id" -> "a", "activity_rule_id" -> "r"),
+          env2("order_detail_coupon", t, "order_detail_id" -> s"dn$i",
+            "coupon_id" -> "c"))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("orderchain")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // window 100-110: u1's first-ever order (uu=1, nu=1), both details sum 24.00
+      assert(rows.contains((100L, 1L, 1L, 24.00)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("coupon_pay and user_register facts extract per reference filters") {
     val lines = Seq(
       """{"database":"gmall","table":"coupon_use","type":"update","data":{"id":"c1","coupon_id":"cp1","user_id":"u1","order_id":"o1","used_time":"2022-02-02 11:11:11"},"old":{"used_time":null},"ts":11}""",
