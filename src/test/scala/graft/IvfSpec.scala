@@ -65,6 +65,26 @@ class IvfSpec extends AnyFunSuite {
     assert(r4 > 0.3, s"nprobe=4/8 recall unexpectedly low: $r4")
   }
 
+  test("ivf index on disk: centroid partitions prune to the probed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    Ivf.assign(emb, "embedding", cents, 64)
+      .select($"vec_id", $"embedding", $"centroid")
+      .write.partitionBy("centroid").mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val probes = Seq(2, 5) // the nprobe nearest lists a query would pick
+    val probed = index.filter($"centroid".isin(probes: _*))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [centroid"),
+      s"expected centroid partition pruning in:\n$scan")
+    // the pruned read returns exactly the probed posting lists
+    val onDisk = probed.select($"vec_id").as[Long].collect().toSet
+    val expected = Ivf.assign(emb, "embedding", cents, 64)
+      .filter($"centroid".isin(probes: _*))
+      .select($"vec_id").as[Long].collect().toSet
+    assert(onDisk == expected && onDisk.nonEmpty)
+  }
+
   test("ivf search plan: no corpus self-join; candidates bounded by probes") {
     val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 1)
     val corpus = Ivf.assign(emb, "embedding", cents, 64)
