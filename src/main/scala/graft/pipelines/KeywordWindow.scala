@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.LogSplit
+import graft.operators.{LogSplit, Relational}
 
 /** The keyword pipeline (SURVEY.md §7.2 step 2 — the minimum end-to-end
   * slice): …/app/dws/DwsTrafficSourceKeywordPageViewWindow.java.
@@ -31,4 +31,15 @@ object KeywordWindow {
       .agg(count(lit(1)).as("keyword_count"))
       .select(col("window.start").as("stt"), col("window.end").as("edt"),
         col("keyword"), col("keyword_count"))
+
+  /** Per-window top-k keywords (the dashboard cut downstream systems take
+    * from the reference's keyword table). Batch: rank directly. Streaming:
+    * ranking over a streaming aggregate is disallowed, but in append mode
+    * ALL of a window's rows finalize in the same micro-batch — so apply
+    * this inside `foreachBatch` and each batch ranks only complete
+    * windows (KeywordTopKSpec drives exactly that wiring).
+    */
+  def topKeywords(counts: DataFrame, k: Int): DataFrame =
+    Relational.topKPerGroup(counts, Seq("stt"),
+      Seq(col("keyword_count").desc, col("keyword").asc), k)
 }

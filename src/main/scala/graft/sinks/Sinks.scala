@@ -64,13 +64,17 @@ object Sinks {
   /** K3: micro-batch delivery with a pluggable writer (JDBC/ClickHouse in
     * production — `(batchDf, batchId) => df.write.jdbc(...)`). The 5 s
     * batch interval of the reference maps to the trigger; batching itself
-    * is the micro-batch.
+    * is the micro-batch. `outputMode`: "update" (default — upsert sinks
+    * take provisional rows and last-write-wins) or "append" (only
+    * watermark-finalized rows reach the writer — required when the writer
+    * post-processes whole windows, e.g. per-window ranking).
     */
   def foreachBatchSink(df: DataFrame, checkpoint: String,
-                       trigger: Trigger = Trigger.ProcessingTime("5 seconds"))(
+                       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                       outputMode: String = "update")(
       writer: (Dataset[Row], Long) => Unit): StreamingQuery =
     df.writeStream
-      .outputMode("update")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch(writer)
