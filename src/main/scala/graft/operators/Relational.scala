@@ -80,7 +80,7 @@ object Relational {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, carried: Seq[String]): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toSeq
     require(keys.forall(right.columns.contains),
       s"asOfJoin: keys ${keys.mkString(",")} must exist in right under the same names")
     require(carried.forall(!leftCols.contains(_)),
