@@ -26,6 +26,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val excluded = Set("q32_top_pairs")
 
+  /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
+    * enough for line-truncating log captures.
+    */
+  private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,14 +59,23 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
     val results = names.map { n =>
       val times = (1 to iters).map(_ => run(n)).filter(_ >= 0).sorted
+      // even N: mean of the middle two — times(size/2) alone is the UPPER
+      // median, which under iters=2 reports the WORSE of the two runs
       val (median, min) =
         if (times.isEmpty) (-1.0, -1.0)
-        else (times(times.size / 2), times.head)
-      (n, median, min)
+        else if (times.size % 2 == 1) (times(times.size / 2), times.head)
+        else ((times(times.size / 2 - 1) + times(times.size / 2)) / 2, times.head)
+      (n, r4(median), r4(min))
     }
     def jmap(f: ((String, Double, Double)) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r4(results.map(_._2).filter(_ >= 0).sum)
+    // compact headline FIRST: a tail capture that truncates the full
+    // per-query line still gets a parseable total (BENCH_r02 "parsed": null)
+    val slowest = results.sortBy(-_._2).take(5)
+      .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
       s""""queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"sf":"$sfDir"}""")
     spark.stop()

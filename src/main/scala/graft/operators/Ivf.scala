@@ -30,6 +30,24 @@ import graft.operators.Similarity.{asDouble, cosine}
   */
 object Ivf {
 
+  /** Per-(input, params) model cache. Training means use `avg`, whose
+    * partial-merge order is nondeterministic up to FP reassociation —
+    * harmless for recall, fatal for a hash-compared oracle built from a
+    * SECOND train() call. Memoizing makes the query path and the
+    * oracle-literal path (same JVM: Verify runs queries, then dumps
+    * oracle SQL) share the one trained array bit-for-bit, and makes bench
+    * reruns pay training once.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]
+
+  def trainCached(df: DataFrame, cacheKey: String, idCol: String, vecCol: String,
+                  k: Int, dims: Int, iters: Int): Array[Double] =
+    modelCache.computeIfAbsent(cacheKey, _ => train(df, idCol, vecCol, k, dims, iters))
+
+  def cachedModel(cacheKey: String): Option[Array[Double]] =
+    Option(modelCache.get(cacheKey))
+
   /** Flattened k×dims centroid model trained by `iters` Lloyd rounds.
     * Deterministic: init = the k lowest-id vectors; ties in assignment
     * break toward the lower centroid index; per-dimension means average
