@@ -28,36 +28,83 @@ import graft.streaming.StreamOps
   */
 object DwsWindows {
 
+  /** The flagger→window chains trip Spark's global-watermark correctness
+    * check once the flaggers use `EventTimeTimeout`: the static analysis
+    * assumes any event-time-timeout FlatMapGroupsWithState can emit rows
+    * older than the watermark into the downstream window. This one cannot:
+    * rows are emitted only for CURRENT-batch input events (which passed the
+    * operator's late filter, so their timestamps are ≥ the previous
+    * watermark) and the timeout branch emits nothing — it only drops state.
+    * Spark's documented escape for exactly this known-safe shape is the
+    * `checkCorrectness` toggle (error → logged warning), applied here at
+    * the chain-composition points.
+    */
+  private def allowFlagWindowChain(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+
   /** Per-key (uu, firstEver) flags from keyed state, the
     * ValueState<lastDt> pattern shared by the order and payment apps:
     * uu=1 when the key's last-active date differs from this event's date,
     * newUser=1 only on the key's first-ever event (reference: lastOrderDt
     * == null, …/app/dws/DwsTradeOrderWindow.java:199-215). Every row is
     * emitted with its flags so measures ride along to the window.
+    *
+    * State is BOUNDED: `EventTimeTimeout` evicts a key's entry once the
+    * watermark passes end-of-day(lastDate) — the reference's own 1-day UV
+    * TTL (…/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:94-99). For the
+    * daily `uu` flag eviction is exact (the timeout conf also enables the
+    * operator's late-row filter, so no event dated `lastDate` can arrive
+    * after its state is gone; any later event is on a new date and flags
+    * uu=1 like a fresh key would). The first-ever `nu` flag DOES lose
+    * history on eviction: a returning key re-flags nu=1 unless primed via
+    * `firstSeen` — a (key, lastKnownDate) bootstrap table loaded as initial
+    * state, the compact-to-dim-table pattern a production run refreshes
+    * periodically (state snapshot → dim table → initial state on restart).
+    * Without a bootstrap, `nu` is exact only for keys idle < 1 day —
+    * matching the reference, whose TTL'd UV state has the same horizon.
+    * Note initial-state entries for keys that never re-appear carry no
+    * timeout and persist — the bootstrap table's size, not the unbounded
+    * key history, is the state bound.
     */
   def firstOfDayFlags[T](ds: Dataset[T], keyF: T => String,
                          tsF: T => java.sql.Timestamp,
-                         zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+                         zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                         firstSeen: Option[Dataset[(String, String)]] = None)
                         (implicit te: Encoder[T]): Dataset[(T, Int, Int)] = {
     implicit val outEnc: Encoder[(T, Int, Int)] =
       Encoders.tuple(te, Encoders.scalaInt, Encoders.scalaInt)
     implicit val strEnc: Encoder[String] = Encoders.STRING
-    ds.groupByKey(keyF)(Encoders.STRING)
-      .flatMapGroupsWithState[String, (T, Int, Int)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_, events, state: GroupState[String]) =>
-          var lastDate = state.getOption.getOrElse("")
-          val out = events.toSeq.sortBy(e => tsF(e).getTime).map { e =>
-            val d = java.time.Instant.ofEpochMilli(tsF(e).getTime)
-              .atZone(zone).toLocalDate.toString
-            val isNew = if (lastDate.isEmpty) 1 else 0
-            val uu = if (d != lastDate) 1 else 0
-            if (d != lastDate) lastDate = d
-            (e, uu, isNew)
-          }
-          state.update(lastDate)
-          out.iterator
+    implicit val tupEnc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    val func = (_: String, events: Iterator[T], state: GroupState[String]) =>
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var lastDate = state.getOption.getOrElse("")
+        val out = events.toSeq.sortBy(e => tsF(e).getTime).map { e =>
+          val d = java.time.Instant.ofEpochMilli(tsF(e).getTime)
+            .atZone(zone).toLocalDate.toString
+          val isNew = if (lastDate.isEmpty) 1 else 0
+          val uu = if (d != lastDate) 1 else 0
+          if (d != lastDate) lastDate = d
+          (e, uu, isNew)
+        }
+        state.update(lastDate)
+        StreamOps.setEvictionAt(state, StreamOps.endOfDayMs(lastDate, zone))
+        out.iterator
       }
+    val grouped = ds.groupByKey(keyF)(Encoders.STRING)
+    firstSeen match {
+      case Some(fs) =>
+        grouped.flatMapGroupsWithState[String, (T, Int, Int)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout(),
+          fs.groupByKey(_._1).mapValues(_._2))(func)
+      case None =>
+        grouped.flatMapGroupsWithState[String, (T, Int, Int)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(func)
+    }
   }
 
   /** One order-detail row for the order window: unique detail id, the
@@ -76,6 +123,7 @@ object DwsWindows {
                        delay: String = "5 seconds",
                        zone: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
     import spark.implicits._
+    allowFlagWindowChain(spark)
     val deduped = dedupById(ensureEventTime(details, "ts", delay), "id")
     val flagged = firstOfDayFlags[OrderDetail](deduped, _.userId, _.ts, zone)
       .select(col("_1.ts").as("ts"),
@@ -111,6 +159,7 @@ object DwsWindows {
                        delay: String = "5 seconds",
                        zone: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
     import spark.implicits._
+    allowFlagWindowChain(spark)
     val deduped = dedupById(ensureEventTime(payments, "ts", delay), "id")
     val flagged = firstOfDayFlags[Payment](deduped, _.userId, _.ts, zone)
       .select(col("_1.ts").as("ts"), col("_2").as("uu"), col("_3").as("nu"))

@@ -65,37 +65,88 @@ object StreamOps {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Epoch millis of the first instant AFTER `isoDate` in `zone` — the
+    * eviction point for daily-flag state: once the watermark passes it, any
+    * event dated `isoDate` is dropped as late before reaching the operator,
+    * so forgetting the key is semantically free (re-emits the flag on the
+    * NEXT date, which is what a fresh key does anyway).
+    */
+  private[graft] def endOfDayMs(isoDate: String, zone: java.time.ZoneId): Long =
+    java.time.LocalDate.parse(isoDate).plusDays(1).atStartOfDay(zone)
+      .toInstant.toEpochMilli
+
+  /** Set an eviction timeout of at least `atMs`, clamped above the current
+    * watermark: in a multi-stateful-op chain, upstream operators (dedup
+    * flushes, window finalizations) legitimately emit rows whose event time
+    * is behind the already-advanced global watermark, so end-of-day of such
+    * a row's date can be in the "past" — Spark rejects a timeout ≤ the
+    * watermark. Clamping to watermark+1 only ever DELAYS eviction (to the
+    * next micro-batch), never mis-flags. In batch runs there is no
+    * watermark (and no timeout firing); the raw timestamp is recorded as a
+    * no-op.
+    */
+  private[graft] def setEvictionAt(state: GroupState[_], atMs: Long): Unit = {
+    val wm = try state.getCurrentWatermarkMs() catch {
+      case _: UnsupportedOperationException => Long.MinValue // batch: no watermark
+    }
+    state.setTimeoutTimestamp(math.max(atMs, wm + 1))
+  }
+
   /** A5: per-key daily-distinct flagger. Emits every row with `isFirst`
     * set when the key's last-seen date differs — downstream windowed sums
     * of the 0/1 flag compute UV/new-user counts exactly like the
     * reference's ValueState<lastVisitDate> pattern
     * (…/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:86-116).
-    * State: one date string per key (the 1-day TTL of the reference is an
-    * eviction optimization; semantics live in the date comparison).
+    *
+    * State: one date string per ACTIVE key — `EventTimeTimeout` evicts at
+    * end-of-day(lastDate), the reference's own 1-day TTL
+    * (…/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:94-99). Eviction is
+    * exact, not approximate: `EventTimeTimeout` also switches on the
+    * operator's late-row filter, so an event dated `lastDate` can never
+    * arrive after the state for `lastDate` is gone, and a post-eviction
+    * event is on a new date by construction — uu=1 either way. State is
+    * O(keys active today), not O(keys ever).
     */
   def dailyDistinctFlags(spark: SparkSession, views: Dataset[PageView],
-                         zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+                         zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                         delay: String = "10 seconds")
       : Dataset[(String, String, Boolean)] = {
     import spark.implicits._
-    views.groupByKey(_.mid)
+    withEventTime(views, "ts", delay).groupByKey(_.mid)
       .flatMapGroupsWithState[String, (String, String, Boolean)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (mid, events, state: GroupState[String]) =>
-          val out = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
-          var lastDate = state.getOption.getOrElse("")
-          events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            // day bucketing under an EXPLICIT zone — the reference
-            // hardcodes GMT+8 (…/utils/DateFormatUtil.java:19); making it a
-            // parameter is SURVEY.md §7.4-6's fix
-            val d = java.time.Instant.ofEpochMilli(e.ts.getTime)
-              .atZone(zone).toLocalDate.toString
-            out += ((mid, d, d != lastDate))
-            if (d != lastDate) lastDate = d
+          if (state.hasTimedOut) {
+            state.remove() // idle ≥ 1 day: next event is on a new date
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
+            var lastDate = state.getOption.getOrElse("")
+            events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              // day bucketing under an EXPLICIT zone — the reference
+              // hardcodes GMT+8 (…/utils/DateFormatUtil.java:19); making it a
+              // parameter is SURVEY.md §7.4-6's fix
+              val d = java.time.Instant.ofEpochMilli(e.ts.getTime)
+                .atZone(zone).toLocalDate.toString
+              out += ((mid, d, d != lastDate))
+              if (d != lastDate) lastDate = d
+            }
+            state.update(lastDate)
+            setEvictionAt(state, endOfDayMs(lastDate, zone))
+            out.iterator
           }
-          state.update(lastDate)
-          out.iterator
       }
   }
+
+  /** Declare the watermark unless the column already carries one (inputs
+    * routed through another streaming stage keep their source-leaf tag, and
+    * re-declaring above a stateful op is rejected) or the run is batch.
+    */
+  private[graft] def withEventTime[T](ds: Dataset[T], tsCol: String,
+                                      delay: String): Dataset[T] =
+    if (!ds.isStreaming) ds
+    else if (ds.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) ds
+    else ds.withWatermark(tsCol, delay)
 
   /** D1 exact form: latest-row-wins per key, flushed when the event-time
     * watermark passes firstSeen + `flushDelayMs` (the reference uses a 5 s
@@ -147,35 +198,61 @@ object StreamOps {
     * proves an earlier visit date; devices first seen with `is_new=0` get
     * state primed to "yesterday" so later days stay 0. Emits every event
     * with the repaired flag.
+    *
+    * State (one first-visit date per device) is bounded by `retention`:
+    * a device idle longer is evicted via `EventTimeTimeout`, after which a
+    * stale `is_new=1` claim would be re-confirmed — the accepted trade for
+    * O(devices active within retention) instead of O(devices ever) state.
+    * `firstSeen` re-primes evicted devices from a (mid, firstDate)
+    * bootstrap dim table (the periodic state-compaction pattern); with it,
+    * correctness holds for every device the compaction has seen.
     */
   def repairIsNew(spark: SparkSession,
                   views: Dataset[(String, String, java.sql.Timestamp)],
-                  zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
+                  zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                  retention: java.time.Duration = java.time.Duration.ofDays(30),
+                  firstSeen: Option[Dataset[(String, String)]] = None,
+                  delay: String = "10 seconds")
       : Dataset[(String, String, java.sql.Timestamp)] = {
     import spark.implicits._
     def day(ts: java.sql.Timestamp) =
       java.time.Instant.ofEpochMilli(ts.getTime).atZone(zone).toLocalDate
-    views.groupByKey(_._1)
-      .flatMapGroupsWithState[String, (String, String, java.sql.Timestamp)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (mid, events, state: GroupState[String]) =>
-          var firstDate = state.getOption.getOrElse("")
-          val out = events.toSeq.sortBy(_._3.getTime).map { case (m, isNew, ts) =>
-            val d = day(ts).toString
-            val repaired =
-              if (isNew == "1") {
-                if (firstDate.isEmpty) { firstDate = d; "1" }
-                else if (firstDate == d) "1"
-                else "0" // seen on an earlier date: not actually new
-              } else {
-                if (firstDate.isEmpty) firstDate = day(ts).minusDays(1).toString
-                "0"
-              }
-            (m, repaired, ts)
-          }
-          state.update(firstDate)
-          out.iterator
+    val func = (mid: String, events: Iterator[(String, String, java.sql.Timestamp)],
+                state: GroupState[String]) =>
+      if (state.hasTimedOut) {
+        state.remove() // idle > retention; firstSeen bootstrap re-primes
+        Iterator.empty
+      } else {
+        var firstDate = state.getOption.getOrElse("")
+        var lastMs = 0L
+        val out = events.toSeq.sortBy(_._3.getTime).map { case (m, isNew, ts) =>
+          lastMs = math.max(lastMs, ts.getTime)
+          val d = day(ts).toString
+          val repaired =
+            if (isNew == "1") {
+              if (firstDate.isEmpty) { firstDate = d; "1" }
+              else if (firstDate == d) "1"
+              else "0" // seen on an earlier date: not actually new
+            } else {
+              if (firstDate.isEmpty) firstDate = day(ts).minusDays(1).toString
+              "0"
+            }
+          (m, repaired, ts)
+        }
+        state.update(firstDate)
+        setEvictionAt(state, lastMs + retention.toMillis)
+        out.iterator
       }
+    val grouped = withEventTime(views, "_3", delay).groupByKey(_._1)
+    firstSeen match {
+      case Some(fs) =>
+        grouped.flatMapGroupsWithState[String, (String, String, java.sql.Timestamp)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout(),
+          fs.groupByKey(_._1).mapValues(_._2))(func)
+      case None =>
+        grouped.flatMapGroupsWithState[String, (String, String, java.sql.Timestamp)](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(func)
+    }
   }
 
   /** T6 CEP jump-out (bounce) detection. Pattern over each mid's

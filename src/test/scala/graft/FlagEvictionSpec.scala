@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipelines.DwsWindows
+import graft.pipelines.DwsWindows.Payment
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.PageView
+
+/** Bounded keyed state for the flag operators (round-2 verdict item 2):
+  * the daily-distinct / first-of-day flaggers evict per-key state via
+  * `EventTimeTimeout` at end-of-day(lastDate) — the reference's 1-day UV
+  * TTL (…/app/dwd/log/DwdTrafficUniqueVisitorDetail.java:94-99) — and the
+  * is_new repairer after a retention of idleness.
+  *
+  * What these pin:
+  *  - eviction is INVISIBLE to the daily `uu` flag: a key returning after
+  *    eviction flags uu=1, exactly what un-evicted state would conclude
+  *    (new date != lastDate), and the late-row filter that EventTimeTimeout
+  *    switches on guarantees no event for the evicted date can arrive and
+  *    be mis-flagged against fresh state;
+  *  - the first-ever `nu` flag loses history on eviction BY DESIGN
+  *    (documented O(active keys) trade): a returning key re-flags nu=1
+  *    unless re-primed from a `firstSeen` bootstrap table (the
+  *    compact-state-to-dim-table restart pattern), which this spec also
+  *    exercises;
+  *  - cross-batch late-day arrivals (verdict item 5): a day-D event
+  *    arriving within watermark after day D+1 was processed rewinds the
+  *    single last-date state to D, so the NEXT D+1 event re-flags uu=1 —
+  *    the same double-count the reference's single ValueState<lastDt>
+  *    produces. The batch twins (q57-q59) order by (day, id) globally and
+  *    do not share it; this is the documented streaming delta.
+  */
+class FlagEvictionSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+  private val day = 86400L
+
+  test("dailyDistinctFlags: idle key evicted after end-of-day; late event for the evicted date is filtered, return day flags uu=1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PageView]
+    val q = StreamOps.dailyDistinctFlags(spark, in.toDS())
+      .toDF("mid", "day", "is_first")
+      .writeStream.format("memory").queryName("evict_uv").outputMode("append").start()
+    try {
+      in.addData(PageView("m1", None, ts(100)))            // day 1: uu=1
+      q.processAllAvailable()
+      in.addData(PageView("z", None, ts(day + 3600)))      // watermark past m1's end-of-day
+      q.processAllAvailable()
+      in.addData(PageView("z", None, ts(day + 3610)))      // nudge: m1's timeout fires
+      q.processAllAvailable()
+      // late day-1 event: far behind the watermark -> dropped BEFORE the
+      // operator; with the evicted (empty) state it would otherwise be
+      // mis-flagged as a first visit
+      in.addData(PageView("m1", Some("home"), ts(3600)))
+      q.processAllAvailable()
+      in.addData(PageView("m1", None, ts(2 * day + 100)))  // day 3: fresh key -> uu=1
+      q.processAllAvailable()
+      val m1 = spark.table("evict_uv").filter($"mid" === "m1")
+        .select($"day", $"is_first").as[(String, Boolean)].collect().toSeq
+      assert(m1.sortBy(_._1) == Seq(("1970-01-01", true), ("1970-01-03", true)),
+        s"late evicted-date event must be filtered and the return day re-flagged; got $m1")
+    } finally q.stop()
+  }
+
+  test("firstOfDayFlags: eviction re-flags nu=1 on return (documented loss), uu stays exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Payment]
+    val q = DwsWindows.firstOfDayFlags[Payment](
+      in.toDS().withWatermark("ts", "10 seconds"), _.userId, _.ts)
+      .select($"_1.userId".as("uid"), $"_2".as("uu"), $"_3".as("nu"))
+      .writeStream.format("memory").queryName("evict_flags").outputMode("append").start()
+    try {
+      in.addData(Payment("p1", "u1", ts(100)))             // first ever: uu=1 nu=1
+      q.processAllAvailable()
+      in.addData(Payment("pz", "z", ts(day + 3600)))       // advance watermark
+      q.processAllAvailable()
+      in.addData(Payment("pz2", "z", ts(day + 3610)))      // nudge: u1 evicted
+      q.processAllAvailable()
+      in.addData(Payment("p2", "u1", ts(2 * day + 100)))   // returns: uu=1, nu re-flags 1
+      q.processAllAvailable()
+      val u1 = spark.table("evict_flags").filter($"uid" === "u1")
+        .select($"uu", $"nu").as[(Int, Int)].collect().toSeq
+      assert(u1 == Seq((1, 1), (1, 1)),
+        s"evicted first-ever history re-flags nu without a bootstrap; got $u1")
+    } finally q.stop()
+  }
+
+  test("firstOfDayFlags: firstSeen bootstrap suppresses nu (and uu on the same date) for compacted keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bootstrap = Seq(("u1", "1970-01-01")).toDS()
+    val in = MemoryStream[Payment]
+    val q = DwsWindows.firstOfDayFlags[Payment](
+      in.toDS().withWatermark("ts", "10 seconds"), _.userId, _.ts,
+      firstSeen = Some(bootstrap))
+      .select($"_1.userId".as("uid"), $"_2".as("uu"), $"_3".as("nu"))
+      .writeStream.format("memory").queryName("boot_flags").outputMode("append").start()
+    try {
+      in.addData(Payment("p0", "u1", ts(200)),             // same date as bootstrap: uu=0 nu=0
+        Payment("p1", "u2", ts(300)))                      // unknown key: uu=1 nu=1
+      q.processAllAvailable()
+      in.addData(Payment("p2", "u1", ts(2 * day + 100)))   // later date: uu=1, nu stays 0
+      q.processAllAvailable()
+      val rows = spark.table("boot_flags")
+        .select($"uid", $"uu", $"nu").as[(String, Int, Int)].collect().toSet
+      assert(rows == Set(("u1", 0, 0), ("u2", 1, 1), ("u1", 1, 0)),
+        s"bootstrapped key must not re-flag first-ever; got $rows")
+    } finally q.stop()
+  }
+
+  test("cross-batch late-day arrival rewinds last-date state: next new-day event double-flags uu (reference ValueState semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PageView]
+    // 3-day delay keeps the day-1 event inside the watermark when it
+    // arrives after day 2 was processed
+    val q = StreamOps.dailyDistinctFlags(spark, in.toDS(), delay = "3 days")
+      .toDF("mid", "day", "is_first")
+      .writeStream.format("memory").queryName("late_day").outputMode("append").start()
+    try {
+      in.addData(PageView("m1", None, ts(day + 100)))       // day 2: uu=1, state=day2
+      q.processAllAvailable()
+      in.addData(PageView("m1", Some("p"), ts(3600)))       // LATE day-1, within watermark:
+      q.processAllAvailable()                               //   day1 != day2 -> uu=1, state rewinds to day1
+      in.addData(PageView("m1", Some("p"), ts(day + 200)))  // day 2 again: != day1 -> uu=1 AGAIN
+      q.processAllAvailable()
+      val m1 = spark.table("late_day").filter($"mid" === "m1" && $"is_first")
+        .select($"day").as[String].collect().toSeq
+      assert(m1 == Seq("1970-01-02", "1970-01-01", "1970-01-02"),
+        s"single last-date state double-flags the post-rewind day (delta vs batch twins q57-q59); got $m1")
+    } finally q.stop()
+  }
+}
