@@ -68,13 +68,35 @@ object DedupQueries {
         round(inter / union, 6).as("exact_jacc"))
   }
 
+  /** Production-width exact dedup: 128-bit MD5 fingerprint (q26 keeps the
+    * 30-bit arithmetic-portable form; see Dedup.exactDedup's contrast).
+    */
+  val q65_dedup_exact_wide: Q = (s, dir) =>
+    Dedup.exactDedup(t(s, dir).documents, "doc_id", "text", wide = true)
+
+  /** The full composed corpus pipeline (quality → wide exact dedup →
+    * MinHash-LSH components → embedding-cosine components): final
+    * survivors. The oracle replays every stage in DuckDB, resolving both
+    * duplicate-pair graphs to connected components with recursive
+    * transitive-closure CTEs — feasible because the edge sets are tiny at
+    * oracle scale; the Spark side's min-label fixpoint is the 100 TB shape.
+    */
+  val q66_corpus_survivors: Q = (s, dir) => {
+    val tab = t(s, dir)
+    graft.pipelines.CorpusPipeline(tab.documents,
+      embeddings = Some(tab.embeddings))._1
+      .select(col("doc_id"), col("lang"))
+  }
+
   def all: Map[String, Q] = Map(
     "q49_minhash_estimate" -> q49_minhash_estimate,
     "q26_dedup_exact" -> q26_dedup_exact,
     "q27_minhash_sig" -> q27_minhash_sig,
     "q28_lsh_neardup" -> q28_lsh_neardup,
     "q29_simhash" -> q29_simhash,
-    "q30_simhash_pairs" -> q30_simhash_pairs)
+    "q30_simhash_pairs" -> q30_simhash_pairs,
+    "q65_dedup_exact_wide" -> q65_dedup_exact_wide,
+    "q66_corpus_survivors" -> q66_corpus_survivors)
 
   // Shared oracle CTE fragments (DuckDB).
   private val polyHashSql = (e: String) =>
@@ -161,5 +183,72 @@ object DedupQueries {
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MAX_HAMMING""".stripMargin)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MAX_HAMMING""".stripMargin,
+    "q65_dedup_exact_wide" ->
+      s"""SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents)
+         |GROUP BY fp""".stripMargin,
+    "q66_corpus_survivors" -> corpusSurvivorsOracle)
+
+  /** q66: every CorpusPipeline stage replayed in DuckDB. Candidate
+    * generation (LSH bands / hyperplane buckets) is per-doc, so computing
+    * it over ALL docs and restricting pair endpoints to each stage's
+    * survivor set is identical to the pipeline's restrict-then-pair order.
+    * Components via recursive transitive closure + min-reachable-label —
+    * a node is dropped iff some smaller id is reachable.
+    */
+  private def corpusSurvivorsOracle: String = {
+    val DIMS = SimilarityQueries.DIMS
+    val PLANES = SimilarityQueries.PLANES
+    def foldSum(terms: String) =
+      s"list_reduce(list_prepend(0.0, $terms), (x, y) -> x + y)"
+    def dotSql(a: String, b: String) =
+      foldSum(s"list_transform(range($DIMS), i -> $a[i+1] * $b[i+1])")
+    def cosSql(a: String, b: String) =
+      s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    s"""WITH RECURSIVE
+       |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |pr AS (
+       |  SELECT vec_id, j,
+       |    ${foldSum(s"""list_transform(range($DIMS), d ->
+       |      v[d+1] * (((((j*$DIMS + d + 1) * 2654435761) % 1000000007) % 2001 - 1000) / 1000.0))""")} AS proj
+       |  FROM v, (SELECT unnest(range($PLANES)) AS j)),
+       |bk AS (SELECT vec_id,
+       |    sum(CASE WHEN proj >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+       |  FROM pr GROUP BY vec_id),
+       |$shingleCtes,
+       |q AS (SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    round((len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) *
+       |          (1.0 - len(list_filter(toks, t -> t = 'a' OR t = 'the'))::DOUBLE
+       |           / len(toks)::DOUBLE), 6) AS quality
+       |  FROM documents JOIN d USING (doc_id)) WHERE quality >= 0.35),
+       |s1 AS (SELECT min(doc_id) AS doc_id FROM (
+       |  SELECT doc_id, md5(trim(lower(text))) AS fp
+       |  FROM documents JOIN q USING (doc_id)) GROUP BY fp),
+       |bands AS (SELECT doc_id, b,
+       |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+       |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+       |  FROM sig JOIN s1 USING (doc_id), (SELECT unnest(range($LSH_BANDS)) AS b)),
+       |e1 AS (SELECT d1, d2 FROM (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id) c
+       |  JOIN sig sa ON c.d1 = sa.doc_id JOIN sig sb ON c.d2 = sb.doc_id
+       |  WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |    / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))::DOUBLE, 6) >= 0.5),
+       |e1s AS (SELECT d1 AS a, d2 AS b FROM e1 UNION ALL SELECT d2, d1 FROM e1),
+       |r1 AS (SELECT a, b FROM e1s UNION SELECT r1.a, e.b FROM r1 JOIN e1s e ON r1.b = e.a),
+       |drop1 AS (SELECT a AS doc_id FROM (SELECT a, min(b) AS m FROM r1 GROUP BY a) WHERE m < a),
+       |s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+       |sv AS (SELECT v.vec_id AS doc_id, v.v, bk.bucket
+       |  FROM v JOIN bk ON v.vec_id = bk.vec_id JOIN s2 ON v.vec_id = s2.doc_id),
+       |e2 AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM sv a JOIN sv b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.35),
+       |e2s AS (SELECT d1 AS a, d2 AS b FROM e2 UNION ALL SELECT d2, d1 FROM e2),
+       |r2 AS (SELECT a, b FROM e2s UNION SELECT r2.a, e.b FROM r2 JOIN e2s e ON r2.b = e.a),
+       |drop2 AS (SELECT a AS doc_id FROM (SELECT a, min(b) AS m FROM r2 GROUP BY a) WHERE m < a)
+       |SELECT doc_id, lang FROM s2 JOIN q USING (doc_id)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop2)""".stripMargin
+  }
 }

@@ -23,15 +23,25 @@ object Dedup {
 
   /** Exact dedup: keep the smallest id per normalized-text fingerprint.
     * One shuffle (groupBy fp) with map-side partial min; the text itself
-    * never shuffles. Collision caveat: fingerprints are 30-bit here for
-    * oracle portability — a production run would widen to 128-bit
-    * (e.g. two independent poly-hash moduli) at zero structural change.
+    * never shuffles.
+    *
+    * `wide = true` is the production path: a 128-bit MD5 fingerprint
+    * (codegen'd, and identically computable by any engine — the q65 oracle
+    * checks it), collision-free for any realistic corpus. The default
+    * 30-bit poly hash stays for arithmetic-level oracle portability (q26)
+    * and WILL collide at scale — e.g. "az"/"b[" share a 31-multiplier hash
+    * (DedupSpec pins both behaviors). Structure is identical either way:
+    * only the fingerprint expression and the shuffled key width change.
     */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(polyHash(trim(lower(col(textCol)))).as("fp"), col(idCol))
+  def exactDedup(df: DataFrame, idCol: String, textCol: String,
+                 wide: Boolean = false): DataFrame = {
+    val fp = if (wide) md5(trim(lower(col(textCol))))
+             else polyHash(trim(lower(col(textCol))))
+    df.select(fp.as("fp"), col(idCol))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
+  }
 
   /** id + distinct word-n-gram shingle hashes + k-entry MinHash signature. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,

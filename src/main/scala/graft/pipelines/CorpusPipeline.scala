@@ -4,20 +4,27 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** End-to-end training-corpus cleaning pipeline — the composition a 100 TB
   * pretraining-data job runs, built from the engine's oracle-verified ops:
   *
   *   1. quality filter   (per-row ratios, no shuffle)
-  *   2. exact dedup      (one shuffle on 30/doc-bit fingerprint)
+  *   2. exact dedup      (one shuffle on a 128-bit MD5 fingerprint — the
+  *                        production-width key; q26's 30-bit poly variant
+  *                        exists for arithmetic-portable oracles)
   *   3. near-dedup       (MinHash+LSH: shuffle O(bands) longs per doc;
-  *                        survivors drop the higher doc_id of each pair)
-  *   4. stats            (per-language keep/drop accounting)
+  *                        pair graph → connected components → keep one)
+  *   4. semantic dedup   (optional: embedding-cosine near-dup pairs over
+  *                        LSH buckets → same component rule — the
+  *                        exact → fuzzy-text → semantic ladder)
+  *   5. stats            (per-language keep/drop accounting)
   *
   * Order matters at scale: quality + exact dedup run FIRST because they
   * are the cheap mass-removers (and de-fang LSH's hot-bucket skew from
-  * boilerplate duplicates); LSH then sees only survivors.
+  * boilerplate duplicates); MinHash-LSH sees only survivors, and the
+  * embedding stage — the most expensive per-candidate (dims-long dot
+  * products) — sees only MinHash survivors.
   *
   * Returns (cleaned corpus, per-stage stats).
   */
@@ -28,9 +35,16 @@ object CorpusPipeline {
       shingleN: Int = 3,
       minhashK: Int = 16,
       lshBands: Int = 4,
-      jaccardThreshold: Double = 0.5)
+      jaccardThreshold: Double = 0.5,
+      embedPlanes: Int = 4,
+      embedDims: Int = 64,
+      embedCosThreshold: Double = 0.35)
 
-  def apply(docs: DataFrame, cfg: Config = Config()): (DataFrame, DataFrame) = {
+  /** `embeddings`: optional (vec_id, embedding array<float>) table keyed by
+    * doc_id — when given, the semantic stage runs after text near-dedup.
+    */
+  def apply(docs: DataFrame, cfg: Config = Config(),
+            embeddings: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val quality = (size(array_distinct(toks)) / nTok) *
@@ -39,25 +53,42 @@ object CorpusPipeline {
     val scored = docs.withColumn("quality", round(quality, 6))
     val qualityPass = scored.filter(col("quality") >= cfg.minQuality)
 
-    val exactKept = Dedup.exactDedup(qualityPass, "doc_id", "text")
+    val exactKept = Dedup.exactDedup(qualityPass, "doc_id", "text", wide = true)
     val afterExact = qualityPass.join(exactKept, "doc_id")
 
     val nearPairs = Dedup.nearDupPairs(afterExact, "doc_id", "text",
       cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.jaccardThreshold)
     // resolve pair graph to components; keep one doc per duplicate cluster
     // (per-pair d2-dropping can orphan transitive members)
-    val dropNear = Dedup.duplicateClusters(nearPairs)
-      .filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id"))
-    val cleaned = afterExact.join(dropNear, Seq("doc_id"), "left_anti")
+    val afterNear = afterExact.join(dropSet(nearPairs), Seq("doc_id"), "left_anti")
+
+    // semantic stage: same bucket-join + component shape, edges from
+    // embedding cosine — restricting the corpus first commutes with LSH
+    // bucketing (the bucket is a function of the vector alone)
+    val cleaned = embeddings match {
+      case Some(emb) =>
+        val survivorVecs = afterNear.select(col("doc_id"))
+          .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        val semPairs = Similarity.lshNearDupPairs(survivorVecs, "doc_id",
+          "embedding", cfg.embedPlanes, cfg.embedDims, cfg.embedCosThreshold)
+        afterNear.join(dropSet(semPairs), Seq("doc_id"), "left_anti")
+      case None => afterNear
+    }
 
     val stats = docs.select(col("lang"), lit("input").as("stage"))
       .unionByName(qualityPass.select(col("lang"), lit("quality_pass").as("stage")))
       .unionByName(afterExact.select(col("lang"), lit("exact_deduped").as("stage")))
+      .unionByName(afterNear.select(col("lang"), lit("near_deduped").as("stage")))
       .unionByName(cleaned.select(col("lang"), lit("cleaned").as("stage")))
       .groupBy(col("stage"), col("lang"))
       .agg(count(lit(1)).as("docs"))
 
     (cleaned, stats)
   }
+
+  /** Non-representative members of each duplicate component (doc_id only). */
+  private def dropSet(pairs: DataFrame): DataFrame =
+    Dedup.duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id"))
 }

@@ -33,4 +33,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
       cleaned, "doc_id", "text", 3, 16, 4, 0.5)
     assert(residual.count() == 0)
   }
+
+  test("semantic stage: embedding near-dups removed after text near-dedup, stages monotone") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val (cleaned, stats) = CorpusPipeline(docs, embeddings = Some(emb))
+    val st = stats.groupBy($"stage").agg(sum($"docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(st("cleaned") <= st("near_deduped"))
+    assert(st("near_deduped") <= st("exact_deduped"))
+    // survivors carry no residual same-bucket embedding pair >= threshold
+    val survivorVecs = cleaned.select($"doc_id")
+      .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    val residual = graft.operators.Similarity.lshNearDupPairs(
+      survivorVecs, "doc_id", "embedding", 4, 64, 0.35)
+    assert(residual.count() == 0)
+    // and the semantic stage only ever REMOVES text-stage survivors
+    val textOnly = CorpusPipeline(docs)._1.select($"doc_id").as[Long].collect().toSet
+    val withSem = cleaned.select($"doc_id").as[Long].collect().toSet
+    assert(withSem.subsetOf(textOnly))
+  }
 }

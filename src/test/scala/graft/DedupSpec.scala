@@ -23,6 +23,18 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 4L))
   }
 
+  test("wide (128-bit MD5) fingerprint survives a 31-multiplier collision the 30-bit path cannot") {
+    // 31-multiplier collision stable under the lower/trim normalization:
+    // 'a'*31+'z' == 'b'*31+'[' == 3129 — distinct texts, one fingerprint
+    val df = Seq((1L, "az"), (2L, "b["), (3L, "az")).toDF("doc_id", "text")
+    val narrow = Dedup.exactDedup(df, "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(narrow.toSeq == Seq(1L), "30-bit path collides az/b[ into one group (the documented caveat)")
+    val wide = Dedup.exactDedup(df, "doc_id", "text", wide = true)
+      .as[Long].collect().sorted
+    assert(wide.toSeq == Seq(1L, 2L), "MD5 path keeps distinct texts apart, collapses true dups only")
+  }
+
   test("minhash signature: identical docs get identical signatures; k entries") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
       .toDF("doc_id", "text")
