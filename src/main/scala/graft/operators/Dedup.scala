@@ -120,6 +120,14 @@ object Dedup {
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
+    // convergence probe: min-propagation only ever DECREASES labels, so the
+    // label sum is strictly monotone until fixpoint — "sum unchanged" is an
+    // exact convergence test costing one scalar aggregation per round
+    // (cheaper than the labels⋈next changed-row join it replaces).
+    // decimal(38,0): a Long sum overflows at production id ranges.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -130,10 +138,9 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -34,7 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q59_home_detail_uv" -> 2,
     "q60_register_window" -> 2,
     "q62_bpe_tokens" -> 1,
-    "q63_multimodal_resize" -> 0)
+    "q63_multimodal_resize" -> 0,
+    "q65_dedup_exact_wide" -> 1)  // md5 fingerprint groupBy — same shape as q26
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
