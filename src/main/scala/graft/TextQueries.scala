@@ -139,7 +139,75 @@ object TextQueries {
         sum(size(col("bpe"))).as("bpe_sum"),
         sum(size(array_distinct(col("bpe")))).as("uniq_bpe_sum"))
 
+  /** Intra-document repetition ratio (the Gopher/MassiveText quality
+    * signal): 1 − distinct/total bigrams. Heavily templated or looping
+    * text scores high and gets filtered before training. No shuffle.
+    *
+    * Distinct bigrams count via the native one-pass `shingle_hashes`
+    * (distinct-HASH count, identically computed by the oracle): the HOF
+    * formulation (`array_distinct` over built shingle strings) costs
+    * ~1 ms/doc because Catalyst re-evaluates the un-CSE'd shingle
+    * expression per referencing column — measured 4.6 s vs 0.3 s for this
+    * query at sf0.1. Total bigrams = tokens − 1 needs no shingle walk at
+    * all.
+    */
+  val q67_repetition: Q = (s, dir) => {
+    val nTok = size(tokens(col("text")))
+    val uniq = size(shingleHashes(col("text"), 2))
+    t(s, dir).documents
+      .filter(nTok >= 2)
+      .select(col("doc_id"),
+        (nTok - 1).as("bigrams"),
+        uniq.as("uniq_bigrams"),
+        round(lit(1.0) - uniq.cast("double") / (nTok - 1), 6).as("rep_ratio"))
+  }
+
+  /** TF-IDF per (doc, token): tf = occurrences/len, idf = ln(N/df).
+    * Two aggregations (term counts per doc; document frequency per term)
+    * and one join on the term — the classic two-pass text weighting, each
+    * pass one shuffle. N rides along as a broadcast 1-row aggregate, never
+    * a driver-side collect.
+    */
+  val q68_tfidf: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+    val tf = base.groupBy(col("doc_id"), col("n"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tok"), col("cnt"),
+        round((col("cnt").cast("double") / col("n")) *
+          log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+  }
+
+  /** Train/eval contamination check: corpus docs sharing any 3-gram with
+    * the benchmark set (here: doc_id < 20 plays the eval set), with the
+    * overlapping-shingle count per (corpus, benchmark) pair. At 100 TB the
+    * eval side is tiny and broadcast — the corpus never shuffles for the
+    * probe; the only exchange is the per-pair count.
+    */
+  val q69_contamination: Q = (s, dir) => {
+    val hashes = t(s, dir).documents
+      .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("h"))
+    val bench = hashes.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val corpus = hashes.filter(col("doc_id") >= 20)
+      .select(col("doc_id").as("corpus_id"), col("h"))
+    // shingle hashes are distinct per doc, so the per-pair row count IS the
+    // intersection size
+    corpus.join(broadcast(bench), "h")
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q67_repetition" -> q67_repetition,
+    "q68_tfidf" -> q68_tfidf,
+    "q69_contamination" -> q69_contamination,
     "q53_normalize" -> q53_normalize,
     "q54_histogram" -> q54_histogram,
     "q55_levenshtein" -> q55_levenshtein,
@@ -151,6 +219,51 @@ object TextQueries {
 
   // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
   def oracles: Map[String, String] = Map(
+    "q67_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(toks) - 1 AS bigrams,
+        |    len(list_distinct(list_transform(
+        |      list_transform(range(len(toks) - 1), i -> toks[i+1] || '_' || toks[i+2]),
+        |      s -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+        |             (h, a) -> (h * 31 + a) % 1000000007)))) AS uniq_bigrams
+        |  FROM d WHERE len(toks) >= 2)
+        |SELECT doc_id,
+        |  bigrams::INT AS bigrams,
+        |  uniq_bigrams::INT AS uniq_bigrams,
+        |  round(1.0 - uniq_bigrams::DOUBLE / bigrams, 6) AS rep_ratio
+        |FROM g""".stripMargin,
+    "q68_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM d),
+        |tf AS (SELECT doc_id, n, tok, count(*) AS cnt FROM base GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |total AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.tok, tf.cnt,
+        |  round((tf.cnt::DOUBLE / tf.n) * ln(total.n_docs::DOUBLE / dfreq.df), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (tok) CROSS JOIN total""".stripMargin,
+    "q69_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(len(toks) - 2),
+        |        i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]),
+        |      s -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+        |             (h, a) -> (h * 31 + a) % 1000000007))) AS hs
+        |  FROM d)
+        |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |  len(list_intersect(c.hs, b.hs))::BIGINT AS overlap
+        |FROM sh c JOIN sh b ON c.doc_id >= 20 AND b.doc_id < 20
+        |WHERE len(list_intersect(c.hs, b.hs)) > 0""".stripMargin,
     "q62_bpe_tokens" ->
       """WITH d AS (
         |  SELECT source,

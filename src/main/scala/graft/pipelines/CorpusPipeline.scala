@@ -91,4 +91,33 @@ object CorpusPipeline {
     Dedup.duplicateClusters(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))
+
+  /** Streaming ingest front of the pipeline: the stages that work
+    * incrementally run AS the corpus arrives — per-row quality scoring and
+    * filtering, then exact dedup as watermark-bounded keyed state on the
+    * wide (MD5) fingerprint. First-arrival-wins within the watermark
+    * horizon, which is the correct streaming analogue of keep-min-id (the
+    * id order of a batch is arrival order of a stream). The LSH/semantic
+    * stages are candidate-pair GRAPH problems over the whole corpus —
+    * those stay periodic batch jobs over the ingested output (the standard
+    * lambda split for dedup at scale; `apply` above is that batch job).
+    *
+    * Input must carry (`textCol`, event-time `tsCol`); output adds
+    * `quality` and `fp` and keeps one row per fingerprint.
+    */
+  def streamingIngest(docs: DataFrame, tsCol: String, delay: String,
+                      textCol: String = "text",
+                      minQuality: Double = Config().minQuality): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("double")
+    val quality = (size(array_distinct(toks)) / nTok) *
+      (lit(1.0) - size(filter(toks, t => t.isin("a", "the"))) / nTok)
+    val scored = docs
+      .withColumn("quality", round(quality, 6))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fp", md5(trim(lower(col(textCol)))))
+    if (scored.isStreaming)
+      scored.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("fp")
+    else scored.dropDuplicates("fp")
+  }
 }

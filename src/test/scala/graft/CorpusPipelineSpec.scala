@@ -53,4 +53,29 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val withSem = cleaned.select($"doc_id").as[Long].collect().toSet
     assert(withSem.subsetOf(textOnly))
   }
+
+  test("streamingIngest: quality filter + exact dedup run incrementally; first arrival wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CorpusPipeline.streamingIngest(
+      in.toDF().toDF("doc_id", "text", "ts"), "ts", "10 seconds")
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("ingest").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over dogs", ts(1)),
+        (2L, "the quick brown fox jumps over dogs", ts(2)), // exact dup of 1
+        (3L, "a a a a a a a a", ts(3)))                     // quality reject
+      q.processAllAvailable()
+      in.addData(
+        (4L, "  THE Quick Brown Fox Jumps Over Dogs ", ts(4)), // dup after normalize
+        (5L, "completely different interesting text here", ts(5)))
+      q.processAllAvailable()
+      val kept = spark.table("ingest").as[Long].collect().toSet
+      assert(kept == Set(1L, 5L),
+        s"dup (2,4) dropped across batches, low-quality (3) filtered; got $kept")
+    } finally q.stop()
+  }
 }

@@ -35,7 +35,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q60_register_window" -> 2,
     "q62_bpe_tokens" -> 1,
     "q63_multimodal_resize" -> 0,
-    "q65_dedup_exact_wide" -> 1)  // md5 fingerprint groupBy — same shape as q26
+    "q65_dedup_exact_wide" -> 1,  // md5 fingerprint groupBy — same shape as q26
+    "q67_repetition" -> 0,        // per-row HOFs only
+    "q68_tfidf" -> 4,             // two-pass weighting: tf agg, df agg, re-key join on term
+    "q69_contamination" -> 1)     // broadcast eval probe; one exchange for the pair count
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
