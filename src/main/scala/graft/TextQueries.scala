@@ -204,7 +204,49 @@ object TextQueries {
       .agg(count(lit(1)).as("overlap"))
   }
 
+  /** Deterministic stratified source sampling — the corpus-mixture
+    * weighting step of a pretraining pipeline (sample source s at weight
+    * w_s). Instead of `rand()` (not replayable, not oracle-checkable), the
+    * keep decision hashes (source, doc_id): keep iff
+    * `poly_hash(source|doc_id) % 1000 < w*1000`. Per-row, shuffle-free
+    * decision; emits per-source (total, kept, weight) accounting. Weights
+    * here derive from the source index (idx%4+1)/4 — a stand-in for the
+    * real mixture table, which would broadcast-join the same way.
+    */
+  val q70_stratified_sample: Q = (s, dir) => {
+    val srcIdx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val weight = (pmod(srcIdx, lit(4)) + 1).cast("double") / 4.0
+    val key = concat(col("source"), lit("|"), col("doc_id").cast("string"))
+    val keep = pmod(polyHash(key), lit(1000)) < weight * 1000
+    t(s, dir).documents
+      .select(col("source"), keep.cast("int").as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
+      .withColumn("weight",
+        (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"), lit(4)) + 1)
+          .cast("double") / 4.0)
+  }
+
+  /** Sequence packing accounting: concatenating each source's docs in
+    * doc_id order into fixed `budget`-token training sequences, a doc
+    * belongs to the sequence containing its start offset. One shuffle
+    * (window over source); at scale this is exactly how a packing job
+    * assigns shard-local context windows before tokenization.
+    */
+  val q71_pack_sequences: Q = (s, dir) => {
+    val budget = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir).documents
+      .select(col("source"), col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+      .withColumn("seq_id", floor(col("offset") / budget).cast("long"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q70_stratified_sample" -> q70_stratified_sample,
+    "q71_pack_sequences" -> q71_pack_sequences,
     "q67_repetition" -> q67_repetition,
     "q68_tfidf" -> q68_tfidf,
     "q69_contamination" -> q69_contamination,
@@ -219,6 +261,32 @@ object TextQueries {
 
   // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
   def oracles: Map[String, String] = Map(
+    "q70_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT source,
+        |    CASE WHEN (list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(string_split(source || '|' || doc_id::VARCHAR, ''),
+        |          c -> ascii(c)::BIGINT)),
+        |        (h, a) -> (h * 31 + a) % 1000000007) % 1000)
+        |      < ((regexp_extract(source, '([0-9]+)$', 1)::INT % 4 + 1) / 4.0) * 1000
+        |    THEN 1 ELSE 0 END AS keep
+        |  FROM documents)
+        |SELECT source, count(*) AS total, sum(keep)::BIGINT AS kept,
+        |  ((regexp_extract(source, '([0-9]+)$', 1)::INT % 4 + 1) / 4.0) AS weight
+        |FROM k GROUP BY 1""".stripMargin,
+    "q71_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens, "offset",
+        |  floor("offset" / 512)::BIGINT AS seq_id
+        |FROM o""".stripMargin,
     "q67_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
