@@ -65,8 +65,15 @@ object Bench {
     run("q1_agg") // warm-up: session init + codegen compile paths
 
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
+    // round-robin the iterations (pass 1 of every query, then pass 2, …):
+    // this shared host drifts 10×+ for minutes at a time, and consecutive
+    // per-query iterations put a whole query's sample set inside one bad
+    // window — spreading passes makes the median actually robust
+    val samples = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iters; n <- names) samples(n) :+= run(n)
     val results = names.map { n =>
-      val times = (1 to iters).map(_ => run(n)).filter(_ >= 0).sorted
+      val times = samples(n).filter(_ >= 0).sorted
       // even N: mean of the middle two — times(size/2) alone is the UPPER
       // median, which under iters=2 reports the WORSE of the two runs
       val (median, min) =

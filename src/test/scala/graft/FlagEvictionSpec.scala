@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.date_format
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pipelines.DwsWindows
@@ -113,6 +114,52 @@ class FlagEvictionSpec extends AnyFunSuite {
       assert(rows == Set(("u1", 0, 0), ("u2", 1, 1), ("u1", 1, 0)),
         s"bootstrapped key must not re-flag first-ever; got $rows")
     } finally q.stop()
+  }
+
+  test("repairIsNew: retention eviction re-confirms a stale is_new=1 (documented trade); restart bootstrap repairs it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // run 1, no bootstrap: first visit confirmed new; after the device
+    // idles past retention its state evicts, so a later stale claim is
+    // re-confirmed — the documented O(active keys) trade
+    val in = MemoryStream[(String, String, Timestamp)]
+    val q = StreamOps.repairIsNew(spark, in.toDS(),
+      retention = java.time.Duration.ofDays(1))
+      .toDF("mid", "is_new", "ts")
+      .writeStream.format("memory").queryName("isnew_evict").outputMode("append").start()
+    try {
+      in.addData(("d1", "1", ts(100)))        // first visit day 1: confirmed new
+      q.processAllAvailable()
+      in.addData(("z", "0", ts(3 * day)))     // watermark far past d1 + 1-day retention
+      q.processAllAvailable()
+      in.addData(("z", "0", ts(3 * day + 10))) // nudge: d1 evicted
+      q.processAllAvailable()
+      in.addData(("d1", "1", ts(4 * day)))    // stale claim after eviction
+      q.processAllAvailable()
+      val got = spark.table("isnew_evict").filter($"mid" === "d1")
+        .select($"is_new", date_format($"ts", "yyyy-MM-dd"))
+        .as[(String, String)].collect().toSeq
+      assert(got == Seq(("1", "1970-01-01"), ("1", "1970-01-05")),
+        s"evicted first-visit history re-confirms the stale claim; got $got")
+    } finally q.stop()
+
+    // run 2 models the RESTART path: a fresh query primed from the
+    // compacted (mid, firstDate) table sees the same stale claim and
+    // repairs it to 0, exactly as un-evicted state would
+    val in2 = MemoryStream[(String, String, Timestamp)]
+    val q2 = StreamOps.repairIsNew(spark, in2.toDS(),
+      retention = java.time.Duration.ofDays(1),
+      firstSeen = Some(Seq(("d1", "1970-01-01")).toDS()))
+      .toDF("mid", "is_new", "ts")
+      .writeStream.format("memory").queryName("isnew_boot").outputMode("append").start()
+    try {
+      in2.addData(("d1", "1", ts(4 * day)))
+      q2.processAllAvailable()
+      val got = spark.table("isnew_boot")
+        .select($"is_new").as[String].collect().toSeq
+      assert(got == Seq("0"),
+        s"bootstrap-primed restart must repair the stale claim; got $got")
+    } finally q2.stop()
   }
 
   test("cross-batch late-day arrival rewinds last-date state: next new-day event double-flags uu (reference ValueState semantics)") {
