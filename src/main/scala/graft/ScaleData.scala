@@ -59,7 +59,7 @@ object ScaleData {
 
     def shift(df: DataFrame, keyCols: Seq[String]): (DataFrame, Int) => DataFrame = {
       val spans = keyCols.map(k =>
-        k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+        k -> (df.agg(max(col(k))).head().getLong(0) + 1L)).toMap
       (d, i) => keyCols.foldLeft(d)((acc, k) =>
         acc.withColumn(k, col(k) + lit(i * spans(k))))
     }
@@ -69,7 +69,7 @@ object ScaleData {
 
     val lineitem = Tables.load(spark, src, "lineitem")
     // l_orderkey must shift by the ORDERS span to keep the FK aligned
-    val oSpan = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val oSpan = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
     save(replicate(lineitem,
       (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))),
       "lineitem")
@@ -78,7 +78,7 @@ object ScaleData {
     save(replicate(events, shift(events, Seq("event_id", "user_id"))), "events")
 
     val docs = Tables.load(spark, src, "documents")
-    val dSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val dSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     save(replicate(docs, (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * dSpan))
         .withColumn("text",
@@ -87,8 +87,8 @@ object ScaleData {
             t => concat(t, lit(s"_r$i"))), " "))), "documents")
 
     val emb = Tables.load(spark, src, "embeddings")
-    val vSpan = emb.agg(max(col("vec_id"))).head.getLong(0) + 1L
-    val dims = emb.select(size(col("embedding"))).head.getInt(0)
+    val vSpan = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
     save(replicate(emb, (d, i) =>
       d.withColumn("vec_id", col("vec_id") + lit(i * vSpan))
         .withColumn("embedding",

@@ -244,7 +244,28 @@ object TextQueries {
       .withColumn("seq_id", floor(col("offset") / budget).cast("long"))
   }
 
+  /** Corpus shuffle + sharding — the write-side permutation step of a
+    * training-data job: shard = hash bucket of the (salted) doc id,
+    * position within the shard = rank by the same hash. Deterministic and
+    * replayable (unlike `rand()`-ordered shuffles), so shard manifests are
+    * reproducible run to run. One shuffle (the window over shard); at
+    * scale this is `repartition(shard)` + within-partition sort — exactly
+    * the plan Spark produces for this window.
+    */
+  val q72_shuffle_shard: Q = (s, dir) => {
+    val shards = 8
+    val h = polyHash(concat(lit("s42|"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t(s, dir).documents
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q72_shuffle_shard" -> q72_shuffle_shard,
     "q70_stratified_sample" -> q70_stratified_sample,
     "q71_pack_sequences" -> q71_pack_sequences,
     "q67_repetition" -> q67_repetition,
@@ -261,6 +282,17 @@ object TextQueries {
 
   // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
   def oracles: Map[String, String] = Map(
+    "q72_shuffle_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split('s42|' || doc_id::VARCHAR, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (h, a) -> (h * 31 + a) % 1000000007) AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM h""".stripMargin,
     "q70_stratified_sample" ->
       """WITH k AS (
         |  SELECT source,

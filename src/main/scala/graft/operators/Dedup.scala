@@ -101,8 +101,8 @@ object Dedup {
     * label changed — so arbitrary-diameter chains (real at 100 TB:
     * boilerplate near-dup chains) resolve correctly, not just the
     * near-clique common case. `maxIter` is a runaway cap, not a tuning
-    * knob; the per-round convergence probe is an `isEmpty` (limit-1) on
-    * the changed-label set.
+    * knob; the per-round convergence probe is a scalar label-sum check
+    * (see below).
     *
     * Each round `localCheckpoint`s its labels: every iteration references
     * the previous labels twice (propagation + convergence probe), so an
@@ -126,7 +126,7 @@ object Dedup {
     // (cheaper than the labels⋈next changed-row join it replaces).
     // decimal(38,0): a Long sum overflows at production id ranges.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -40,7 +40,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q68_tfidf" -> 4,             // two-pass weighting: tf agg, df agg, re-key join on term
     "q69_contamination" -> 1,     // broadcast eval probe; one exchange for the pair count
     "q70_stratified_sample" -> 1, // per-row hash keep-rule, one source groupBy
-    "q71_pack_sequences" -> 1)    // one window over (source, doc_id)
+    "q71_pack_sequences" -> 1,    // one window over (source, doc_id)
+    "q72_shuffle_shard" -> 1)     // repartition-by-shard + in-partition sort
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
