@@ -86,11 +86,14 @@ object Bench {
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = r4(results.map(_._2).filter(_ >= 0).sum)
     // compact headline FIRST: a tail capture that truncates the full
-    // per-query line still gets a parseable total (BENCH_r02 "parsed": null)
+    // per-query line still gets a parseable total (BENCH_r02 "parsed": null).
+    // Its "queries" key carries the 5 slowest, so the compact line is a
+    // valid mini-instance of the driver's {"metric",...,"queries"} contract
+    // on its own.
     val slowest = results.sortBy(-_._2).take(5)
       .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
-      s""""n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+      s""""n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
       s""""queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"sf":"$sfDir"}""")
     spark.stop()
