@@ -103,7 +103,10 @@ object CorpusPipeline {
     * lambda split for dedup at scale; `apply` above is that batch job).
     *
     * Input must carry (`textCol`, event-time `tsCol`); output adds
-    * `quality` and `fp` and keeps one row per fingerprint.
+    * `quality` and `fp` and keeps one row per fingerprint. The batch
+    * fallback keeps an ARBITRARY row per fingerprint (batch has no arrival
+    * order) — batch jobs should use `apply`, whose exact-dedup stage keeps
+    * the deterministic min-id row.
     */
   def streamingIngest(docs: DataFrame, tsCol: String, delay: String,
                       textCol: String = "text",
