@@ -39,7 +39,7 @@ object DwsWindows {
     * `checkCorrectness` toggle (error → logged warning), applied here at
     * the chain-composition points.
     */
-  private def allowFlagWindowChain(spark: SparkSession): Unit =
+  private[pipelines] def allowFlagWindowChain(spark: SparkSession): Unit =
     spark.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
 

@@ -34,6 +34,7 @@ object TrafficPageViewWindow {
             windowLen: String = "10 seconds", delay: String = "5 seconds",
             zone: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
     import spark.implicits._
+    DwsWindows.allowFlagWindowChain(spark)
     val pages = LogSplit.split(logs)("page")
       .select(
         col("common.mid").as("mid"), col("common.vc").as("vc"),
@@ -44,23 +45,10 @@ object TrafficPageViewWindow {
         timestamp_millis(col("ts")).as("ts"))
       .as[PageRow]
 
-    // per-mid keyed state: first page view of the (UTC) day carries uv=1
-    val flagged = pages.groupByKey(_.mid)
-      .flatMapGroupsWithState[String, (PageRow, Int)](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
-        (mid, events, state: org.apache.spark.sql.streaming.GroupState[String]) =>
-          var lastDate = state.getOption.getOrElse("")
-          val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
-            val d = java.time.Instant.ofEpochMilli(e.ts.getTime)
-              .atZone(zone).toLocalDate.toString
-            val uv = if (d != lastDate) 1 else 0
-            if (d != lastDate) lastDate = d
-            (e, uv)
-          }
-          state.update(lastDate)
-          out.iterator
-      }
+    // per-mid keyed state: first page view of the (UTC) day carries uv=1 —
+    // the shared bounded flagger (end-of-day EventTimeTimeout eviction)
+    val flagged = DwsWindows.firstOfDayFlags[PageRow](
+      StreamOps.withEventTime(pages, "ts", delay), _.mid, _.ts, zone)
       .select(
         col("_1.vc").as("vc"), col("_1.ch").as("ch"), col("_1.ar").as("ar"),
         col("_1.isNew").as("is_new"), col("_1.ts").as("ts"),
@@ -88,6 +76,7 @@ object TrafficPageViewWindow {
                          windowLen: String = "10 seconds", delay: String = "5 seconds",
                          zone: java.time.ZoneId = java.time.ZoneOffset.UTC): DataFrame = {
     import spark.implicits._
+    DwsWindows.allowFlagWindowChain(spark)
     val watermarked =
       if (pages.isStreaming) pages.withWatermark("_3", delay) else pages
     val flagged = watermarked
@@ -95,20 +84,32 @@ object TrafficPageViewWindow {
       .groupByKey(_._1)
       .flatMapGroupsWithState[(String, String), (java.sql.Timestamp, Int, Int)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
         (_, events, state: org.apache.spark.sql.streaming.GroupState[(String, String)]) =>
-          var (homeDt, detailDt) = state.getOption.getOrElse(("", ""))
-          val out = events.toSeq.sortBy(_._3.getTime).flatMap { case (_, pageId, ts) =>
-            val d = java.time.Instant.ofEpochMilli(ts.getTime)
-              .atZone(zone).toLocalDate.toString
-            val homeUv = if (pageId == "home" && d != homeDt) 1 else 0
-            val detailUv = if (pageId == "good_detail" && d != detailDt) 1 else 0
-            if (homeUv == 1) homeDt = d
-            if (detailUv == 1) detailDt = d
-            if (homeUv != 0 || detailUv != 0) Some((ts, homeUv, detailUv)) else None
+          if (state.hasTimedOut) {
+            // watermark passed end-of-day of BOTH tracked dates: any later
+            // event is on a new date for both flags, so forgetting is free
+            state.remove()
+            Iterator.empty
+          } else {
+            var (homeDt, detailDt) = state.getOption.getOrElse(("", ""))
+            val out = events.toSeq.sortBy(_._3.getTime).flatMap { case (_, pageId, ts) =>
+              val d = java.time.Instant.ofEpochMilli(ts.getTime)
+                .atZone(zone).toLocalDate.toString
+              val homeUv = if (pageId == "home" && d != homeDt) 1 else 0
+              val detailUv = if (pageId == "good_detail" && d != detailDt) 1 else 0
+              if (homeUv == 1) homeDt = d
+              if (detailUv == 1) detailDt = d
+              if (homeUv != 0 || detailUv != 0) Some((ts, homeUv, detailUv)) else None
+            }
+            state.update((homeDt, detailDt))
+            // at least one date is set (reaching here requires a home or
+            // good_detail event); evict once both are past end-of-day
+            val evictAt = Seq(homeDt, detailDt).filter(_.nonEmpty)
+              .map(StreamOps.endOfDayMs(_, zone)).max
+            StreamOps.setEvictionAt(state, evictAt)
+            out.iterator
           }
-          state.update((homeDt, detailDt))
-          out.iterator
       }
       .toDF("ts", "home_uv", "detail_uv")
 

@@ -55,10 +55,18 @@ object Sinks {
     * wins (by `orderCol`), null payloads (tombstones) delete the key. This
     * is the engine-side "read an upsert topic as a table" operation the
     * reference delegates to upsert-kafka connectors.
+    *
+    * `valueCol` doubles as the tie-breaker so the ordering is TOTAL: two
+    * writes to one key at the same `orderCol` (same micro-batch, same
+    * timestamp) deterministically keep the greater payload — without it
+    * the survivor would depend on partition arrival order under replay
+    * (latestByKey documents the totality requirement; null payloads sort
+    * last under the descending order, so a tombstone never beats a
+    * concurrent same-ts payload).
     */
   def upsertView(changelog: DataFrame, keys: Seq[String], orderCol: String,
                  valueCol: String): DataFrame =
-    Relational.latestByKey(changelog, keys, Seq(col(orderCol)))
+    Relational.latestByKey(changelog, keys, Seq(col(orderCol), col(valueCol)))
       .filter(col(valueCol).isNotNull)
 
   /** K3: micro-batch delivery with a pluggable writer (JDBC/ClickHouse in

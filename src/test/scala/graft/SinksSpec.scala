@@ -38,6 +38,16 @@ class SinksSpec extends AnyFunSuite {
     assert(got == Set(("k1", "c"), ("k3", "z")))
   }
 
+  test("upsertView: same-order ties resolve deterministically (payload tie-break; tombstone never wins a tie)") {
+    val changelog = Seq(
+      ("k1", 1L, Some("a")), ("k1", 1L, Some("b")),   // tie: greater payload wins
+      ("k2", 2L, Some("x")), ("k2", 2L, None))        // tie vs tombstone: payload wins
+      .toDF("key", "seq", "payload")
+    val got = Sinks.upsertView(changelog, Seq("key"), "seq", "payload")
+      .select($"key", $"payload").as[(String, String)].collect().toSet
+    assert(got == Set(("k1", "b"), ("k2", "x")))
+  }
+
   test("foreachBatchSink delivers micro-batches to the pluggable writer") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Int)]
