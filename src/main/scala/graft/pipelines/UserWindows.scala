@@ -20,7 +20,19 @@ object UserWindows {
 
   case class Login(uid: String, ts: java.sql.Timestamp)
 
-  /** Emit (uid, ts, uu, back) flags from per-uid state. */
+  /** Emit (uid, ts, uu, back) flags from per-uid state.
+    *
+    * DELIBERATELY NoTimeout — the one flagger whose state cannot evict on
+    * the daily horizon: `back` means "returned after >7 idle days", so the
+    * last-login date must survive exactly the idle periods an end-of-day
+    * eviction would forget; an evicted key returning after 8 days would
+    * read as first-ever (back=0) instead of back-flow (back=1). The
+    * reference keeps this ValueState unbounded for the same reason
+    * (…/app/dws/DwsUserUserLoginWindow.java:126-181). State is one date
+    * string per user — the production bound is the periodic
+    * compact-to-dim-table + restart-re-prime pattern used for the
+    * first-ever flags (see DwsWindows.firstOfDayFlags), not a TTL.
+    */
   def loginFlags(spark: SparkSession, logins: Dataset[Login],
                  zone: java.time.ZoneId = java.time.ZoneOffset.UTC)
       : DataFrame = {
