@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: every benchable SparkEntry query against
-  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Output is TWO JSON lines, both `"metric":"total"` with the same total:
+  * first a compact headline whose `queries` map holds only the 5 slowest
+  * (small enough to survive line-truncating log captures), then the full
+  * line with every per-query median and minimum. Consumers wanting
+  * per-query detail should parse the LAST parseable line; a consumer that
+  * grabs the first line still reads the correct headline total.
   *
   * Each query materializes through the `noop` v2 sink — a bare `count()`
   * would let Catalyst prune the whole projection (a scan row-count answers

@@ -77,25 +77,40 @@ object ScaleBench {
 
     run(SparkEntry.queries("q1_agg"), sf01) // warm-up
 
-    val rows =
-      scaleSet.map { n => (n, SparkEntry.queries(n), SparkEntry.queries(n)) } ++
-      Seq(("q33_lsh_ann_fixedp", scaledExtras(4)("q33_lsh_ann_p4"), scaledExtras(4)("q33_lsh_ann_p4")),
-          ("q33_lsh_ann_scaledp", scaledExtras(4)("q33_lsh_ann_p4"), scaledExtras(8)("q33_lsh_ann_p8")),
-          ("q64_neardup_fixedp", scaledExtras(4)("q64_embedding_neardup_p4"), scaledExtras(4)("q64_embedding_neardup_p4")),
-          ("q64_neardup_scaledp", scaledExtras(4)("q64_embedding_neardup_p4"), scaledExtras(8)("q64_embedding_neardup_p8")))
-
-    // round-robin the iterations (iter 1 of every measurement, then iter 2,
-    // …) so slow phases of a shared host hit all measurements evenly
-    // instead of wrecking whichever query they landed on — this sandbox
-    // demonstrably drifts by 10×+ for minutes at a time
-    val samples = Array.fill(rows.size, 2)(Vector.empty[Double])
-    for (_ <- 1 to iters; ((name, fnSmall, fnBig), qi) <- rows.zipWithIndex) {
-      samples(qi)(0) :+= run(fnSmall, sf01)
-      samples(qi)(1) :+= run(fnBig, sf1)
+    // measurement CELLS (query × dir), deduplicated: the fixed-planes and
+    // scaled-planes rows share the same p4/sf0.1 small-side cell, which
+    // would otherwise be measured twice per iteration
+    val cells = collection.mutable.LinkedHashMap[String, ((SparkSession, String) => DataFrame, String)]()
+    def cell(key: String, fn: (SparkSession, String) => DataFrame, dir: String): String = {
+      cells.getOrElseUpdate(key, (fn, dir)); key
     }
-    val out = rows.zipWithIndex.map { case ((name, _, _), qi) =>
-      val t01 = median(samples(qi)(0))
-      val t1 = median(samples(qi)(1))
+    val rows: Seq[(String, String, String)] =
+      scaleSet.map { n =>
+        (n, cell(s"$n|01", SparkEntry.queries(n), sf01),
+            cell(s"$n|1", SparkEntry.queries(n), sf1))
+      } ++ Seq(
+        ("q33_lsh_ann_fixedp",
+          cell("q33p4|01", scaledExtras(4)("q33_lsh_ann_p4"), sf01),
+          cell("q33p4|1", scaledExtras(4)("q33_lsh_ann_p4"), sf1)),
+        ("q33_lsh_ann_scaledp", "q33p4|01",
+          cell("q33p8|1", scaledExtras(8)("q33_lsh_ann_p8"), sf1)),
+        ("q64_neardup_fixedp",
+          cell("q64p4|01", scaledExtras(4)("q64_embedding_neardup_p4"), sf01),
+          cell("q64p4|1", scaledExtras(4)("q64_embedding_neardup_p4"), sf1)),
+        ("q64_neardup_scaledp", "q64p4|01",
+          cell("q64p8|1", scaledExtras(8)("q64_embedding_neardup_p8"), sf1)))
+
+    // round-robin the iterations (iter 1 of every cell, then iter 2, …) so
+    // slow phases of a shared host hit all measurements evenly instead of
+    // wrecking whichever query they landed on — this sandbox demonstrably
+    // drifts by 10×+ for minutes at a time
+    val samples = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iters; (key, (fn, dir)) <- cells)
+      samples(key) :+= run(fn, dir)
+    val out = rows.map { case (name, smallKey, bigKey) =>
+      val t01 = median(samples(smallKey))
+      val t1 = median(samples(bigKey))
       val ratio = if (t01 > 0 && t1 > 0) r2(t1 / t01) else -1.0
       System.err.println(f"[scalebench] $name%-22s sf0.1=${t01}%.2fs 10x=${t1}%.2fs ratio=$ratio%.2f")
       s""""$name":{"t01":${r2(t01)},"t1":${r2(t1)},"ratio":$ratio}"""

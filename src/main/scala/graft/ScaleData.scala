@@ -65,11 +65,13 @@ object ScaleData {
     }
 
     val orders = Tables.load(spark, src, "orders")
-    save(replicate(orders, shift(orders, Seq("o_orderkey"))), "orders")
+    // one span scan serves both orders and the lineitem FK shift
+    val oSpan = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    save(replicate(orders,
+      (d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan))),
+      "orders")
 
     val lineitem = Tables.load(spark, src, "lineitem")
-    // l_orderkey must shift by the ORDERS span to keep the FK aligned
-    val oSpan = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
     save(replicate(lineitem,
       (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oSpan))),
       "lineitem")

@@ -125,8 +125,12 @@ object Dedup {
     // exact convergence test costing one scalar aggregation per round
     // (cheaper than the labels⋈next changed-row join it replaces).
     // decimal(38,0): a Long sum overflows at production id ranges.
+    // Empty label set (a pair-free graph — normal for a clean corpus) sums
+    // to SQL NULL; treat it as zero so the loop converges immediately
+    // instead of NPE-ing on the comparison.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -38,6 +38,14 @@ object DwsWindows {
     * Spark's documented escape for exactly this known-safe shape is the
     * `checkCorrectness` toggle (error → logged warning), applied here at
     * the chain-composition points.
+    *
+    * SCOPE CAVEAT: the toggle is SESSION-GLOBAL and deliberately not
+    * restored — the analysis runs at query START, so a set/restore around
+    * construction would race any concurrently-started query. After a
+    * flagged chain is built in a session, other multi-stateful-op queries
+    * in that session get a logged warning instead of an analysis error;
+    * compose unrelated risky topologies in their own session (cheap:
+    * `spark.newSession()` shares the state but not the conf).
     */
   private[pipelines] def allowFlagWindowChain(spark: SparkSession): Unit =
     spark.conf.set(
@@ -82,18 +90,30 @@ object DwsWindows {
         state.remove()
         Iterator.empty
       } else {
-        var lastDate = state.getOption.getOrElse("")
-        val out = events.toSeq.sortBy(e => tsF(e).getTime).map { e =>
-          val d = java.time.Instant.ofEpochMilli(tsF(e).getTime)
-            .atZone(zone).toLocalDate.toString
-          val isNew = if (lastDate.isEmpty) 1 else 0
-          val uu = if (d != lastDate) 1 else 0
-          if (d != lastDate) lastDate = d
-          (e, uu, isNew)
+        val evs = events.toSeq
+        if (evs.isEmpty) {
+          // initial-state-only invocation: Spark calls the function once
+          // per bootstrap key with an EMPTY event iterator at query start.
+          // Leave the primed state WITHOUT a timeout — scheduling
+          // end-of-day(bootstrapDate), a past timestamp, would evict the
+          // very priming the bootstrap exists to provide on the next
+          // watermark advance. These entries persist (the documented
+          // bootstrap-table-size bound) until the key produces data.
+          Iterator.empty
+        } else {
+          var lastDate = state.getOption.getOrElse("")
+          val out = evs.sortBy(e => tsF(e).getTime).map { e =>
+            val d = java.time.Instant.ofEpochMilli(tsF(e).getTime)
+              .atZone(zone).toLocalDate.toString
+            val isNew = if (lastDate.isEmpty) 1 else 0
+            val uu = if (d != lastDate) 1 else 0
+            if (d != lastDate) lastDate = d
+            (e, uu, isNew)
+          }
+          state.update(lastDate)
+          StreamOps.setEvictionAt(state, StreamOps.endOfDayMs(lastDate, zone))
+          out.iterator
         }
-        state.update(lastDate)
-        StreamOps.setEvictionAt(state, StreamOps.endOfDayMs(lastDate, zone))
-        out.iterator
       }
     val grouped = ds.groupByKey(keyF)(Encoders.STRING)
     firstSeen match {
@@ -226,17 +246,14 @@ object DwsWindows {
     if (ds.isStreaming) ds.dropDuplicatesWithinWatermark(idCol)
     else ds.dropDuplicates(idCol)
 
-  private def withEventTime(df: DataFrame, tsCol: String, delay: String): DataFrame =
-    if (df.isStreaming) df.withWatermark(tsCol, delay) else df
-
-  /** Declare the input watermark ONLY when the column is not already an
-    * event-time column: a pipeline fed from another streaming stage (e.g.
-    * OrderPreProcess's wide detail) carries its source-leaf watermark tag
-    * through the alias, and re-declaring above that stage's stateful
-    * operators is rejected ("Redefining watermark is disallowed").
+  /** Both delegate to the one shared watermark-declaration helper
+    * (StreamOps.withEventTime): declare only when streaming AND the column
+    * does not already carry an event-time tag — re-declaring above a
+    * stateful operator is rejected ("Redefining watermark is disallowed").
     */
+  private def withEventTime(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    StreamOps.withEventTime(df, tsCol, delay)
+
   private def ensureEventTime[T](ds: Dataset[T], tsCol: String, delay: String): Dataset[T] =
-    if (!ds.isStreaming) ds
-    else if (ds.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) ds
-    else ds.withWatermark(tsCol, delay)
+    StreamOps.withEventTime(ds, tsCol, delay)
 }

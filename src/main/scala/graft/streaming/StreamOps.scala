@@ -222,6 +222,12 @@ object StreamOps {
       if (state.hasTimedOut) {
         state.remove() // idle > retention; firstSeen bootstrap re-primes
         Iterator.empty
+      } else if (events.isEmpty) {
+        // initial-state-only invocation (bootstrap key, no data yet):
+        // schedule NO timeout — epoch+retention would be a past timestamp
+        // and evict the priming immediately; bootstrap entries persist
+        // until the device produces data (bootstrap-table-size bound)
+        Iterator.empty
       } else {
         var firstDate = state.getOption.getOrElse("")
         var lastMs = 0L

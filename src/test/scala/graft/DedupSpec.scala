@@ -66,6 +66,11 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // dense corpus: the comparison is not vacuous
   }
 
+  test("duplicateClusters: empty pair graph returns empty labels (clean-corpus path)") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.duplicateClusters(empty).count() == 0)
+  }
+
   test("duplicateClusters: min-label propagation finds connected components") {
     // chain 1-2-3, clique {10,11,12}, isolated edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))

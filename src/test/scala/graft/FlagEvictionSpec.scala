@@ -116,6 +116,36 @@ class FlagEvictionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("firstOfDayFlags: bootstrap key with NO data in early batches survives watermark advances (no past-dated eviction)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // u1 is primed from the compacted table but produces nothing while
+    // other traffic advances the watermark far past end-of-day of its
+    // bootstrap date — the priming must NOT be evicted (Spark invokes the
+    // state function for initial-state keys with an empty event iterator;
+    // scheduling end-of-day(bootstrapDate) there would be a past-dated
+    // timeout that fires on the first watermark advance)
+    val bootstrap = Seq(("u1", "1970-01-01")).toDS()
+    val in = MemoryStream[Payment]
+    val q = DwsWindows.firstOfDayFlags[Payment](
+      in.toDS().withWatermark("ts", "10 seconds"), _.userId, _.ts,
+      firstSeen = Some(bootstrap))
+      .select($"_1.userId".as("uid"), $"_2".as("uu"), $"_3".as("nu"))
+      .writeStream.format("memory").queryName("boot_idle").outputMode("append").start()
+    try {
+      in.addData(Payment("pz", "z", ts(3 * day)))        // watermark way past day 1
+      q.processAllAvailable()
+      in.addData(Payment("pz2", "z", ts(3 * day + 10)))  // nudge (would fire the bad timeout)
+      q.processAllAvailable()
+      in.addData(Payment("p1", "u1", ts(4 * day)))       // u1 finally appears
+      q.processAllAvailable()
+      val u1 = spark.table("boot_idle").filter($"uid" === "u1")
+        .select($"uu", $"nu").as[(Int, Int)].collect().toSeq
+      assert(u1 == Seq((1, 0)),
+        s"idle bootstrap key must keep its first-ever priming (nu=0); got $u1")
+    } finally q.stop()
+  }
+
   test("repairIsNew: retention eviction re-confirms a stale is_new=1 (documented trade); restart bootstrap repairs it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
