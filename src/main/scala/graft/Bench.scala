@@ -39,7 +39,8 @@ import org.apache.spark.sql.SparkSession
   * q27/q28 MinHash-LSH, q64 embedding near-dup).
   */
 object Bench {
-  private val excluded = Set("q32_top_pairs", "q66_corpus_survivors")
+  private val excluded = Set("q32_top_pairs", "q66_corpus_survivors",
+    "q77_corpus_funnel") // q77 = q66's plan + count aggregates — same fixpoint-round latency
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

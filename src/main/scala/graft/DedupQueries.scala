@@ -88,7 +88,20 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Funnel observability for the composed pipeline: per-(stage, lang) doc
+    * counts at every stage boundary — the accounting a production corpus
+    * job publishes so a mixture regression (one source suddenly losing 40%
+    * at near-dedup, say) is visible before training starts. Same plan as
+    * q66 plus five cheap count aggregates.
+    */
+  val q77_corpus_funnel: Q = (s, dir) => {
+    val tab = t(s, dir)
+    graft.pipelines.CorpusPipeline(tab.documents,
+      embeddings = Some(tab.embeddings))._2
+  }
+
   def all: Map[String, Q] = Map(
+    "q77_corpus_funnel" -> q77_corpus_funnel,
     "q49_minhash_estimate" -> q49_minhash_estimate,
     "q26_dedup_exact" -> q26_dedup_exact,
     "q27_minhash_sig" -> q27_minhash_sig,
@@ -188,7 +201,8 @@ object DedupQueries {
       s"""SELECT min(doc_id) AS doc_id FROM (
          |  SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents)
          |GROUP BY fp""".stripMargin,
-    "q66_corpus_survivors" -> corpusSurvivorsOracle)
+    "q66_corpus_survivors" -> corpusSurvivorsOracle,
+    "q77_corpus_funnel" -> corpusFunnelOracle)
 
   /** q66: every CorpusPipeline stage replayed in DuckDB. Candidate
     * generation (LSH bands / hyperplane buckets) is per-doc, so computing
@@ -197,7 +211,36 @@ object DedupQueries {
     * Components via recursive transitive closure + min-reachable-label —
     * a node is dropped iff some smaller id is reachable.
     */
-  private def corpusSurvivorsOracle: String = {
+  private def corpusSurvivorsOracle: String =
+    s"""$corpusStageCtes
+       |SELECT doc_id, lang FROM s2 JOIN q USING (doc_id)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop2)""".stripMargin
+
+  /** q77: the same staged pipeline, emitting per-(stage, lang) counts at
+    * every stage boundary instead of the survivor rows.
+    */
+  private def corpusFunnelOracle: String =
+    s"""$corpusStageCtes
+       |SELECT 'input' AS stage, lang, count(*) AS docs FROM documents GROUP BY 2
+       |UNION ALL
+       |SELECT 'quality_pass' AS stage, lang, count(*) AS docs FROM q GROUP BY 2
+       |UNION ALL
+       |SELECT 'exact_deduped' AS stage, lang, count(*) AS docs
+       |FROM s1 JOIN q USING (doc_id) GROUP BY 2
+       |UNION ALL
+       |SELECT 'near_deduped' AS stage, lang, count(*) AS docs
+       |FROM s2 JOIN q USING (doc_id) GROUP BY 2
+       |UNION ALL
+       |SELECT 'cleaned' AS stage, lang, count(*) AS docs
+       |FROM s2 JOIN q USING (doc_id)
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop2) GROUP BY 2""".stripMargin
+
+  /** Every CorpusPipeline stage as DuckDB CTEs: quality filter `q`, exact
+    * dedup survivors `s1`, MinHash-LSH near-dedup survivors `s2`, and the
+    * semantic-stage drop set `drop2` (recursive transitive closure ×2 —
+    * feasible at oracle scale; Spark runs the min-label fixpoint).
+    */
+  private def corpusStageCtes: String = {
     val DIMS = SimilarityQueries.DIMS
     val PLANES = SimilarityQueries.PLANES
     def foldSum(terms: String) =
@@ -247,8 +290,6 @@ object DedupQueries {
        |  WHERE ${cosSql("a.v", "b.v")} >= 0.35),
        |e2s AS (SELECT d1 AS a, d2 AS b FROM e2 UNION ALL SELECT d2, d1 FROM e2),
        |r2 AS (SELECT a, b FROM e2s UNION SELECT r2.a, e.b FROM r2 JOIN e2s e ON r2.b = e.a),
-       |drop2 AS (SELECT a AS doc_id FROM (SELECT a, min(b) AS m FROM r2 GROUP BY a) WHERE m < a)
-       |SELECT doc_id, lang FROM s2 JOIN q USING (doc_id)
-       |WHERE doc_id NOT IN (SELECT doc_id FROM drop2)""".stripMargin
+       |drop2 AS (SELECT a AS doc_id FROM (SELECT a, min(b) AS m FROM r2 GROUP BY a) WHERE m < a)""".stripMargin
   }
 }

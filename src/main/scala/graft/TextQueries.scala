@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -264,8 +265,137 @@ object TextQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Unigram-LM perplexity proxy (the CCNet-style quality filter): pass 1
+    * builds the corpus unigram model (term frequency / total tokens), pass
+    * 2 scores each doc by its average negative log-likelihood under that
+    * model. High-NLL docs are "surprising" (noise, wrong language, OCR
+    * junk) and get filtered before training.
+    *
+    * At 100 TB the LM side is a ~1M-row vocab aggregate — broadcast — so
+    * the corpus pays one explode and one per-doc re-aggregation; the only
+    * wide exchanges are over (token) and (doc_id). Per-token lls round to
+    * 6 dp and sum as DECIMAL so the doc score is independent of partition
+    * order (FP addition isn't associative; decimal addition is).
+    */
+  val q73_unigram_ll: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val base = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = base.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    // total tokens == sum of tf, but computed as a direct per-doc sum so the
+    // vocab aggregation's shuffle isn't paid twice
+    val total = docs.agg(sum(size(tokens(col("text")))).as("t_total"))
+    base.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("tf").cast("double") / col("t_total")), 6)
+          .cast("decimal(18,6)").as("ll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ll")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((-col("s")).cast("double") / col("n_tokens"), 6).as("nll"))
+  }
+
+  /** Token-budget mixture sampling — the epoch-composition step of a
+    * pretraining run: each source contributes documents in deterministic
+    * doc_id order until its token budget (weight × base) is spent. Unlike
+    * rate-based sampling (q70), budget-based mixing hits an exact token
+    * target per source, which is how real data mixtures are specified.
+    * One window per source (cumulative token offset) + one groupBy.
+    */
+  val q74_token_budget_mix: Q = (s, dir) => {
+    val srcIdx = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val budget = ((pmod(srcIdx, lit(4)) + 1) * 200).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir).documents
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"), budget.as("budget"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+      .withColumn("taken", (col("offset") < col("budget")).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total"),
+        sum(col("taken")).as("taken"),
+        sum(col("n_tokens") * col("taken")).as("taken_tokens"),
+        max(col("budget")).as("budget"))
+  }
+
+  /** Duplicated-span detection (the exact-substring dedup signal of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"): a
+    * position's trigram is "duplicated" when the same trigram occurs in at
+    * least one other document; per doc, emit how many positions are
+    * duplicated and the longest consecutive duplicated run (the span a
+    * substring-dedup pass would cut). Runs come from the classic
+    * pos − row_number grouping, one window per doc.
+    *
+    * Scale shape: positional shingles shuffle once on (hash) for the
+    * cross-doc count and once on (doc_id) for runs — both key-partitioned;
+    * nothing is quadratic and no doc text moves after the first explode.
+    */
+  val q75_dup_spans: Q = (s, dir) => {
+    val pos = t(s, dir).documents
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), 3)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), polyHash(col("sh")).as("h"))
+    // "occurs in ≥2 distinct docs" as per-h window min≠max (equivalent to
+    // count(DISTINCT doc_id) >= 2): marks every position in place with ONE
+    // scan of the corpus — the groupBy+self-join form re-explodes all
+    // shingles a second time and pays a third exchange
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos
+      .withColumn("d_min", min(col("doc_id")).over(wH))
+      .withColumn("d_max", max(col("doc_id")).over(wH))
+      .filter(col("d_min") =!= col("d_max"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("dup_pos"), max(col("run")).as("max_run"))
+  }
+
+  /** PII redaction — the scrubbing pass a corpus runs before training.
+    * The synthetic documents carry no PII, so each doc plants a
+    * deterministic email + phone + IPv4 derived from its id, then redacts
+    * with engine-portable regexes (no lookaround/backrefs, so Java regex
+    * and RE2 agree) in a fixed order: email → phone → IP. Emits the match
+    * counts and a fingerprint of the redacted text — the fingerprint is
+    * the real check that both engines rewrote identical bytes. Per-row,
+    * shuffle-free.
+    */
+  val q76_pii_redact: Q = (s, dir) => {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+      lit(".0."), pmod(col("doc_id") * 7, lit(200)).cast("string"))
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(planted, emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>"),
+      ipPat, "<IP>")
+    def matches(c: Column, pat: String) =
+      size(call_function("regexp_extract_all", c, lit(pat), lit(0)))
+    t(s, dir).documents
+      .select(col("doc_id"), planted.as("planted"), redacted.as("redacted"))
+      .select(col("doc_id"),
+        matches(col("planted"), emailPat).as("n_email"),
+        matches(col("planted"), phonePat).as("n_phone"),
+        matches(col("planted"), ipPat).as("n_ip"),
+        polyHash(col("redacted")).as("fp_redacted"))
+  }
+
   def all: Map[String, Q] = Map(
     "q72_shuffle_shard" -> q72_shuffle_shard,
+    "q73_unigram_ll" -> q73_unigram_ll,
+    "q74_token_budget_mix" -> q74_token_budget_mix,
+    "q75_dup_spans" -> q75_dup_spans,
+    "q76_pii_redact" -> q76_pii_redact,
     "q70_stratified_sample" -> q70_stratified_sample,
     "q71_pack_sequences" -> q71_pack_sequences,
     "q67_repetition" -> q67_repetition,
@@ -282,6 +412,85 @@ object TextQueries {
 
   // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
   def oracles: Map[String, String] = Map(
+    "q73_unigram_ll" ->
+      """WITH d AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS tf FROM d GROUP BY 1),
+        |total AS (
+        |  SELECT sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+        |    AS t_total
+        |  FROM documents),
+        |ll AS (
+        |  SELECT d.doc_id,
+        |    round(ln(tf.tf::DOUBLE / total.t_total), 6)::DECIMAL(18,6) AS ll
+        |  FROM d JOIN tf USING (tok) CROSS JOIN total)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(-(sum(ll)::DOUBLE) / count(*), 6) AS nll
+        |FROM ll GROUP BY 1""".stripMargin,
+    "q74_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_tokens,
+        |    ((regexp_extract(source, '([0-9]+)$', 1)::INT % 4) + 1) * 200 AS budget
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, n_tokens, budget,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM d)
+        |SELECT source, count(*) AS total,
+        |  sum(CASE WHEN off < budget THEN 1 ELSE 0 END)::BIGINT AS taken,
+        |  sum(CASE WHEN off < budget THEN n_tokens ELSE 0 END)::BIGINT AS taken_tokens,
+        |  max(budget)::BIGINT AS budget
+        |FROM o GROUP BY 1""".stripMargin,
+    "q75_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(toks) - 2)) AS pos,
+        |    unnest(list_transform(
+        |      list_transform(range(len(toks) - 2),
+        |        i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]),
+        |      s -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+        |             (h, a) -> (h * 31 + a) % 1000000007))) AS h
+        |  FROM d WHERE len(toks) >= 3),
+        |dup AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM p JOIN dup USING (h)),
+        |r AS (SELECT doc_id, grp, count(*) AS run FROM m GROUP BY 1, 2)
+        |SELECT doc_id, sum(run)::BIGINT AS dup_pos, max(run)::BIGINT AS max_run
+        |FROM r GROUP BY 1""".stripMargin,
+    "q76_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or +1-555-'
+        |      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |      || ' from 10.' || (doc_id % 200)::VARCHAR || '.0.'
+        |      || ((doc_id * 7) % 200)::VARCHAR AS s
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, s,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(s,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS r
+        |  FROM planted)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+        |  len(regexp_extract_all(s, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::INT AS n_phone,
+        |  len(regexp_extract_all(s, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::INT AS n_ip,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(r, ''), c -> ascii(c)::BIGINT)),
+        |    (h, a) -> (h * 31 + a) % 1000000007) AS fp_redacted
+        |FROM red""".stripMargin,
     "q72_shuffle_shard" ->
       """WITH h AS (
         |  SELECT doc_id,

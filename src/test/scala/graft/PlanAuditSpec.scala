@@ -41,7 +41,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q69_contamination" -> 1,     // broadcast eval probe; one exchange for the pair count
     "q70_stratified_sample" -> 1, // per-row hash keep-rule, one source groupBy
     "q71_pack_sequences" -> 1,    // one window over (source, doc_id)
-    "q72_shuffle_shard" -> 1)     // repartition-by-shard + in-partition sort
+    "q72_shuffle_shard" -> 1,     // repartition-by-shard + in-partition sort
+    "q73_unigram_ll" -> 2,        // vocab agg (broadcast LM); per-doc re-agg
+    "q74_token_budget_mix" -> 1,  // window on source; groupBy reuses the partitioning
+    "q75_dup_spans" -> 2,         // one window per key set: (h) dup-mark, (doc) runs
+    "q76_pii_redact" -> 0)        // per-row regex projection only
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
