@@ -316,7 +316,8 @@ object Queries {
 
   def all: Map[String, Q] =
     (base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
-      ++ ExtraQueries.all ++ FunctionQueries.all ++ DwsQueries.all)
+      ++ ExtraQueries.all ++ FunctionQueries.all ++ DwsQueries.all
+      ++ ScaleQueries.all)
       .view.mapValues(withEngineFunctions).toMap
 
   /** Engine functions (plans.PolyHash etc.) resolve via the function
@@ -359,7 +360,7 @@ object Queries {
   def oracles: Map[String, String] =
     baseOracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ ExtraQueries.oracles ++
-      FunctionQueries.oracles ++ DwsQueries.oracles
+      FunctionQueries.oracles ++ DwsQueries.oracles ++ ScaleQueries.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->

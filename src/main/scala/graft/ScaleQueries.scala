@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Layout, Relational, RuntimeFilter}
+
+/** Scale-technique queries: operators whose POINT is the 100 TB plan shape
+  * — chunking fan-out without shuffles, per-domain caps as a rank
+  * window-limit, runtime bloom-filter join pruning, and z-order layout
+  * math. Each is oracle-checked like every other query; the layout/pruning
+  * side effects (partition skipping, pre-shuffle row reduction) are pinned
+  * in ZOrderSpec / RuntimeFilterSpec.
+  */
+object ScaleQueries {
+  import Queries.Q
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
+
+  private val ChunkW = 64 // tokens per chunk (context-window size)
+  private val ChunkS = 48 // stride (ChunkW - ChunkS = 16 tokens of overlap)
+
+  /** Sliding-window document chunking with overlap — the step that turns a
+    * cleaned corpus into training/RAG chunks. Per-row fan-out only
+    * (sequence + posexplode + slice): zero shuffles, so at 100 TB it runs
+    * entirely inside the scan stage. Each chunk carries its provenance
+    * (doc_id, chunk_id, token offset) and a portable fingerprint so
+    * chunk-level dedup can chain downstream.
+    */
+  val q78_chunk_overlap: Q = (s, dir) =>
+    t(s, dir).documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkS))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("chunk_start"),
+        slice(col("toks"), col("col") + 1, lit(ChunkW)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_id"), col("chunk_start"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        polyHash(array_join(col("chunk"), " ")).as("chunk_fp"))
+
+  /** Per-domain document cap (RefinedWeb/CCNet-style): keep at most K=10
+    * docs per source, best-quality first. Expressed as the rank
+    * window-limit so Spark's WindowGroupLimit keeps only K rows per group
+    * on the map side — the shuffle carries O(K · sources) rows, not the
+    * corpus. Ordering is total (quality desc, doc_id) — deterministic
+    * under retries. K=10 binds at the verify scale factor (~25
+    * docs/source at sf0.01), so the oracle checks the cap, not a no-op.
+    */
+  val q79_domain_cap: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val uniqRatio = size(array_distinct(toks)) / nTok
+    val stopRatio = size(filter(toks, t => t.isin("a", "the"))) / nTok
+    val scored = t(s, dir).documents.select(
+      col("doc_id"), col("source"),
+      round(uniqRatio * (lit(1.0) - stopRatio), 6).as("quality"))
+    Relational.topKPerGroup(scored, Seq("source"),
+        Seq(col("quality").desc, col("doc_id").asc), 10)
+      .select(col("source"), col("doc_id"), col("quality"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Runtime bloom-filter join pruning: revenue of lineitems belonging to
+    * URGENT orders. The bloom filter built from the filtered orders keys
+    * drops ~80 % of lineitem rows scan-local, BEFORE the join shuffle —
+    * the explicit form of AQE's InjectRuntimeFilter. Results are exactly
+    * the plain join's (the oracle IS the plain join).
+    */
+  val q80_bloom_prune: Q = (s, dir) => {
+    val urgent = t(s, dir).orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    RuntimeFilter.bloomPrunedJoin(t(s, dir).lineitem, urgent,
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        Queries.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
+  private val ZBits = 8 // 8 bits per dimension -> 16-bit z-values
+
+  /** Z-order (Morton) values for a 2-D layout over (custkey, nationkey):
+    * the bit-interleave every engine can recompute (the oracle is the same
+    * arithmetic in SQL). `z_bucket` (top 8 z bits) is the directory
+    * partition key ZOrderSpec writes and prunes on.
+    */
+  val q81_zvalue: Q = (s, dir) => {
+    val x = pmod(col("c_custkey"), lit(256L))
+    val y = pmod(col("c_nationkey").cast("long"), lit(256L))
+    t(s, dir).customer.select(
+      col("c_custkey"),
+      x.as("zx"),
+      y.as("zy"),
+      Layout.zValue(x, y, ZBits).as("zv"),
+      shiftright(Layout.zValue(x, y, ZBits), ZBits).as("z_bucket"))
+  }
+
+  def all: Map[String, Q] = Map(
+    "q78_chunk_overlap" -> q78_chunk_overlap,
+    "q79_domain_cap" -> q79_domain_cap,
+    "q80_bloom_prune" -> q80_bloom_prune,
+    "q81_zvalue" -> q81_zvalue)
+
+  /** The z-value arithmetic as portable SQL (matches Layout.zValue). */
+  private val zTerms: String = (0 until ZBits).map { i =>
+    s"(((c_custkey % 256) >> $i) & 1) * ${1L << (2 * i)} + " +
+      s"(((c_nationkey % 256) >> $i) & 1) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "q78_chunk_overlap" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks, unnest(range(0, len(toks), $ChunkS)) AS chunk_start
+         |  FROM d WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT doc_id, chunk_start // $ChunkS AS chunk_id, chunk_start,
+         |    list_slice(toks, chunk_start + 1,
+         |      least(chunk_start + $ChunkW, len(toks))) AS chunk
+         |  FROM s)
+         |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+         |  chunk_start::BIGINT AS chunk_start,
+         |  len(chunk)::INT AS n_chunk_tokens,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(array_to_string(chunk, ' '), ''),
+         |      c -> ascii(c)::BIGINT)),
+         |    (h, a) -> (h * 31 + a) % 1000000007) AS chunk_fp
+         |FROM c""".stripMargin,
+    "q79_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    round((len(list_distinct(toks)) / len(toks)::DOUBLE)
+        |      * (1.0 - len(list_filter(toks, t -> t IN ('a','the')))
+        |          / len(toks)::DOUBLE), 6) AS quality
+        |  FROM d),
+        |k AS (
+        |  SELECT source, doc_id, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS "rank"
+        |  FROM r)
+        |SELECT source, doc_id, quality, "rank" FROM k WHERE "rank" <= 10""".stripMargin,
+    "q80_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  (round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)), 2))::DOUBLE AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+    "q81_zvalue" ->
+      s"""SELECT c_custkey,
+         |  (c_custkey % 256)::BIGINT AS zx,
+         |  (c_nationkey % 256)::BIGINT AS zy,
+         |  ($zTerms)::BIGINT AS zv,
+         |  (($zTerms)::BIGINT >> $ZBits)::BIGINT AS z_bucket
+         |FROM customer""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) storage layout for multi-dimensional data
+  * skipping (SURVEY §2 "Optimize for scale" — no reference counterpart;
+  * the technique is the standard lakehouse clustering layout).
+  *
+  * Why it matters at 100 TB: partitioning/sorting by ONE column prunes
+  * queries on that column only. Interleaving the bits of two (or more)
+  * columns into a single z-value makes ranges of z correspond to
+  * axis-aligned boxes in (x, y) space, so a single partition column prunes
+  * 2-D box predicates: both `WHERE x BETWEEN …` and `WHERE y BETWEEN …`
+  * skip most files.
+  *
+  * Correctness contract: pruning is a SUPERSET pre-filter. For any box
+  * [x0,x1]×[y0,y1], every point inside has z between z(x0,y0) and
+  * z(x1,y1) — z is monotone in each coordinate with the other fixed, so
+  * z(x,y) ≥ z(x0,y) ≥ z(x0,y0) and symmetrically for the max. The exact
+  * per-row predicate is re-applied after pruning, so results equal the
+  * unpruned filter exactly (ZOrderSpec). The corner-range bound is loose
+  * (BIGMIN/LITMAX jumping would tighten it); looseness costs only extra
+  * partitions read, never wrong answers.
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of x (even positions)
+    * and y (odd positions). Inputs must be non-negative and < 2^bits —
+    * map real columns into that range first (e.g. `pmod(col, 1 << bits)`
+    * or quantile bucketing). Pure bit arithmetic: codegen'd, no UDF, and
+    * reproducible in any engine (q81's oracle recomputes it in SQL).
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val xs = x.cast("long")
+    val ys = y.cast("long")
+    (0 until bits)
+      .map { i =>
+        shiftleft(shiftright(xs, i).bitwiseAND(1L), 2 * i) +
+          shiftleft(shiftright(ys, i).bitwiseAND(1L), 2 * i + 1)
+      }
+      .reduce(_ + _)
+  }
+
+  /** Write `df` z-clustered: directory-partitioned on the top `prefixBits`
+    * of the z-value (so partition pruning is driven by z-range predicates)
+    * and sorted by full z within partitions (so parquet row-group min/max
+    * stats stay tight for the finer bits).
+    *
+    * `prefixBits` controls partition count (2^prefixBits directories max);
+    * keep it small enough that each partition holds many files at the
+    * target scale — at 100 TB with prefixBits=8, 256 partitions of ~400 GB,
+    * each further skippable by row-group stats.
+    */
+  def zOrderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  prefixBits: Int, path: String): Unit = {
+    require(prefixBits >= 1 && prefixBits <= 2 * bits,
+      s"prefixBits must be in [1, ${2 * bits}], got $prefixBits")
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .withColumn("z_bucket", shiftright(col("__z"), 2 * bits - prefixBits))
+      .repartition(col("z_bucket"))
+      .sortWithinPartitions(col("z_bucket"), col("__z"))
+      .drop("__z")
+      .write.partitionBy("z_bucket").mode("overwrite").parquet(path)
+  }
+
+  /** Box query over a z-ordered layout: z-range predicate on the partition
+    * column (prunes directories — `PartitionFilters` in the scan, proven in
+    * ZOrderSpec) plus the exact per-row box predicate (removes the
+    * curve-range false positives).
+    */
+  def boxQuery(spark: SparkSession, path: String, xCol: String, yCol: String,
+               bits: Int, prefixBits: Int,
+               x0: Long, x1: Long, y0: Long, y1: Long): DataFrame = {
+    val s = 2 * bits - prefixBits
+    val zMin = interleave(x0, y0, bits) >> s
+    val zMax = interleave(x1, y1, bits) >> s
+    spark.read.parquet(path)
+      .filter(col("z_bucket") >= zMin && col("z_bucket") <= zMax)
+      .filter(col(xCol) >= x0 && col(xCol) <= x1 &&
+        col(yCol) >= y0 && col(yCol) <= y1)
+  }
+
+  /** Driver-side twin of [[zValue]] for computing literal range bounds. */
+  def interleave(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+}

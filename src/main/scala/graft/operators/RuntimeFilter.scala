@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit runtime-filter (bloom) join pruning (SURVEY §2 "Optimize for
+  * scale" — no reference counterpart; the pattern is Spark's own AQE
+  * `InjectRuntimeFilter`, here as a deterministic operator the planner
+  * can't decline).
+  *
+  * Motivation at 100 TB: a selective dimension predicate (`orders WHERE
+  * priority='1-URGENT'`) should keep most of the FACT side from ever
+  * entering the join shuffle. A shuffled join materializes and repartitions
+  * every fact row first; a bloom filter built from the filtered build side
+  * and evaluated scan-local on the fact side drops non-joining rows before
+  * the exchange, shrinking shuffle I/O by the filter's selectivity.
+  *
+  * Design constraints honored here:
+  *  - The build is ONE distributed aggregation: distinct bit positions of
+  *    the build keys (bounded by `numBits`, default 2^16 → ≤ 8 KiB bitset)
+  *    are collected, never the keys themselves — driver memory is O(numBits)
+  *    regardless of build-side cardinality.
+  *  - The probe is a pure projection over a literal Long-array bitset:
+  *    `element_at` + bit test, whole-stage-codegen friendly, no UDF, no
+  *    broadcast variable plumbing.
+  *  - False positives are harmless: the REAL join follows and removes them,
+  *    so results are exactly the plain join's (RuntimeFilterSpec proves
+  *    equality; the oracle for q80 is the plain SQL join).
+  *
+  * Spark's AQE bloom injection (`spark.sql.optimizer.runtime.bloomFilter
+  * .enabled`) covers the automatic case behind size thresholds; this
+  * operator is the explicit form for when the pipeline author KNOWS the
+  * build side is selective (and for engines reading these plans where the
+  * optimizer cannot see through a checkpoint or an exchange reuse).
+  */
+object RuntimeFilter {
+
+  /** k hash positions for a key column: `xxhash64(i, key) mod numBits`.
+    * Seeding by prepending the function index makes the k functions
+    * independent; xxhash64 is codegen'd and cheap (one pass per row).
+    */
+  private def positions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
+
+  /** Build the bitset from the build side's keys. Runs one Spark job:
+    * explode k positions per row → distinct (≤ numBits values) → collect.
+    */
+  def bloomBits(build: DataFrame, key: Column, numBits: Int = 1 << 16,
+                numHashes: Int = 3): Array[Long] = {
+    require(numBits % 64 == 0, s"numBits must be a multiple of 64, got $numBits")
+    val words = new Array[Long](numBits / 64)
+    build
+      .select(explode(array(positions(key, numBits, numHashes): _*)).as("pos"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val pos = r.getLong(0)
+        words((pos / 64).toInt) |= 1L << (pos % 64)
+      }
+    words
+  }
+
+  /** Membership probe against a literal bitset: all k bits must be set.
+    * NULL keys yield NULL (row dropped by `filter`), matching inner-join
+    * semantics where NULL never joins.
+    */
+  def mightContain(key: Column, words: Array[Long], numBits: Int = 1 << 16,
+                   numHashes: Int = 3): Column = {
+    val bitsLit = lit(words)
+    positions(key, numBits, numHashes)
+      .map { pos =>
+        // word = bits[pos >> 6]; test bit (pos & 63). The shift amount is a
+        // column, so this goes through the SQL shiftright (the Scala-API
+        // overload only takes a literal Int shift).
+        val word = element_at(bitsLit, shiftright(pos, 6).cast("int") + 1)
+        call_function("shiftright", word, pos.bitwiseAND(63L).cast("int"))
+          .bitwiseAND(1L) === 1L
+      }
+      .reduce(_ && _)
+  }
+
+  /** Bloom-pruned inner equi-join: build a bloom filter from `build`'s
+    * keys, pre-filter `probe` scan-local, then run the exact join. The
+    * output equals `probe.join(build, probeKey === buildKey)` exactly.
+    *
+    * The build side is materialized twice (once for the bitset, once for
+    * the join) — at scale, cache or checkpoint it if it is expensive to
+    * recompute; for the intended use (a selectively-filtered dimension) the
+    * rebuild is a cheap pushed-down scan.
+    */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
+                      probeKey: String, buildKey: String,
+                      numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    val words = bloomBits(build, col(buildKey), numBits, numHashes)
+    probe
+      .filter(mightContain(col(probeKey), words, numBits, numHashes))
+      .join(build, col(probeKey) === col(buildKey))
+  }
+}

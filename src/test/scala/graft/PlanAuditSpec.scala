@@ -45,7 +45,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q73_unigram_ll" -> 2,        // vocab agg (broadcast LM); per-doc re-agg
     "q74_token_budget_mix" -> 1,  // window on source; groupBy reuses the partitioning
     "q75_dup_spans" -> 2,         // one window per key set: (h) dup-mark, (doc) runs
-    "q76_pii_redact" -> 0)        // per-row regex projection only
+    "q76_pii_redact" -> 0,        // per-row regex projection only
+    "q78_chunk_overlap" -> 0,     // sequence+posexplode fan-out, scan-stage only
+    "q79_domain_cap" -> 1,        // one window on source (WindowGroupLimit)
+    "q80_bloom_prune" -> 1,       // bloom pre-filter + broadcast join; one agg exchange
+    "q81_zvalue" -> 0)            // pure bit-arithmetic projection
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.RuntimeFilter
+
+/** The bloom-pruned join must be EXACTLY the plain join (false positives
+  * are removed by the real join; false negatives must not exist), and the
+  * bloom pre-filter must actually drop rows before the shuffle — that
+  * pre-shuffle reduction is the operator's entire reason to exist.
+  */
+class RuntimeFilterSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def tables = Tables.Tpch(spark, TestSession.sf)
+
+  test("bloomPrunedJoin equals the plain join exactly") {
+    val urgent = tables.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val pruned = RuntimeFilter.bloomPrunedJoin(
+      tables.lineitem, urgent, "l_orderkey", "o_orderkey")
+    val plain = tables.lineitem
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("bloom pre-filter drops most non-joining rows scan-local") {
+    val urgent = tables.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val words = RuntimeFilter.bloomBits(urgent, $"o_orderkey")
+    val total = tables.lineitem.count()
+    val joining = tables.lineitem
+      .join(urgent, $"l_orderkey" === $"o_orderkey").count()
+    val surviving = tables.lineitem
+      .filter(RuntimeFilter.mightContain($"l_orderkey", words)).count()
+    // no false negatives: every joining row survives the bloom
+    assert(surviving >= joining)
+    // and the filter is selective: the survivors are much closer to the
+    // joining set than to the full table (~20% of orders are URGENT, so a
+    // low-fpp bloom keeps well under half the fact rows)
+    assert(surviving < total / 2,
+      s"bloom kept $surviving of $total rows — filter not selective")
+  }
+
+  test("membership probe never false-negatives on any build key") {
+    val keys = tables.orders.select($"o_orderkey").limit(2000)
+    val words = RuntimeFilter.bloomBits(keys, $"o_orderkey")
+    val missed = keys
+      .filter(!RuntimeFilter.mightContain($"o_orderkey", words)).count()
+    assert(missed === 0, s"$missed build keys missing from their own bloom")
+  }
+
+  test("NULL probe keys are dropped, matching inner-join semantics") {
+    val build = Seq(1L, 2L, 3L).toDF("k")
+    val words = RuntimeFilter.bloomBits(build, $"k")
+    val probe = Seq(Some(1L), None, Some(99L)).toDF("k")
+    val keptRows = probe.filter(RuntimeFilter.mightContain($"k", words)).collect()
+    assert(keptRows.exists(r => !r.isNullAt(0) && r.getLong(0) == 1L),
+      "build key 1 must pass its own bloom")
+    assert(!keptRows.exists(_.isNullAt(0)), "NULL key must not pass the bloom")
+  }
+}

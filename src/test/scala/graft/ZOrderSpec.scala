@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.Layout
+
+/** Z-order layout: the box query over the clustered layout must (a) return
+  * exactly the rows a plain filter returns, and (b) prune partitions — the
+  * scan's PartitionFilters must carry the z_bucket range so most
+  * directories are never read. (b) is the 100 TB point: one layout serves
+  * range predicates on BOTH columns.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val bits = 8
+  private val prefixBits = 8
+
+  test("box query on the z-ordered layout: exact results + partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val cust = Tables.load(spark, TestSession.sf, "customer")
+      .withColumn("zx", pmod($"c_custkey", lit(256L)))
+      .withColumn("zy", pmod($"c_nationkey".cast("long"), lit(256L)))
+    Layout.zOrderWrite(cust, "zx", "zy", bits, prefixBits, dir)
+
+    // a box in the "low corner" of both dimensions: z-range covers a small
+    // prefix of the curve, so most z_buckets fall outside it
+    val (x0, x1, y0, y1) = (0L, 31L, 0L, 7L)
+    val got = Layout.boxQuery(spark, dir, "zx", "zy", bits, prefixBits,
+      x0, x1, y0, y1)
+
+    // (a) exactness: same c_custkey set as the direct filter
+    val expected = cust
+      .filter($"zx" >= x0 && $"zx" <= x1 && $"zy" >= y0 && $"zy" <= y1)
+      .select($"c_custkey").as[Long].collect().sorted.toSeq
+    val gotKeys = got.select($"c_custkey").as[Long].collect().sorted.toSeq
+    assert(gotKeys == expected && gotKeys.nonEmpty)
+
+    // (b) pruning: z_bucket appears as a partition filter in the scan …
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("z_bucket"),
+      s"expected z_bucket partition filter in:\n$plan")
+    // … and the pruned scan reads strictly fewer partitions than exist
+    val allBuckets = spark.read.parquet(dir)
+      .select($"z_bucket").distinct().count()
+    val zMax = Layout.interleave(x1, y1, bits) >> (2 * bits - prefixBits)
+    assert(zMax + 1 < allBuckets,
+      s"box z-range [0, $zMax] must cover fewer than all $allBuckets buckets")
+  }
+
+  test("zValue column matches the driver-side interleave on every row") {
+    val rows = Tables.load(spark, TestSession.sf, "customer")
+      .select(
+        pmod($"c_custkey", lit(256L)).as("x"),
+        pmod($"c_nationkey".cast("long"), lit(256L)).as("y"))
+      .withColumn("zv", Layout.zValue($"x", $"y", bits))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (x, y, zv) =>
+      assert(zv == Layout.interleave(x, y, bits), s"mismatch at ($x, $y)")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("z-range superset property: every box point's z lies in the corner range") {
+    val (x0, x1, y0, y1) = (13L, 57L, 3L, 19L)
+    for (x <- x0 to x1; y <- y0 to y1) {
+      val z = Layout.interleave(x, y, bits)
+      assert(z >= Layout.interleave(x0, y0, bits) &&
+        z <= Layout.interleave(x1, y1, bits),
+        s"z($x,$y)=$z escapes the corner range")
+    }
+  }
+}
