@@ -29,16 +29,8 @@ object ScaleQueries {
     * chunk-level dedup can chain downstream.
     */
   val q78_chunk_overlap: Q = (s, dir) =>
-    t(s, dir).documents
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkS))))
-      .select(
-        col("doc_id"),
-        col("pos").cast("long").as("chunk_id"),
-        col("col").cast("long").as("chunk_start"),
-        slice(col("toks"), col("col") + 1, lit(ChunkW)).as("chunk"))
+    graft.pipelines.CorpusPipeline
+      .chunk(t(s, dir).documents, "doc_id", "text", ChunkW, ChunkS)
       .select(
         col("doc_id"), col("chunk_id"), col("chunk_start"),
         size(col("chunk")).as("n_chunk_tokens"),
@@ -103,11 +95,58 @@ object ScaleQueries {
       shiftright(Layout.zValue(x, y, ZBits), ZBits).as("z_bucket"))
   }
 
+  /** Equi-depth histogram per event type: ntile(8) over a TOTAL order
+    * (value, event_id — ties on value alone would make tile assignment
+    * engine-dependent), then per-tile count/lo/hi. This is the exact,
+    * per-group-sort formulation — right up to the scale where one group's
+    * rows exceed a task; past that, compute boundaries with
+    * approx_percentile (one pass, mergeable sketch) and bucket by range
+    * instead. The exact form stays here because it is oracle-checkable;
+    * the approx form trades the sort for a sketch with no shuffle change.
+    */
+  val q82_equidepth: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir).events
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("tile", ntile(8).over(w).cast("long"))
+      .groupBy(col("event_type"), col("tile"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+  }
+
+  /** Exact heavy-hitter n-grams: global top-50 bigrams by count — the
+    * corpus diagnostic behind boilerplate/template detection. Expand is
+    * scan-local; counting is one shuffle on the gram with map-side partial
+    * aggregation; the top-k is TakeOrdered (no global sort materializes).
+    * Ties at the cut broken by the gram string, so the result is total.
+    * At 100 TB the same shape holds; if even the gram-keyed aggregate is
+    * too hot, a count-min sketch + candidate re-count replaces exactness.
+    */
+  val q83_frequent_ngrams: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), size(toks) - 2),
+      i => concat(element_at(toks, i + 1), lit("_"), element_at(toks, i + 2)))
+    t(s, dir).documents
+      .filter(size(toks) >= 2)
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(50)
+  }
+
   def all: Map[String, Q] = Map(
     "q78_chunk_overlap" -> q78_chunk_overlap,
     "q79_domain_cap" -> q79_domain_cap,
     "q80_bloom_prune" -> q80_bloom_prune,
-    "q81_zvalue" -> q81_zvalue)
+    "q81_zvalue" -> q81_zvalue,
+    "q82_equidepth" -> q82_equidepth,
+    "q83_frequent_ngrams" -> q83_frequent_ngrams)
 
   /** The z-value arithmetic as portable SQL (matches Layout.zValue). */
   private val zTerms: String = (0 until ZBits).map { i =>
@@ -165,5 +204,24 @@ object ScaleQueries {
          |  (c_nationkey % 256)::BIGINT AS zy,
          |  ($zTerms)::BIGINT AS zv,
          |  (($zTerms)::BIGINT >> $ZBits)::BIGINT AS z_bucket
-         |FROM customer""".stripMargin)
+         |FROM customer""".stripMargin,
+    "q82_equidepth" ->
+      """WITH t AS (
+        |  SELECT event_type, value, event_id,
+        |    ntile(8) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS tile
+        |  FROM events)
+        |SELECT event_type, tile, count(*) AS cnt,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "q83_frequent_ngrams" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    i -> toks[i+1] || '_' || toks[i+2])) AS gram
+        |  FROM d WHERE len(toks) >= 2)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY 1
+        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Relational, Similarity}
 
 /** End-to-end training-corpus cleaning pipeline — the composition a 100 TB
   * pretraining-data job runs, built from the engine's oracle-verified ops:
@@ -91,6 +91,45 @@ object CorpusPipeline {
     Dedup.duplicateClusters(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))
+
+  /** Sliding-window chunking: split each doc's token stream into windows
+    * of `w` tokens every `s` tokens (overlap = w − s). Pure per-row
+    * fan-out (sequence + posexplode + slice) — zero shuffles, so at scale
+    * it fuses into whatever scan precedes it. Emits (idCol, chunk_id,
+    * chunk_start, chunk array); q78 is the oracle-checked projection.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            w: Int, s: Int): DataFrame = {
+    require(w >= s && s >= 1, s"need w >= s >= 1, got w=$w s=$s")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(s))))
+      .select(
+        col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("chunk_start"),
+        slice(col("__toks"), col("col") + 1, lit(w)).as("chunk"))
+  }
+
+  /** Packaging stage — the step between "cleaned corpus" and "training
+    * shards": cap documents per source (best-quality first, q79's
+    * WindowGroupLimit shape, so the shuffle carries O(cap·sources) rows),
+    * then chunk the survivors into context windows with overlap. Input
+    * must carry `quality` (as produced by [[apply]]); output is
+    * chunk-level with provenance and a portable fingerprint for
+    * chunk-level dedup downstream.
+    */
+  def packageStage(cleaned: DataFrame, capPerSource: Int = 10,
+                   chunkW: Int = 64, chunkS: Int = 48): DataFrame = {
+    val capped = Relational.topKPerGroup(cleaned, Seq("source"),
+      Seq(col("quality").desc, col("doc_id").asc), capPerSource)
+    chunk(capped.drop("rank"), "doc_id", "text", chunkW, chunkS)
+      .withColumn("chunk_fp", polyHash(array_join(col("chunk"), " ")))
+      .withColumn("n_chunk_tokens", size(col("chunk")))
+      .drop("chunk")
+  }
 
   /** Streaming ingest front of the pipeline: the stages that work
     * incrementally run AS the corpus arrives — per-row quality scoring and

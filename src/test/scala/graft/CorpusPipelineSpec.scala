@@ -54,6 +54,29 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(withSem.subsetOf(textOnly))
   }
 
+  test("packageStage: per-source cap binds, chunks carry geometry + provenance") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val (cleaned, _) = CorpusPipeline(docs)
+    val chunks = CorpusPipeline.packageStage(cleaned, capPerSource = 5,
+      chunkW = 32, chunkS = 24)
+    val rows = chunks
+      .select($"doc_id", $"chunk_id", $"chunk_start", $"n_chunk_tokens")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    // cap: at most 5 docs per source survive into chunking
+    val docsPerSource = cleaned.select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val bySource = rows.map(_._1).distinct.groupBy(docsPerSource)
+    assert(bySource.values.forall(_.length <= 5),
+      s"per-source doc counts after cap: ${bySource.view.mapValues(_.length).toMap}")
+    // geometry: stride lattice, bounded chunk size
+    rows.foreach { case (_, id, start, len) =>
+      assert(start == id * 24 && len >= 1 && len <= 32)
+    }
+    // provenance: every chunked doc is a cleaned survivor
+    assert(rows.map(_._1).toSet.subsetOf(docsPerSource.keySet))
+  }
+
   test("streamingIngest: quality filter + exact dedup run incrementally; first arrival wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

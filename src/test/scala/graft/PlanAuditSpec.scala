@@ -49,7 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q78_chunk_overlap" -> 0,     // sequence+posexplode fan-out, scan-stage only
     "q79_domain_cap" -> 1,        // one window on source (WindowGroupLimit)
     "q80_bloom_prune" -> 1,       // bloom pre-filter + broadcast join; one agg exchange
-    "q81_zvalue" -> 0)            // pure bit-arithmetic projection
+    "q81_zvalue" -> 0,            // pure bit-arithmetic projection
+    "q82_equidepth" -> 1,         // window on event_type; the (type,tile) agg reuses it
+    "q83_frequent_ngrams" -> 1)   // gram agg; top-k is TakeOrdered, no sort exchange
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
