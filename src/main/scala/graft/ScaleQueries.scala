@@ -18,8 +18,9 @@ object ScaleQueries {
 
   private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
 
-  private val ChunkW = 64 // tokens per chunk (context-window size)
-  private val ChunkS = 48 // stride (ChunkW - ChunkS = 16 tokens of overlap)
+  // chunk geometry shared with CorpusPipeline.packageStage
+  private val ChunkW = graft.pipelines.CorpusPipeline.DefaultChunkW
+  private val ChunkS = graft.pipelines.CorpusPipeline.DefaultChunkS
 
   /** Sliding-window document chunking with overlap — the step that turns a
     * cleaned corpus into training/RAG chunks. Per-row fan-out only
@@ -45,13 +46,9 @@ object ScaleQueries {
     * docs/source at sf0.01), so the oracle checks the cap, not a no-op.
     */
   val q79_domain_cap: Q = (s, dir) => {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val uniqRatio = size(array_distinct(toks)) / nTok
-    val stopRatio = size(filter(toks, t => t.isin("a", "the"))) / nTok
     val scored = t(s, dir).documents.select(
       col("doc_id"), col("source"),
-      round(uniqRatio * (lit(1.0) - stopRatio), 6).as("quality"))
+      qualityScore(col("text")).as("quality"))
     Relational.topKPerGroup(scored, Seq("source"),
         Seq(col("quality").desc, col("doc_id").asc), 10)
       .select(col("source"), col("doc_id"), col("quality"),

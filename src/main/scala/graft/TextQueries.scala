@@ -52,7 +52,7 @@ object TextQueries {
         col("doc_id"),
         round(uniqRatio, 6).as("uniq_ratio"),
         round(stopRatio, 6).as("stop_ratio"),
-        round(uniqRatio * (lit(1.0) - stopRatio), 6).as("quality"))
+        qualityScore(col("text")).as("quality"))
       .withColumn("keep", (col("quality") >= 0.35).cast("int"))
   }
 

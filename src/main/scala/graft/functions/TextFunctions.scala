@@ -52,6 +52,20 @@ object TextFunctions {
   /** Hash each element of a string array. */
   def hashAll(arr: Column): Column = transform(arr, polyHash(_))
 
+  /** The engine's document quality score: unique-token ratio discounted by
+    * stopword ratio, rounded to 6 decimals for cross-engine stability.
+    * ONE definition shared by q23/q79, CorpusPipeline's quality gate, and
+    * packageStage's cap ordering — a tweak here moves all of them
+    * together (the oracles replicate the formula in SQL).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val uniqRatio = size(array_distinct(toks)) / nTok
+    val stopRatio = size(filter(toks, t => t.isin("a", "the"))) / nTok
+    round(uniqRatio * (lit(1.0) - stopRatio), 6)
+  }
+
   /** `n`-token shingles (joined with '_'), e.g. tokens [a,b,c,d], n=3 →
     * ["a_b_c","b_c_d"]. Empty when the document has fewer than n tokens
     * (guarded: Spark's `sequence(0, negative)` would count down).

@@ -53,11 +53,27 @@ object Layout {
     * target scale — at 100 TB with prefixBits=8, 256 partitions of ~400 GB,
     * each further skippable by row-group stats.
     */
+  /** Fail the write on any value outside [0, 2^bits) — zValue reads only
+    * the low `bits` bits, so an out-of-range value would be bucketed by
+    * its masked low bits while boxQuery's range math uses the raw bounds:
+    * the partition filter would silently prune MATCHING rows. A write-time
+    * error is the honest contract; map columns into range first.
+    */
+  private def rangeChecked(c: Column, bits: Int, name: String): Column = {
+    val v = c.cast("long")
+    when(v < 0L || v >= (1L << bits),
+      raise_error(concat(
+        lit(s"zOrderWrite: $name out of [0, ${1L << bits}): "), v.cast("string"))))
+      .otherwise(v)
+  }
+
   def zOrderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
                   prefixBits: Int, path: String): Unit = {
     require(prefixBits >= 1 && prefixBits <= 2 * bits,
       s"prefixBits must be in [1, ${2 * bits}], got $prefixBits")
-    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+    df.withColumn("__z", zValue(
+        rangeChecked(col(xCol), bits, xCol),
+        rangeChecked(col(yCol), bits, yCol), bits))
       .withColumn("z_bucket", shiftright(col("__z"), 2 * bits - prefixBits))
       .repartition(col("z_bucket"))
       .sortWithinPartitions(col("z_bucket"), col("__z"))
@@ -73,6 +89,9 @@ object Layout {
   def boxQuery(spark: SparkSession, path: String, xCol: String, yCol: String,
                bits: Int, prefixBits: Int,
                x0: Long, x1: Long, y0: Long, y1: Long): DataFrame = {
+    require(Seq(x0, x1, y0, y1).forall(v => v >= 0 && v < (1L << bits)),
+      s"box bounds must lie in [0, ${1L << bits}) — the layout's coordinate " +
+        s"space (zOrderWrite enforces the same range on the data)")
     val s = 2 * bits - prefixBits
     val zMin = interleave(x0, y0, bits) >> s
     val zMax = interleave(x1, y1, bits) >> s

@@ -61,13 +61,16 @@ object RuntimeFilter {
   }
 
   /** Membership probe against a literal bitset: all k bits must be set.
-    * NULL keys yield NULL (row dropped by `filter`), matching inner-join
-    * semantics where NULL never joins.
+    * NULL keys are rejected explicitly (`isNotNull` leads the conjunction)
+    * — Spark's `xxhash64` SKIPS null inputs rather than returning null, so
+    * without the guard a NULL key would probe the seed-only positions and
+    * could pass a well-filled bloom. Matches inner-join semantics where
+    * NULL never joins.
     */
   def mightContain(key: Column, words: Array[Long], numBits: Int = 1 << 16,
                    numHashes: Int = 3): Column = {
     val bitsLit = lit(words)
-    positions(key, numBits, numHashes)
+    key.isNotNull && positions(key, numBits, numHashes)
       .map { pos =>
         // word = bits[pos >> 6]; test bit (pos & 63). The shift amount is a
         // column, so this goes through the SQL shiftright (the Scala-API
@@ -91,9 +94,26 @@ object RuntimeFilter {
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
                       probeKey: String, buildKey: String,
                       numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
-    val words = bloomBits(build, col(buildKey), numBits, numHashes)
-    probe
-      .filter(mightContain(col(probeKey), words, numBits, numHashes))
-      .join(build, col(probeKey) === col(buildKey))
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    // xxhash64 is TYPE-sensitive (an Int and a Long of the same value hash
+    // differently), while the exact join compares through implicit casts —
+    // hash both sides through one canonical type or the bloom would
+    // false-negative every row of a (e.g.) INT-vs-BIGINT key pair.
+    def integral(t: DataType) =
+      t == ByteType || t == ShortType || t == IntegerType || t == LongType
+    val (pKey, bKey) = (probe.schema(probeKey).dataType,
+        build.schema(buildKey).dataType) match {
+      case (p, b) if p == b => (col(probeKey), col(buildKey))
+      case (p, b) if integral(p) && integral(b) =>
+        (col(probeKey).cast("long"), col(buildKey).cast("long"))
+      case (p, b) => throw new IllegalArgumentException(
+        s"bloomPrunedJoin: key types must match or both be integral, " +
+          s"got $probeKey: $p vs $buildKey: $b")
+    }
+    val words = bloomBits(build, bKey, numBits, numHashes)
+    // dataframe-qualified join keys: with probeKey == buildKey the bare
+    // col(...) form would be ambiguous against the joined plan
+    val pruned = probe.filter(mightContain(pKey, words, numBits, numHashes))
+    pruned.join(build, pruned(probeKey) === build(buildKey))
   }
 }

@@ -45,12 +45,7 @@ object CorpusPipeline {
     */
   def apply(docs: DataFrame, cfg: Config = Config(),
             embeddings: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val quality = (size(array_distinct(toks)) / nTok) *
-      (lit(1.0) - size(filter(toks, t => t.isin("a", "the"))) / nTok)
-
-    val scored = docs.withColumn("quality", round(quality, 6))
+    val scored = docs.withColumn("quality", qualityScore(col("text")))
     val qualityPass = scored.filter(col("quality") >= cfg.minQuality)
 
     val exactKept = Dedup.exactDedup(qualityPass, "doc_id", "text", wide = true)
@@ -121,11 +116,18 @@ object CorpusPipeline {
     * chunk-level with provenance and a portable fingerprint for
     * chunk-level dedup downstream.
     */
+  /** Default chunk geometry, shared with q78 (ScaleQueries). */
+  val DefaultChunkW = 64
+  val DefaultChunkS = 48
+
   def packageStage(cleaned: DataFrame, capPerSource: Int = 10,
-                   chunkW: Int = 64, chunkS: Int = 48): DataFrame = {
+                   chunkW: Int = DefaultChunkW,
+                   chunkS: Int = DefaultChunkS): DataFrame = {
     val capped = Relational.topKPerGroup(cleaned, Seq("source"),
       Seq(col("quality").desc, col("doc_id").asc), capPerSource)
-    chunk(capped.drop("rank"), "doc_id", "text", chunkW, chunkS)
+    // chunk() projects to (idCol, tokens) immediately, so capped's other
+    // columns (incl. topKPerGroup's rank) never reach the output
+    chunk(capped, "doc_id", "text", chunkW, chunkS)
       .withColumn("chunk_fp", polyHash(array_join(col("chunk"), " ")))
       .withColumn("n_chunk_tokens", size(col("chunk")))
       .drop("chunk")
@@ -150,12 +152,8 @@ object CorpusPipeline {
   def streamingIngest(docs: DataFrame, tsCol: String, delay: String,
                       textCol: String = "text",
                       minQuality: Double = Config().minQuality): DataFrame = {
-    val toks = tokens(col(textCol))
-    val nTok = size(toks).cast("double")
-    val quality = (size(array_distinct(toks)) / nTok) *
-      (lit(1.0) - size(filter(toks, t => t.isin("a", "the"))) / nTok)
     val scored = docs
-      .withColumn("quality", round(quality, 6))
+      .withColumn("quality", qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
       .withColumn("fp", md5(trim(lower(col(textCol)))))
     if (scored.isStreaming)

@@ -54,6 +54,31 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(missed === 0, s"$missed build keys missing from their own bloom")
   }
 
+  test("mixed-width integral keys: bloom hashes through one canonical type") {
+    // INT probe vs BIGINT build — the exact join matches via implicit
+    // cast, so the bloom must too (xxhash64 is type-sensitive)
+    val probe = Seq(1, 2, 3, 7).toDF("pk") // int
+    val build = Seq(2L, 7L, 9L).toDF("bk") // long
+    val got = RuntimeFilter.bloomPrunedJoin(probe, build, "pk", "bk")
+      .select($"pk").as[Int].collect().sorted.toSeq
+    assert(got == Seq(2, 7), s"mixed-width join lost rows: $got")
+  }
+
+  test("same-named keys on both sides join unambiguously") {
+    val probe = Seq((1L, "a"), (2L, "b")).toDF("k", "pv")
+    val build = Seq((2L, "x")).toDF("k", "bv")
+    val got = RuntimeFilter.bloomPrunedJoin(probe, build, "k", "k")
+    assert(got.count() == 1 && got.select($"pv").as[String].head() == "b")
+  }
+
+  test("non-integral mismatched key types are rejected, not silently empty") {
+    val probe = Seq("1").toDF("pk")
+    val build = Seq(1L).toDF("bk")
+    intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomPrunedJoin(probe, build, "pk", "bk")
+    }
+  }
+
   test("NULL probe keys are dropped, matching inner-join semantics") {
     val build = Seq(1L, 2L, 3L).toDF("k")
     val words = RuntimeFilter.bloomBits(build, $"k")

@@ -64,6 +64,22 @@ class ZOrderSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("out-of-range coordinates fail the write instead of mis-bucketing") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder-bad").toString
+    val bad = Seq((300L, 5L)).toDF("zx", "zy") // 300 >= 2^8
+    val e = intercept[Exception] {
+      Layout.zOrderWrite(bad, "zx", "zy", bits, prefixBits, dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("out of [0, 256)")),
+      s"expected the range error, got: $e")
+    // and boxQuery rejects out-of-range bounds driver-side
+    intercept[IllegalArgumentException] {
+      Layout.boxQuery(spark, dir, "zx", "zy", bits, prefixBits, 0, 300, 0, 5)
+    }
+  }
+
   test("z-range superset property: every box point's z lies in the corner range") {
     val (x0, x1, y0, y1) = (13L, 57L, 3L, 19L)
     for (x <- x0 to x1; y <- y0 to y1) {
