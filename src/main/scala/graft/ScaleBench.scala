@@ -24,14 +24,19 @@ object ScaleBench {
 
   private val DIMS = 64
 
-  /** Top-10 most expensive oracle-checked queries of the round-3 bench
+  /** The most expensive oracle-checked queries of the round-3 bench
     * (q66 excluded: a composed pipeline whose cost is driver-synchronous
     * fixpoint rounds, not per-row work — its components are in the set).
+    * The late-round additions with genuine scaling risk are measured too:
+    * q75 (two windows over exploded positional trigrams), q68 (tf ⋈ df
+    * re-key join), q73 (vocab agg → broadcast LM → per-doc re-agg), q80
+    * (bloom build + pruned join).
     */
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
     "q28_lsh_neardup", "q10_join_left", "q49_minhash_estimate",
-    "q11_join_dict", "q57_order_uu_window", "q34_json_extract")
+    "q11_join_dict", "q57_order_uu_window", "q34_json_extract",
+    "q75_dup_spans", "q68_tfidf", "q73_unigram_ll", "q80_bloom_prune")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8 — +log2(10×) rounded up, keeping bucket occupancy

@@ -77,6 +77,32 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet.subsetOf(docsPerSource.keySet))
   }
 
+  test("chunk() is stateless: runs incrementally on a stream, same chunks as batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, Seq.fill(5)("alpha beta gamma delta").mkString(" ")), // 20 tokens
+      (2L, "one two three"))
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.chunk(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", 8, 6)
+      .select($"doc_id", $"chunk_id", $"chunk_start", size($"chunk").as("n"))
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunks")
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val batch = CorpusPipeline.chunk(docs.toDF("doc_id", "text"),
+          "doc_id", "text", 8, 6)
+        .select($"doc_id", $"chunk_id", $"chunk_start", size($"chunk").as("n"))
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == batch && got.nonEmpty)
+      // doc 1: 20 tokens, stride 6 -> starts 0,6,12,18; last chunk 2 tokens
+      assert(got.filter(_._1 == 1L).map(_._4) == Seq(8, 8, 8, 2))
+    } finally q.stop()
+  }
+
   test("streamingIngest: quality filter + exact dedup run incrementally; first arrival wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
