@@ -261,6 +261,49 @@ object StreamOps {
     }
   }
 
+  /** Streaming per-key daily admission cap — the incremental twin of the
+    * per-domain cap (q79 / `CorpusPipeline.packageStage`). A stream cannot
+    * rank rows it has not seen, so the streaming semantics are first-k
+    * ADMITTED per (key, event-time day) in arrival order; the periodic
+    * batch recap (q79's quality-ranked WindowGroupLimit) refines the pick
+    * — the standard lambda split, same as the dedup stages.
+    *
+    * Rows: (key, id, ts). Emits admitted rows only. State is one
+    * (date, count) pair per active key, evicted at end-of-day(lastDate)
+    * via `EventTimeTimeout` — O(keys active today), and eviction is
+    * semantically free: a post-eviction event is on a new date by
+    * construction, which resets the count anyway.
+    */
+  def admissionCap(spark: SparkSession,
+                   rows: Dataset[(String, Long, java.sql.Timestamp)], k: Int,
+                   zone: java.time.ZoneId = java.time.ZoneOffset.UTC,
+                   delay: String = "10 seconds")
+      : Dataset[(String, Long, java.sql.Timestamp)] = {
+    import spark.implicits._
+    require(k >= 1, s"admission cap must be >= 1, got $k")
+    withEventTime(rows, "_3", delay).groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Int), (String, Long, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, events, state: GroupState[(String, Int)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle ≥ 1 day: next event resets the day count
+            Iterator.empty
+          } else {
+            var (date, count) = state.getOption.getOrElse(("", 0))
+            val out = scala.collection.mutable.ArrayBuffer[(String, Long, java.sql.Timestamp)]()
+            events.toSeq.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
+              val d = java.time.Instant.ofEpochMilli(e._3.getTime)
+                .atZone(zone).toLocalDate.toString
+              if (d != date) { date = d; count = 0 }
+              if (count < k) { out += e; count += 1 }
+            }
+            state.update((date, count))
+            setEvictionAt(state, endOfDayMs(date, zone))
+            out.iterator
+          }
+      }
+  }
+
   /** T6 CEP jump-out (bounce) detection. Pattern over each mid's
     * event-time-ordered page views: a session-entry view (lastPageId null)
     * is a bounce if the NEXT view is also a session entry, or if no view

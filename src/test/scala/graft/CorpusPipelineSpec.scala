@@ -103,6 +103,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admissionCap: first-k per (source, day) admitted; count resets on a new day") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int, sec: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day 00:00:$sec%02d")
+    val in = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = graft.streaming.StreamOps.admissionCap(spark, in.toDS(), k = 2)
+      .map(r => (r._1, r._2))
+      .writeStream.format("memory").queryName("admit").outputMode("append").start()
+    try {
+      in.addData(("s1", 1L, ts(1, 1)), ("s1", 2L, ts(1, 2)),
+        ("s1", 3L, ts(1, 3)), ("s2", 4L, ts(1, 4)))
+      q.processAllAvailable()
+      in.addData(("s1", 5L, ts(1, 5)), // still day 1: over cap, dropped
+        ("s1", 6L, ts(2, 1)))          // day 2: count reset, admitted
+      q.processAllAvailable()
+      val got = spark.table("admit").as[(String, Long)].collect().toSet
+      assert(got == Set(("s1", 1L), ("s1", 2L), ("s2", 4L), ("s1", 6L)),
+        s"expected first-2-per-day per source, got $got")
+    } finally q.stop()
+  }
+
   test("streamingIngest: quality filter + exact dedup run incrementally; first arrival wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
