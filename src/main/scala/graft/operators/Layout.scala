@@ -56,14 +56,17 @@ object Layout {
   /** Fail the write on any value outside [0, 2^bits) — zValue reads only
     * the low `bits` bits, so an out-of-range value would be bucketed by
     * its masked low bits while boxQuery's range math uses the raw bounds:
-    * the partition filter would silently prune MATCHING rows. A write-time
-    * error is the honest contract; map columns into range first.
+    * the partition filter would silently prune MATCHING rows. NULLs fail
+    * too (a null coordinate has no place on the curve; the `<` comparisons
+    * alone would pass it through to a null bucket). A write-time error is
+    * the honest contract; map columns into range first.
     */
   private def rangeChecked(c: Column, bits: Int, name: String): Column = {
     val v = c.cast("long")
-    when(v < 0L || v >= (1L << bits),
+    when(v.isNull || v < 0L || v >= (1L << bits),
       raise_error(concat(
-        lit(s"zOrderWrite: $name out of [0, ${1L << bits}): "), v.cast("string"))))
+        lit(s"zOrderWrite: $name out of [0, ${1L << bits}): "),
+        coalesce(v.cast("string"), lit("NULL")))))
       .otherwise(v)
   }
 

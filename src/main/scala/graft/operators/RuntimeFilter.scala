@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Explicit runtime-filter (bloom) join pruning (SURVEY §2 "Optimize for
   * scale" — no reference counterpart; the pattern is Spark's own AQE
@@ -26,6 +27,11 @@ import org.apache.spark.sql.functions._
   *  - False positives are harmless: the REAL join follows and removes them,
   *    so results are exactly the plain join's (RuntimeFilterSpec proves
   *    equality; the oracle for q80 is the plain SQL join).
+  *  - Hashing is WIDTH-CANONICAL: `xxhash64` hashes an Int and a Long of
+  *    the same value differently, while joins compare through implicit
+  *    casts — so every entry point resolves its key's type from the
+  *    DataFrame and hashes integral keys through `long`. Build and probe
+  *    sides therefore agree even when their key widths differ.
   *
   * Spark's AQE bloom injection (`spark.sql.optimizer.runtime.bloomFilter
   * .enabled`) covers the automatic case behind size thresholds; this
@@ -35,6 +41,18 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilter {
 
+  private def integral(t: DataType) =
+    t == ByteType || t == ShortType || t == IntegerType || t == LongType
+
+  /** The key as hashed: integral types widen to long so mixed-width
+    * build/probe pairs hash identically. Resolved against `df`'s schema
+    * (a bare Column has no type until resolved).
+    */
+  private def canon(df: DataFrame, key: Column): Column = {
+    val dt = df.select(key).schema.head.dataType
+    if (integral(dt)) key.cast("long") else key
+  }
+
   /** k hash positions for a key column: `xxhash64(i, key) mod numBits`.
     * Seeding by prepending the function index makes the k functions
     * independent; xxhash64 is codegen'd and cheap (one pass per row).
@@ -42,15 +60,17 @@ object RuntimeFilter {
   private def positions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
 
-  /** Build the bitset from the build side's keys. Runs one Spark job:
-    * explode k positions per row → distinct (≤ numBits values) → collect.
+  /** Build the bitset from the build side's keys (integral keys hashed as
+    * long — see [[canon]]). Runs one Spark job: explode k positions per
+    * row → distinct (≤ numBits values) → collect.
     */
   def bloomBits(build: DataFrame, key: Column, numBits: Int = 1 << 16,
                 numHashes: Int = 3): Array[Long] = {
     require(numBits % 64 == 0, s"numBits must be a multiple of 64, got $numBits")
     val words = new Array[Long](numBits / 64)
     build
-      .select(explode(array(positions(key, numBits, numHashes): _*)).as("pos"))
+      .select(explode(array(
+        positions(canon(build, key), numBits, numHashes): _*)).as("pos"))
       .distinct()
       .collect()
       .foreach { r =>
@@ -60,7 +80,20 @@ object RuntimeFilter {
     words
   }
 
-  /** Membership probe against a literal bitset: all k bits must be set.
+  /** Standalone probe-side pruning: keep the rows whose key might be in
+    * the bloom. This is the entry point for semi-join-style use without a
+    * trailing exact join — it canonicalizes the key like [[bloomBits]]
+    * does, so mixed integral widths stay correct. Output may contain
+    * false positives (bounded by the bloom's fpp), never false negatives.
+    */
+  def prune(probe: DataFrame, key: Column, words: Array[Long],
+            numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame =
+    probe.filter(mightContain(canon(probe, key), words, numBits, numHashes))
+
+  /** Low-level membership probe against a literal bitset: all k bits must
+    * be set. The key is hashed AS PASSED — callers with integral keys must
+    * pre-cast to long to match [[bloomBits]]'s canonical form (or use
+    * [[prune]]/[[bloomPrunedJoin]], which do it from the schema).
     * NULL keys are rejected explicitly (`isNotNull` leads the conjunction)
     * — Spark's `xxhash64` SKIPS null inputs rather than returning null, so
     * without the guard a NULL key would probe the seed-only positions and
@@ -85,6 +118,9 @@ object RuntimeFilter {
   /** Bloom-pruned inner equi-join: build a bloom filter from `build`'s
     * keys, pre-filter `probe` scan-local, then run the exact join. The
     * output equals `probe.join(build, probeKey === buildKey)` exactly.
+    * Key types must match or both be integral (canonicalized to long for
+    * hashing); anything else is rejected loudly rather than silently
+    * returning an empty result.
     *
     * The build side is materialized twice (once for the bitset, once for
     * the join) — at scale, cache or checkpoint it if it is expensive to
@@ -94,26 +130,17 @@ object RuntimeFilter {
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
                       probeKey: String, buildKey: String,
                       numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
-    // xxhash64 is TYPE-sensitive (an Int and a Long of the same value hash
-    // differently), while the exact join compares through implicit casts —
-    // hash both sides through one canonical type or the bloom would
-    // false-negative every row of a (e.g.) INT-vs-BIGINT key pair.
-    def integral(t: DataType) =
-      t == ByteType || t == ShortType || t == IntegerType || t == LongType
-    val (pKey, bKey) = (probe.schema(probeKey).dataType,
-        build.schema(buildKey).dataType) match {
-      case (p, b) if p == b => (col(probeKey), col(buildKey))
+    (probe.schema(probeKey).dataType, build.schema(buildKey).dataType) match {
+      case (p, b) if p == b =>
       case (p, b) if integral(p) && integral(b) =>
-        (col(probeKey).cast("long"), col(buildKey).cast("long"))
       case (p, b) => throw new IllegalArgumentException(
         s"bloomPrunedJoin: key types must match or both be integral, " +
           s"got $probeKey: $p vs $buildKey: $b")
     }
-    val words = bloomBits(build, bKey, numBits, numHashes)
+    val words = bloomBits(build, col(buildKey), numBits, numHashes)
     // dataframe-qualified join keys: with probeKey == buildKey the bare
     // col(...) form would be ambiguous against the joined plan
-    val pruned = probe.filter(mightContain(pKey, words, numBits, numHashes))
+    val pruned = prune(probe, col(probeKey), words, numBits, numHashes)
     pruned.join(build, pruned(probeKey) === build(buildKey))
   }
 }

@@ -108,6 +108,10 @@ object CorpusPipeline {
         slice(col("__toks"), col("col") + 1, lit(w)).as("chunk"))
   }
 
+  /** Default chunk geometry, shared with q78 (ScaleQueries). */
+  val DefaultChunkW = 64
+  val DefaultChunkS = 48
+
   /** Packaging stage — the step between "cleaned corpus" and "training
     * shards": cap documents per source (best-quality first, q79's
     * WindowGroupLimit shape, so the shuffle carries O(cap·sources) rows),
@@ -116,10 +120,6 @@ object CorpusPipeline {
     * chunk-level with provenance and a portable fingerprint for
     * chunk-level dedup downstream.
     */
-  /** Default chunk geometry, shared with q78 (ScaleQueries). */
-  val DefaultChunkW = 64
-  val DefaultChunkS = 48
-
   def packageStage(cleaned: DataFrame, capPerSource: Int = 10,
                    chunkW: Int = DefaultChunkW,
                    chunkS: Int = DefaultChunkS): DataFrame = {

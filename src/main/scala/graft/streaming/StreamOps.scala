@@ -18,7 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * unbounded-join-state defect (SURVEY.md §7.4-2) is deliberately not
   * reproduced.
   */
-object StreamOps {
+// Serializable: the stateful-op closures call helpers on this (stateless)
+// module, and depending on the exact call shape the compiled lambda can
+// capture the module instance — which then rides along in the serialized
+// task closure.
+object StreamOps extends Serializable {
 
   /** A page-view event for the jump (bounce) detector and UV flagger.
     * `lastPageId == None` marks a session entry (reference predicate,
@@ -75,6 +79,14 @@ object StreamOps {
     java.time.LocalDate.parse(isoDate).plusDays(1).atStartOfDay(zone)
       .toInstant.toEpochMilli
 
+  /** ISO day bucket of an epoch-millis instant under an explicit zone —
+    * the one day-bucketing rule every daily-state operator in this file
+    * shares (the reference hardcodes GMT+8, …/utils/DateFormatUtil.java:19;
+    * the zone parameter is SURVEY.md §7.4-6's fix).
+    */
+  private[graft] def localDay(tsMs: Long, zone: java.time.ZoneId): String =
+    java.time.Instant.ofEpochMilli(tsMs).atZone(zone).toLocalDate.toString
+
   /** Set an eviction timeout of at least `atMs`, clamped above the current
     * watermark: in a multi-stateful-op chain, upstream operators (dedup
     * flushes, window finalizations) legitimately emit rows whose event time
@@ -123,11 +135,7 @@ object StreamOps {
             val out = scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]()
             var lastDate = state.getOption.getOrElse("")
             events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              // day bucketing under an EXPLICIT zone — the reference
-              // hardcodes GMT+8 (…/utils/DateFormatUtil.java:19); making it a
-              // parameter is SURVEY.md §7.4-6's fix
-              val d = java.time.Instant.ofEpochMilli(e.ts.getTime)
-                .atZone(zone).toLocalDate.toString
+              val d = localDay(e.ts.getTime, zone)
               out += ((mid, d, d != lastDate))
               if (d != lastDate) lastDate = d
             }
@@ -216,7 +224,7 @@ object StreamOps {
       : Dataset[(String, String, java.sql.Timestamp)] = {
     import spark.implicits._
     def day(ts: java.sql.Timestamp) =
-      java.time.Instant.ofEpochMilli(ts.getTime).atZone(zone).toLocalDate
+      java.time.LocalDate.parse(localDay(ts.getTime, zone))
     val func = (mid: String, events: Iterator[(String, String, java.sql.Timestamp)],
                 state: GroupState[String]) =>
       if (state.hasTimedOut) {
@@ -268,11 +276,17 @@ object StreamOps {
     * batch recap (q79's quality-ranked WindowGroupLimit) refines the pick
     * — the standard lambda split, same as the dedup stages.
     *
-    * Rows: (key, id, ts). Emits admitted rows only. State is one
-    * (date, count) pair per active key, evicted at end-of-day(lastDate)
-    * via `EventTimeTimeout` — O(keys active today), and eviction is
+    * Rows: (key, id, ts). Emits admitted rows only. State is a per-date
+    * count map per active key — ALL dates still inside the watermark
+    * horizon, not just the latest: a within-watermark late event for
+    * yesterday must see yesterday's count (a single (date, count) pair
+    * would reset on every boundary-crossing event and over-admit). Dates
+    * whose end-of-day the watermark has passed can receive no more events
+    * and are pruned each invocation; the whole key evicts at
+    * end-of-day(max date) via `EventTimeTimeout`. State is O(keys active
+    * today × days spanned by the watermark delay), and eviction is
     * semantically free: a post-eviction event is on a new date by
-    * construction, which resets the count anyway.
+    * construction, which starts a fresh count anyway.
     */
   def admissionCap(spark: SparkSession,
                    rows: Dataset[(String, Long, java.sql.Timestamp)], k: Int,
@@ -282,23 +296,26 @@ object StreamOps {
     import spark.implicits._
     require(k >= 1, s"admission cap must be >= 1, got $k")
     withEventTime(rows, "_3", delay).groupByKey(_._1)
-      .flatMapGroupsWithState[(String, Int), (String, Long, java.sql.Timestamp)](
+      .flatMapGroupsWithState[Map[String, Int], (String, Long, java.sql.Timestamp)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key, events, state: GroupState[(String, Int)]) =>
+        (key, events, state: GroupState[Map[String, Int]]) =>
           if (state.hasTimedOut) {
-            state.remove() // idle ≥ 1 day: next event resets the day count
+            state.remove() // idle ≥ 1 day: next event starts a fresh count
             Iterator.empty
           } else {
-            var (date, count) = state.getOption.getOrElse(("", 0))
+            val wm = try state.getCurrentWatermarkMs() catch {
+              case _: UnsupportedOperationException => Long.MinValue
+            }
+            var counts = state.getOption.getOrElse(Map.empty[String, Int])
+              .filter { case (d, _) => endOfDayMs(d, zone) > wm } // closed days
             val out = scala.collection.mutable.ArrayBuffer[(String, Long, java.sql.Timestamp)]()
             events.toSeq.sortBy(e => (e._3.getTime, e._2)).foreach { e =>
-              val d = java.time.Instant.ofEpochMilli(e._3.getTime)
-                .atZone(zone).toLocalDate.toString
-              if (d != date) { date = d; count = 0 }
-              if (count < k) { out += e; count += 1 }
+              val d = localDay(e._3.getTime, zone)
+              val c = counts.getOrElse(d, 0)
+              if (c < k) { out += e; counts = counts.updated(d, c + 1) }
             }
-            state.update((date, count))
-            setEvictionAt(state, endOfDayMs(date, zone))
+            state.update(counts)
+            setEvictionAt(state, endOfDayMs(counts.keys.max, zone))
             out.iterator
           }
       }

@@ -125,6 +125,35 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("admissionCap: within-watermark late rows for a previous day see that day's count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(day: Int, hms: String) =
+      java.sql.Timestamp.valueOf(f"2024-01-0$day $hms")
+    val in = MemoryStream[(String, Long, java.sql.Timestamp)]
+    // generous watermark delay so the cross-day late row is NOT dropped as
+    // late — the exact case a single (date,count) state would mishandle
+    val q = graft.streaming.StreamOps.admissionCap(spark, in.toDS(), k = 2,
+        delay = "2 hours")
+      .map(r => r._2)
+      .writeStream.format("memory").queryName("admit_late").outputMode("append").start()
+    try {
+      in.addData(("s1", 1L, ts(1, "23:58:00")), ("s1", 2L, ts(1, "23:58:30")))
+      q.processAllAvailable() // day-1 count = 2 (at cap)
+      in.addData(("s1", 3L, ts(2, "00:00:10"))) // day-2: admitted, count(d2)=1
+      q.processAllAvailable()
+      in.addData(
+        ("s1", 4L, ts(1, "23:59:00")), // LATE day-1 row, within watermark: at cap -> dropped
+        ("s1", 5L, ts(2, "00:00:20"))) // day-2 second admission
+      q.processAllAvailable()
+      in.addData(("s1", 6L, ts(2, "00:00:30"))) // day-2 over cap -> dropped
+      q.processAllAvailable()
+      val got = spark.table("admit_late").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 3L, 5L),
+        s"late day-1 row must NOT reset day-1's count (and day-2 must keep its own): $got")
+    } finally q.stop()
+  }
+
   test("streamingIngest: quality filter + exact dedup run incrementally; first arrival wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

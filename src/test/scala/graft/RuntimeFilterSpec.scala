@@ -64,6 +64,14 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(got == Seq(2, 7), s"mixed-width join lost rows: $got")
   }
 
+  test("standalone prune canonicalizes mixed integral widths like the join") {
+    val build = Seq(5, 6).toDF("k") // int
+    val words = RuntimeFilter.bloomBits(build, $"k")
+    val probe = Seq(5L, 6L, 7L, 8L).toDF("k") // long
+    val kept = RuntimeFilter.prune(probe, $"k", words).as[Long].collect().toSet
+    assert(Set(5L, 6L).subsetOf(kept), s"build keys must survive prune: $kept")
+  }
+
   test("same-named keys on both sides join unambiguously") {
     val probe = Seq((1L, "a"), (2L, "b")).toDF("k", "pv")
     val build = Seq((2L, "x")).toDF("k", "bv")

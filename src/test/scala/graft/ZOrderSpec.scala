@@ -78,6 +78,13 @@ class ZOrderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Layout.boxQuery(spark, dir, "zx", "zy", bits, prefixBits, 0, 300, 0, 5)
     }
+    // NULL coordinates fail the write too (no place on the curve)
+    val withNull = Seq((Some(1L), 5L), (None, 6L)).toDF("zx", "zy")
+    val ne = intercept[Exception] {
+      Layout.zOrderWrite(withNull, "zx", "zy", bits, prefixBits, dir)
+    }
+    assert(messages(ne).exists(m => m.contains("out of [0, 256)") && m.contains("NULL")),
+      s"expected the NULL range error, got: $ne")
   }
 
   test("z-range superset property: every box point's z lies in the corner range") {
