@@ -123,19 +123,13 @@ object ScaleQueries {
     * At 100 TB the same shape holds; if even the gram-keyed aggregate is
     * too hot, a count-min sketch + candidate re-count replaces exactness.
     */
-  val q83_frequent_ngrams: Q = (s, dir) => {
-    val toks = tokens(col("text"))
-    val grams = transform(
-      sequence(lit(0), size(toks) - 2),
-      i => concat(element_at(toks, i + 1), lit("_"), element_at(toks, i + 2)))
+  val q83_frequent_ngrams: Q = (s, dir) =>
     t(s, dir).documents
-      .filter(size(toks) >= 2)
-      .select(explode(grams).as("gram"))
+      .select(explode(shingles(tokens(col("text")), 2)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(50)
-  }
 
   def all: Map[String, Q] = Map(
     "q78_chunk_overlap" -> q78_chunk_overlap,
