@@ -60,4 +60,24 @@ class PlanAuditSpec extends AnyFunSuite {
         "a new shuffle boundary appeared; check join strategy / window keys")
     }
   }
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+
+  // Plan-SHAPE pins: operators whose scale story depends on a specific
+  // physical operator, not just the exchange count.
+  test("q79 / q16 rank-filters compile to WindowGroupLimit (map-side per-group top-k)") {
+    Seq("q79_domain_cap", "q16_topk").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"),
+        s"$q must push a per-partition group limit below the shuffle — " +
+          "without it the window shuffles the whole group contents")
+    }
+  }
+
+  test("q83 global top-k compiles to TakeOrdered, not a global sort") {
+    assert(plan("q83_frequent_ngrams").contains("TakeOrderedAndProject"),
+      "q83 must plan TakeOrderedAndProject; a Sort + Limit materializes " +
+        "a global sort of the full aggregate")
+  }
 }
