@@ -37,7 +37,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q63_multimodal_resize" -> 0,
     "q65_dedup_exact_wide" -> 1,  // md5 fingerprint groupBy — same shape as q26
     "q67_repetition" -> 0,        // per-row HOFs only
-    "q68_tfidf" -> 4,             // two-pass weighting: tf agg, df agg, re-key join on term
+    "q68_tfidf" -> 2,             // tf agg, then df as a count window on the term
     "q69_contamination" -> 1,     // broadcast eval probe; one exchange for the pair count
     "q70_stratified_sample" -> 1, // per-row hash keep-rule, one source groupBy
     "q71_pack_sequences" -> 1,    // one window over (source, doc_id)
