@@ -46,6 +46,48 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("shingles (zip_with form) equals the definitional sliding window for random token lists and n in 1..4") {
+    import graft.functions.TextFunctions
+    val tokList = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    val drawn = cases(tokList, 40)
+    for (n <- 1 to 4) {
+      val got = drawn.zipWithIndex.toDF("toks", "i")
+        .select($"i", TextFunctions.shingles($"toks", n).as("sh"))
+        .as[(Int, Seq[String])].collect().toMap
+      drawn.zipWithIndex.foreach { case (toks, i) =>
+        val expected = if (toks.length < n) Seq.empty
+          else toks.sliding(n).map(_.mkString("_")).toSeq
+        assert(got(i) == expected, s"n=$n toks=$toks: ${got(i)} != $expected")
+      }
+    }
+  }
+
+  test("simhashPairs first-match dedup equals brute-force Hamming pairs on random corpora") {
+    // small random corpora of near-duplicate-prone texts: draw from a tiny
+    // vocabulary so block collisions and multi-block collisions both occur
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val doc = Gen.chooseNum(3, 8).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val corpus = cases(Gen.listOfN(12, doc), 5)
+    corpus.foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bits = 32
+      val maxH = 3
+      val got = Dedup.simhashPairs(df, "doc_id", "text", bits, maxH)
+        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      val sims = Dedup.simhashOf(df, "doc_id", "text", bits)
+        .as[(Long, Long)].collect().toMap
+      val expected = (for {
+        a <- sims.keys; b <- sims.keys if a < b
+        if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= maxH
+      } yield (a, b)).toSet
+      assert(got == expected, s"pairs mismatch on corpus $docs")
+      // and no pair is emitted twice (the first-match rule's whole point)
+      val all = Dedup.simhashPairs(df, "doc_id", "text", bits, maxH)
+        .select($"d1", $"d2").as[(Long, Long)].collect()
+      assert(all.length == all.distinct.length, "duplicate pair emitted")
+    }
+  }
+
   test("simhash: deterministic, within bit width, hamming-to-self 0") {
     val hashes = Gen.nonEmptyListOf(Gen.chooseNum(0L, PolyHash.Mod - 1))
     cases(hashes, 50).foreach { hs =>
