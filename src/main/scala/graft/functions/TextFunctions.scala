@@ -67,11 +67,15 @@ object TextFunctions {
   }
 
   /** `n`-token shingles (joined with '_'), e.g. tokens [a,b,c,d], n=3 →
-    * ["a_b_c","b_c_d"]. Empty when the document has fewer than n tokens.
+    * ["a_b_c","b_c_d"]. Empty when the document has fewer than n tokens
+    * — including a NULL token array (same contract as the original
+    * `when(size >= n)` form). Elements must be non-null ([[tokens]]
+    * guarantees this); an interior null would null out its shingles and
+    * shift later positions.
     *
     * Built by zipping the token array with its own tails (n−1 `zip_with`
     * passes) instead of `transform(sequence(...), i -> slice(...))`: the
-    * index-array form allocates a per-index slice and measured ~6× slower
+    * index-array form allocates a per-index slice and probed ~6× slower
     * on the corpus scan (q83's first formulation). `zip_with` null-pads
     * the shorter side, so entries past position size−n concat to null and
     * the final filter drops exactly that tail — positions of surviving
@@ -82,7 +86,7 @@ object TextFunctions {
     val joined = (1 until n).foldLeft(toks)((acc, off) =>
       zip_with(acc, slice(toks, lit(off + 1), size(toks)),
         (a, b) => concat(a, lit("_"), b)))
-    filter(joined, _.isNotNull)
+    coalesce(filter(joined, _.isNotNull), array().cast("array<string>"))
   }
 
   /** Distinct shingle hashes — the standard MinHash input set. Native

@@ -172,8 +172,8 @@ object Dedup {
     * first-matching-block rule: a pair is kept only where no earlier
     * block also matches — a scan-local filter on the two signatures,
     * instead of a `distinct()` that re-shuffles the whole candidate-pair
-    * set (at 100 TB the pair set is the largest intermediate; measured
-    * 2× on the sf0.1 bench).
+    * set (at 100 TB the pair set is the largest intermediate; probed
+    * 1.95 s → 0.69 s at sf0.1).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int, maxHamming: Int): DataFrame = {

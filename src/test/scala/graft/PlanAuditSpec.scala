@@ -15,11 +15,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
-  private def shuffles(q: String): Int = {
-    val plan = SparkEntry.queries(q)(spark, TestSession.sf)
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSession.sf)
       .queryExecution.executedPlan.toString
-    "Exchange (hash|range)partitioning".r.findAllIn(plan).size
-  }
+
+  private def shuffles(q: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(plan(q)).size
 
   // (query, max shuffle exchanges allowed)
   private val budget = Seq(
@@ -60,10 +61,6 @@ class PlanAuditSpec extends AnyFunSuite {
         "a new shuffle boundary appeared; check join strategy / window keys")
     }
   }
-
-  private def plan(q: String): String =
-    SparkEntry.queries(q)(spark, TestSession.sf)
-      .queryExecution.executedPlan.toString
 
   // Plan-SHAPE pins: operators whose scale story depends on a specific
   // physical operator, not just the exchange count.

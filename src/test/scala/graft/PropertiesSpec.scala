@@ -60,6 +60,11 @@ class PropertiesSpec extends AnyFunSuite {
         assert(got(i) == expected, s"n=$n toks=$toks: ${got(i)} != $expected")
       }
     }
+    // NULL token array -> empty array, not NULL (the pre-rewrite contract)
+    val onNull = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("toks")
+      .select(graft.functions.TextFunctions.shingles($"toks", 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(onNull == Seq.empty, s"shingles(NULL) must be [], got $onNull")
   }
 
   test("simhashPairs first-match dedup equals brute-force Hamming pairs on random corpora") {
@@ -72,18 +77,16 @@ class PropertiesSpec extends AnyFunSuite {
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
       val bits = 32
       val maxH = 3
-      val got = Dedup.simhashPairs(df, "doc_id", "text", bits, maxH)
-        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      val all = Dedup.simhashPairs(df, "doc_id", "text", bits, maxH)
+        .select($"d1", $"d2").as[(Long, Long)].collect()
       val sims = Dedup.simhashOf(df, "doc_id", "text", bits)
         .as[(Long, Long)].collect().toMap
       val expected = (for {
         a <- sims.keys; b <- sims.keys if a < b
         if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= maxH
       } yield (a, b)).toSet
-      assert(got == expected, s"pairs mismatch on corpus $docs")
+      assert(all.toSet == expected, s"pairs mismatch on corpus $docs")
       // and no pair is emitted twice (the first-match rule's whole point)
-      val all = Dedup.simhashPairs(df, "doc_id", "text", bits, maxH)
-        .select($"d1", $"d2").as[(Long, Long)].collect()
       assert(all.length == all.distinct.length, "duplicate pair emitted")
     }
   }

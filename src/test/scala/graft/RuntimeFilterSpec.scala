@@ -87,6 +87,32 @@ class RuntimeFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("Spark's own AQE runtime bloom filter injects on the same join shape") {
+    // the built-in automatic path this operator complements: with the size
+    // thresholds lowered to the test scale, InjectRuntimeFilter plants a
+    // bloom_filter subquery on the fact side of the selective join
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // the probe side must look big enough to be worth filtering — the
+      // default is 10GB, far above any test-scale scan
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffled join
+    val saved = confs.map { case (k, _) => k -> util.Try(spark.conf.get(k)).toOption }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val urgent = tables.orders
+        .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      val joined = tables.lineitem.join(urgent, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter in:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("NULL probe keys are dropped, matching inner-join semantics") {
     val build = Seq(1L, 2L, 3L).toDF("k")
     val words = RuntimeFilter.bloomBits(build, $"k")
