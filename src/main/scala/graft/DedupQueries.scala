@@ -74,6 +74,19 @@ object DedupQueries {
   val q65_dedup_exact_wide: Q = (s, dir) =>
     Dedup.exactDedup(t(s, dir).documents, "doc_id", "text", wide = true)
 
+  /** Incremental exact dedup (continuous ingest): the shard doc_id >= 250
+    * arrives against the fingerprint index of the already-admitted corpus
+    * (doc_id < 250) — in-shard keep-min-id, then anti-join the index.
+    * Only fingerprints shuffle; the corpus is never rescanned.
+    */
+  val q84_incremental_dedup: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val index = Dedup.fingerprints(docs.filter(col("doc_id") < 250), "text")
+    Dedup.incrementalExact(
+        docs.filter(col("doc_id") >= 250), index, "doc_id", "text")
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** The full composed corpus pipeline (quality → wide exact dedup →
     * MinHash-LSH components → embedding-cosine components): final
     * survivors. The oracle replays every stage in DuckDB, resolving both
@@ -109,7 +122,8 @@ object DedupQueries {
     "q29_simhash" -> q29_simhash,
     "q30_simhash_pairs" -> q30_simhash_pairs,
     "q65_dedup_exact_wide" -> q65_dedup_exact_wide,
-    "q66_corpus_survivors" -> q66_corpus_survivors)
+    "q66_corpus_survivors" -> q66_corpus_survivors,
+    "q84_incremental_dedup" -> q84_incremental_dedup)
 
   // Shared oracle CTE fragments (DuckDB).
   private val polyHashSql = (e: String) =>
@@ -202,7 +216,16 @@ object DedupQueries {
          |  SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents)
          |GROUP BY fp""".stripMargin,
     "q66_corpus_survivors" -> corpusSurvivorsOracle,
-    "q77_corpus_funnel" -> corpusFunnelOracle)
+    "q77_corpus_funnel" -> corpusFunnelOracle,
+    "q84_incremental_dedup" ->
+      """WITH nw AS (
+        |  SELECT doc_id, md5(trim(lower(text))) AS fp
+        |  FROM documents WHERE doc_id >= 250),
+        |first AS (SELECT fp, min(doc_id) AS doc_id FROM nw GROUP BY fp)
+        |SELECT doc_id, fp FROM first f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents d
+        |  WHERE d.doc_id < 250 AND md5(trim(lower(d.text))) = f.fp)""".stripMargin)
 
   /** q66: every CorpusPipeline stage replayed in DuckDB. Candidate
     * generation (LSH bands / hyperplane buckets) is per-doc, so computing

@@ -91,6 +91,76 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Incremental exact dedup: survivors of a NEW batch against a
+    * persisted fingerprint index — the continuous-ingest form of
+    * [[exactDedup]]. A growing corpus cannot rescan itself per shard; it
+    * keeps an index of fingerprints already admitted and dedups each new
+    * batch as (a) in-batch keep-min-id, then (b) anti-join against the
+    * index. Both sides shuffle only fingerprints (16 bytes wide), never
+    * text; the anti-join is a broadcast when the index fits, shuffled
+    * otherwise — either way O(|batch| + |index|) with no n² term.
+    *
+    * `index`: one column `fp` (as produced by [[fingerprints]]). Returns
+    * the admitted rows of `newDocs` (full rows, `fp` attached) — append
+    * their `fp` to the index to admit the next shard.
+    */
+  def incrementalExact(newDocs: DataFrame, index: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val withFp = newDocs.withColumn("fp", md5(trim(lower(col(textCol)))))
+    val firstInBatch = withFp
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    withFp.join(firstInBatch, Seq("fp", idCol)) // in-batch keep-min-id
+      .join(index, Seq("fp"), "left_anti")      // not already admitted
+  }
+
+  /** The fingerprint index rows for a batch of admitted docs (wide MD5 —
+    * the production width; see [[exactDedup]]'s contrast).
+    */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(md5(trim(lower(col(textCol)))).as("fp"))
+
+  /** Incremental NEAR dedup: drop new docs that are near-duplicates of
+    * ALREADY-ADMITTED docs, using a persisted signature index — the
+    * continuous-ingest form of [[nearDupPairs]].
+    *
+    * `indexSigs` is [[minhashSignatures]] output persisted from previous
+    * shards (idCol, hashes, sig). Candidates = new docs sharing any LSH
+    * band with an index doc (band keys only in the shuffle, exactly like
+    * the batch form); verification = exact Jaccard on the stored distinct
+    * shingle-hash sets, dropped at `jacc >= threshold`. In-batch near-dups
+    * are NOT resolved here — run [[nearDupPairs]] + [[duplicateClusters]]
+    * on the survivors (the batch recap), or admit shards small enough
+    * that in-shard duplication is handled by the next index rebuild.
+    * Returns the surviving rows of `newDocs`.
+    */
+  def incrementalNearDup(newDocs: DataFrame, indexSigs: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, k: Int, bands: Int,
+                         threshold: Double): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must divide into bands=$bands")
+    val r = k / bands
+    def bandKeys(sigs: DataFrame, side: String) = {
+      val bandStructs = array((0 until bands).map { b =>
+        struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("bk"))
+      }: _*)
+      sigs.select(col(idCol).as(side), col("hashes").as(s"h_$side"),
+          explode(bandStructs).as("bb"))
+        .select(col(side), col(s"h_$side"),
+          col("bb.band").as("band"), col("bb.bk").as("bk"))
+    }
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+    val cand = bandKeys(newSigs, "nid")
+      .join(bandKeys(indexSigs, "xid"), Seq("band", "bk"))
+      .select(col("nid"), col("h_nid"), col("h_xid"))
+    val inter = size(array_intersect(col("h_nid"), col("h_xid"))).cast("double")
+    val union = (size(col("h_nid")) + size(col("h_xid"))).cast("double") - inter
+    val dropped = cand
+      .filter(round(inter / union, 6) >= threshold)
+      .select(col("nid").as(idCol)).distinct()
+    newDocs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Duplicate-cluster resolution: connected components over the near-dup
     * pair graph by iterative min-label propagation — the correct keep rule
     * at scale (keep ONE doc per component; pairwise d2-dropping can drop

@@ -94,6 +94,39 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L), s"chain not fully converged: $labels")
   }
 
+  test("incrementalExact: in-shard min-id wins, index fps rejected, idempotent after index update") {
+    val index = Seq((1L, "the quick brown fox"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "  The Quick Brown Fox "), // dup of indexed 1 after normalize
+      (11L, "fresh new content here"),
+      (12L, "fresh new content here"), // in-shard dup of 11 -> min id wins
+      (13L, "another novel document")).toDF("doc_id", "text")
+    val fpIndex = Dedup.fingerprints(index, "text")
+    val admitted = Dedup.incrementalExact(shard, fpIndex, "doc_id", "text")
+    assert(admitted.select($"doc_id").as[Long].collect().toSet == Set(11L, 13L))
+    // append admitted fps to the index: re-offering the same shard admits nothing
+    val updated = fpIndex.union(admitted.select($"fp"))
+    assert(Dedup.incrementalExact(shard, updated, "doc_id", "text").count() == 0)
+  }
+
+  test("incrementalNearDup: near-dups of indexed docs dropped, novel docs survive") {
+    // 60-token doc: appending one token keeps jaccard ~0.98, so the
+    // signatures agree on (at least) one full band with certainty for any
+    // hash constants that agree on ~all entries
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val index = Seq((1L, base)).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, base + " extra"),                     // near-dup of indexed 1
+      (11L, "completely different words entirely unrelated to anything")
+    ).toDF("doc_id", "text")
+    val indexSigs = Dedup.minhashSignatures(index, "doc_id", "text", 3, 16)
+    val kept = Dedup.incrementalNearDup(shard, indexSigs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5)
+    assert(kept.select($"doc_id").as[Long].collect().toSet == Set(11L),
+      "the near-dup of the indexed doc must drop; the novel doc must survive")
+  }
+
   test("shingles guard: doc shorter than n yields empty set, null-safe minhash") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 4)
