@@ -33,9 +33,16 @@ object Dedup {
     * (DedupSpec pins both behaviors). Structure is identical either way:
     * only the fingerprint expression and the shuffled key width change.
     */
+  /** The production-width normalized-text fingerprint — ONE definition
+    * shared by [[exactDedup]], [[fingerprints]], and [[incrementalExact]]:
+    * the incremental path matches the persisted index byte-for-byte only
+    * because both sides compute exactly this expression.
+    */
+  private def wideFp(textCol: String): Column = md5(trim(lower(col(textCol))))
+
   def exactDedup(df: DataFrame, idCol: String, textCol: String,
                  wide: Boolean = false): DataFrame = {
-    val fp = if (wide) md5(trim(lower(col(textCol))))
+    val fp = if (wide) wideFp(textCol)
              else polyHash(trim(lower(col(textCol))))
     df.select(fp.as("fp"), col(idCol))
       .groupBy(col("fp"))
@@ -96,9 +103,18 @@ object Dedup {
     * [[exactDedup]]. A growing corpus cannot rescan itself per shard; it
     * keeps an index of fingerprints already admitted and dedups each new
     * batch as (a) in-batch keep-min-id, then (b) anti-join against the
-    * index. Both sides shuffle only fingerprints (16 bytes wide), never
-    * text; the anti-join is a broadcast when the index fits, shuffled
-    * otherwise — either way O(|batch| + |index|) with no n² term.
+    * index.
+    *
+    * Shuffle shape: only (fp, id) pairs — 16 + 8 bytes — ever cross an
+    * exchange (the keep-min-id aggregate and the index anti-join); the
+    * shard's full rows never shuffle, because the admitted ID SET joins
+    * back as a broadcast semi-join. The id set is O(one shard), which is
+    * the bounded ingest unit by definition; the index side is
+    * O(corpus fingerprints) and shuffles or broadcasts as the optimizer
+    * sizes it. A NULL-text row carries a NULL fingerprint, which matches
+    * nothing in the index and groups alone in the aggregate — it is
+    * admitted, matching both [[exactDedup]] and the q84 oracle's
+    * NOT EXISTS semantics.
     *
     * `index`: one column `fp` (as produced by [[fingerprints]]). Returns
     * the admitted rows of `newDocs` (full rows, `fp` attached) — append
@@ -106,18 +122,20 @@ object Dedup {
     */
   def incrementalExact(newDocs: DataFrame, index: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
-    val withFp = newDocs.withColumn("fp", md5(trim(lower(col(textCol)))))
-    val firstInBatch = withFp
-      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
-    withFp.join(firstInBatch, Seq("fp", idCol)) // in-batch keep-min-id
-      .join(index, Seq("fp"), "left_anti")      // not already admitted
+    val withFp = newDocs.withColumn("fp", wideFp(textCol))
+    val admittedIds = withFp
+      .select(col("fp"), col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol)) // in-batch keep-min-id
+      .join(index, Seq("fp"), "left_anti")               // not already admitted
+      .select(col(idCol))
+    withFp.join(broadcast(admittedIds), Seq(idCol), "left_semi")
   }
 
   /** The fingerprint index rows for a batch of admitted docs (wide MD5 —
     * the production width; see [[exactDedup]]'s contrast).
     */
   def fingerprints(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(md5(trim(lower(col(textCol)))).as("fp"))
+    docs.select(wideFp(textCol).as("fp"))
 
   /** Incremental NEAR dedup: drop new docs that are near-duplicates of
     * ALREADY-ADMITTED docs, using a persisted signature index — the
@@ -140,22 +158,27 @@ object Dedup {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands")
     val r = k / bands
+    // band join carries IDS ONLY (O(bands) longs per doc, the module
+    // invariant); multi-band collisions collapse to distinct pairs BEFORE
+    // the shingle-hash arrays join back for verification — near-dup pairs
+    // are exactly the ones matching many bands, so verifying per band
+    // would multiply the most expensive Jaccards
     def bandKeys(sigs: DataFrame, side: String) = {
       val bandStructs = array((0 until bands).map { b =>
         struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("bk"))
       }: _*)
-      sigs.select(col(idCol).as(side), col("hashes").as(s"h_$side"),
-          explode(bandStructs).as("bb"))
-        .select(col(side), col(s"h_$side"),
-          col("bb.band").as("band"), col("bb.bk").as("bk"))
+      sigs.select(col(idCol).as(side), explode(bandStructs).as("bb"))
+        .select(col(side), col("bb.band").as("band"), col("bb.bk").as("bk"))
     }
     val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
     val cand = bandKeys(newSigs, "nid")
       .join(bandKeys(indexSigs, "xid"), Seq("band", "bk"))
-      .select(col("nid"), col("h_nid"), col("h_xid"))
+      .select(col("nid"), col("xid")).distinct()
     val inter = size(array_intersect(col("h_nid"), col("h_xid"))).cast("double")
     val union = (size(col("h_nid")) + size(col("h_xid"))).cast("double") - inter
     val dropped = cand
+      .join(newSigs.select(col(idCol).as("nid"), col("hashes").as("h_nid")), "nid")
+      .join(indexSigs.select(col(idCol).as("xid"), col("hashes").as("h_xid")), "xid")
       .filter(round(inter / union, 6) >= threshold)
       .select(col("nid").as(idCol)).distinct()
     newDocs.join(dropped, Seq(idCol), "left_anti")

@@ -108,6 +108,12 @@ class DedupSpec extends AnyFunSuite {
     // append admitted fps to the index: re-offering the same shard admits nothing
     val updated = fpIndex.union(admitted.select($"fp"))
     assert(Dedup.incrementalExact(shard, updated, "doc_id", "text").count() == 0)
+    // NULL text -> NULL fp: matches nothing in the index, admitted (same
+    // as the batch groupBy and the q84 oracle's NOT EXISTS semantics)
+    val withNull = shard.union(Seq((14L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val admitted2 = Dedup.incrementalExact(withNull, fpIndex, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted2 == Set(11L, 13L, 14L), s"null-text row must be admitted: $admitted2")
   }
 
   test("incrementalNearDup: near-dups of indexed docs dropped, novel docs survive") {

@@ -53,7 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q81_zvalue" -> 0,            // pure bit-arithmetic projection
     "q82_equidepth" -> 1,         // window on event_type; the (type,tile) agg reuses it
     "q83_frequent_ngrams" -> 1,   // gram agg; top-k is TakeOrdered, no sort exchange
-    "q84_incremental_dedup" -> 3) // in-shard fp agg + rejoin; index anti-join broadcasts
+    "q84_incremental_dedup" -> 2) // (fp,id) agg + index anti-join; admitted ids broadcast back
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
