@@ -53,12 +53,15 @@ class SinksSpec extends AnyFunSuite {
     val in = MemoryStream[(String, Int)]
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[(String, Int)])]()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    // data must land BEFORE the AvailableNow query starts: the trigger
+    // snapshots availability at start, so a post-start addData can be
+    // missed entirely when the suite runs under load (observed flake)
+    in.addData(("a", 1), ("b", 2))
     val q = Sinks.foreachBatchSink(
       in.toDF().toDF("k", "v"), ckpt, Trigger.AvailableNow()) { (batch, id) =>
       seen.add((id, batch.collect().map(r => (r.getString(0), r.getInt(1))).toSeq))
     }
-    in.addData(("a", 1), ("b", 2))
-    q.awaitTermination(30000)
+    assert(q.awaitTermination(60000), "AvailableNow query must terminate")
     val batches = seen.toArray(Array.empty[(Long, Seq[(String, Int)])])
     assert(batches.flatMap(_._2).toSet == Set(("a", 1), ("b", 2)))
   }
