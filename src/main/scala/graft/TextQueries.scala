@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -273,29 +273,42 @@ object TextQueries {
     * model. High-NLL docs are "surprising" (noise, wrong language, OCR
     * junk) and get filtered before training.
     *
-    * At 100 TB the LM side is a ~1M-row vocab aggregate — broadcast — so
-    * the corpus pays one explode and one per-doc re-aggregation; the only
-    * wide exchanges are over (token) and (doc_id). Per-token lls round to
-    * 6 dp and sum as DECIMAL so the doc score is independent of partition
-    * order (FP addition isn't associative; decimal addition is).
+    * The LM is CAPPED at the top-`vocabCap` tokens by frequency (ties
+    * break on the token, so the cut is deterministic); everything else
+    * scores at the floor probability 1/total — the count-1 smoothing real
+    * CCNet-style filters use for out-of-vocabulary tokens. The cap is what
+    * makes the plan survive 100×: the corpus vocabulary grows ~Heaps'-law
+    * without bound (hundreds of millions of noise types at 100 TB), but
+    * the broadcast side here is `limit(vocabCap)` — O(vocabCap) rows no
+    * matter the corpus, planned as TakeOrderedAndProject (map-side top-V,
+    * no global sort; PlanAuditSpec pins both properties). Production V is
+    * ~64k; q73 uses V=16 so the truncation + OOV-floor path is exercised
+    * against the oracle at test scale (the synthetic vocab is 31 types).
+    *
+    * The only wide exchanges are over (token) and (doc_id). Per-token lls
+    * round to 6 dp and sum as DECIMAL so the doc score is independent of
+    * partition order (FP addition isn't associative; decimal addition is).
     */
-  val q73_unigram_ll: Q = (s, dir) => {
-    val docs = t(s, dir).documents
+  def unigramLl(docs: DataFrame, vocabCap: Int): DataFrame = {
     val base = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = base.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.orderBy(col("tf").desc, col("tok").asc).limit(vocabCap)
     // total tokens == sum of tf, but computed as a direct per-doc sum so the
-    // vocab aggregation's shuffle isn't paid twice
+    // vocab aggregation's shuffle isn't paid twice; counts ALL tokens (the
+    // model normalizer is the corpus, not the kept vocab)
     val total = docs.agg(sum(size(tokens(col("text")))).as("t_total"))
-    base.join(broadcast(tf), "tok")
+    base.join(broadcast(vocab), Seq("tok"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
-        round(log(col("tf").cast("double") / col("t_total")), 6)
+        round(log(coalesce(col("tf"), lit(1L)).cast("double") / col("t_total")), 6)
           .cast("decimal(18,6)").as("ll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("ll")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
         round((-col("s")).cast("double") / col("n_tokens"), 6).as("nll"))
   }
+
+  val q73_unigram_ll: Q = (s, dir) => unigramLl(t(s, dir).documents, 16)
 
   /** Token-budget mixture sampling — the epoch-composition step of a
     * pretraining run: each source contributes documents in deterministic
@@ -419,14 +432,15 @@ object TextQueries {
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         |  FROM documents),
         |tf AS (SELECT tok, count(*) AS tf FROM d GROUP BY 1),
+        |vocab AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok ASC LIMIT 16),
         |total AS (
         |  SELECT sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
         |    AS t_total
         |  FROM documents),
         |ll AS (
         |  SELECT d.doc_id,
-        |    round(ln(tf.tf::DOUBLE / total.t_total), 6)::DECIMAL(18,6) AS ll
-        |  FROM d JOIN tf USING (tok) CROSS JOIN total)
+        |    round(ln(coalesce(v.tf, 1)::DOUBLE / total.t_total), 6)::DECIMAL(18,6) AS ll
+        |  FROM d LEFT JOIN vocab v USING (tok) CROSS JOIN total)
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(-(sum(ll)::DOUBLE) / count(*), 6) AS nll
         |FROM ll GROUP BY 1""".stripMargin,

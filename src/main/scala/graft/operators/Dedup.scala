@@ -21,6 +21,13 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** The production-width normalized-text fingerprint — ONE definition
+    * shared by [[exactDedup]], [[fingerprints]], and [[incrementalExact]]:
+    * the incremental path matches the persisted index byte-for-byte only
+    * because both sides compute exactly this expression.
+    */
+  private def wideFp(textCol: String): Column = md5(trim(lower(col(textCol))))
+
   /** Exact dedup: keep the smallest id per normalized-text fingerprint.
     * One shuffle (groupBy fp) with map-side partial min; the text itself
     * never shuffles.
@@ -33,13 +40,6 @@ object Dedup {
     * (DedupSpec pins both behaviors). Structure is identical either way:
     * only the fingerprint expression and the shuffled key width change.
     */
-  /** The production-width normalized-text fingerprint — ONE definition
-    * shared by [[exactDedup]], [[fingerprints]], and [[incrementalExact]]:
-    * the incremental path matches the persisted index byte-for-byte only
-    * because both sides compute exactly this expression.
-    */
-  private def wideFp(textCol: String): Column = md5(trim(lower(col(textCol))))
-
   def exactDedup(df: DataFrame, idCol: String, textCol: String,
                  wide: Boolean = false): DataFrame = {
     val fp = if (wide) wideFp(textCol)
@@ -111,10 +111,11 @@ object Dedup {
     * back as a broadcast semi-join. The id set is O(one shard), which is
     * the bounded ingest unit by definition; the index side is
     * O(corpus fingerprints) and shuffles or broadcasts as the optimizer
-    * sizes it. A NULL-text row carries a NULL fingerprint, which matches
-    * nothing in the index and groups alone in the aggregate — it is
-    * admitted, matching both [[exactDedup]] and the q84 oracle's
-    * NOT EXISTS semantics.
+    * sizes it. NULL-text rows carry a NULL fingerprint, which matches
+    * nothing in the index; within the batch, ALL NULL-fp rows share one
+    * NULL group in the aggregate, so the min-id one is admitted — matching
+    * both [[exactDedup]]'s groupBy semantics and the q84 oracle's
+    * NOT EXISTS.
     *
     * `index`: one column `fp` (as produced by [[fingerprints]]). Returns
     * the admitted rows of `newDocs` (full rows, `fp` attached) — append
@@ -194,8 +195,12 @@ object Dedup {
     * label changed — so arbitrary-diameter chains (real at 100 TB:
     * boilerplate near-dup chains) resolve correctly, not just the
     * near-clique common case. `maxIter` is a runaway cap, not a tuning
-    * knob; the per-round convergence probe is a scalar label-sum check
-    * (see below).
+    * knob — but note a graph whose diameter EXCEEDS the cap returns
+    * silently-unconverged labels (a 64-node chain under the default 50
+    * splits into two clusters); [[duplicateClustersStar]] converges in
+    * O(log n) rounds, far inside any sane cap, and is the production
+    * path. The per-round convergence probe here is a scalar label-sum
+    * check (see below).
     *
     * Each round `localCheckpoint`s its labels: every iteration references
     * the previous labels twice (propagation + convergence probe), so an
@@ -206,7 +211,13 @@ object Dedup {
     * would use `checkpoint()` to a reliable store instead). Returns
     * (doc_id, cluster) for every vertex in `pairs`.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    minLabelClustersWithRounds(pairs, maxIter)._1
+
+  /** [[duplicateClusters]] exposing its round count (for the scaling table
+    * in BASELINE.md — rounds are the driver-synchronous cost).
+    */
+  def minLabelClustersWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     val edges = pairs.select(col("d1"), col("d2"))
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .distinct().cache()
@@ -242,7 +253,96 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    (labels, iter)
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round replacement for
+    * [[duplicateClusters]]' one-hop min-label propagation, whose round
+    * count is O(diameter): real boilerplate near-dup chains at 100 TB have
+    * diameters in the hundreds, and every round is a driver-synchronous
+    * barrier, so the ROUND COUNT is the wall-clock at scale (each round
+    * here does strictly more work — two shuffles, not one — and still wins
+    * once the diameter beats a few dozen; DedupSpec measures 10 vs 3
+    * rounds on a 64-node chain).
+    *
+    *  - large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+    *    v > u — hooks every larger neighbor onto the local minimum,
+    *    halving long paths (the doubling step);
+    *  - small-star(u): m = min of u's SMALLER neighbors; re-point u and
+    *    all of them at m — flattens the partial trees into stars.
+    *
+    * Both steps keep edges canonically (hi > lo) oriented and are pure
+    * groupBy-min + join (per-node neighborhood mins — key-partitioned,
+    * no driver state); the fixpoint is "edge set unchanged", checked with
+    * one anti-join count per round. At fixpoint the edge set IS the answer:
+    * (v, component-min) stars. Labels match [[duplicateClusters]] exactly
+    * (component min as cluster id), so the two are interchangeable —
+    * CorpusPipeline resolves its duplicate graphs through this one.
+    *
+    * Skew note: a mega-component's hub node concentrates its neighborhood
+    * into one groupBy key; alternation keeps intermediate degrees bounded
+    * by star-collapse (the paper's argument), and the per-round payload is
+    * two longs per edge — no text, no signatures.
+    */
+  def duplicateClustersStar(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    starClustersWithRounds(pairs, maxIter)._1
+
+  /** [[duplicateClustersStar]] exposing its round count. */
+  def starClustersWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical undirected edges: hi > lo, self-loops dropped
+    val init = pairs
+      .select(greatest(col("d1"), col("d2")).as("hi"),
+        least(col("d1"), col("d2")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    val vertices = init.select(col("hi").as("doc_id"))
+      .union(init.select(col("lo").as("doc_id"))).distinct()
+
+    // large-star: per node u over the FULL neighborhood (both directions),
+    // attach strictly-larger neighbors to m = min(Γ(u) ∪ {u}). Emitted
+    // edges (v, m) satisfy v > u ≥ m, so canonical orientation holds.
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = und.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+    }
+
+    // small-star: per node u (= hi side), m = min of its smaller
+    // neighbors; re-point u and each smaller neighbor at m. lo > m for
+    // every emitted (lo, m) edge since m is the neighborhood min.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = e.join(mins, "hi")
+      val nbr = withM.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+      val self = mins.select(col("hi"), col("m").as("lo"))
+      nbr.union(self).distinct()
+    }
+
+    var e = init
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // exact fixpoint test: both sides are distinct canonical sets, so
+      // equal count + empty one-sided anti-join ⇒ set equality
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("hi", "lo"), "left_anti").isEmpty
+      e = next
+      iter += 1
+    }
+    // at fixpoint e is (member, component-min); centers label themselves
+    val labels = vertices
+      .join(e.select(col("hi").as("doc_id"), col("lo").as("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    (labels, iter)
   }
 
   /** Per-doc SimHash over distinct token hashes (a token is a 1-shingle,

@@ -60,9 +60,72 @@ object RuntimeFilter {
   private def positions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
     (0 until numHashes).map(i => pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
 
+  /** Saturation math — the guard rails for the fixed-size default.
+    * A 2^16-bit / 3-hash bloom is right for its intended use (a
+    * SELECTIVELY-FILTERED dimension, thousands of keys) but saturates on
+    * non-selective builds: ~15k distinct keys fill ~50% of the bits
+    * (fpp ≈ 12.5%), and at ~65k keys fpp ≈ 86% — the prune becomes a
+    * no-op that still pays the build pass. [[bloomBitsSized]] below sizes
+    * the bitset from a one-pass cardinality estimate instead of trusting
+    * the caller's guess, and refuses loudly when no affordable bitset can
+    * make the filter useful.
+    */
+  /** Projected false-positive rate of an n-key, m-bit, k-hash bloom:
+    * (1 − e^(−kn/m))^k.
+    */
+  def projectedFpp(nKeys: Long, numBits: Int, numHashes: Int): Double =
+    math.pow(1 - math.exp(-numHashes.toDouble * nKeys / numBits), numHashes)
+
+  /** Bits needed for `targetFpp` at `nKeys` keys (m = −n·ln p / ln²2),
+    * rounded up to a multiple of 64.
+    */
+  def requiredBits(nKeys: Long, targetFpp: Double): Long = {
+    require(targetFpp > 0 && targetFpp < 1, s"targetFpp must be in (0,1), got $targetFpp")
+    val m = math.ceil(-nKeys.max(1) * math.log(targetFpp) / (math.log(2) * math.log(2))).toLong
+    ((m + 63) / 64) * 64
+  }
+
+  /** fpp-optimal hash count for an m-bit, n-key bloom: k = m/n · ln 2. */
+  def optimalHashes(numBits: Long, nKeys: Long): Int =
+    math.max(1, math.round(numBits.toDouble / nKeys.max(1) * math.log(2)).toInt)
+
+  /** Build a bitset SIZED from the build side's measured cardinality: one
+    * `approx_count_distinct` pass picks (numBits, numHashes) for
+    * `targetFpp`, clamped at `maxBits` (the driver/plan-literal budget —
+    * 2^24 bits = 2 MiB of Longs by default). If even `maxBits` cannot get
+    * the projected fpp under `fppCeiling`, the build side is simply not
+    * selective enough for a bloom to pay for itself — refuse loudly
+    * instead of shipping a saturated filter that prunes nothing and still
+    * costs a build pass plus a per-row probe.
+    *
+    * Cardinality is estimated (±~2%); the 1.1× headroom below keeps the
+    * realized fpp near target through that error band. Returns
+    * (words, numBits, numHashes) — feed all three to [[prune]] /
+    * [[mightContain]].
+    */
+  def bloomBitsSized(build: DataFrame, key: Column, targetFpp: Double = 0.03,
+                     maxBits: Long = 1L << 24,
+                     fppCeiling: Double = 0.25): (Array[Long], Int, Int) = {
+    val nKeys = math.ceil(
+      build.agg(approx_count_distinct(canon(build, key))).head().getLong(0) * 1.1).toLong
+    val bits = math.min(requiredBits(nKeys, targetFpp), (maxBits / 64) * 64)
+    val hashes = optimalHashes(bits, nKeys)
+    val fpp = projectedFpp(nKeys, bits.toInt, hashes)
+    require(fpp <= fppCeiling,
+      f"bloomBitsSized: ~$nKeys distinct build keys need ${requiredBits(nKeys, targetFpp)} bits " +
+        f"for fpp=$targetFpp but maxBits=$maxBits caps projected fpp at $fpp%.3f > ceiling " +
+        f"$fppCeiling%.2f — the build side is not selective enough for a runtime filter; " +
+        "join directly (or raise maxBits if the plan can afford the literal)")
+    (bloomBits(build, key, bits.toInt, hashes), bits.toInt, hashes)
+  }
+
   /** Build the bitset from the build side's keys (integral keys hashed as
     * long — see [[canon]]). Runs one Spark job: explode k positions per
     * row → distinct (≤ numBits values) → collect.
+    *
+    * The caller owns the size/saturation trade-off here; use
+    * [[bloomBitsSized]] when the build cardinality isn't known by
+    * construction.
     */
   def bloomBits(build: DataFrame, key: Column, numBits: Int = 1 << 16,
                 numHashes: Int = 3): Array[Long] = {
@@ -126,10 +189,43 @@ object RuntimeFilter {
     * the join) — at scale, cache or checkpoint it if it is expensive to
     * recompute; for the intended use (a selectively-filtered dimension) the
     * rebuild is a cheap pushed-down scan.
+    *
+    * EAGER: the bitset build (a distributed job + driver collect) runs at
+    * CONSTRUCTION time — when this method returns — not when the returned
+    * DataFrame is acted on. Plan-only consumers (explain, plan audits,
+    * repeated query-map construction) pay a full build-side scan per call,
+    * and the bitset snapshots the build side AS OF construction — a build
+    * side that changes before the action leaves a stale filter (harmless
+    * to correctness only if rows were removed, since the exact join
+    * follows; added build rows would be wrongly pruned from the probe).
+    * Construct it where you'd `.cache()`: once, at execution time.
     */
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame,
                       probeKey: String, buildKey: String,
                       numBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    checkKeyTypes(probe, build, probeKey, buildKey)
+    val words = bloomBits(build, col(buildKey), numBits, numHashes)
+    joinPruned(probe, build, probeKey, buildKey, words, numBits, numHashes)
+  }
+
+  /** [[bloomPrunedJoin]] with the bitset sized from the build side's
+    * measured cardinality ([[bloomBitsSized]] — same eager-construction
+    * caveat, plus one `approx_count_distinct` pass). Throws when the build
+    * side is too large for any affordable bitset to prune usefully —
+    * prefer this entry point whenever the build cardinality is not known
+    * small by construction.
+    */
+  def bloomPrunedJoinSized(probe: DataFrame, build: DataFrame,
+                           probeKey: String, buildKey: String,
+                           targetFpp: Double = 0.03,
+                           maxBits: Long = 1L << 24): DataFrame = {
+    checkKeyTypes(probe, build, probeKey, buildKey)
+    val (words, bits, hashes) = bloomBitsSized(build, col(buildKey), targetFpp, maxBits)
+    joinPruned(probe, build, probeKey, buildKey, words, bits, hashes)
+  }
+
+  private def checkKeyTypes(probe: DataFrame, build: DataFrame,
+                            probeKey: String, buildKey: String): Unit =
     (probe.schema(probeKey).dataType, build.schema(buildKey).dataType) match {
       case (p, b) if p == b =>
       case (p, b) if integral(p) && integral(b) =>
@@ -137,7 +233,10 @@ object RuntimeFilter {
         s"bloomPrunedJoin: key types must match or both be integral, " +
           s"got $probeKey: $p vs $buildKey: $b")
     }
-    val words = bloomBits(build, col(buildKey), numBits, numHashes)
+
+  private def joinPruned(probe: DataFrame, build: DataFrame,
+                         probeKey: String, buildKey: String,
+                         words: Array[Long], numBits: Int, numHashes: Int): DataFrame = {
     // dataframe-qualified join keys: with probeKey == buildKey the bare
     // col(...) form would be ambiguous against the joined plan
     val pruned = prune(probe, col(probeKey), words, numBits, numHashes)

@@ -81,9 +81,14 @@ object CorpusPipeline {
     (cleaned, stats)
   }
 
-  /** Non-representative members of each duplicate component (doc_id only). */
+  /** Non-representative members of each duplicate component (doc_id only).
+    * Star contraction, not min-label propagation: rounds are
+    * driver-synchronous barriers, and star contraction converges in
+    * O(log n) of them vs O(diameter) — same labels (component min), see
+    * [[Dedup.duplicateClustersStar]].
+    */
   private def dropSet(pairs: DataFrame): DataFrame =
-    Dedup.duplicateClusters(pairs)
+    Dedup.duplicateClustersStar(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id"))
 

@@ -133,6 +133,60 @@ class DedupSpec extends AnyFunSuite {
       "the near-dup of the indexed doc must drop; the novel doc must survive")
   }
 
+  test("incrementalExact: multiple NULL-text rows share one NULL-fp group; min id admitted") {
+    // all NULL fps collapse into ONE groupBy group (Spark groups nulls
+    // together), so only the min-id NULL row is admitted — same as
+    // exactDedup's batch semantics and the q84 oracle
+    val index = Dedup.fingerprints(Seq((1L, "indexed")).toDF("doc_id", "text"), "text")
+    val shard = Seq((20L, null.asInstanceOf[String]), (21L, null.asInstanceOf[String]),
+      (22L, "real text")).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalExact(shard, index, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted == Set(20L, 22L),
+      s"min-id NULL row + the real row must be admitted, got $admitted")
+  }
+
+  test("duplicateClustersStar: identical labels to min-label propagation on mixed graphs") {
+    val graphs = Seq(
+      // chain + clique + isolated edge (the min-label fixture)
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)),
+      // long chain
+      (1L until 10L).map(i => (i, i + 1)),
+      // star + bridge + reversed/duplicated pairs
+      Seq((5L, 1L), (5L, 2L), (5L, 3L), (3L, 9L), (9L, 3L), (2L, 5L), (100L, 50L)))
+    graphs.foreach { g =>
+      val pairs = g.toDF("d1", "d2")
+      val minLabel = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+      val star = Dedup.duplicateClustersStar(pairs).as[(Long, Long)].collect().toMap
+      assert(star == minLabel, s"label mismatch on $g:\nstar=$star\nminLabel=$minLabel")
+    }
+  }
+
+  test("duplicateClustersStar: empty pair graph returns empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.duplicateClustersStar(empty).count() == 0)
+  }
+
+  test("star contraction needs O(log n) rounds on a chain; min-label needs O(n)") {
+    // 64-node path: diameter 63. Min-label moves labels one hop per round;
+    // star contraction doubles hook distance per round. The round count is
+    // the driver-synchronous cost at scale, so it is pinned here (numbers
+    // recorded in BASELINE.md).
+    // maxIter=100: the DEFAULT cap (50) silently truncates min-label on a
+    // 63-diameter graph — exactly the failure mode star contraction removes
+    // (it converges in ~log2 rounds, far inside any sane cap)
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (mlLabels, mlRounds) = Dedup.minLabelClustersWithRounds(pairs, maxIter = 100)
+    val (stLabels, stRounds) = Dedup.starClustersWithRounds(pairs)
+    info(s"64-node chain: star=$stRounds rounds, min-label=$mlRounds rounds")
+    assert(mlLabels.as[(Long, Long)].collect().toMap ==
+      stLabels.as[(Long, Long)].collect().toMap)
+    assert(stLabels.select($"cluster").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(stRounds * 2 <= mlRounds,
+      s"star contraction must at least halve the rounds: star=$stRounds minLabel=$mlRounds")
+    assert(stRounds <= 8, s"expected ~log2(64) star rounds, got $stRounds")
+  }
+
   test("shingles guard: doc shorter than n yields empty set, null-safe minhash") {
     val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 4)

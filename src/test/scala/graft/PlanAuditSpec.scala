@@ -73,6 +73,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q73's LM broadcast is vocab-capped (TakeOrdered limit, no full-vocab broadcast)") {
+    val p = plan("q73_unigram_ll")
+    // the vocab side must be a top-V truncation — a broadcast whose input is
+    // the raw token aggregate grows ~Heaps'-law with the corpus and OOMs at
+    // 100 TB; with the cap the broadcast is O(V) rows no matter the corpus
+    assert(p.contains("TakeOrderedAndProject(limit=16"),
+      "q73's LM vocabulary must be capped via TakeOrderedAndProject — " +
+        "a broadcast of the uncapped unigram table dies at 100x corpus scale")
+    // and the cap must not be a global Sort + Limit (that materializes a
+    // full sort of the vocab aggregate before truncating)
+    assert(!"Sort \\[tf".r.findFirstIn(p).isDefined || p.contains("TakeOrderedAndProject"),
+      "vocab cap must plan as TakeOrdered, not a global sort")
+  }
+
   test("q83 global top-k compiles to TakeOrdered, not a global sort") {
     assert(plan("q83_frequent_ngrams").contains("TakeOrderedAndProject"),
       "q83 must plan TakeOrderedAndProject; a Sort + Limit materializes " +

@@ -113,6 +113,55 @@ class RuntimeFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("sized bloom at ~100k build keys keeps a useful fpp (default 2^16 would saturate)") {
+    // 100k keys on the fixed 2^16/3 default projects fpp ≈ 97% — a no-op
+    // filter; the sized build must measure the cardinality and scale bits
+    val build = spark.range(100000).toDF("k")
+    assert(RuntimeFilter.projectedFpp(100000, 1 << 16, 3) > 0.9)
+    val (words, bits, hashes) = RuntimeFilter.bloomBitsSized(build, $"k")
+    assert(bits > (1 << 16), s"sized build must grow past the default, got $bits bits")
+    // measured fpp on a DISJOINT probe range: target 3% + estimate headroom
+    val probe = spark.range(100000, 200000).toDF("k")
+    val fp = probe.filter(RuntimeFilter.mightContain($"k".cast("long"), words, bits, hashes)).count()
+    assert(fp < 100000 * 0.08, s"measured fpp ${fp / 100000.0} — sized bloom not useful")
+    // and no false negatives, as always
+    val missed = build.filter(!RuntimeFilter.mightContain($"k".cast("long"), words, bits, hashes)).count()
+    assert(missed === 0)
+  }
+
+  test("sized bloom refuses loudly when no affordable bitset can prune") {
+    // 100k keys but maxBits capped at the old default: projected fpp ~97%
+    // busts any sane ceiling — the operator must throw, not ship a no-op
+    val build = spark.range(100000).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomBitsSized(build, $"k", maxBits = 1L << 16)
+    }
+    assert(e.getMessage.contains("not selective enough"),
+      s"refusal must explain itself: ${e.getMessage}")
+  }
+
+  test("bloomPrunedJoinSized equals the plain join exactly") {
+    val urgent = tables.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val pruned = RuntimeFilter.bloomPrunedJoinSized(
+      tables.lineitem, urgent, "l_orderkey", "o_orderkey")
+    val plain = tables.lineitem
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("saturation math matches the documented landmarks") {
+    // ~15k keys on 2^16 bits / 3 hashes ≈ 12.5% fpp (the sharp edge the
+    // sized path exists to avoid); requiredBits is monotone in keys and
+    // inverse-monotone in fpp
+    val fpp15k = RuntimeFilter.projectedFpp(15000, 1 << 16, 3)
+    assert(fpp15k > 0.08 && fpp15k < 0.18, s"15k-key fpp landmark drifted: $fpp15k")
+    assert(RuntimeFilter.requiredBits(100000, 0.03) > RuntimeFilter.requiredBits(10000, 0.03))
+    assert(RuntimeFilter.requiredBits(10000, 0.01) > RuntimeFilter.requiredBits(10000, 0.1))
+    assert(RuntimeFilter.requiredBits(1000, 0.03) % 64 === 0)
+  }
+
   test("NULL probe keys are dropped, matching inner-join semantics") {
     val build = Seq(1L, 2L, 3L).toDF("k")
     val words = RuntimeFilter.bloomBits(build, $"k")
