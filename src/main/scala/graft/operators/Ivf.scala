@@ -48,6 +48,38 @@ object Ivf {
   def cachedModel(cacheKey: String): Option[Array[Double]] =
     Option(modelCache.get(cacheKey))
 
+  /** Posting-list count rule — the IVF analogue of the measured
+    * planes≈log2(n) LSH scaling rule: k = ceil(n / targetListSize) keeps
+    * the AVERAGE list length (and therefore per-probe candidate work,
+    * which is what a query pays) constant as the corpus grows. A fixed k
+    * at 100× data means 100× longer lists — the same occupancy blowup the
+    * fixed-plane LSH table measured (6.3× at 10×). Driver/model cost grows
+    * as O(k·dims) doubles: at n=10^10, listSize=4096 → k≈2.4M, which is
+    * why production IVF shards the coarse quantizer; this rule covers the
+    * single-model range (k ≤ ~10^5, n ≤ ~10^8·listSize/4096).
+    */
+  def kFor(n: Long, targetListSize: Int = 4096): Int = {
+    require(targetListSize > 0, s"targetListSize must be positive, got $targetListSize")
+    math.max(1, math.min(1 << 17, (n + targetListSize - 1) / targetListSize)).toInt
+  }
+
+  /** Train on a deterministic SAMPLE of the corpus — standard IVF practice
+    * at scale: Lloyd's iterations scan the training set `iters` times, and
+    * a k-means model fit on a uniform few-percent sample places centroids
+    * within sampling noise of the full fit (the model is an index-layout
+    * choice, not a query result — recall, the thing that matters, is
+    * measured by IvfSpec to be within tolerance of full-train). The full
+    * corpus is still assigned exactly once, whichever way the model was
+    * trained. The seed fixes the sample so the model is reproducible
+    * run-to-run (same contract as the memoized cache above).
+    */
+  def trainOnSample(df: DataFrame, fraction: Double, seed: Long,
+                    idCol: String, vecCol: String,
+                    k: Int, dims: Int, iters: Int): Array[Double] = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    train(df.sample(withReplacement = false, fraction, seed), idCol, vecCol, k, dims, iters)
+  }
+
   /** Flattened k×dims centroid model trained by `iters` Lloyd rounds.
     * Deterministic: init = the k lowest-id vectors; ties in assignment
     * break toward the lower centroid index; per-dimension means average

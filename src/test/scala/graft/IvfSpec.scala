@@ -65,6 +65,40 @@ class IvfSpec extends AnyFunSuite {
     assert(r4 > 0.3, s"nprobe=4/8 recall unexpectedly low: $r4")
   }
 
+  test("train-on-sample: recall within tolerance of full-train at the same nprobe") {
+    // the 100 TB path: Lloyd's scans only a sample, the full corpus is
+    // assigned once; the model is a layout choice, so the grade is recall
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.knn(emb, queries, "vec_id", "embedding", 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallWith(cents: Array[Double], nprobe: Int): Double = {
+      val corpus = Ivf.assign(emb, "embedding", cents, 64)
+      val got = Ivf.knn(spark, corpus, queries, "vec_id", "embedding",
+        cents, 64, nprobe, 10)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val full = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 3)
+    val sampled = Ivf.trainOnSample(emb, fraction = 0.25, seed = 42L,
+      "vec_id", "embedding", k = 8, dims = 64, iters = 3)
+    val rFull = recallWith(full, 4)
+    val rSample = recallWith(sampled, 4)
+    info(s"recall@nprobe=4: full-train=$rFull sample-train=$rSample")
+    assert(rSample >= rFull - 0.15,
+      s"sample-trained recall $rSample too far below full-trained $rFull")
+    // and probing every list is still exact regardless of training set
+    assert(recallWith(sampled, 8) == 1.0)
+  }
+
+  test("kFor keeps average posting-list size constant across corpus growth") {
+    assert(Ivf.kFor(4096L * 8) == 8)
+    assert(Ivf.kFor(4096L * 800) == 800)          // 100x data -> 100x lists
+    assert(Ivf.kFor(100, 4096) == 1)              // floor: at least one list
+    assert(Ivf.kFor(1L << 40) == (1 << 17))       // ceiling: single-model cap
+    assert(Ivf.kFor(10000, 100) == 100)
+    intercept[IllegalArgumentException](Ivf.kFor(10, 0))
+  }
+
   test("ivf index on disk: centroid partitions prune to the probed lists") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
     val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
