@@ -3,6 +3,19 @@
 # mirroring build.sbt's JDK17 module options. Usage:
 #   scripts/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
 #   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 scripts/run.sh graft.Bench
+#
+# Deployable warehouse jobs (graft.apps.*; --source kafka needs a broker,
+# --source file drains a directory of JSON lines):
+#   scripts/run.sh graft.apps.BaseLogApp --source file --input /data/logs \
+#     --out /warehouse/dwd_log --checkpoint /ckpt/base_log
+#   scripts/run.sh graft.apps.DimApp --source kafka --brokers host:9092 \
+#     --topics topic_db --config /conf/table_process.csv \
+#     --out /warehouse/dim --checkpoint /ckpt/dim --trigger '5 seconds'
+#   scripts/run.sh graft.apps.DwdOrderApp --source file --input /data/cdc \
+#     --dict /conf/base_dic.csv --out /warehouse/dwd_order --checkpoint /ckpt/dwd
+#   scripts/run.sh graft.apps.DwsTradeProvinceOrderWindowApp \
+#     --input /warehouse/dwd_order --provinces /conf/provinces.csv \
+#     --out /warehouse/dws_province --checkpoint /ckpt/dws
 set -e
 cd "$(dirname "$0")/.."
 CP="target/scala-2.13/classes:/opt/spark/jars/*"

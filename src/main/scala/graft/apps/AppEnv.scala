@@ -1,0 +1,106 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.KafkaJsonSource
+
+/** Shared plumbing for the deployable app mains (`graft.apps.*`).
+  *
+  * The reference ships each warehouse stage as a runnable job with its own
+  * `main()` (…/app/dwd/log/BaseLogApp.java:42-60 builds env + checkpoint,
+  * …/app/dim/DimSinkApp.java:39-55 the same); the graft pipelines are pure
+  * `DataFrame => DataFrame` functions, and this layer is the missing glue:
+  * CLI config → source (kafka/file) → pipeline → sink + checkpoint. Specs
+  * cover the third source kind (memory) by calling each app's `run(spark,
+  * raw, …)` directly with a MemoryStream frame — `main` and the specs
+  * exercise the SAME code path past the source edge.
+  *
+  * Config is `--key value` CLI args (see each app's usage string), run via
+  * `scripts/run.sh graft.apps.<App> --source file --input … --out …`.
+  */
+object AppEnv {
+
+  /** `--key value` pairs → map (keys without the `--`). */
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"expected --key value pairs, got: ${args.mkString(" ")}")
+    args.grouped(2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--"), s"expected --key, got $k")
+        k.stripPrefix("--") -> v
+    }.toMap
+  }
+
+  def get(conf: Map[String, String], key: String, usage: String): String =
+    conf.getOrElse(key, sys.error(s"missing --$key\nusage: $usage"))
+
+  /** Session for a deployed job. local[*] here; on a cluster the master
+    * comes from spark-submit and this builder's master is ignored.
+    */
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Source edge: a streaming frame with a string `value` column — the
+    * contract every pipeline consumes (same column a Kafka topic yields).
+    *  - `--source file --input <dir>`: text-file stream of JSON lines;
+    *  - `--source kafka --brokers <csv> --topics <csv>`: real broker.
+    */
+  def source(spark: SparkSession, conf: Map[String, String], usage: String): DataFrame =
+    conf.getOrElse("source", "file") match {
+      case "file" =>
+        // --max-files-per-trigger bounds each micro-batch; watermarks
+        // advance BETWEEN batches, so multi-stateful pipelines (join
+        // chains) draining a directory need >1 batch to flush outer/
+        // window state — one file per batch is the faithful replay of
+        // the topic feed they were designed against.
+        val reader = conf.get("max-files-per-trigger")
+          .map(n => spark.readStream.option("maxFilesPerTrigger", n))
+          .getOrElse(spark.readStream)
+        reader.text(get(conf, "input", usage))
+      case "kafka" =>
+        KafkaJsonSource.raw(spark, get(conf, "brokers", usage),
+          get(conf, "topics", usage),
+          conf.getOrElse("starting-offsets", "latest"))
+          .select("value")
+      case other => sys.error(s"unknown --source $other (file|kafka)\nusage: $usage")
+    }
+
+  /** `--trigger available-now` (default: drain what's there, then exit —
+    * the batch-recap / smoke mode) or `--trigger "<interval>"` (continuous
+    * micro-batches, e.g. "5 seconds" like the reference's batch interval).
+    */
+  def trigger(conf: Map[String, String]): Trigger =
+    conf.getOrElse("trigger", "available-now") match {
+      case "available-now" => Trigger.AvailableNow()
+      case interval => Trigger.ProcessingTime(interval)
+    }
+
+  /** AvailableNow queries terminate on their own — wait for each; interval
+    * triggers run until killed — block on any failure/stop.
+    */
+  def await(spark: SparkSession, conf: Map[String, String],
+            queries: Seq[StreamingQuery]): Unit =
+    if (conf.getOrElse("trigger", "available-now") == "available-now")
+      queries.foreach(_.awaitTermination())
+    else spark.streams.awaitAnyTermination()
+
+  /** Batch read of a small side table (dict / config / dim) by extension:
+    * `.csv` (with header), `.json`/`.jsonl` (lines), else parquet.
+    */
+  def readTable(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".csv"))
+      spark.read.option("header", "true").csv(path)
+    else if (path.endsWith(".json") || path.endsWith(".jsonl"))
+      spark.read.json(path)
+    else spark.read.parquet(path)
+}

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apps.{BaseLogApp, DimApp, DwdOrderApp, DwsTradeProvinceOrderWindowApp}
+import graft.sinks.Sinks
+
+/** End-to-end smoke of the deployable app mains (`graft.apps.*`): each app
+  * is invoked through its REAL `main(Array[String])` — CLI config, file
+  * source, parquet sinks, checkpoint dirs — exactly as
+  * `scripts/run.sh graft.apps.<App> …` would run it. The DWD→DWS pair runs
+  * as a chain: the DWS job streams the directory the DWD job wrote.
+  */
+class AppsSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Path.of(dir, name), String.join("\n", lines: _*).getBytes)
+
+  private def env(table: String, tpe: String, ts: Long, data: (String, String)*) = {
+    val d = data.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    s"""{"database":"gmall","table":"$table","type":"$tpe","data":{$d},"ts":$ts}"""
+  }
+
+  test("BaseLogApp main: file source -> five routed branches + dirty, via CLI args") {
+    val in = tmp("applog-in"); val out = tmp("applog-out"); val cp = tmp("applog-cp")
+    val common = """"common":{"ar":"110000","mid":"m1","uid":"u1","is_new":"1"}"""
+    writeLines(in, "logs.jsonl", Seq(
+      s"""{$common,"page":{"page_id":"home","during_time":5000},"displays":[{"item":"i1","item_type":"sku_id","order":1,"pos_id":2},{"item":"i2","item_type":"sku_id","order":2,"pos_id":3}],"ts":1000}""",
+      s"""{$common,"page":{"page_id":"cart","during_time":100},"actions":[{"action_id":"fav","item":"i1","item_type":"sku_id","ts":1500}],"ts":1400}""",
+      s"""{$common,"start":{"entry":"icon","loading_time":1200,"open_ad_id":1,"open_ad_ms":100,"open_ad_skip_ms":0},"ts":2000}""",
+      s"""{$common,"err":{"error_code":"500","msg":"boom"},"page":{"page_id":"home","during_time":1},"ts":3000}""",
+      "this is not json"))
+
+    BaseLogApp.main(Array(
+      "--source", "file", "--input", in, "--out", out, "--checkpoint", cp))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    assert(spark.read.parquet(s"$out/page").count() == 3)  // 2 pages + err row's page
+    assert(spark.read.parquet(s"$out/display").count() == 2) // exploded
+    assert(spark.read.parquet(s"$out/action").count() == 1)
+    assert(spark.read.parquet(s"$out/start").count() == 1)
+    assert(spark.read.parquet(s"$out/err").count() == 1)
+    assert(spark.read.parquet(s"$out/dirty").as[String].head() == "this is not json")
+    // page branch excludes start-ups even when they carry a page payload
+    assert(spark.read.parquet(s"$out/page")
+      .filter($"page.page_id" === "home").count() == 2)
+  }
+
+  test("DimApp main: config-routed dim store + upsert read-back, via CLI args") {
+    val in = tmp("appdim-in"); val out = tmp("appdim-out"); val cp = tmp("appdim-cp")
+    val cfgDir = tmp("appdim-cfg")
+    writeLines(in, "cdc.jsonl", Seq(
+      env("user_info", "insert", 100, "id" -> "1", "name" -> "n1", "extra" -> "x"),
+      env("user_info", "bootstrap-insert", 101, "id" -> "2", "name" -> "n2"),
+      env("base_trademark", "insert", 102, "id" -> "7", "tm_name" -> "brand"),
+      env("order_info", "insert", 103, "id" -> "9"), // not in config -> dropped
+      """{"database":"gmall","table":"user_info","type":"update","data":{"id":"1","name":"n1b"},"old":{"name":"n1"},"ts":104}""",
+      "garbage line",
+      """{"database":"gmall","table":"user_info","type":"bootstrap-start","ts":105}"""))
+    val cfg = cfgDir + "/table_process.csv"
+    Files.write(Path.of(cfg), Seq(
+      "source_table,sink_table,sink_columns",
+      """user_info,dim_user_info,"id,name"""",
+      """base_trademark,dim_base_trademark,"id,tm_name"""").mkString("\n").getBytes)
+
+    DimApp.main(Array(
+      "--source", "file", "--input", in, "--config", cfg,
+      "--out", out, "--checkpoint", cp))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dims = spark.read.parquet(s"$out/dims")
+    // routed: 3 user_info (insert + bootstrap-insert + update), 1 trademark;
+    // order_info (unconfigured) and bootstrap-start (no data) dropped
+    assert(dims.filter($"sink_table" === "dim_user_info").count() == 3)
+    assert(dims.filter($"sink_table" === "dim_base_trademark").count() == 1)
+    assert(dims.count() == 4)
+    // pruning: the unconfigured 'extra' column is gone from data
+    assert(dims.filter($"sink_table" === "dim_user_info")
+      .select(map_keys($"data")).as[Seq[String]].collect()
+      .forall(ks => ks.toSet.subsetOf(Set("id", "name"))))
+    // read-side upsert by pk: the update wins for pk=1
+    val view = Sinks.upsertView(
+      dims.filter($"sink_table" === "dim_user_info"), Seq("pk"), "ts", "type")
+    assert(view.count() == 2)
+    assert(view.filter($"pk" === "1").select($"data"("name"))
+      .as[String].head() == "n1b")
+    // dirty side output captured the unparseable line
+    assert(spark.read.parquet(s"$out/dirty").as[String].head() == "garbage line")
+  }
+
+  test("DWD->DWS chain: DwdOrderApp output directory streams into DwsTradeProvinceOrderWindowApp") {
+    val in = tmp("appchain-in"); val dwdOut = tmp("appchain-dwd")
+    val dwsOut = tmp("appchain-dws")
+    val cp1 = tmp("appchain-cp1"); val cp2 = tmp("appchain-cp2")
+    val side = tmp("appchain-side")
+
+    // business rows: two orders in province p1, one in p2, window [100,110)
+    writeLines(in, "00_orders.jsonl", Seq(
+      env("order_info", "insert", 100, "id" -> "o1", "user_id" -> "u1",
+        "province_id" -> "p1", "order_status" -> "1001"),
+      env("order_info", "insert", 101, "id" -> "o2", "user_id" -> "u2",
+        "province_id" -> "p1", "order_status" -> "1001"),
+      env("order_detail", "insert", 101, "id" -> "d1", "order_id" -> "o1",
+        "sku_id" -> "s1", "sku_name" -> "w", "sku_num" -> "2",
+        "order_price" -> "10.00", "source_type" -> "2401", "create_time" -> "t"),
+      env("order_detail", "insert", 102, "id" -> "d2", "order_id" -> "o1",
+        "sku_id" -> "s2", "sku_name" -> "w", "sku_num" -> "1",
+        "order_price" -> "5.00", "source_type" -> "2401", "create_time" -> "t"),
+      env("order_detail", "insert", 103, "id" -> "d3", "order_id" -> "o2",
+        "sku_id" -> "s1", "sku_name" -> "w", "sku_num" -> "1",
+        "order_price" -> "3.50", "source_type" -> "2401", "create_time" -> "t"),
+      // replayed duplicate of d1 -> DWS dedups it
+      env("order_detail", "insert", 103, "id" -> "d1", "order_id" -> "o1",
+        "sku_id" -> "s1", "sku_name" -> "w", "sku_num" -> "2",
+        "order_price" -> "10.00", "source_type" -> "2401", "create_time" -> "t"),
+      env("order_info", "insert", 114, "id" -> "o3", "user_id" -> "u3",
+        "province_id" -> "p2", "order_status" -> "1001"),
+      env("order_detail", "insert", 115, "id" -> "d4", "order_id" -> "o3",
+        "sku_id" -> "s1", "sku_name" -> "w", "sku_num" -> "1",
+        "order_price" -> "1.00", "source_type" -> "2401", "create_time" -> "t")))
+    // watermark food: the global watermark is min() across all four
+    // envelope leaves and crosses one stateful op per micro-batch, so
+    // several one-file batches (maxFilesPerTrigger=1) nudge it through
+    // the 3-join chain — the file-source replay of the topic feed.
+    for (i <- 1 to 6) {
+      val t = 500000L + i
+      writeLines(in, f"$i%02d_food.jsonl", Seq(
+        env("order_info", "insert", t, "id" -> s"o$i", "user_id" -> "u",
+          "province_id" -> "p1", "order_status" -> "1001"),
+        env("order_detail", "insert", t, "id" -> s"dn$i", "order_id" -> s"o$i",
+          "sku_id" -> "s", "sku_name" -> "z", "sku_num" -> "1",
+          "order_price" -> "1.00", "source_type" -> "2401", "create_time" -> "t"),
+        env("order_detail_activity", "insert", t, "order_detail_id" -> s"dn$i",
+          "activity_id" -> "a", "activity_rule_id" -> "r"),
+        env("order_detail_coupon", "insert", t, "order_detail_id" -> s"dn$i",
+          "coupon_id" -> "c")))
+    }
+    val dict = s"$side/dict.csv"
+    Files.write(Path.of(dict),
+      "dic_code,dic_name\n2401,user order".getBytes)
+    val provinces = s"$side/provinces.csv"
+    Files.write(Path.of(provinces),
+      "id,name\np1,Beijing\np2,Shanghai".getBytes)
+
+    DwdOrderApp.main(Array(
+      "--source", "file", "--input", in, "--dict", dict,
+      "--out", dwdOut, "--checkpoint", cp1, "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val wide = spark.read.parquet(dwdOut)
+    assert(wide.filter($"id".isin("d1", "d2", "d3", "d4")).count() >= 4)
+    assert(wide.filter($"id" === "d1").head().getAs[String]("source_type_name")
+      == "user order")
+
+    DwsTradeProvinceOrderWindowApp.main(Array(
+      "--input", dwdOut, "--provinces", provinces,
+      "--out", dwsOut, "--checkpoint", cp2))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val summary = spark.read.parquet(dwsOut)
+      .select($"stt".cast("long"), $"province_name", $"order_ct", $"detail_ct",
+        $"amount_sum".cast("double"))
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    // d1 deduped: p1 = d1(20.00) + d2(5.00) + d3(3.50), two orders
+    assert(summary.contains((100L, "Beijing", 2L, 3L, 28.50)))
+    assert(summary.contains((110L, "Shanghai", 1L, 1L, 1.00)))
+  }
+}
