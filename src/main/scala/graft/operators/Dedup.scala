@@ -58,36 +58,114 @@ object Dedup {
       shingleHashes(col(textCol), n).as("hashes"))
       .withColumn("sig", minhash(col("hashes"), k))
 
-  /** LSH candidate pairs: split the signature into `bands` bands of
-    * `k/bands` rows, emit (band, bandKey) per doc, self-join on equality.
-    * Shuffle payload per doc = `bands` longs. `distinct` collapses pairs
-    * that collide in several bands.
+  /** (id, band, bandKey) rows — one per doc per band, the shared candidate
+    * key shape of [[lshCandidatePairs]] and [[lshCandidatePairsSalted]].
     */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+  private def bandKeyed(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands (trailing entries would be silently ignored)")
     val r = k / bands
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("bk"))
     }: _*)
-    val keyed = sigs
+    sigs
       .select(col(idCol), explode(bandStructs).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `k/bands` rows, emit (band, bandKey) per doc, self-join on equality.
+    * Shuffle payload per doc = `bands` longs. `distinct` collapses pairs
+    * that collide in several bands.
+    *
+    * Skew contract: a bucket of m docs produces its m(m-1)/2 pairs in ONE
+    * join task — fine when exact dedup ran first (identical docs, the mass
+    * producers of hot buckets, are already gone) and residual buckets are
+    * small. For boilerplate-heavy corpora where near-identical-but-not-
+    * equal docs still pile 10%+ of a shard into one band bucket, use
+    * [[lshCandidatePairsSalted]] — same output, bounded task size.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val keyed = bandKeyed(sigs, idCol, k, bands)
     val a = keyed.select(col("band"), col("bk"), col(idCol).as("d1"))
     val b = keyed.select(col("band"), col("bk"), col(idCol).as("d2"))
     a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
   }
 
+  /** [[lshCandidatePairs]] with hot buckets spread by salted two-stage
+    * pairing — identical pair output, bounded per-task pair work.
+    *
+    * One cheap pass counts bucket occupancy (the count aggregates the
+    * O(bands)-longs-per-doc key stream, not the docs); buckets with
+    * `cnt < hotBucketThreshold` take the plain self-join. A hot bucket of
+    * m docs is split into S = ceil(m/threshold) salt groups by id hash,
+    * and the self-join runs per CELL of the S×S upper-triangular grid:
+    * a doc with salt s serves cells (s, j≥s) on the left and (i≤s, s) on
+    * the right, so every unordered pair meets in exactly one cell (same-
+    * salt pairs meet twice, in both orders — collapsed by the terminal
+    * distinct that multi-band collisions need anyway). Each task now holds
+    * one (bucket, cell): ≤ ~threshold docs per side, ≤ ~threshold² pair
+    * work — the same bound the plain path already implies for its largest
+    * admitted bucket, restored for buckets of ANY size at the cost of
+    * replicating hot-bucket keys S+1 times (keys only: id + two salt ints;
+    * signatures and text never shuffle here).
+    *
+    * The hot-key list broadcasts at O(total_rows / threshold) entries —
+    * bounded by the same threshold that bounds task size.
+    */
+  def lshCandidatePairsSalted(sigs: DataFrame, idCol: String, k: Int, bands: Int,
+                              hotBucketThreshold: Int = 4096): DataFrame = {
+    require(hotBucketThreshold > 1,
+      s"hotBucketThreshold must exceed 1, got $hotBucketThreshold")
+    val keyed = bandKeyed(sigs, idCol, k, bands)
+
+    val hot = keyed.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= hotBucketThreshold)
+    val tagged = keyed.join(broadcast(hot), Seq("band", "bk"), "left_outer")
+
+    val cold = tagged.filter(col("cnt").isNull)
+    val coldPairs = cold.select(col("band"), col("bk"), col(idCol).as("d1"))
+      .join(cold.select(col("band"), col("bk"), col(idCol).as("d2")),
+        Seq("band", "bk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+
+    val hotKeyed = tagged.filter(col("cnt").isNotNull)
+      .withColumn("ns", ceil(col("cnt") / lit(hotBucketThreshold.toDouble)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col(idCol)), col("ns")).cast("int"))
+    val aSide = hotKeyed
+      .withColumn("cj", explode(sequence(col("salt"), col("ns") - 1)))
+      .select(col("band"), col("bk"), col("salt").as("ci"), col("cj"),
+        col(idCol).as("x"))
+    val bSide = hotKeyed
+      .withColumn("ci", explode(sequence(lit(0), col("salt"))))
+      .select(col("band"), col("bk"), col("ci"), col("salt").as("cj"),
+        col(idCol).as("y"))
+    val hotPairs = aSide.join(bSide, Seq("band", "bk", "ci", "cj"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("d1"),
+        greatest(col("x"), col("y")).as("d2"))
+
+    coldPairs.union(hotPairs).distinct()
+  }
+
   /** Full near-dup pipeline: LSH candidates verified with exact Jaccard
     * over the distinct shingle-hash sets, kept at `jacc >= threshold`.
     * Only candidate pairs (a tiny fraction of n²) ever join back to the
-    * shingle arrays.
+    * shingle arrays. `hotBucketThreshold` (finite) routes candidate
+    * generation through [[lshCandidatePairsSalted]] for boilerplate-heavy
+    * corpora; the default plain path assumes exact dedup ran first.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+                   n: Int, k: Int, bands: Int, threshold: Double,
+                   hotBucketThreshold: Option[Int] = None): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
-    val cand = lshCandidatePairs(sigs, idCol, k, bands)
+    val cand = hotBucketThreshold match {
+      case Some(t) => lshCandidatePairsSalted(sigs, idCol, k, bands, t)
+      case None    => lshCandidatePairs(sigs, idCol, k, bands)
+    }
     val sets = sigs.select(col(idCol), col("hashes"))
     val inter = size(array_intersect(col("h1"), col("h2"))).cast("double")
     val union = (size(col("h1")) + size(col("h2"))).cast("double") - inter
