@@ -1,10 +1,12 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Relational, Similarity}
+import graft.sinks.Sinks
 
 /** End-to-end training-corpus cleaning pipeline — the composition a 100 TB
   * pretraining-data job runs, built from the engine's oracle-verified ops:
@@ -165,4 +167,78 @@ object CorpusPipeline {
       scored.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("fp")
     else scored.dropDuplicates("fp")
   }
+
+  /** Streaming incremental NEAR dedup — the continuous-ingest completion of
+    * the dedup lambda ([[streamingIngest]] covers the exact path; this is
+    * the fuzzy one). Each micro-batch:
+    *
+    *   1. resolves the batch's OWN near-dup graph (pairs → components →
+    *      keep min-id, the same rule as the batch recap);
+    *   2. drops survivors that near-dup any PREVIOUSLY-SEEN doc, probing
+    *      the persisted signature index ([[Dedup.incrementalNearDup]] —
+    *      band keys only in the shuffle);
+    *   3. appends the signatures of ALL batch docs — admitted or dropped —
+    *      to the index, so a chain whose middle was dropped still blocks
+    *      its tail (A≈B dropped, C≈B arriving later is still caught);
+    *   4. appends admitted rows to `outDir`.
+    *
+    * Keep rule: a doc survives iff it has no near-dup edge to an
+    * earlier-seen doc — first-arrival-wins, the streaming analogue of the
+    * recap's per-component min-id (identical whenever components grow
+    * minimum-first: cliques, chains arriving in id order — the normal
+    * boilerplate shape; a later doc BRIDGING two earlier non-neighbors is
+    * the one divergence, which only the periodic batch recap (`apply`)
+    * resolves — the standard lambda split).
+    *
+    * Replay safety (foreachBatch is at-least-once): the index probe
+    * anti-joins the CURRENT batch's ids out of the index first, so a
+    * replayed batch never collides with its own failed-attempt append —
+    * the id list is O(one micro-batch) and broadcasts. Duplicate index
+    * rows from a replayed append only duplicate candidates (collapsed by
+    * the pair `distinct`); duplicate `outDir` rows follow the engine's
+    * at-least-once + keyed last-write-wins convention (Sinks).
+    *
+    * Index size is O(docs seen), fingerprint-width rows (id + k longs +
+    * hashes) — the price of fuzzy matching against history; prune or
+    * re-shard it at the periodic recap.
+    */
+  def streamingNearDedup(docs: DataFrame, indexDir: String, outDir: String,
+                         checkpoint: String, idCol: String = "doc_id",
+                         textCol: String = "text", cfg: Config = Config(),
+                         trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : StreamingQuery =
+    Sinks.foreachBatchSink(docs, checkpoint, trigger, outputMode = "append") {
+      (batch, _) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val inPairs = Dedup.nearDupPairs(b, idCol, textCol, cfg.shingleN,
+            cfg.minhashK, cfg.lshBands, cfg.jaccardThreshold)
+          val inKept = b.join(
+            dropSet(inPairs).withColumnRenamed("doc_id", idCol),
+            Seq(idCol), "left_anti")
+          val index = readSigIndex(spark, indexDir, b, idCol, textCol, cfg)
+            .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
+          val admitted = Dedup.incrementalNearDup(inKept, index, idCol,
+            textCol, cfg.shingleN, cfg.minhashK, cfg.lshBands,
+            cfg.jaccardThreshold)
+          // admitted FIRST: it reads the index snapshot, which must not see
+          // this batch's own signature append
+          admitted.write.mode("append").parquet(outDir)
+          Dedup.minhashSignatures(b, idCol, textCol, cfg.shingleN, cfg.minhashK)
+            .write.mode("append").parquet(indexDir)
+        } finally { b.unpersist(); () }
+    }
+
+  /** The persisted signature index, or an empty frame of the right schema
+    * before the first batch has written it.
+    */
+  private def readSigIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                           idCol: String, textCol: String, cfg: Config): DataFrame =
+    try spark.read.parquet(dir)
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("Path does not exist") =>
+      Dedup.minhashSignatures(batch.limit(0), idCol, textCol,
+        cfg.shingleN, cfg.minhashK)
+    }
 }

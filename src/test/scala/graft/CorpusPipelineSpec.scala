@@ -178,4 +178,91 @@ class CorpusPipelineSpec extends AnyFunSuite {
         s"dup (2,4) dropped across batches, low-quality (3) filtered; got $kept")
     } finally q.stop()
   }
+
+  test("streamingNearDedup: micro-batched near-dedup matches the batch recap survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+
+    // word-level fixtures: independent 23-word bases (no shared shingles
+    // across clusters), n=3 shingles; an m-word change moves jaccard by
+    // known amounts (changed word i touches shingles i-2..i)
+    def edit(base: String, repl: (Int, String)*): String = {
+      val w = base.split(' ')
+      repl.foreach { case (i, s) => w(i) = s }
+      w.mkString(" ")
+    }
+    val PAIR_B = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey"
+    val PAIR_C = "zinc yarrow xenon walnut violet umber teal saffron " +
+      "russet quartz pewter ochre nickel maroon lilac khaki jade ivory " +
+      "hazel garnet fuchsia ebony denim"
+    val CLIQUE_B = "apple baker candle dragon ember falcon garden " +
+      "harbor island jasmine kettle lantern meadow nectar orchard pebble " +
+      "quiver ribbon saddle timber urchin vessel willow"
+    val CHAIN_B = "anchor bridge canyon delta engine furnace glacier " +
+      "hammer ingot journey keystone ladder mortar needle oxide piston " +
+      "quarry rudder spindle turbine valve winch zephyr"
+    def pairB(r: (Int, String)*) = edit(PAIR_B, r: _*)
+    def pairC(r: (Int, String)*) = edit(PAIR_C, r: _*)
+    def cliqueB(r: (Int, String)*) = edit(CLIQUE_B, r: _*)
+    def chainB(r: (Int, String)*) = edit(CHAIN_B, r: _*)
+    // batch 1: in-batch pair (1,2); heads of the cross-batch structures
+    val b1 = Seq(
+      (1L, pairB()), (2L, pairB(11 -> "limon")),                // in-batch pair
+      (10L, pairC()),                                           // pair head
+      (20L, cliqueB()),                                         // clique head
+      (30L, chainB()),                                          // chain head
+      (40L, "completely unrelated text about volcanic geology and mineral formations"))
+    // batch 2
+    val b2 = Seq(
+      (11L, pairC(11 -> "opal")),                               // ~10
+      (21L, cliqueB() + " zz"),                                 // ~20, ~22
+      (31L, chainB(0 -> "qq", 1 -> "rr", 2 -> "ss", 3 -> "tt")), // ~30, mid-chain
+      (41L, "another unrelated document on deep sea hydrothermal vents"))
+    // batch 3: 32 edits the chain's OTHER end on top of 31's head edit —
+    // near 31 but too far from 30
+    val b3 = Seq(
+      (22L, cliqueB() + " qq"),                                 // ~20, ~21
+      (32L, chainB(0 -> "qq", 1 -> "rr", 2 -> "ss", 3 -> "tt",
+        19 -> "ww", 20 -> "xx", 21 -> "yy", 22 -> "vv")),       // ~31, NOT ~30
+      (42L, "a third standalone text concerning medieval manuscript preservation"))
+
+    val cfg = CorpusPipeline.Config(minhashK = 24, lshBands = 12)
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+
+    // the batch recap: pair graph -> components -> keep min per cluster
+    val pairs = Dedup.nearDupPairs(all, "doc_id", "text",
+      cfg.shingleN, cfg.minhashK, cfg.lshBands, cfg.jaccardThreshold)
+    val pairSet = pairs.select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    // planted graph sanity: the chain's ends do NOT pair directly — only
+    // the all-seen-docs index can block 32 after 31 was dropped
+    assert(pairSet.contains((30L, 31L)) && pairSet.contains((31L, 32L)),
+      s"chain edges missing from $pairSet")
+    assert(!pairSet.contains((30L, 32L)), "chain ends must not pair directly")
+    val drop = Dedup.duplicateClustersStar(pairs)
+      .filter($"doc_id" =!= $"cluster").select($"doc_id")
+    val recap = all.join(drop, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("neardedup").toString
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.streamingNearDedup(in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/cp", cfg = cfg)
+    try {
+      Seq(b1, b2, b3).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == recap,
+      s"streaming diverged from recap: missing=${recap -- streamed} extra=${streamed -- recap}")
+    // the interesting shapes actually resolved: in-batch pair, cross-batch
+    // pair, 3-clique across batches, and the dropped-middle chain
+    assert(Set(1L, 10L, 20L, 30L, 40L, 41L, 42L).subsetOf(streamed))
+    assert(Set(2L, 11L, 21L, 22L, 31L, 32L).intersect(streamed).isEmpty)
+    // index holds every seen doc (admitted or dropped), once per doc
+    assert(spark.read.parquet(s"$dir/index").count() == all.count())
+  }
 }
