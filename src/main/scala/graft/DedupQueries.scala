@@ -41,6 +41,16 @@ object DedupQueries {
       SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5)
       .select(col("d1"), col("d2"), col("jacc"))
 
+  /** The skew-guarded candidate path, oracle-checked: hotBucketThreshold=2
+    * makes EVERY pair-producing band bucket take the salted grid (salt
+    * groups of ≤2 docs), so the whole two-stage pairing arithmetic — not
+    * just the cold fallback — must reproduce q28's exact pair set.
+    */
+  val q85_lsh_salted: Q = (s, dir) =>
+    Dedup.nearDupPairs(t(s, dir).documents, "doc_id", "text",
+      SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5, hotBucketThreshold = Some(2))
+      .select(col("d1"), col("d2"), col("jacc"))
+
   val q29_simhash: Q = (s, dir) =>
     Dedup.simhashOf(t(s, dir).documents, "doc_id", "text", SIMHASH_BITS)
 
@@ -119,6 +129,7 @@ object DedupQueries {
     "q26_dedup_exact" -> q26_dedup_exact,
     "q27_minhash_sig" -> q27_minhash_sig,
     "q28_lsh_neardup" -> q28_lsh_neardup,
+    "q85_lsh_salted" -> q85_lsh_salted,
     "q29_simhash" -> q29_simhash,
     "q30_simhash_pairs" -> q30_simhash_pairs,
     "q65_dedup_exact_wide" -> q65_dedup_exact_wide,
@@ -185,23 +196,9 @@ object DedupQueries {
       s"""WITH $shingleCtes
          |SELECT doc_id, i, sig[i+1] AS sig
          |FROM sig, (SELECT unnest(range($MINHASH_K)) AS i)""".stripMargin,
-    "q28_lsh_neardup" ->
-      s"""WITH $shingleCtes,
-         |bands AS (SELECT doc_id, b,
-         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
-         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
-         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
-         |SELECT d1, d2, round(
-         |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
-         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
-         |    6) AS jacc
-         |FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
-         |WHERE round(
-         |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
-         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
-         |    6) >= 0.5""".stripMargin,
+    "q28_lsh_neardup" -> lshNearDupOracle,
+    // the salted path must produce the IDENTICAL pair set — same oracle
+    "q85_lsh_salted" -> lshNearDupOracle,
     "q29_simhash" ->
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sim""".stripMargin,
@@ -226,6 +223,24 @@ object DedupQueries {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents d
         |  WHERE d.doc_id < 250 AND md5(trim(lower(d.text))) = f.fp)""".stripMargin)
+
+  private def lshNearDupOracle: String =
+    s"""WITH $shingleCtes,
+       |bands AS (SELECT doc_id, b,
+       |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+       |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+       |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, round(
+       |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
+       |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+       |    6) AS jacc
+       |FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+       |WHERE round(
+       |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
+       |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+       |    6) >= 0.5""".stripMargin
 
   /** q66: every CorpusPipeline stage replayed in DuckDB. Candidate
     * generation (LSH bands / hyperplane buckets) is per-doc, so computing

@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.core.Tables
-import graft.operators.Similarity
+import graft.operators.{Ivf, Similarity}
 
 /** Scaling bench (round-2 verdict item 4): the sf0.1 bench is fixed-cost
   * dominated (every query 0.2–2 s), so a regression hiding a super-linear
@@ -19,6 +20,18 @@ import graft.operators.Similarity
   * log2(n) keeps occupancy (and therefore per-candidate cost) constant;
   * both variants are measured so the table shows the fixed-plane blowup
   * AND that the documented scale path removes it.
+  *
+  * Second decade (round-3 verdict item 8): when `SPARK_GRAFT_SF100_DIR`
+  * exists (written by ScaleData factor=100), the five scale-risk families
+  * — LSH pairs, IVF, tfidf, dup-spans, bloom-prune — plus the
+  * newly-capped q73 run there too, confirming the log-scaling rules
+  * across TWO decades instead of extrapolating from one. The fixed-plane
+  * LSH variants are deliberately NOT run at 100×: constant buckets give
+  * occupancy ×100 and pair work ×10⁴ — the measured 10× blowup already
+  * demonstrates the failure, and the rule (planes ≈ log2 n: 4 → 8 → 11)
+  * is what the 100× column validates. IVF runs both fixed-k (k=8, the
+  * sf0.1 geometry) and the scale rule (kFor: constant list size, +
+  * train-on-sample at 10%), mirroring the LSH pair of variants.
   */
 object ScaleBench {
 
@@ -39,16 +52,35 @@ object ScaleBench {
     "q75_dup_spans", "q68_tfidf", "q73_unigram_ll", "q80_bloom_prune")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
-    * planesFor(10×)=8 — +log2(10×) rounded up, keeping bucket occupancy
-    * roughly constant.
+    * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
+    * keeping bucket occupancy roughly constant.
     */
-  private def scaledExtras(planes: Int): Map[String, (SparkSession, String) => DataFrame] = Map(
-    s"q33_lsh_ann_p$planes" -> ((s: SparkSession, dir: String) =>
-      Similarity.lshTopPairs(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", planes, DIMS, 50)),
-    s"q64_embedding_neardup_p$planes" -> ((s: SparkSession, dir: String) =>
-      Similarity.lshNearDupPairs(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", planes, DIMS, 0.35)))
+  private def lshQ(name: String, planes: Int): (SparkSession, String) => DataFrame =
+    if (name.startsWith("q33"))
+      (s, dir) => Similarity.lshTopPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", planes, DIMS, 50)
+    else
+      (s, dir) => Similarity.lshNearDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", planes, DIMS, 0.35)
+
+  /** IVF ANN variants for the scaling table. `scaledK`: k from the
+    * [[Ivf.kFor]] rule (constant posting-list size, target = sf0.1's
+    * 2000/8 = 250) and Lloyd's on a 10% sample — the production geometry;
+    * fixed: the sf0.1 geometry (k=8, full train) carried up unchanged.
+    */
+  private def ivfQ(scaledK: Boolean): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents =
+        if (scaledK) {
+          val k = Ivf.kFor(emb.count(), targetListSize = 250)
+          Ivf.trainOnSample(emb, fraction = 0.1, seed = 42L, "vec_id",
+            "embedding", k = k, dims = DIMS, iters = 2)
+        } else Ivf.train(emb, "vec_id", "embedding", k = 8, dims = DIMS, iters = 2)
+      val corpus = Ivf.assign(emb, "embedding", cents, DIMS)
+      Ivf.knn(s, corpus, emb.filter(col("vec_id") < 10), "vec_id",
+        "embedding", cents, DIMS, nprobe = 2, kNeighbors = 5)
+    }
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
@@ -82,6 +114,10 @@ object ScaleBench {
 
     run(SparkEntry.queries("q1_agg"), sf01) // warm-up
 
+    val sf100 = sys.env.get("SPARK_GRAFT_SF100_DIR")
+      .orElse(Some("/tmp/graft-sf100"))
+      .filter(d => new java.io.File(d).exists)
+
     // measurement CELLS (query × dir), deduplicated: the fixed-planes and
     // scaled-planes rows share the same p4/sf0.1 small-side cell, which
     // would otherwise be measured twice per iteration
@@ -89,21 +125,37 @@ object ScaleBench {
     def cell(key: String, fn: (SparkSession, String) => DataFrame, dir: String): String = {
       cells.getOrElseUpdate(key, (fn, dir)); key
     }
-    val rows: Seq[(String, String, String)] =
+    // per row: cell keys for (sf0.1, 10×, optional 100×)
+    val decade2 = Set("q68_tfidf", "q75_dup_spans", "q80_bloom_prune", "q73_unigram_ll")
+    val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),
-            cell(s"$n|1", SparkEntry.queries(n), sf1))
+            cell(s"$n|1", SparkEntry.queries(n), sf1),
+            sf100.filter(_ => decade2(n))
+              .map(d => cell(s"$n|100", SparkEntry.queries(n), d)))
       } ++ Seq(
         ("q33_lsh_ann_fixedp",
-          cell("q33p4|01", scaledExtras(4)("q33_lsh_ann_p4"), sf01),
-          cell("q33p4|1", scaledExtras(4)("q33_lsh_ann_p4"), sf1)),
+          cell("q33p4|01", lshQ("q33", 4), sf01),
+          cell("q33p4|1", lshQ("q33", 4), sf1),
+          None), // 100× fixed-plane: occupancy ×100 ⇒ pair work ×10⁴, prohibitive by design
         ("q33_lsh_ann_scaledp", "q33p4|01",
-          cell("q33p8|1", scaledExtras(8)("q33_lsh_ann_p8"), sf1)),
+          cell("q33p8|1", lshQ("q33", 8), sf1),
+          sf100.map(d => cell("q33p11|100", lshQ("q33", 11), d))),
         ("q64_neardup_fixedp",
-          cell("q64p4|01", scaledExtras(4)("q64_embedding_neardup_p4"), sf01),
-          cell("q64p4|1", scaledExtras(4)("q64_embedding_neardup_p4"), sf1)),
+          cell("q64p4|01", lshQ("q64", 4), sf01),
+          cell("q64p4|1", lshQ("q64", 4), sf1),
+          None),
         ("q64_neardup_scaledp", "q64p4|01",
-          cell("q64p8|1", scaledExtras(8)("q64_embedding_neardup_p8"), sf1)))
+          cell("q64p8|1", lshQ("q64", 8), sf1),
+          sf100.map(d => cell("q64p11|100", lshQ("q64", 11), d))),
+        ("q61_ivf_fixedk",
+          cell("q61k8|01", ivfQ(scaledK = false), sf01),
+          cell("q61k8|1", ivfQ(scaledK = false), sf1),
+          sf100.map(d => cell("q61k8|100", ivfQ(scaledK = false), d))),
+        ("q61_ivf_scaledk",
+          cell("q61sk|01", ivfQ(scaledK = true), sf01),
+          cell("q61sk|1", ivfQ(scaledK = true), sf1),
+          sf100.map(d => cell("q61sk|100", ivfQ(scaledK = true), d))))
 
     // round-robin the iterations (iter 1 of every cell, then iter 2, …) so
     // slow phases of a shared host hit all measurements evenly instead of
@@ -113,15 +165,22 @@ object ScaleBench {
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to iters; (key, (fn, dir)) <- cells)
       samples(key) :+= run(fn, dir)
-    val out = rows.map { case (name, smallKey, bigKey) =>
+    val out = rows.map { case (name, smallKey, bigKey, key100) =>
       val t01 = median(samples(smallKey))
       val t1 = median(samples(bigKey))
       val ratio = if (t01 > 0 && t1 > 0) r2(t1 / t01) else -1.0
-      System.err.println(f"[scalebench] $name%-22s sf0.1=${t01}%.2fs 10x=${t1}%.2fs ratio=$ratio%.2f")
-      s""""$name":{"t01":${r2(t01)},"t1":${r2(t1)},"ratio":$ratio}"""
+      val (t100, r100) = key100.map { k =>
+        val t = median(samples(k))
+        (t, if (t > 0 && t1 > 0) r2(t / t1) else -1.0)
+      }.getOrElse((-1.0, -1.0))
+      val d2 = if (t100 >= 0) f", 100x=$t100%.2fs r100=$r100%.2f" else ""
+      System.err.println(f"[scalebench] $name%-22s sf0.1=$t01%.2fs 10x=$t1%.2fs ratio=$ratio%.2f$d2")
+      val j100 = if (t100 >= 0) s""","t100":${r2(t100)},"r100":$r100""" else ""
+      s""""$name":{"t01":${r2(t01)},"t1":${r2(t1)},"ratio":$ratio$j100}"""
     }
     println(s"""{"metric":"scale_ratio","iters":$iters,"factor":10,""" +
-      s""""queries":{${out.mkString(",")}},"sf01":"$sf01","sf1":"$sf1"}""")
+      s""""queries":{${out.mkString(",")}},"sf01":"$sf01","sf1":"$sf1"""" +
+      sf100.map(d => s""","sf100":"$d"""").getOrElse("") + "}")
     spark.stop()
   }
 }

@@ -91,11 +91,20 @@ object ScaleData {
     val emb = Tables.load(spark, src, "embeddings")
     val vSpan = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
-    save(replicate(emb, (d, i) =>
+    // circular shift by (replica mod dims); once the shifts wrap (factor >
+    // dims), negate per wrap cycle — still norm-preserving, and cycle
+    // twins land at cos = −1 instead of an artificial +1 near-dup
+    save(replicate(emb, (d, i) => {
+      val shift = i % dims
+      val sign = if ((i / dims) % 2 == 1) -1f else 1f
+      val rotated =
+        if (shift == 0) col("embedding")
+        else concat(slice(col("embedding"), shift + 1, dims - shift),
+          slice(col("embedding"), 1, shift))
       d.withColumn("vec_id", col("vec_id") + lit(i * vSpan))
         .withColumn("embedding",
-          if (i == 0) col("embedding")
-          else concat(slice(col("embedding"), i + 1, dims - i),
-            slice(col("embedding"), 1, i)))), "embeddings")
+          if (sign == 1f) rotated
+          else transform(rotated, x => x * lit(sign)))
+    }), "embeddings")
   }
 }

@@ -20,7 +20,18 @@ object KeywordWindow {
             delay: String = "5 seconds",
             tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
               c => split(c, " ")): DataFrame =
-    LogSplit.split(logs)("page")
+    fromPages(LogSplit.split(logs)("page"), windowLen, delay, tokenizer)
+
+  /** The same pipeline over an already-routed page branch — what a
+    * downstream job consuming BaseLogApp's page output runs (the
+    * reference's keyword app likewise consumes the routed page TOPIC, not
+    * raw logs).
+    */
+  def fromPages(pages: DataFrame, windowLen: String = "10 seconds",
+                delay: String = "5 seconds",
+                tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                  c => split(c, " ")): DataFrame =
+    pages
       .filter(col("page.last_page_id") === "search" &&
         col("page.item_type") === "keyword" && col("page.item").isNotNull)
       .select(timestamp_millis(col("ts")).as("eventTime"),

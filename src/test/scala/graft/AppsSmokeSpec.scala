@@ -5,7 +5,8 @@ import java.nio.file.{Files, Path}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.apps.{BaseLogApp, DimApp, DwdOrderApp, DwsTradeProvinceOrderWindowApp}
+import graft.apps.{BaseLogApp, DimApp, DwdOrderApp, DwsTradeProvinceOrderWindowApp,
+  KeywordWindowApp, TrafficPageViewWindowApp}
 import graft.sinks.Sinks
 
 /** End-to-end smoke of the deployable app mains (`graft.apps.*`): each app
@@ -21,8 +22,18 @@ class AppsSmokeSpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit =
-    Files.write(Path.of(dir, name), String.join("\n", lines: _*).getBytes)
+  // FileStreamSource orders files by MODIFICATION TIME; fixture files land
+  // within the same millisecond, so without distinct mtimes the watermark
+  // "food" files can be read before the business rows, late-dropping them.
+  // Strictly increasing mtimes make write order the replay order.
+  private val mtimeSeq = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis() - 3600L * 1000)
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit = {
+    val p = Files.write(Path.of(dir, name), String.join("\n", lines: _*).getBytes)
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeSeq.addAndGet(1000)))
+  }
 
   private def env(table: String, tpe: String, ts: Long, data: (String, String)*) = {
     val d = data.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
@@ -172,5 +183,57 @@ class AppsSmokeSpec extends AnyFunSuite {
     // d1 deduped: p1 = d1(20.00) + d2(5.00) + d3(3.50), two orders
     assert(summary.contains((100L, "Beijing", 2L, 3L, 28.50)))
     assert(summary.contains((110L, "Shanghai", 1L, 1L, 1.00)))
+  }
+
+  test("log-side chain: BaseLogApp page dir feeds KeywordWindowApp; TrafficPageViewWindowApp from raw logs") {
+    val in = tmp("applogchain-in"); val blOut = tmp("applogchain-bl")
+    val kwOut = tmp("applogchain-kw"); val pvOut = tmp("applogchain-pv")
+    val cp1 = tmp("applogchain-c1"); val cp2 = tmp("applogchain-c2")
+    val cp3 = tmp("applogchain-c3")
+
+    def page(mid: String, pageId: String, lastPage: String, itemType: String,
+             item: String, ts: Long) = {
+      val lp = if (lastPage == null) "null" else s""""$lastPage""""
+      val it = if (item == null) "null" else s""""$item""""
+      val itp = if (itemType == null) "null" else s""""$itemType""""
+      s"""{"common":{"ar":"110000","ba":"b","ch":"web","is_new":"1","md":"m","mid":"$mid","os":"o","uid":"u1","vc":"v1"},""" +
+        s""""page":{"during_time":1000,"item":$it,"item_type":$itp,"last_page_id":$lp,"page_id":"$pageId"},"ts":$ts}"""
+    }
+    writeLines(in, "00_logs.jsonl", Seq(
+      page("m1", "good_list", "search", "keyword", "spark engine", 1000),
+      page("m2", "good_list", "search", "keyword", "spark", 2000),
+      page("m1", "home", null, null, null, 1500)))
+    // watermark food: search pages (they must pass the keyword filter to
+    // advance KeywordWindowApp's watermark) in later one-file batches
+    for (i <- 1 to 2)
+      writeLines(in, f"$i%02d_food.jsonl", Seq(
+        page("mf", "good_list", "search", "keyword", "zzz", 2000000000L + i)))
+
+    BaseLogApp.main(Array(
+      "--source", "file", "--input", in, "--out", blOut, "--checkpoint", cp1,
+      "--max-files-per-trigger", "1"))
+    KeywordWindowApp.main(Array(
+      "--input", s"$blOut/page", "--out", kwOut, "--checkpoint", cp2))
+    TrafficPageViewWindowApp.main(Array(
+      "--source", "file", "--input", in, "--out", pvOut, "--checkpoint", cp3,
+      "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // keyword counts for the closed [0,10s) window: "spark engine"+"spark"
+    val kw = spark.read.parquet(kwOut)
+      .select($"stt".cast("long"), $"keyword", $"keyword_count")
+      .as[(Long, String, Long)].collect().toSet
+    assert(kw.contains((0L, "spark", 2L)) && kw.contains((0L, "engine", 1L)),
+      s"keyword window missing expected counts: $kw")
+
+    // traffic measures for the same window, one dim group (v1, web, …):
+    // uv = first-of-day mids m1+m2, sv = the null-last-page home view,
+    // pv = all three page views, dur = 3 x 1000
+    val pv = spark.read.parquet(pvOut)
+      .select($"stt".cast("long"), $"vc", $"ch", $"uv_ct", $"sv_ct",
+        $"dur_sum", $"pv_ct")
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().toSet
+    assert(pv.contains((0L, "v1", "web", 2L, 1L, 3000L, 3L)),
+      s"traffic window missing expected measures: $pv")
   }
 }
