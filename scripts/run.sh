@@ -16,6 +16,8 @@
 #   scripts/run.sh graft.apps.DwsTradeProvinceOrderWindowApp \
 #     --input /warehouse/dwd_order --provinces /conf/provinces.csv \
 #     --out /warehouse/dws_province --checkpoint /ckpt/dws
+#   scripts/run.sh graft.apps.CorpusIngestApp --source file --input /data/docs \
+#     --index /corpus/sig_index --out /corpus/admitted --checkpoint /ckpt/ingest
 set -e
 cd "$(dirname "$0")/.."
 CP="target/scala-2.13/classes:/opt/spark/jars/*"

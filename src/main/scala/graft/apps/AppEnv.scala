@@ -47,6 +47,9 @@ object AppEnv {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the engine's native expressions (shingle_hashes, minhash_sig, …) are
+    // part of the job runtime — any pipeline may reach them
+    graft.plans.GraftFunctions.register(s)
     s
   }
 

@@ -1,0 +1,53 @@
+package graft.apps
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipelines.CorpusPipeline
+
+/** Deployable continuous corpus-ingest job — the training-data analogue of
+  * the warehouse apps: documents stream in as JSON lines
+  * `{"doc_id": …, "text": "…", "ts": <epoch seconds>}` and flow through
+  * the full incremental dedup lambda in ONE streaming query:
+  *
+  *   1. [[CorpusPipeline.streamingIngest]]: per-row quality scoring +
+  *      filter, then exact dedup as watermark-bounded keyed state on the
+  *      wide fingerprint (first arrival wins);
+  *   2. [[CorpusPipeline.streamingNearDedup]]: per micro-batch, resolve
+  *      the batch's near-dup graph, probe the persisted signature index,
+  *      append all signatures to the index and admitted docs to the
+  *      output.
+  *
+  * The periodic batch recap (`CorpusPipeline.apply`) stays a separate
+  * batch job over the admitted output — the standard lambda split.
+  */
+object CorpusIngestApp {
+
+  val usage = "graft.apps.CorpusIngestApp --source file|kafka --input <dir> " +
+    "[--brokers <csv> --topics <csv>] --index <dir> --out <dir> " +
+    "--checkpoint <dir> [--min-quality 0.35] [--delay '10 seconds'] " +
+    "[--trigger available-now|'<interval>']"
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("ts", LongType)))
+
+  def main(args: Array[String]): Unit = {
+    val conf = AppEnv.parseArgs(args)
+    val spark: SparkSession = AppEnv.session("graft-corpus-ingest")
+    val docs = AppEnv.source(spark, conf, usage)
+      .withColumn("j", from_json(col("value"), docSchema))
+      .filter(col("j").isNotNull && col("j.doc_id").isNotNull && col("j.text").isNotNull)
+      .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
+        timestamp_seconds(col("j.ts")).as("ts"))
+    val ingested = CorpusPipeline.streamingIngest(docs, "ts",
+      conf.getOrElse("delay", "10 seconds"),
+      minQuality = conf.getOrElse("min-quality", "0.35").toDouble)
+    val q = CorpusPipeline.streamingNearDedup(ingested,
+      AppEnv.get(conf, "index", usage), AppEnv.get(conf, "out", usage),
+      AppEnv.get(conf, "checkpoint", usage), trigger = AppEnv.trigger(conf))
+    AppEnv.await(spark, conf, Seq(q))
+  }
+}

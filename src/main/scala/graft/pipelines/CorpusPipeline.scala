@@ -231,13 +231,16 @@ object CorpusPipeline {
     }
 
   /** The persisted signature index, or an empty frame of the right schema
-    * before the first batch has written it.
+    * before the first batch has written it (missing dir, or an existing
+    * but still-empty one — parquet cannot infer a schema from either).
     */
   private def readSigIndex(spark: SparkSession, dir: String, batch: DataFrame,
                            idCol: String, textCol: String, cfg: Config): DataFrame =
     try spark.read.parquet(dir)
     catch { case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("Path does not exist") =>
+        if e.getMessage.contains("PATH_NOT_FOUND") ||
+           e.getMessage.contains("Path does not exist") ||
+           e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
       Dedup.minhashSignatures(batch.limit(0), idCol, textCol,
         cfg.shingleN, cfg.minhashK)
     }

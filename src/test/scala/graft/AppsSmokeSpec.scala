@@ -5,8 +5,8 @@ import java.nio.file.{Files, Path}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.apps.{BaseLogApp, DimApp, DwdOrderApp, DwsTradeProvinceOrderWindowApp,
-  KeywordWindowApp, TrafficPageViewWindowApp}
+import graft.apps.{BaseLogApp, CorpusIngestApp, DimApp, DwdOrderApp,
+  DwsTradeProvinceOrderWindowApp, KeywordWindowApp, TrafficPageViewWindowApp}
 import graft.sinks.Sinks
 
 /** End-to-end smoke of the deployable app mains (`graft.apps.*`): each app
@@ -235,5 +235,40 @@ class AppsSmokeSpec extends AnyFunSuite {
       .as[(Long, String, String, Long, Long, Long, Long)].collect().toSet
     assert(pv.contains((0L, "v1", "web", 2L, 1L, 3000L, 3L)),
       s"traffic window missing expected measures: $pv")
+  }
+
+  test("CorpusIngestApp main: quality -> exact dedup -> incremental near-dedup, from CLI over files") {
+    val in = tmp("appcorpus-in"); val out = tmp("appcorpus-out")
+    val idx = tmp("appcorpus-idx"); val cp = tmp("appcorpus-cp")
+    def doc(id: Long, text: String, ts: Long) =
+      s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+    val base = "anchor bridge canyon delta engine furnace glacier hammer " +
+      "ingot journey keystone ladder mortar needle oxide piston quarry " +
+      "rudder spindle turbine valve winch zephyr"
+    // batch 1: keeper, its exact dup, a quality reject, a near-dup pair head
+    writeLines(in, "00_docs.jsonl", Seq(
+      doc(1, base, 10),
+      doc(2, base, 11),                       // exact dup of 1 -> dropped at ingest
+      doc(3, "a a a a a a a a", 12),          // quality reject
+      doc(4, "completely different prose about volcanic geology and rare minerals", 13),
+      "not json at all"))
+    // batch 2: near-dup of 1 (append-one-word, jacc ~0.95) + a fresh doc
+    writeLines(in, "01_docs.jsonl", Seq(
+      doc(5, base + " appended", 20),         // near-dup of 1 -> dropped vs index
+      doc(6, "another standalone text on deep sea hydrothermal vents and fauna", 21)))
+
+    CorpusIngestApp.main(Array(
+      "--source", "file", "--input", in, "--index", idx, "--out", out,
+      "--checkpoint", cp, "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val admitted = spark.read.parquet(out).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(admitted == Set(1L, 4L, 6L),
+      s"expected exact dup 2, low-quality 3, near-dup 5 dropped; got $admitted")
+    // the signature index holds every doc the near-dedup stage SAW
+    // (ingest survivors), admitted or not
+    assert(spark.read.parquet(idx).select($"doc_id").as[Long].collect().toSet
+      == Set(1L, 4L, 5L, 6L))
   }
 }
