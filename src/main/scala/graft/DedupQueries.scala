@@ -97,6 +97,21 @@ object DedupQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Incremental NEAR dedup (continuous ingest): the shard doc_id >= 250
+    * arrives against the signature index of the already-admitted corpus
+    * (doc_id < 250) — band-key probe, exact-Jaccard verify, survivors
+    * returned. The cross-shard twin of q84's exact path; ids-only band
+    * join, the shard's text never shuffles.
+    */
+  val q86_incremental_neardup: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val indexSigs = Dedup.minhashSignatures(docs.filter(col("doc_id") < 250),
+      "doc_id", "text", SHINGLE_N, MINHASH_K)
+    Dedup.incrementalNearDup(docs.filter(col("doc_id") >= 250), indexSigs,
+        "doc_id", "text", SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** The full composed corpus pipeline (quality → wide exact dedup →
     * MinHash-LSH components → embedding-cosine components): final
     * survivors. The oracle replays every stage in DuckDB, resolving both
@@ -134,7 +149,8 @@ object DedupQueries {
     "q30_simhash_pairs" -> q30_simhash_pairs,
     "q65_dedup_exact_wide" -> q65_dedup_exact_wide,
     "q66_corpus_survivors" -> q66_corpus_survivors,
-    "q84_incremental_dedup" -> q84_incremental_dedup)
+    "q84_incremental_dedup" -> q84_incremental_dedup,
+    "q86_incremental_neardup" -> q86_incremental_neardup)
 
   // Shared oracle CTE fragments (DuckDB).
   private val polyHashSql = (e: String) =>
@@ -214,6 +230,22 @@ object DedupQueries {
          |GROUP BY fp""".stripMargin,
     "q66_corpus_survivors" -> corpusSurvivorsOracle,
     "q77_corpus_funnel" -> corpusFunnelOracle,
+    "q86_incremental_neardup" ->
+      s"""WITH $shingleCtes,
+         |bands AS (SELECT doc_id, b,
+         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS xid
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+         |  WHERE a.doc_id >= 250 AND b.doc_id < 250),
+         |dropped AS (SELECT DISTINCT nid FROM cand
+         |  JOIN sig s1 ON nid = s1.doc_id JOIN sig s2 ON xid = s2.doc_id
+         |  WHERE round(len(list_intersect(s1.hs, s2.hs))::DOUBLE
+         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+         |    6) >= 0.5)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT nid FROM dropped)""".stripMargin,
     "q84_incremental_dedup" ->
       """WITH nw AS (
         |  SELECT doc_id, md5(trim(lower(text))) AS fp
