@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.apps.{BaseLogApp, CorpusIngestApp, DimApp, DwdOrderApp,
-  DwsTradeProvinceOrderWindowApp, KeywordWindowApp, TrafficPageViewWindowApp}
+  DwsTradePaymentSucWindowApp, DwsTradeProvinceOrderWindowApp,
+  DwsUserRegisterWindowApp, KeywordWindowApp, TrafficPageViewWindowApp}
 import graft.sinks.Sinks
 
 /** End-to-end smoke of the deployable app mains (`graft.apps.*`): each app
@@ -270,5 +271,51 @@ class AppsSmokeSpec extends AnyFunSuite {
     // (ingest survivors), admitted or not
     assert(spark.read.parquet(idx).select($"doc_id").as[Long].collect().toSet
       == Set(1L, 4L, 5L, 6L))
+  }
+
+  test("DwsUserRegisterWindowApp + DwsTradePaymentSucWindowApp mains over one CDC feed") {
+    val in = tmp("appdws-in"); val regOut = tmp("appdws-reg")
+    val payOut = tmp("appdws-pay")
+    val cp1 = tmp("appdws-c1"); val cp2 = tmp("appdws-c2")
+
+    def payment(id: String, user: String, ts: Long, status: String = "1602") =
+      s"""{"database":"gmall","table":"payment_info","type":"update","data":{"id":"$id","order_id":"o$id","user_id":"$user","payment_type":"1102","callback_time":"t","payment_status":"$status"},"old":{"payment_status":"1601"},"ts":$ts}"""
+    writeLines(in, "00_cdc.jsonl", Seq(
+      env("user_info", "insert", 100, "id" -> "u1", "create_time" -> "2022-01-01 00:00:01"),
+      env("user_info", "insert", 103, "id" -> "u2", "create_time" -> "2022-01-01 00:00:02"),
+      // update, not insert: not a registration
+      """{"database":"gmall","table":"user_info","type":"update","data":{"id":"u1","name":"x"},"old":{"name":"y"},"ts":104}""",
+      payment("p1", "u1", 101),
+      payment("p2", "u1", 102),                      // same payer, same day: uu once
+      payment("p3", "u2", 103),
+      payment("p4", "u3", 105, status = "1601")))    // status not 1602: excluded
+    // watermark food in later one-file batches (the payment window chains
+    // dedup + flagger + window — three stateful ops)
+    for (i <- 1 to 4) {
+      val t = 500000L + i
+      writeLines(in, f"$i%02d_food.jsonl", Seq(
+        env("user_info", "insert", t, "id" -> s"uf$i", "create_time" -> "t"),
+        payment(s"pf$i", "uf", t)))
+    }
+
+    DwsUserRegisterWindowApp.main(Array(
+      "--source", "file", "--input", in, "--out", regOut, "--checkpoint", cp1,
+      "--max-files-per-trigger", "1"))
+    DwsTradePaymentSucWindowApp.main(Array(
+      "--source", "file", "--input", in, "--out", payOut, "--checkpoint", cp2,
+      "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val reg = spark.read.parquet(regOut)
+      .select($"stt".cast("long"), $"register_ct")
+      .as[(Long, Long)].collect().toSet
+    assert(reg.contains((100L, 2L)), s"expected 2 registrations in [100,110): $reg")
+
+    val pay = spark.read.parquet(payOut)
+      .select($"stt".cast("long"), $"payment_suc_unique_user_ct",
+        $"payment_suc_new_user_ct")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pay.contains((100L, 2L, 2L)),
+      s"expected 2 unique payers (u1 deduped) in [100,110): $pay")
   }
 }

@@ -53,7 +53,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q81_zvalue" -> 0,            // pure bit-arithmetic projection
     "q82_equidepth" -> 1,         // window on event_type; the (type,tile) agg reuses it
     "q83_frequent_ngrams" -> 1,   // gram agg; top-k is TakeOrdered, no sort exchange
-    "q84_incremental_dedup" -> 2) // (fp,id) agg + index anti-join; admitted ids broadcast back
+    "q84_incremental_dedup" -> 2, // (fp,id) agg + index anti-join; admitted ids broadcast back
+    "q28_lsh_neardup" -> 1,       // band self-join broadcasts at this SF; pair distinct is the exchange
+    "q85_lsh_salted" -> 5,        // + bucket-count agg, cold/hot pair joins, pair distinct — keys only in every one
+    "q86_incremental_neardup" -> 3) // new-side band agg + (nid,xid) distinct + survivor anti-join
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
