@@ -104,6 +104,16 @@ object TextFunctions {
     * `a_i = (2654435761*(i+1)) mod HashMod`, `b_i = (40503*(i+1)+17) mod
     * HashMod`, the signature entry is `min_x h_i(x)`.
     *
+    * Caveat: the `a_i` are MULTIPLES of one constant, so the k
+    * "permutations" are linearly correlated, not independent — for a
+    * specific unlucky shingle-set pair the band-miss probability can sit
+    * far above the `1-(1-s^r)^b` independence estimate (observed: a
+    * jacc=0.75 pair missed by 12 r=2 bands, nominal miss 4e-5). Averaged
+    * over a corpus the estimator is fine (q49 oracle-matches), but
+    * fixtures that must deterministically pair should use near-identical
+    * docs (append-a-word, jacc ≥ 0.9), and production recall targets
+    * should come from measured band-hit rates, not the formula.
+    *
     * Returns an array<long> of length k (HashMod sentinel for empty input
     * so downstream banding stays total). Per-row only — the signature
     * replaces the O(|doc|) shingle set with O(k) longs, which is the whole
