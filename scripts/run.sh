@@ -5,7 +5,8 @@
 #   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 scripts/run.sh graft.Bench
 #
 # Deployable warehouse jobs (graft.apps.*; --source kafka needs a broker,
-# --source file drains a directory of JSON lines):
+# --source file drains a directory of JSON lines; add --state-store rocksdb
+# to any app when keyed streaming state outgrows executor heaps):
 #   scripts/run.sh graft.apps.BaseLogApp --source file --input /data/logs \
 #     --out /warehouse/dwd_log --checkpoint /ckpt/base_log
 #   scripts/run.sh graft.apps.DimApp --source kafka --brokers host:9092 \

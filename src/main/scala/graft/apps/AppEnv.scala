@@ -37,8 +37,14 @@ object AppEnv {
 
   /** Session for a deployed job. local[*] here; on a cluster the master
     * comes from spark-submit and this builder's master is ignored.
+    *
+    * `--state-store rocksdb` switches keyed streaming state to the
+    * RocksDB provider — the required setting once state outgrows executor
+    * heaps (a corpus-scale dedup fingerprint set, multi-day flagger
+    * state); RocksDbStateSpec proves result-parity under it. Default is
+    * Spark's in-memory HDFS-backed provider.
     */
-  def session(appName: String): SparkSession = {
+  def session(appName: String, conf: Map[String, String] = Map.empty): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,6 +56,14 @@ object AppEnv {
     // the engine's native expressions (shingle_hashes, minhash_sig, …) are
     // part of the job runtime — any pipeline may reach them
     graft.plans.GraftFunctions.register(s)
+    conf.get("state-store") match {
+      case Some("rocksdb") => s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case Some(other) if other != "memory" =>
+        sys.error(s"unknown --state-store $other (rocksdb|memory)")
+      case _ => ()
+    }
     s
   }
 

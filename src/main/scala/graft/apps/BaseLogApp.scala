@@ -46,7 +46,7 @@ object BaseLogApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark = AppEnv.session("graft-base-log")
+    val spark = AppEnv.session("graft-base-log", conf)
     val queries = run(spark, AppEnv.source(spark, conf, usage),
       AppEnv.get(conf, "out", usage), AppEnv.get(conf, "checkpoint", usage),
       AppEnv.trigger(conf))

@@ -36,7 +36,7 @@ object CorpusIngestApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark: SparkSession = AppEnv.session("graft-corpus-ingest")
+    val spark: SparkSession = AppEnv.session("graft-corpus-ingest", conf)
     val docs = AppEnv.source(spark, conf, usage)
       .withColumn("j", from_json(col("value"), docSchema))
       .filter(col("j").isNotNull && col("j.doc_id").isNotNull && col("j.text").isNotNull)

@@ -54,7 +54,7 @@ object DimApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark = AppEnv.session("graft-dim")
+    val spark = AppEnv.session("graft-dim", conf)
     val configPath = AppEnv.get(conf, "config", usage)
     val queries = run(spark, AppEnv.source(spark, conf, usage),
       () => AppEnv.readTable(spark, configPath),

@@ -37,7 +37,7 @@ object DwdOrderApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark = AppEnv.session("graft-dwd-order")
+    val spark = AppEnv.session("graft-dwd-order", conf)
     val queries = run(spark, AppEnv.source(spark, conf, usage),
       AppEnv.readTable(spark, AppEnv.get(conf, "dict", usage)),
       AppEnv.get(conf, "out", usage), AppEnv.get(conf, "checkpoint", usage),

@@ -21,7 +21,7 @@ object DwsTradePaymentSucWindowApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark: SparkSession = AppEnv.session("graft-dws-payment-suc")
+    val spark: SparkSession = AppEnv.session("graft-dws-payment-suc", conf)
     import spark.implicits._
     val (clean, _) = CdcEnvelope.parse(AppEnv.source(spark, conf, usage), "value")
     val payments = DwdFacts.extract(CdcEnvelope.etlFilter(clean),

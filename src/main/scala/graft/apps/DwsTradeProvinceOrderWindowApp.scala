@@ -41,7 +41,7 @@ object DwsTradeProvinceOrderWindowApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark = AppEnv.session("graft-dws-province")
+    val spark = AppEnv.session("graft-dws-province", conf)
     val inDir = AppEnv.get(conf, "input", usage)
     val delay = conf.getOrElse("delay", OrderPreProcess.WatermarkDelay)
     val wide = spark.readStream

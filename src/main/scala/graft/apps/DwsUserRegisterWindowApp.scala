@@ -19,7 +19,7 @@ object DwsUserRegisterWindowApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark: SparkSession = AppEnv.session("graft-dws-user-register")
+    val spark: SparkSession = AppEnv.session("graft-dws-user-register", conf)
     val (clean, _) = CdcEnvelope.parse(AppEnv.source(spark, conf, usage), "value")
     val registers = DwdFacts.extract(CdcEnvelope.etlFilter(clean),
         DwdFacts.defs.find(_.name == "user_register").get)

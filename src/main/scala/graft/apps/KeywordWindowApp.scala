@@ -17,7 +17,7 @@ object KeywordWindowApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark: SparkSession = AppEnv.session("graft-keyword-window")
+    val spark: SparkSession = AppEnv.session("graft-keyword-window", conf)
     val inDir = AppEnv.get(conf, "input", usage)
     val pages = spark.readStream
       .schema(spark.read.parquet(inDir).schema)

@@ -19,7 +19,7 @@ object TrafficPageViewWindowApp {
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
-    val spark: SparkSession = AppEnv.session("graft-traffic-pv-window")
+    val spark: SparkSession = AppEnv.session("graft-traffic-pv-window", conf)
     val (clean, _) = LogSplit.parse(AppEnv.source(spark, conf, usage), "value")
     val q = TrafficPageViewWindow(spark, clean,
         conf.getOrElse("window", "10 seconds"),

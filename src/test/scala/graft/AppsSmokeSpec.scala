@@ -273,6 +273,28 @@ class AppsSmokeSpec extends AnyFunSuite {
       == Set(1L, 4L, 5L, 6L))
   }
 
+  test("CorpusIngestApp --state-store rocksdb: same admissions, RocksDB provider active") {
+    val in = tmp("approcks-in"); val out = tmp("approcks-out")
+    val idx = tmp("approcks-idx"); val cp = tmp("approcks-cp")
+    def doc(id: Long, text: String, ts: Long) =
+      s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+    writeLines(in, "00_docs.jsonl", Seq(
+      doc(1, "some interesting prose about glaciers and mountain weather", 10),
+      doc(2, "some interesting prose about glaciers and mountain weather", 11), // exact dup
+      doc(3, "entirely different words concerning harbor logistics and cranes", 12)))
+    try {
+      CorpusIngestApp.main(Array(
+        "--source", "file", "--input", in, "--index", idx, "--out", out,
+        "--checkpoint", cp, "--state-store", "rocksdb"))
+      spark.sparkContext.setLogLevel("ERROR")
+      // the dedup state (dropDuplicatesWithinWatermark) ran under RocksDB
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      assert(spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+        == Set(1L, 3L))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("DwsUserRegisterWindowApp + DwsTradePaymentSucWindowApp mains over one CDC feed") {
     val in = tmp("appdws-in"); val regOut = tmp("appdws-reg")
     val payOut = tmp("appdws-pay")
