@@ -19,6 +19,13 @@
 #     --out /warehouse/dws_province --checkpoint /ckpt/dws
 #   scripts/run.sh graft.apps.CorpusIngestApp --source file --input /data/docs \
 #     --index /corpus/sig_index --out /corpus/admitted --checkpoint /ckpt/ingest
+#   scripts/run.sh graft.apps.DwdFactApp --fact all --source file \
+#     --input /data/cdc --dict /conf/base_dic.csv \
+#     --out /warehouse/dwd --checkpoint /ckpt/facts
+#   scripts/run.sh graft.apps.DwsTradeSkuOrderWindowApp --input /warehouse/dwd_order \
+#     --sku /dim/sku.csv --spu /dim/spu.csv --trademark /dim/tm.csv \
+#     --c3 /dim/c3.csv --c2 /dim/c2.csv --c1 /dim/c1.csv \
+#     --out /warehouse/dws_sku --checkpoint /ckpt/dws_sku
 set -e
 cd "$(dirname "$0")/.."
 CP="target/scala-2.13/classes:/opt/spark/jars/*"

@@ -1,0 +1,311 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apps.{DwdFactApp, DwdOrderApp, DwdTrafficUniqueVisitorApp,
+  DwdTrafficUserJumpApp, DwsTradeCartAddUuWindowApp, DwsTradeOrderWindowApp,
+  DwsTradeRefundWindowApp, DwsTradeSkuOrderWindowApp,
+  DwsTrafficHomeDetailPageViewWindowApp, DwsUserLoginWindowApp}
+
+/** End-to-end smoke of the round-4 app mains (see AppsSmokeSpec for the
+  * conventions: real `main(Array[String])` calls, file sources, mtime-
+  * ordered fixture files, watermark-food batches for stateful chains).
+  */
+class MoreAppsSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val mtimeSeq = new java.util.concurrent.atomic.AtomicLong(
+    System.currentTimeMillis() - 3600L * 1000)
+
+  private def writeLines(dir: String, name: String, lines: Seq[String]): Unit = {
+    val p = Files.write(Path.of(dir, name), String.join("\n", lines: _*).getBytes)
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeSeq.addAndGet(1000)))
+  }
+
+  private def env(table: String, tpe: String, ts: Long, data: (String, String)*) = {
+    val d = data.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    s"""{"database":"gmall","table":"$table","type":"$tpe","data":{$d},"ts":$ts}"""
+  }
+
+  private def envUpd(table: String, ts: Long, data: Seq[(String, String)],
+                     old: Seq[(String, String)]) = {
+    val d = data.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val o = old.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    s"""{"database":"gmall","table":"$table","type":"update","data":{$d},"old":{$o},"ts":$ts}"""
+  }
+
+  private def page(mid: String, uid: String, pageId: String, lastPage: String,
+                   ts: Long) = {
+    val lp = if (lastPage == null) "null" else s""""$lastPage""""
+    s"""{"common":{"ar":"110000","ba":"b","ch":"web","is_new":"1","md":"m","mid":"$mid","os":"o","uid":"$uid","vc":"v1"},""" +
+      s""""page":{"during_time":1000,"last_page_id":$lp,"page_id":"$pageId"},"ts":$ts}"""
+  }
+
+  test("DwdFactApp main --fact all: every dwd/db job off one scan, dict decode, dirty branch") {
+    val in = tmp("factapp-in"); val out = tmp("factapp-out"); val cp = tmp("factapp-cp")
+    val side = tmp("factapp-side")
+    writeLines(in, "cdc.jsonl", Seq(
+      env("cart_info", "insert", 100, "id" -> "c1", "user_id" -> "u1",
+        "sku_id" -> "s1", "sku_num" -> "2", "source_type" -> "2401"),
+      // sku_num grew 2->3: counts as a cart add with delta 1
+      envUpd("cart_info", 101,
+        Seq("id" -> "c1", "user_id" -> "u1", "sku_id" -> "s1", "sku_num" -> "3"),
+        Seq("sku_num" -> "2")),
+      // sku_num shrank: not a cart add
+      envUpd("cart_info", 102,
+        Seq("id" -> "c1", "user_id" -> "u1", "sku_id" -> "s1", "sku_num" -> "1"),
+        Seq("sku_num" -> "3")),
+      env("order_refund_info", "insert", 103, "id" -> "r1", "user_id" -> "u1",
+        "order_id" -> "o1", "sku_id" -> "s1", "refund_type" -> "1501",
+        "refund_num" -> "1", "refund_amount" -> "10.50"),
+      env("user_info", "insert", 104, "id" -> "u9",
+        "create_time" -> "2022-06-01 10:00:00"),
+      env("comment_info", "insert", 105, "id" -> "cm1", "user_id" -> "u1",
+        "sku_id" -> "s1", "appraise" -> "1201", "comment_txt" -> "nice"),
+      envUpd("payment_info", 106,
+        Seq("id" -> "p1", "order_id" -> "o1", "user_id" -> "u1",
+          "payment_type" -> "1101", "callback_time" -> "t",
+          "payment_status" -> "1602"),
+        Seq("payment_status" -> "1601")),
+      "not a cdc line"))
+    val dict = s"$side/dict.csv"
+    Files.write(Path.of(dict), "dic_code,dic_name\n1201,good".getBytes)
+
+    DwdFactApp.main(Array(
+      "--fact", "all", "--source", "file", "--input", in, "--dict", dict,
+      "--out", out, "--checkpoint", cp))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val cartAdd = spark.read.parquet(s"$out/cart_add")
+    assert(cartAdd.count() == 2) // insert + grown update; shrink filtered
+    assert(cartAdd.agg(org.apache.spark.sql.functions.sum($"delta"))
+      .as[Double].head() == 3.0) // 2 (insert) + 1 (grew 2->3)
+    assert(spark.read.parquet(s"$out/order_refund").count() == 1)
+    val reg = spark.read.parquet(s"$out/user_register")
+    assert(reg.count() == 1 &&
+      reg.select($"date_id").as[String].head() == "2022-06-01")
+    val cm = spark.read.parquet(s"$out/comment_info")
+    assert(cm.select($"appraise_name").as[String].head() == "good")
+    assert(spark.read.parquet(s"$out/payment_info").count() == 1)
+    assert(spark.read.parquet(s"$out/dirty").count() == 1)
+  }
+
+  test("DwdTrafficUniqueVisitorApp + DwdTrafficUserJumpApp: UV filter and CEP bounce from the same logs") {
+    val in = tmp("uvjump-in"); val uvOut = tmp("uvjump-uv"); val jOut = tmp("uvjump-j")
+    val cp1 = tmp("uvjump-c1"); val cp2 = tmp("uvjump-c2")
+    writeLines(in, "00_logs.jsonl", Seq(
+      page("m1", "u1", "home", null, 1000),      // m1 day-1 entry -> UV
+      page("m1", "u1", "cart", "home", 2000),    // in-session -> not UV, clears bounce
+      page("m1", "u1", "home", null, 5000),      // same day -> no UV; dangling entry
+      page("m2", "u2", "home", null, 3000)))     // m2 entry -> UV; dangling entry
+    // later one-file batch pushes the watermark past both jump timeouts
+    writeLines(in, "01_food.jsonl", Seq(
+      page("mf", "uf", "home", null, 10000000L)))
+
+    DwdTrafficUniqueVisitorApp.main(Array(
+      "--source", "file", "--input", in, "--out", uvOut, "--checkpoint", cp1,
+      "--max-files-per-trigger", "1"))
+    DwdTrafficUserJumpApp.main(Array(
+      "--source", "file", "--input", in, "--out", jOut, "--checkpoint", cp2,
+      "--gap-seconds", "10", "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val uv = spark.read.parquet(uvOut).select($"mid").as[String].collect().sorted
+    assert(uv.toSeq == Seq("m1", "m2", "mf")) // one per mid per day
+
+    val bounces = spark.read.parquet(jOut)
+      .select($"mid", $"ts".cast("long")).as[(String, Long)].collect().toSet
+    // m1's 5000 entry and m2's 3000 entry time out with no follow-up view;
+    // m1's 1000 entry was followed in-session so it is NOT a bounce
+    assert(bounces == Set(("m1", 5L), ("m2", 3L)), s"got $bounces")
+  }
+
+  test("DwsTradeCartAddUuWindowApp + DwsTradeRefundWindowApp: CDC facts to windowed summaries") {
+    val cartIn = tmp("cartuu-in"); val cartOut = tmp("cartuu-out"); val cp1 = tmp("cartuu-cp")
+    writeLines(cartIn, "00_cart.jsonl", Seq(
+      env("cart_info", "insert", 100, "id" -> "c1", "user_id" -> "u1",
+        "sku_id" -> "s1", "sku_num" -> "1", "source_type" -> "2401"),
+      env("cart_info", "insert", 105, "id" -> "c2", "user_id" -> "u1",
+        "sku_id" -> "s2", "sku_num" -> "1", "source_type" -> "2401"), // same day dup user
+      env("cart_info", "insert", 103, "id" -> "c3", "user_id" -> "u2",
+        "sku_id" -> "s1", "sku_num" -> "1", "source_type" -> "2401")))
+    writeLines(cartIn, "01_food.jsonl", Seq(
+      env("cart_info", "insert", 1000000000L, "id" -> "cf", "user_id" -> "uf",
+        "sku_id" -> "s1", "sku_num" -> "1", "source_type" -> "2401")))
+    DwsTradeCartAddUuWindowApp.main(Array(
+      "--source", "file", "--input", cartIn, "--out", cartOut,
+      "--checkpoint", cp1, "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val cart = spark.read.parquet(cartOut)
+      .select($"stt".cast("long"), $"cart_add_uu_ct").as[(Long, Long)].collect().toSet
+    assert(cart.contains((100L, 2L)), s"got $cart") // u1 + u2, u1's second add not uu
+
+    val refIn = tmp("refund-in"); val refOut = tmp("refund-out"); val cp2 = tmp("refund-cp")
+    val side = tmp("refund-side")
+    writeLines(refIn, "00_ref.jsonl", Seq(
+      env("order_refund_info", "insert", 100, "id" -> "r1", "user_id" -> "u1",
+        "order_id" -> "o1", "sku_id" -> "s1", "refund_type" -> "1501",
+        "refund_num" -> "1", "refund_amount" -> "10.50"),
+      env("order_refund_info", "insert", 103, "id" -> "r2", "user_id" -> "u1",
+        "order_id" -> "o2", "sku_id" -> "s1", "refund_type" -> "1501",
+        "refund_num" -> "1", "refund_amount" -> "2.00"),
+      // replayed duplicate of r1 -> deduped
+      env("order_refund_info", "insert", 104, "id" -> "r1", "user_id" -> "u1",
+        "order_id" -> "o1", "sku_id" -> "s1", "refund_type" -> "1501",
+        "refund_num" -> "1", "refund_amount" -> "10.50")))
+    writeLines(refIn, "01_food.jsonl", Seq(
+      env("order_refund_info", "insert", 1000000000L, "id" -> "rf",
+        "user_id" -> "uf", "order_id" -> "of", "sku_id" -> "s1",
+        "refund_type" -> "1501", "refund_num" -> "1", "refund_amount" -> "1.00")))
+    def dim(name: String, header: String, rows: String*): String = {
+      val p = s"$side/$name.csv"
+      Files.write(Path.of(p), (header +: rows).mkString("\n").getBytes)
+      p
+    }
+    DwsTradeRefundWindowApp.main(Array(
+      "--source", "file", "--input", refIn,
+      "--sku", dim("sku", "id,tm_id,category3_id", "s1,t1,c33"),
+      "--trademark", dim("tm", "id,tm_name", "t1,Acme"),
+      "--c3", dim("c3", "id,name,category2_id", "c33,phones,c22"),
+      "--c2", dim("c2", "id,name,category1_id", "c22,electronics,c11"),
+      "--c1", dim("c1", "id,name", "c11,tech"),
+      "--out", refOut, "--checkpoint", cp2, "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val ref = spark.read.parquet(refOut)
+      .select($"stt".cast("long"), $"tm_name", $"category1_name", $"user_id",
+        $"refund_ct", $"refund_amount_sum".cast("double"))
+      .as[(Long, String, String, String, Long, Double)].collect().toSet
+    assert(ref.contains((100L, "Acme", "tech", "u1", 2L, 12.50)), s"got $ref")
+  }
+
+  test("DwsUserLoginWindowApp + DwsTrafficHomeDetailPageViewWindowApp: log-side windows") {
+    val in = tmp("loginpv-in"); val loginOut = tmp("loginpv-login")
+    val hdOut = tmp("loginpv-hd"); val cp1 = tmp("loginpv-c1"); val cp2 = tmp("loginpv-c2")
+    val day9 = 9L * 24 * 3600 * 1000
+    writeLines(in, "00_logs.jsonl", Seq(
+      page("m1", "u1", "home", null, 1000),        // u1 login (uu), home uv
+      page("m1", "u1", "good_detail", "home", 2000), // in-session: not a login; detail uv
+      page("m2", "u2", "home", null, 3000),        // u2 login (uu), home uv for m2
+      page("m1", "u1", "home", "cart", 4000)))     // in-session home view: pv only
+    writeLines(in, "01_back.jsonl", Seq(
+      page("m1", "u1", "home", null, day9)))       // u1 returns after >7 days: back=1
+    writeLines(in, "02_food.jsonl", Seq(
+      page("mf", "uf", "home", null, day9 + 100000000L)))
+
+    DwsUserLoginWindowApp.main(Array(
+      "--source", "file", "--input", in, "--out", loginOut,
+      "--checkpoint", cp1, "--max-files-per-trigger", "1"))
+    DwsTrafficHomeDetailPageViewWindowApp.main(Array(
+      "--source", "file", "--input", in, "--out", hdOut,
+      "--checkpoint", cp2, "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val login = spark.read.parquet(loginOut)
+      .select($"stt".cast("long"), $"uu_ct", $"back_ct")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(login.contains((0L, 2L, 0L)), s"got $login")       // u1 + u2 day 1
+    assert(login.contains((day9 / 1000, 1L, 1L)), s"got $login") // u1 back-flow
+
+    val hd = spark.read.parquet(hdOut)
+      .select($"stt".cast("long"), $"home_uv_ct", $"good_detail_uv_ct")
+      .as[(Long, Long, Long)].collect().toSet
+    // day-1 window [0,10s): home uv m1+m2 (m1's second home view is same-day),
+    // detail uv m1
+    assert(hd.contains((0L, 2L, 1L)), s"got $hd")
+  }
+
+  test("DWD->DWS chain: DwdOrderApp feeds DwsTradeOrderWindowApp and DwsTradeSkuOrderWindowApp") {
+    val in = tmp("ordchain-in"); val dwdOut = tmp("ordchain-dwd")
+    val ordOut = tmp("ordchain-ord"); val skuOut = tmp("ordchain-sku")
+    val cp1 = tmp("ordchain-c1"); val cp2 = tmp("ordchain-c2")
+    val cp3 = tmp("ordchain-c3"); val side = tmp("ordchain-side")
+
+    writeLines(in, "00_orders.jsonl", Seq(
+      env("order_info", "insert", 100, "id" -> "o1", "user_id" -> "u1",
+        "province_id" -> "p1", "order_status" -> "1001"),
+      env("order_info", "insert", 101, "id" -> "o2", "user_id" -> "u2",
+        "province_id" -> "p1", "order_status" -> "1001"),
+      env("order_detail", "insert", 101, "id" -> "d1", "order_id" -> "o1",
+        "sku_id" -> "s1", "sku_name" -> "w", "sku_num" -> "2",
+        "order_price" -> "10.00", "source_type" -> "2401", "create_time" -> "t"),
+      env("order_detail", "insert", 102, "id" -> "d2", "order_id" -> "o1",
+        "sku_id" -> "s2", "sku_name" -> "w", "sku_num" -> "1",
+        "order_price" -> "5.00", "source_type" -> "2401", "create_time" -> "t"),
+      env("order_detail", "insert", 103, "id" -> "d3", "order_id" -> "o2",
+        "sku_id" -> "s1", "sku_name" -> "w", "sku_num" -> "1",
+        "order_price" -> "3.50", "source_type" -> "2401", "create_time" -> "t"),
+      env("order_info", "insert", 114, "id" -> "o3", "user_id" -> "u3",
+        "province_id" -> "p2", "order_status" -> "1001"),
+      env("order_detail", "insert", 115, "id" -> "d4", "order_id" -> "o3",
+        "sku_id" -> "s1", "sku_name" -> "w", "sku_num" -> "1",
+        "order_price" -> "1.00", "source_type" -> "2401", "create_time" -> "t")))
+    for (i <- 1 to 6) {
+      val t = 500000L + i
+      writeLines(in, f"$i%02d_food.jsonl", Seq(
+        env("order_info", "insert", t, "id" -> s"o$i", "user_id" -> "u",
+          "province_id" -> "p1", "order_status" -> "1001"),
+        env("order_detail", "insert", t, "id" -> s"dn$i", "order_id" -> s"o$i",
+          "sku_id" -> "s", "sku_name" -> "z", "sku_num" -> "1",
+          "order_price" -> "1.00", "source_type" -> "2401", "create_time" -> "t"),
+        env("order_detail_activity", "insert", t, "order_detail_id" -> s"dn$i",
+          "activity_id" -> "a", "activity_rule_id" -> "r"),
+        env("order_detail_coupon", "insert", t, "order_detail_id" -> s"dn$i",
+          "coupon_id" -> "c")))
+    }
+    val dict = s"$side/dict.csv"
+    Files.write(Path.of(dict), "dic_code,dic_name\n2401,user order".getBytes)
+
+    DwdOrderApp.main(Array(
+      "--source", "file", "--input", in, "--dict", dict,
+      "--out", dwdOut, "--checkpoint", cp1, "--max-files-per-trigger", "1"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // no --max-files-per-trigger here: the DWD job's outer-join rows land
+    // in LATER batch files than the food rows that flushed them, so a
+    // one-file-per-batch replay would advance the watermark past the
+    // business rows before they arrive and the flagger would drop them as
+    // late. One batch reads everything at watermark 0; the AvailableNow
+    // flush batch then closes the windows.
+    DwsTradeOrderWindowApp.main(Array(
+      "--input", dwdOut, "--out", ordOut, "--checkpoint", cp2))
+    spark.sparkContext.setLogLevel("ERROR")
+    val ord = spark.read.parquet(ordOut)
+      .select($"stt".cast("long"), $"order_unique_user_ct", $"order_new_user_ct",
+        $"order_origin_total_amount".cast("double"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // [100,110): u1 (d1,d2) + u2 (d3), both first-ever; 20 + 5 + 3.5
+    assert(ord.contains((100L, 2L, 2L, 28.50)), s"got $ord")
+    assert(ord.contains((110L, 1L, 1L, 1.00)), s"got $ord")
+
+    def dim(name: String, header: String, rows: String*): String = {
+      val p = s"$side/$name.csv"
+      Files.write(Path.of(p), (header +: rows).mkString("\n").getBytes)
+      p
+    }
+    DwsTradeSkuOrderWindowApp.main(Array(
+      "--input", dwdOut,
+      "--sku", dim("sku", "id,spu_id,tm_id,category3_id", "s1,sp1,t1,c33", "s2,sp2,t2,c34"),
+      "--spu", dim("spu", "id,spu_name", "sp1,widget", "sp2,gadget"),
+      "--trademark", dim("tm", "id,tm_name", "t1,Acme", "t2,Globex"),
+      "--c3", dim("c3", "id,name,category2_id", "c33,phones,c22", "c34,laptops,c22"),
+      "--c2", dim("c2", "id,name,category1_id", "c22,electronics,c11"),
+      "--c1", dim("c1", "id,name", "c11,tech"),
+      "--out", skuOut, "--checkpoint", cp3))
+    spark.sparkContext.setLogLevel("ERROR")
+    val sku = spark.read.parquet(skuOut)
+      .select($"stt".cast("long"), $"tm_name", $"spu_name", $"user_id",
+        $"order_detail_ct", $"order_amount".cast("double"))
+      .as[(Long, String, String, String, Long, Double)].collect().toSet
+    // d1: s1/u1 20.0, d3: s1/u2 3.5 (both Acme/widget); d2: s2/u1 Globex/gadget 5.0
+    assert(sku.contains((100L, "Acme", "widget", "u1", 1L, 20.0)), s"got $sku")
+    assert(sku.contains((100L, "Acme", "widget", "u2", 1L, 3.5)), s"got $sku")
+    assert(sku.contains((100L, "Globex", "gadget", "u1", 1L, 5.0)), s"got $sku")
+  }
+}
