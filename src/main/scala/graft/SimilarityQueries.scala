@@ -71,12 +71,31 @@ object SimilarityQueries {
     Similarity.lshNearDupPairs(t(s, dir).embeddings, "vec_id", "embedding",
       PLANES, DIMS, 0.35)
 
+  /** Semantic-dedup threshold. As with q64, the synthetic embeddings carry
+    * no true duplicates, so a low threshold exercises the drop path; a
+    * production pass runs ~0.95.
+    */
+  val SEM_T = 0.30
+
+  /** SemDeDup over the q61 k-means model (same cached training — one
+    * Lloyd's run serves both the ANN index and the dedup pass, and the
+    * oracle replays both from the same centroid literal).
+    */
+  val q87_semantic_dedup: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val cents = graft.operators.Ivf.trainCached(emb, ivfKey(dir), "vec_id",
+      "embedding", k = IVF_K, dims = DIMS, iters = IVF_ITERS)
+    lastIvfKey = Some(ivfKey(dir))
+    Similarity.semanticDedup(emb, "vec_id", "embedding", cents, DIMS, SEM_T)
+  }
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
     "q33_lsh_ann" -> q33_lsh_ann,
     "q61_ivf_ann" -> q61_ivf_ann,
-    "q64_embedding_neardup" -> q64_embedding_neardup)
+    "q64_embedding_neardup" -> q64_embedding_neardup,
+    "q87_semantic_dedup" -> q87_semantic_dedup)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private def foldSum(terms: String) =
@@ -133,8 +152,46 @@ object SimilarityQueries {
          |WHERE rank <= 5""".stripMargin
     }
 
-  def oracles: Map[String, String] = q61Oracle.fold(staticOracles)(
-    sql => staticOracles + ("q61_ivf_ann" -> sql))
+  /** Shared centroid-literal CTE prefix (v + cents + asg) for the two
+    * model-replaying oracles.
+    */
+  private def modelCtes(cents: Array[Double]): String = {
+    val centRows = cents.grouped(DIMS).zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(", ")
+    s"""$vCte,
+       |cents AS (SELECT * FROM (VALUES $centRows) t(centroid, cvec)),
+       |asg AS (
+       |  SELECT vec_id, v, centroid FROM (
+       |    SELECT v.vec_id, v.v, c.centroid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2Sql("v.v", "c.cvec")} ASC, c.centroid ASC) AS rn
+       |    FROM v CROSS JOIN cents c)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** q87 oracle: same centroid-literal assignment, then the pairwise
+    * drop rule — a doc is dropped when any smaller-id same-cluster doc
+    * has cosine >= SEM_T (witness need not survive).
+    */
+  private def q87Oracle: Option[String] =
+    lastIvfKey.flatMap(graft.operators.Ivf.cachedModel).map { cents =>
+      s"""WITH ${modelCtes(cents)},
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b
+         |    ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= $SEM_T)
+         |SELECT s.vec_id, s.centroid::BIGINT AS centroid FROM asg s
+         |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+    }
+
+  def oracles: Map[String, String] = {
+    val dynamic = Seq(
+      "q61_ivf_ann" -> q61Oracle, "q87_semantic_dedup" -> q87Oracle)
+      .collect { case (k, Some(sql)) => k -> sql }
+    staticOracles ++ dynamic
+  }
 
   private def staticOracles: Map[String, String] = Map(
     "q31_knn" ->

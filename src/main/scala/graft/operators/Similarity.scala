@@ -125,6 +125,44 @@ object Similarity {
     bucketedScoredPairs(df, idCol, vecCol, planes, dims)
       .filter(col("cos") >= threshold)
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embeddings, then within each cluster drop every
+    * doc that has a smaller-id member with cosine >= `threshold` — the
+    * keep-lowest-id representative of each semantic-duplicate
+    * neighborhood survives. The witness need not itself survive (pairwise
+    * rule, not transitive closure — the closure form is
+    * `Dedup.duplicateClusters` over [[lshNearDupPairs]] edges).
+    *
+    * Scale shape: assignment is one codegen'd scan (no shuffle); the
+    * pair join shuffles (id, vec, centroid) on the centroid key only,
+    * and pair work is sum over clusters of size² — bounded by keeping
+    * occupancy constant via `Ivf.kFor` (k grows with n), exactly the
+    * posting-list rule the IVF index already applies. This is the whole
+    * point of SemDeDup: clustering turns O(n²) semantic dedup into
+    * per-cluster blocks sized to taste.
+    *
+    * Returns the admitted (idCol, centroid) rows.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    cents: Array[Double], dims: Int, threshold: Double): DataFrame = {
+    val assigned = graft.operators.Ivf.assign(df, vecCol, cents, dims)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"),
+        col("centroid").cast("long").as("centroid"))
+      .withColumn("nrm", norm(col("v")))
+    val a = assigned.select(col("centroid"), col(idCol).as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("centroid"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    assigned.select(col(idCol), col("centroid"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Shared candidate generation: score every same-bucket pair once.
     * Each vector lands in exactly one bucket, so pairs are already unique
     * (no distinct — it would add a full-width exchange).

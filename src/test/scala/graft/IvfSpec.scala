@@ -119,6 +119,28 @@ class IvfSpec extends AnyFunSuite {
     assert(onDisk == expected && onDisk.nonEmpty)
   }
 
+  test("semanticDedup: keep-lowest-id within cluster; witness need not survive") {
+    // two far-apart clusters; within cluster A: 1 ~ 2 ~ 3 form a chain
+    // (1·2 and 2·3 near-parallel, 1·3 below threshold) so 2 drops via
+    // witness 1, and 3 drops via witness 2 EVEN THOUGH 2 itself dropped
+    val pts = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.98, 0.199)),    // cos(1,2) ≈ 0.98
+      (3L, Seq(0.92, 0.392)),    // cos(2,3) ≈ 0.98, cos(1,3) ≈ 0.92
+      (4L, Seq(-1.0, 0.05)),     // cluster B, alone
+      (5L, Seq(-1.0, -0.05)))    // cluster B, cos(4,5) ≈ 0.995
+      .toDF("id", "v")
+    val cents = Array(1.0, 0.2, -1.0, 0.0) // c0 near cluster A, c1 near B
+    val admitted = Similarity.semanticDedup(pts, "id", "v", cents, 2, 0.95)
+      .select($"id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 4L), s"got $admitted")
+    // at a stricter threshold the 1-3 edge (0.92) and 2-3 (0.98 < 0.99)
+    // vanish differently: only exact-ish pairs drop
+    val strict = Similarity.semanticDedup(pts, "id", "v", cents, 2, 0.99)
+      .select($"id").as[Long].collect().toSet
+    assert(strict == Set(1L, 2L, 3L, 4L), s"got $strict")
+  }
+
   test("ivf search plan: no corpus self-join; candidates bounded by probes") {
     val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 1)
     val corpus = Ivf.assign(emb, "embedding", cents, 64)
