@@ -82,6 +82,23 @@ object ScaleBench {
         "embedding", cents, DIMS, nprobe = 2, kNeighbors = 5)
     }
 
+  /** SemDeDup variants: same cluster-occupancy physics as IVF — fixed k
+    * carried up a decade multiplies within-cluster pair work by 100 (the
+    * measured blowup), the kFor rule holds occupancy (≈250) so pair work
+    * grows linearly with n.
+    */
+  private def semQ(scaledK: Boolean): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents =
+        if (scaledK) {
+          val k = Ivf.kFor(emb.count(), targetListSize = 250)
+          Ivf.trainOnSample(emb, fraction = 0.1, seed = 42L, "vec_id",
+            "embedding", k = k, dims = DIMS, iters = 2)
+        } else Ivf.train(emb, "vec_id", "embedding", k = 8, dims = DIMS, iters = 2)
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cents, DIMS, 0.30)
+    }
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
@@ -155,7 +172,15 @@ object ScaleBench {
         ("q61_ivf_scaledk",
           cell("q61sk|01", ivfQ(scaledK = true), sf01),
           cell("q61sk|1", ivfQ(scaledK = true), sf1),
-          sf100.map(d => cell("q61sk|100", ivfQ(scaledK = true), d))))
+          sf100.map(d => cell("q61sk|100", ivfQ(scaledK = true), d))),
+        ("q87_semdedup_fixedk",
+          cell("q87k8|01", semQ(scaledK = false), sf01),
+          cell("q87k8|1", semQ(scaledK = false), sf1),
+          None), // 100× fixed-k: 8 clusters of 25 k ⇒ pair work ×10⁴ — by design not run
+        ("q87_semdedup_scaledk",
+          cell("q87sk|01", semQ(scaledK = true), sf01),
+          cell("q87sk|1", semQ(scaledK = true), sf1),
+          sf100.map(d => cell("q87sk|100", semQ(scaledK = true), d))))
 
     // round-robin the iterations (iter 1 of every cell, then iter 2, …) so
     // slow phases of a shared host hit all measurements evenly instead of
