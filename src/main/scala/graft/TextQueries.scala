@@ -370,6 +370,43 @@ object TextQueries {
       .agg(sum(col("run")).as("dup_pos"), max(col("run")).as("max_run"))
   }
 
+  /** Duplicated-span REMOVAL — the second half of Lee et al.'s
+    * exact-substring dedup (q75 detects; this cuts). A token is removed
+    * when ANY cross-doc-duplicated trigram covers it (start ∈ [i-2, i]);
+    * the survivors reassemble in order. Emits kept/removed counts and a
+    * fingerprint of the rebuilt text — the fingerprint is the real check
+    * that both engines cut identical spans (prefixed so an all-removed doc
+    * still hashes a non-empty string identically in both engines).
+    *
+    * Scale shape: q75's two key-partitioned shuffles (h for the cross-doc
+    * mark, doc_id for the start-set) plus one doc_id join back to the
+    * text; the rebuild is a per-row HOF — covered-index checks are
+    * O(tokens × marked-starts) worst case, bounded by doc length.
+    */
+  val q88_span_removal: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), 3)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), polyHash(col("sh")).as("h"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val marked = pos
+      .withColumn("d_min", min(col("doc_id")).over(wH))
+      .withColumn("d_max", max(col("doc_id")).over(wH))
+      .filter(col("d_min") =!= col("d_max"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("starts"))
+    docs.join(marked, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("kept", filter(col("toks"), (_, i) =>
+        !exists(col("starts"), st => st <= i && i <= st + lit(2))))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        polyHash(concat(lit("x"), concat_ws(" ", col("kept")))).as("fp_clean"))
+  }
+
   /** PII redaction — the scrubbing pass a corpus runs before training.
     * The synthetic documents carry no PII, so each doc plants a
     * deterministic email + phone + IPv4 derived from its id, then redacts
@@ -410,6 +447,7 @@ object TextQueries {
     "q73_unigram_ll" -> q73_unigram_ll,
     "q74_token_budget_mix" -> q74_token_budget_mix,
     "q75_dup_spans" -> q75_dup_spans,
+    "q88_span_removal" -> q88_span_removal,
     "q76_pii_redact" -> q76_pii_redact,
     "q70_stratified_sample" -> q70_stratified_sample,
     "q71_pack_sequences" -> q71_pack_sequences,
@@ -482,6 +520,43 @@ object TextQueries {
         |r AS (SELECT doc_id, grp, count(*) AS run FROM m GROUP BY 1, 2)
         |SELECT doc_id, sum(run)::BIGINT AS dup_pos, max(run)::BIGINT AS max_run
         |FROM r GROUP BY 1""".stripMargin,
+    "q88_span_removal" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(toks) - 2)) AS pos,
+        |    unnest(list_transform(
+        |      list_transform(range(len(toks) - 2),
+        |        i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]),
+        |      s -> list_reduce(list_prepend(0::BIGINT,
+        |             list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+        |             (h, a) -> (h * 31 + a) % 1000000007))) AS h
+        |  FROM d WHERE len(toks) >= 3),
+        |dup AS (SELECT h FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT DISTINCT doc_id, pos FROM p JOIN dup USING (h)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + dd AS i
+        |  FROM m CROSS JOIN (SELECT unnest([0, 1, 2]) AS dd)),
+        |tp AS (
+        |  SELECT doc_id, unnest(range(len(toks))) AS i, unnest(toks) AS tok
+        |  FROM d),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.i, tp.tok
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+        |  WHERE cov.i IS NULL),
+        |sel AS (
+        |  SELECT d.doc_id, len(d.toks)::BIGINT AS n_toks,
+        |    coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean,
+        |    count(k.tok)::BIGINT AS n_kept
+        |  FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |  GROUP BY d.doc_id, len(d.toks))
+        |SELECT doc_id, n_kept, (n_toks - n_kept) AS n_removed,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split('x' || clean, ''), c -> ascii(c)::BIGINT)),
+        |    (h, a) -> (h * 31 + a) % 1000000007) AS fp_clean
+        |FROM sel""".stripMargin,
     "q76_pii_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q28_lsh_neardup" -> 1,       // band self-join broadcasts at this SF; pair distinct is the exchange
     "q85_lsh_salted" -> 5,        // + bucket-count agg, cold/hot pair joins, pair distinct — keys only in every one
     "q86_incremental_neardup" -> 3, // new-side band agg + (nid,xid) distinct + survivor anti-join
-    "q87_semantic_dedup" -> 2)    // dropped-id distinct + anti-join; the centroid pair join broadcasts at this SF (shuffles on the centroid key at scale)
+    "q87_semantic_dedup" -> 2,    // dropped-id distinct + anti-join; the centroid pair join broadcasts at this SF (shuffles on the centroid key at scale)
+    "q88_span_removal" -> 2)      // q75's h-window + starts groupBy(doc); the text join-back broadcasts at this SF (doc-key shuffle at scale)
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
