@@ -89,13 +89,29 @@ object SimilarityQueries {
     Similarity.semanticDedup(emb, "vec_id", "embedding", cents, DIMS, SEM_T)
   }
 
+  /** Incremental semantic dedup (continuous ingest): the shard
+    * vec_id >= 250 probes the admitted corpus vec_id < 250 — the
+    * embedding-space twin of q84 (exact) and q86 (MinHash near-dup),
+    * completing the incremental trio over the same split convention.
+    */
+  val q89_incremental_semdedup: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val cents = graft.operators.Ivf.trainCached(emb, ivfKey(dir), "vec_id",
+      "embedding", k = IVF_K, dims = DIMS, iters = IVF_ITERS)
+    lastIvfKey = Some(ivfKey(dir))
+    Similarity.incrementalSemanticDedup(
+      emb.filter(col("vec_id") >= 250), emb.filter(col("vec_id") < 250),
+      "vec_id", "embedding", cents, DIMS, SEM_T)
+  }
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
     "q33_lsh_ann" -> q33_lsh_ann,
     "q61_ivf_ann" -> q61_ivf_ann,
     "q64_embedding_neardup" -> q64_embedding_neardup,
-    "q87_semantic_dedup" -> q87_semantic_dedup)
+    "q87_semantic_dedup" -> q87_semantic_dedup,
+    "q89_incremental_semdedup" -> q89_incremental_semdedup)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private def foldSum(terms: String) =
@@ -186,9 +202,28 @@ object SimilarityQueries {
          |WHERE s.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
     }
 
+  /** q89 oracle: centroid-literal assignment over ALL vectors, then the
+    * shard-vs-index probe rule (new doc dropped iff any index member in
+    * its cluster reaches SEM_T).
+    */
+  private def q89Oracle: Option[String] =
+    lastIvfKey.flatMap(graft.operators.Ivf.cachedModel).map { cents =>
+      s"""WITH ${modelCtes(cents)},
+         |dropped AS (
+         |  SELECT DISTINCT n.vec_id
+         |  FROM asg n JOIN asg x
+         |    ON n.centroid = x.centroid
+         |   AND n.vec_id >= 250 AND x.vec_id < 250
+         |  WHERE ${cosSql("n.v", "x.v")} >= $SEM_T)
+         |SELECT n.vec_id, n.centroid::BIGINT AS centroid FROM asg n
+         |WHERE n.vec_id >= 250
+         |  AND n.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
+    }
+
   def oracles: Map[String, String] = {
     val dynamic = Seq(
-      "q61_ivf_ann" -> q61Oracle, "q87_semantic_dedup" -> q87Oracle)
+      "q61_ivf_ann" -> q61Oracle, "q87_semantic_dedup" -> q87Oracle,
+      "q89_incremental_semdedup" -> q89Oracle)
       .collect { case (k, Some(sql)) => k -> sql }
     staticOracles ++ dynamic
   }

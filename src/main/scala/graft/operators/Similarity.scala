@@ -163,6 +163,41 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Incremental [[semanticDedup]] (continuous ingest): a new shard
+    * arrives against the already-admitted corpus; a new doc is dropped
+    * when any INDEX member in its cluster sits at cosine >= `threshold`.
+    * In-shard semantic dups are the batch operator's job (the ingest
+    * pipeline runs [[semanticDedup]] on the shard first, then this probe
+    * — same composition as the exact/near-dup incremental paths in
+    * `Dedup.incrementalExact/incrementalNearDup`).
+    *
+    * Scale shape: both sides assign in one codegen'd scan; the probe join
+    * shuffles on the centroid key only, and the index side prunes to the
+    * clusters the shard actually touches when stored centroid-partitioned
+    * (same on-disk layout as the IVF posting lists). Returns the admitted
+    * (idCol, centroid) rows of the new shard.
+    */
+  def incrementalSemanticDedup(newDocs: DataFrame, index: DataFrame,
+                               idCol: String, vecCol: String,
+                               cents: Array[Double], dims: Int,
+                               threshold: Double): DataFrame = {
+    val nw = graft.operators.Ivf.assign(newDocs, vecCol, cents, dims)
+      .select(col(idCol), asDouble(col(vecCol)).as("nv"),
+        col("centroid").cast("long").as("centroid"))
+      .withColumn("nn", norm(col("nv")))
+    val ix = graft.operators.Ivf.assign(index, vecCol, cents, dims)
+      .select(col(idCol).as("xid"), asDouble(col(vecCol)).as("xv"),
+        col("centroid").cast("long").as("centroid"))
+      .withColumn("xn", norm(col("xv")))
+    val dropped = nw.join(ix, Seq("centroid"))
+      .filter(round(dot(col("nv"), col("xv")) / (col("nn") * col("xn")), 6)
+        >= threshold)
+      .select(col(idCol))
+      .distinct()
+    nw.select(col(idCol), col("centroid"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Shared candidate generation: score every same-bucket pair once.
     * Each vector lands in exactly one bucket, so pairs are already unique
     * (no distinct — it would add a full-width exchange).

@@ -141,6 +141,23 @@ class IvfSpec extends AnyFunSuite {
     assert(strict == Set(1L, 2L, 3L, 4L), s"got $strict")
   }
 
+  test("incrementalSemanticDedup: index members drop new docs; in-shard dups survive the probe") {
+    val cents = Array(1.0, 0.0, -1.0, 0.0) // c0 right, c1 left
+    val index = Seq(
+      (1L, Seq(1.0, 0.0)),        // cluster c0
+      (2L, Seq(-1.0, 0.1)))       // cluster c1
+      .toDF("id", "v")
+    val fresh = Seq(
+      (10L, Seq(0.99, 0.1)),      // c0, cos vs index 1 ≈ 0.995 -> dropped
+      (11L, Seq(0.1, 1.0)),       // c0 (closer to +x than -x), far from index 1 -> admitted
+      (12L, Seq(0.11, 1.0)))      // c0, near-dup OF 11 (not of the index) -> still admitted: probe-only
+      .toDF("id", "v")
+    val admitted = Similarity.incrementalSemanticDedup(
+        fresh, index, "id", "v", cents, 2, 0.95)
+      .select($"id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 12L), s"got $admitted")
+  }
+
   test("ivf search plan: no corpus self-join; candidates bounded by probes") {
     val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 1)
     val corpus = Ivf.assign(emb, "embedding", cents, 64)
