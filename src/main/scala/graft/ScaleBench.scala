@@ -49,7 +49,8 @@ object ScaleBench {
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
     "q28_lsh_neardup", "q10_join_left", "q49_minhash_estimate",
     "q11_join_dict", "q57_order_uu_window", "q34_json_extract",
-    "q75_dup_spans", "q68_tfidf", "q73_unigram_ll", "q80_bloom_prune")
+    "q75_dup_spans", "q68_tfidf", "q73_unigram_ll", "q80_bloom_prune",
+    "q88_span_removal")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -143,7 +144,8 @@ object ScaleBench {
       cells.getOrElseUpdate(key, (fn, dir)); key
     }
     // per row: cell keys for (sf0.1, 10×, optional 100×)
-    val decade2 = Set("q68_tfidf", "q75_dup_spans", "q80_bloom_prune", "q73_unigram_ll")
+    val decade2 = Set("q68_tfidf", "q75_dup_spans", "q80_bloom_prune",
+      "q73_unigram_ll", "q88_span_removal")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),

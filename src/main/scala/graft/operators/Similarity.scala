@@ -171,30 +171,45 @@ object Similarity {
     * — same composition as the exact/near-dup incremental paths in
     * `Dedup.incrementalExact/incrementalNearDup`).
     *
-    * Scale shape: both sides assign in one codegen'd scan; the probe join
-    * shuffles on the centroid key only, and the index side prunes to the
-    * clusters the shard actually touches when stored centroid-partitioned
-    * (same on-disk layout as the IVF posting lists). Returns the admitted
-    * (idCol, centroid) rows of the new shard.
+    * Scale shape: both sides assign in one codegen'd scan (an index that
+    * already CARRIES a `centroid` column — the persisted form, since
+    * assignments must be stable across batches — is used as-is, never
+    * re-assigned); the probe join shuffles on the centroid key only.
+    * `pruneIndex = true` restricts the corpus scan to the clusters the
+    * shard actually touches: the touched set is collected driver-side
+    * (bounded by k, the same O(k) driver contract as the model itself)
+    * and becomes a LITERAL isin, so a centroid-partitioned on-disk index
+    * prunes at the source (PartitionFilters — proven in IvfSpec). Costs
+    * one extra pass over the (small) shard; off by default for in-memory
+    * or same-size sides. Returns the admitted (idCol, centroid) rows of
+    * the new shard.
     */
   def incrementalSemanticDedup(newDocs: DataFrame, index: DataFrame,
                                idCol: String, vecCol: String,
                                cents: Array[Double], dims: Int,
-                               threshold: Double): DataFrame = {
+                               threshold: Double,
+                               pruneIndex: Boolean = false): DataFrame = {
     val nw = graft.operators.Ivf.assign(newDocs, vecCol, cents, dims)
-      .select(col(idCol), asDouble(col(vecCol)).as("nv"),
-        col("centroid").cast("long").as("centroid"))
+      .select(col(idCol), asDouble(col(vecCol)).as("nv"), col("centroid"))
       .withColumn("nn", norm(col("nv")))
-    val ix = graft.operators.Ivf.assign(index, vecCol, cents, dims)
+    val ixAssigned =
+      if (index.columns.contains("centroid")) index
+      else graft.operators.Ivf.assign(index, vecCol, cents, dims)
+    val ixPruned = if (pruneIndex) {
+      val touched = nw.select(col("centroid")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      ixAssigned.filter(col("centroid").isin(touched: _*))
+    } else ixAssigned
+    val ix = ixPruned
       .select(col(idCol).as("xid"), asDouble(col(vecCol)).as("xv"),
-        col("centroid").cast("long").as("centroid"))
+        col("centroid"))
       .withColumn("xn", norm(col("xv")))
     val dropped = nw.join(ix, Seq("centroid"))
       .filter(round(dot(col("nv"), col("xv")) / (col("nn") * col("xn")), 6)
         >= threshold)
       .select(col(idCol))
       .distinct()
-    nw.select(col(idCol), col("centroid"))
+    nw.select(col(idCol), col("centroid").cast("long").as("centroid"))
       .join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -158,6 +158,33 @@ class IvfSpec extends AnyFunSuite {
     assert(admitted == Set(11L, 12L), s"got $admitted")
   }
 
+  test("incrementalSemanticDedup pruneIndex: centroid-partitioned index scans only touched clusters") {
+    val cents = Array(1.0, 0.0, -1.0, 0.0, 0.0, 1.0) // c0 right, c1 left, c2 up
+    val index = Seq(
+      (1L, Seq(1.0, 0.05)), (2L, Seq(-1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("sem-index").toString
+    Ivf.assign(index, "v", cents, 2)
+      .write.partitionBy("centroid").mode("overwrite").parquet(dir)
+    val disk = spark.read.parquet(dir)
+    // both shard docs land in cluster 0: only that partition may be read
+    val shard = Seq((10L, Seq(0.99, 0.1)), (11L, Seq(0.7, -0.7))).toDF("id", "v")
+    val admitted = Similarity.incrementalSemanticDedup(
+      shard, disk, "id", "v", cents, 2, 0.95, pruneIndex = true)
+    val plan = admitted.queryExecution.executedPlan.toString
+    // the literal isin lands in PartitionFilters (rewritten to = for a
+    // single touched cluster), so only partition 0's files are read
+    assert("PartitionFilters: \\[[^\\]]*centroid".r.findFirstIn(plan).isDefined,
+      s"expected centroid partition pruning in:\n$plan")
+    // 10 ~ index 1 (cos ≈ 0.994) -> dropped; 11 far from it -> admitted.
+    // Pruning must not change the outcome vs the full-index probe.
+    val got = admitted.select($"id").as[Long].collect().toSet
+    val full = Similarity.incrementalSemanticDedup(
+        shard, disk, "id", "v", cents, 2, 0.95)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(11L) && got == full, s"got $got, full $full")
+  }
+
   test("ivf search plan: no corpus self-join; candidates bounded by probes") {
     val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 1)
     val corpus = Ivf.assign(emb, "embedding", cents, 64)
