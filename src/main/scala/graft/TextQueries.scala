@@ -407,6 +407,42 @@ object TextQueries {
         polyHash(concat(lit("x"), concat_ws(" ", col("kept")))).as("fp_clean"))
   }
 
+  /** Hashed-feature dimensionality and the deterministic weight vector of
+    * the linear quality classifier (q90) — same engine-portable coefficient
+    * formula as the LSH hyperplanes, so both engines rebuild it exactly.
+    */
+  val CLS_DIM = 64
+  val clsWeights: Array[Double] = Array.tabulate(CLS_DIM)(i =>
+    ((((i + 1) * 2654435761L) % 1000000007L) % 2001 - 1000) / 1000.0)
+
+  /** Linear quality classifier over hashed token features — the
+    * fastText-style model-scored filter (CCNet §4.3 / RefinedWeb use a
+    * linear classifier over bag-of-words features for exactly this): each
+    * token hashes into one of CLS_DIM buckets, the doc score is the mean
+    * bucket weight, and docs with score > 0 pass. The weight vector rides
+    * as a LITERAL (a trained model would broadcast the same way — the
+    * pattern, not the training, is the infrastructure); the whole scorer
+    * is one codegen'd fold per row, no shuffle before the per-source
+    * rollup. Left-fold in document order keeps the double accumulation
+    * bit-identical across engines, same as the cosine oracles.
+    */
+  val q90_quality_classifier: Q = (s, dir) => {
+    val w = lit(clsWeights)
+    val score = aggregate(tokens(col("text")), lit(0.0),
+      (acc, tk) => acc + element_at(w,
+        (pmod(polyHash(tk), lit(CLS_DIM)) + 1).cast("int")))
+    // score is a left fold of literal weights — bit-identical in both
+    // engines — but round() library semantics differ at decimal
+    // boundaries; floor(x * 1e6) keeps every step an IEEE op both
+    // engines execute identically (one sf0.01 row sits exactly on a
+    // round() boundary and proved it)
+    t(s, dir).documents
+      .select(col("doc_id"),
+        floor(score / size(tokens(col("text"))) * lit(1e6)).cast("long")
+          .as("score_u"))
+      .withColumn("kept", (col("score_u") > 0).cast("int"))
+  }
+
   /** PII redaction — the scrubbing pass a corpus runs before training.
     * The synthetic documents carry no PII, so each doc plants a
     * deterministic email + phone + IPv4 derived from its id, then redacts
@@ -448,6 +484,7 @@ object TextQueries {
     "q74_token_budget_mix" -> q74_token_budget_mix,
     "q75_dup_spans" -> q75_dup_spans,
     "q88_span_removal" -> q88_span_removal,
+    "q90_quality_classifier" -> q90_quality_classifier,
     "q76_pii_redact" -> q76_pii_redact,
     "q70_stratified_sample" -> q70_stratified_sample,
     "q71_pack_sequences" -> q71_pack_sequences,
@@ -520,6 +557,22 @@ object TextQueries {
         |r AS (SELECT doc_id, grp, count(*) AS run FROM m GROUP BY 1, 2)
         |SELECT doc_id, sum(run)::BIGINT AS dup_pos, max(run)::BIGINT AS max_run
         |FROM r GROUP BY 1""".stripMargin,
+    "q90_quality_classifier" -> {
+      val wlit = clsWeights.mkString("[", ", ", "]")
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    floor(list_reduce(list_prepend(0.0, list_transform(toks,
+         |      t -> (($wlit)::DOUBLE[])[
+         |        (list_reduce(list_prepend(0::BIGINT,
+         |           list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)),
+         |           (h, a) -> (h * 31 + a) % 1000000007) % $CLS_DIM)::INT + 1])),
+         |      (a, b) -> a + b) / len(toks) * 1000000)::BIGINT AS score_u
+         |  FROM d)
+         |SELECT doc_id, score_u, (score_u > 0)::INT AS kept FROM sc""".stripMargin
+    },
     "q88_span_removal" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -59,7 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q86_incremental_neardup" -> 3, // new-side band agg + (nid,xid) distinct + survivor anti-join
     "q87_semantic_dedup" -> 2,    // dropped-id distinct + anti-join; the centroid pair join broadcasts at this SF (shuffles on the centroid key at scale)
     "q88_span_removal" -> 2,      // q75's h-window + starts groupBy(doc); the text join-back broadcasts at this SF (doc-key shuffle at scale)
-    "q89_incremental_semdedup" -> 2) // dropped-id distinct + anti-join; the centroid probe join broadcasts at this SF
+    "q89_incremental_semdedup" -> 2, // dropped-id distinct + anti-join; the centroid probe join broadcasts at this SF
+    "q90_quality_classifier" -> 0) // one codegen'd fold per row, shuffle-free
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
