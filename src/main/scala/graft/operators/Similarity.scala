@@ -139,7 +139,11 @@ object Similarity {
     * occupancy constant via `Ivf.kFor` (k grows with n), exactly the
     * posting-list rule the IVF index already applies. This is the whole
     * point of SemDeDup: clustering turns O(n²) semantic dedup into
-    * per-cluster blocks sized to taste.
+    * per-cluster blocks sized to taste. A pathologically hot cluster (a
+    * dense semantic mode k-means keeps merging) takes the same salted
+    * two-stage pair path as hot LSH bands — see
+    * `Dedup.lshCandidatePairsSalted` (q85/LshSkewSpec) for the measured
+    * technique; it applies unchanged with centroid as the band key.
     *
     * Returns the admitted (idCol, centroid) rows.
     */
