@@ -138,7 +138,34 @@ object DedupQueries {
       embeddings = Some(tab.embeddings))._2
   }
 
+  /** Expected CDC chunk length in tokens (the boundary cut mask). */
+  val CDC_AVG = 8
+
+  /** Content-defined chunk dedup accounting: chunk every document with
+    * [[Dedup.cdcChunks]], mark chunk contents recurring in ≥2 distinct
+    * docs, report the per-doc dedupable mass. The same small-vocabulary
+    * corpus that makes simhash cluster (q30) also repeats short chunks
+    * across docs, so both the shared and the unique path carry real rows.
+    */
+  val q93_cdc_chunks: Q = (s, dir) => {
+    val chunks = Dedup.cdcChunks(t(s, dir).documents, "doc_id", "text", CDC_AVG)
+    // shared ⟺ ≥2 distinct docs hold this content ⟺ min(doc) ≠ max(doc)
+    // within the fp — a WINDOW on the fp, not a groupBy + join-back, so
+    // the chunk pipeline is planned once and nothing joins; only
+    // (doc, chunk, fp, n_toks) longs cross the fp exchange
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    chunks
+      .withColumn("shared",
+        (min(col("doc_id")).over(wFp) =!= max(col("doc_id")).over(wFp)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("shared")).cast("long").as("n_shared"),
+        sum(when(col("shared") === 1L, col("n_toks")).otherwise(0L))
+          .cast("long").as("shared_toks"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q93_cdc_chunks" -> q93_cdc_chunks,
     "q77_corpus_funnel" -> q77_corpus_funnel,
     "q49_minhash_estimate" -> q49_minhash_estimate,
     "q26_dedup_exact" -> q26_dedup_exact,
@@ -188,6 +215,34 @@ object DedupQueries {
        |  FROM th)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q93_cdc_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok FROM d),
+         |w AS (
+         |  SELECT doc_id, pos, tok,
+         |    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM p),
+         |b AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN prev IS NOT NULL
+         |           AND (${polyHashSql("prev || '_' || tok")} % $CDC_AVG) = 0
+         |         THEN 1 ELSE 0 END AS bnd
+         |  FROM w),
+         |c AS (
+         |  SELECT doc_id, pos, tok,
+         |    sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk FROM b),
+         |ch AS (
+         |  SELECT doc_id, chunk, count(*)::BIGINT AS n_toks,
+         |    ${polyHashSql("'x' || string_agg(tok, ' ' ORDER BY pos)")} AS fp
+         |  FROM c GROUP BY doc_id, chunk),
+         |dup AS (SELECT fp FROM ch GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+         |  sum(CASE WHEN dup.fp IS NOT NULL THEN ch.n_toks ELSE 0 END)::BIGINT AS shared_toks
+         |FROM ch LEFT JOIN dup ON ch.fp = dup.fp
+         |GROUP BY ch.doc_id""".stripMargin,
     "q49_minhash_estimate" ->
       s"""WITH $shingleCtes,
          |bands AS (SELECT doc_id, b,

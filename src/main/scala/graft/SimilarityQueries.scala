@@ -104,6 +104,23 @@ object SimilarityQueries {
       "vec_id", "embedding", cents, DIMS, SEM_T)
   }
 
+  /** Prototypes kept per cluster — at 500 vectors / 8 clusters (~62 per
+    * list) a 16-prototype cut exercises both the keep and the drop path.
+    */
+  val PROTO_K = 16
+
+  /** Prototypicality filter over the SAME cached k-means model as
+    * q61/q87/q89 — one Lloyd's run serves the ANN index, the semantic
+    * dedup, and this outlier prune, exactly how D4 composes them.
+    */
+  val q92_prototypes: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val cents = graft.operators.Ivf.trainCached(emb, ivfKey(dir), "vec_id",
+      "embedding", k = IVF_K, dims = DIMS, iters = IVF_ITERS)
+    lastIvfKey = Some(ivfKey(dir))
+    Similarity.prototypes(emb, "vec_id", "embedding", cents, DIMS, PROTO_K)
+  }
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
@@ -111,7 +128,8 @@ object SimilarityQueries {
     "q61_ivf_ann" -> q61_ivf_ann,
     "q64_embedding_neardup" -> q64_embedding_neardup,
     "q87_semantic_dedup" -> q87_semantic_dedup,
-    "q89_incremental_semdedup" -> q89_incremental_semdedup)
+    "q89_incremental_semdedup" -> q89_incremental_semdedup,
+    "q92_prototypes" -> q92_prototypes)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private def foldSum(terms: String) =
@@ -220,10 +238,27 @@ object SimilarityQueries {
          |  AND n.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
     }
 
+  /** q92 oracle: centroid-literal assignment, cosine to the member's own
+    * centroid (rounded before ranking, matching the engine), per-cluster
+    * row_number cut at PROTO_K.
+    */
+  private def q92Oracle: Option[String] =
+    lastIvfKey.flatMap(graft.operators.Ivf.cachedModel).map { cents =>
+      s"""WITH ${modelCtes(cents)},
+         |sc AS (
+         |  SELECT a.vec_id, a.centroid, ${cosSql("a.v", "c.cvec")} AS cos_c
+         |  FROM asg a JOIN cents c ON a.centroid = c.centroid)
+         |SELECT vec_id, centroid::BIGINT AS centroid, cos_c, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY centroid
+         |    ORDER BY cos_c DESC, vec_id ASC) AS rank FROM sc)
+         |WHERE rank <= $PROTO_K""".stripMargin
+    }
+
   def oracles: Map[String, String] = {
     val dynamic = Seq(
       "q61_ivf_ann" -> q61Oracle, "q87_semantic_dedup" -> q87Oracle,
-      "q89_incremental_semdedup" -> q89Oracle)
+      "q89_incremental_semdedup" -> q89Oracle,
+      "q92_prototypes" -> q92Oracle)
       .collect { case (k, Some(sql)) => k -> sql }
     staticOracles ++ dynamic
   }

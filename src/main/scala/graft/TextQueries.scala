@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -443,6 +444,55 @@ object TextQueries {
       .withColumn("kept", (col("score_u") > 0).cast("int"))
   }
 
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): the target and raw pools
+    * are each modeled as a bag of hashed unigrams over CLS_DIM buckets
+    * (add-one smoothed), and every raw doc scores the summed per-token
+    * log-likelihood ratio ln p_target(b) − ln p_raw(b); a positive sum
+    * means the doc reads target-like and is kept. The target pool here is
+    * the deterministic 1-in-7 slice (doc_id % 7 == 0), standing in for the
+    * curated domain sample a real run supplies.
+    *
+    * Scale shape: one exchange builds the 2×CLS_DIM bucket counts
+    * (map-side partial into CLS_DIM groups); the smoothed ratio table then
+    * broadcasts back at O(CLS_DIM) rows no matter the corpus size — the
+    * feature space is FIXED by construction, which is exactly why DSIR
+    * hashes (contrast q73, whose vocabulary grows with the corpus and had
+    * to be capped) — and the per-doc sum shuffles only (doc_id, partial).
+    * Per-token terms round to 6dp DECIMAL before the sum, so accumulation
+    * is exact and order-free (q73's trick).
+    */
+  val q91_dsir_select: Q = (s, dir) => {
+    val toks = t(s, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(polyHash(col("tok")), lit(CLS_DIM)).as("b"),
+        (pmod(col("doc_id"), lit(7)) === 0).as("is_t"))
+    val counts = toks.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("rc"))
+    // totals as an unbounded window OVER the CLS_DIM-row aggregate (q68's
+    // df trick): a separate .agg would re-plan the whole token scan +
+    // bucket aggregate a second time; this moves only CLS_DIM rows to one
+    // partition
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val llr = counts
+      .withColumn("t_tot", sum(col("tc")).over(wAll))
+      .withColumn("r_tot", sum(col("rc")).over(wAll))
+      .select(col("b"),
+        round(log((col("tc") + 1).cast("double") / (col("t_tot") + CLS_DIM))
+          - log((col("rc") + 1).cast("double") / (col("r_tot") + CLS_DIM)), 6)
+          .cast("decimal(18,6)").as("llr"))
+    toks.filter(!col("is_t"))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr")).as("ssum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("ssum").cast("double") / col("n_tokens"), 6).as("avg_llr"),
+        (col("ssum") > 0).cast("int").as("kept"))
+  }
+
   /** PII redaction — the scrubbing pass a corpus runs before training.
     * The synthetic documents carry no PII, so each doc plants a
     * deterministic email + phone + IPv4 derived from its id, then redacts
@@ -485,6 +535,7 @@ object TextQueries {
     "q75_dup_spans" -> q75_dup_spans,
     "q88_span_removal" -> q88_span_removal,
     "q90_quality_classifier" -> q90_quality_classifier,
+    "q91_dsir_select" -> q91_dsir_select,
     "q76_pii_redact" -> q76_pii_redact,
     "q70_stratified_sample" -> q70_stratified_sample,
     "q71_pack_sequences" -> q71_pack_sequences,
@@ -573,6 +624,34 @@ object TextQueries {
          |  FROM d)
          |SELECT doc_id, score_u, (score_u > 0)::INT AS kept FROM sc""".stripMargin
     },
+    "q91_dsir_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    (list_reduce(list_prepend(0::BIGINT,
+         |       list_transform(string_split(tok, ''), c -> ascii(c)::BIGINT)),
+         |       (h, a) -> (h * 31 + a) % 1000000007) % $CLS_DIM) AS b,
+         |    (doc_id % 7 = 0) AS is_t
+         |  FROM d),
+         |counts AS (
+         |  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS tc,
+         |         sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS rc
+         |  FROM h GROUP BY b),
+         |tot AS (SELECT sum(tc)::BIGINT AS t_tot, sum(rc)::BIGINT AS r_tot FROM counts),
+         |llr AS (
+         |  SELECT b,
+         |    round(ln((tc + 1)::DOUBLE / (t_tot + $CLS_DIM))
+         |        - ln((rc + 1)::DOUBLE / (r_tot + $CLS_DIM)), 6)::DECIMAL(18,6) AS llr
+         |  FROM counts CROSS JOIN tot),
+         |sc AS (
+         |  SELECT h.doc_id, count(*) AS n_tokens, sum(llr.llr) AS ssum
+         |  FROM h JOIN llr USING (b) WHERE NOT h.is_t GROUP BY h.doc_id)
+         |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+         |  round(ssum::DOUBLE / n_tokens, 6) AS avg_llr,
+         |  (ssum > 0)::INT AS kept
+         |FROM sc""".stripMargin,
     "q88_span_removal" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

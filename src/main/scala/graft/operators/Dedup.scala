@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -470,5 +471,44 @@ object Dedup {
       .filter(firstMatch)
       .select(col("d1"), col("d2"), hamming(col("s1"), col("s2")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Content-defined chunking (FastCDC-style, at token granularity): a
+    * chunk boundary falls BEFORE token i whenever the content hash of the
+    * two-token window lands on the cut mask — poly_hash(prev‿'_'‿tok) ≡ 0
+    * (mod avgChunk) — so boundaries move WITH the content. An edit near a
+    * document's head re-chunks only its own neighborhood and every chunk
+    * downstream keeps its fingerprint, which is the property fixed-width
+    * chunking lacks and the reason storage/corpus dedup systems chunk this
+    * way. Expected chunk length ≈ avgChunk tokens.
+    *
+    * Returns one row per chunk: (idCol, chunk, fp, n_toks), fp the
+    * portable poly hash of the space-joined chunk content (q88's 'x'-
+    * prefix convention so the empty chunk hashes nonzero).
+    *
+    * Scale shape: the TEXT shuffles exactly once, on the doc key — token
+    * adjacency is what a chunker consumes, so that shuffle is the
+    * operator's floor — and both the chunk-id window and the chunk
+    * aggregate ride the same doc-key exchange (hashpartitioning(doc)
+    * satisfies the (doc, chunk) clustering, PlanAuditSpec pins it).
+    * Downstream dedup then shuffles fp LONGS, never content.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                avgChunk: Int = 8): DataFrame = {
+    require(avgChunk > 1, s"avgChunk must exceed 1, got $avgChunk")
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, 0)
+    val bnd = when(col("prev").isNotNull &&
+      pmod(polyHash(concat(col("prev"), lit("_"), col("tok"))),
+        lit(avgChunk)) === 0, 1L).otherwise(0L)
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(wDoc))
+      .withColumn("chunk", sum(bnd).over(wRun))
+      .groupBy(col(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_toks"),
+        polyHash(concat(lit("x"), array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " "))).as("fp"))
+      .select(col(idCol), col("chunk"), col("fp"), col("n_toks"))
   }
 }

@@ -167,6 +167,39 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Prototypicality filter — the D4 companion pass to [[semanticDedup]]
+    * (Tirumala et al. 2023 run SemDeDup then prune low-density cluster
+    * outliers): keep each cluster's `kKeep` most-central members by cosine
+    * to their OWN centroid (cosine rounded to 6dp before ranking so ties
+    * are well-defined; ties break toward the lower id). Survivors are the
+    * cluster prototypes; what falls is the far-from-every-centroid noise.
+    *
+    * Scale shape: assignment is scan-local arithmetic against the
+    * O(k·dims) model literal; the centroid-vector frame broadcasts at k
+    * rows; the rank filter compiles to WindowGroupLimit (PlanAuditSpec
+    * pins it), so each map task forwards at most `kKeep` rows per cluster
+    * into the single centroid-key exchange. With k scaling as
+    * [[Ivf.kFor]], per-cluster work stays bounded as the corpus grows.
+    */
+  def prototypes(df: DataFrame, idCol: String, vecCol: String,
+                 cents: Array[Double], dims: Int, kKeep: Int): DataFrame = {
+    require(kKeep > 0, s"kKeep must be positive, got $kKeep")
+    val assigned = graft.operators.Ivf.assign(df, vecCol, cents, dims)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"),
+        col("centroid").cast("long").as("centroid"))
+    val cf = graft.operators.Ivf.centroidFrame(df.sparkSession, cents, dims)
+      .select(col("centroid").cast("long").as("centroid"), col("cvec"))
+    val w = Window.partitionBy(col("centroid"))
+      .orderBy(col("cos_c").desc, col(idCol).asc)
+    assigned.join(broadcast(cf), Seq("centroid"))
+      .withColumn("cos_c", round(cosine(col("v"), col("cvec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kKeep) // int rank here: a cast wrapped around
+      // row_number would block the InferWindowGroupLimit rewrite
+      .select(col(idCol), col("centroid"), col("cos_c"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Incremental [[semanticDedup]] (continuous ingest): a new shard
     * arrives against the already-admitted corpus; a new doc is dropped
     * when any INDEX member in its cluster sits at cosine >= `threshold`.

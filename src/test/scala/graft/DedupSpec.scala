@@ -194,4 +194,57 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) == Seq.fill(4)(TextFunctions.HashMod)) // sentinel
     assert(sigs(2L).forall(_ < TextFunctions.HashMod))
   }
+
+  // — content-defined chunking —
+
+  private def ph(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * 31 + c) % TextFunctions.HashMod)
+
+  /** Plain-Scala replay of cdcChunks: (chunk, fp, n_toks) per chunk. */
+  private def chunksOf(toks: Seq[String], avg: Int): Seq[(Long, Long, Long)] = {
+    val bnd = toks.indices.map(i =>
+      if (i > 0 && ph(toks(i - 1) + "_" + toks(i)) % avg == 0) 1L else 0L)
+    val ids = bnd.scanLeft(0L)(_ + _).tail
+    toks.indices.groupBy(ids).toSeq.sortBy(_._1).map { case (c, idx) =>
+      (c, ph("x" + idx.map(toks).mkString(" ")), idx.length.toLong)
+    }
+  }
+
+  test("cdcChunks matches a plain-Scala replay and partitions every doc") {
+    val t1 = (1 to 40).map(i => s"tk${i % 13}")
+    val t2 = (1 to 25).map(i => s"u$i")
+    val df = Seq((1L, t1.mkString(" ")), (2L, t2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(df, "doc_id", "text", 8)
+      .select($"doc_id", $"chunk", $"fp", $"n_toks")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq).toMap
+    assert(got(1L) == chunksOf(t1, 8), "doc 1 chunk layout must match the replay")
+    assert(got(2L) == chunksOf(t2, 8))
+    // chunks partition the doc: ids contiguous from 0, token counts sum up
+    got.foreach { case (id, cs) =>
+      assert(cs.map(_._1) == cs.indices.map(_.toLong), s"doc $id chunk ids")
+    }
+    assert(got(1L).map(_._3).sum == t1.length && got(2L).map(_._3).sum == t2.length)
+  }
+
+  test("cdcChunks: an edit at the head re-chunks only its neighborhood") {
+    // the CONTENT-DEFINED property — the reason over fixed-width chunking:
+    // prepending a token shifts every token position, but boundaries
+    // follow token-pair hashes, so all chunks after the first boundary
+    // keep their fingerprints and still dedup against the original
+    val base = (1 to 60).map(i => s"w${i % 17}_$i")
+    val edited = "INSERTED" +: base
+    val df = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val fps = Dedup.cdcChunks(df, "doc_id", "text", 8)
+      .select($"doc_id", $"fp").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tail1 = chunksOf(base, 8).drop(1).map(_._2).toSet
+    assert(tail1.nonEmpty, "fixture needs at least one boundary in the base doc")
+    assert(tail1.subsetOf(fps(2L)),
+      "every base chunk after the first boundary must survive the head edit")
+    assert((fps(1L) -- fps(2L)).size <= 1,
+      "at most the head chunk may differ after a head edit")
+  }
 }

@@ -60,7 +60,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q87_semantic_dedup" -> 2,    // dropped-id distinct + anti-join; the centroid pair join broadcasts at this SF (shuffles on the centroid key at scale)
     "q88_span_removal" -> 2,      // q75's h-window + starts groupBy(doc); the text join-back broadcasts at this SF (doc-key shuffle at scale)
     "q89_incremental_semdedup" -> 2, // dropped-id distinct + anti-join; the centroid probe join broadcasts at this SF
-    "q90_quality_classifier" -> 0) // one codegen'd fold per row, shuffle-free
+    "q90_quality_classifier" -> 0, // one codegen'd fold per row, shuffle-free
+    "q91_dsir_select" -> 2,       // bucket-count agg + per-doc sum; the O(CLS_DIM) ratio table broadcasts back
+    "q92_prototypes" -> 1,        // centroid-key window; model + centroid frame broadcast
+    "q93_cdc_chunks" -> 3)        // text→doc key once; fp-window dup mark; doc rollup — longs only after the first
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
@@ -72,8 +75,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // Plan-SHAPE pins: operators whose scale story depends on a specific
   // physical operator, not just the exchange count.
-  test("q79 / q16 rank-filters compile to WindowGroupLimit (map-side per-group top-k)") {
-    Seq("q79_domain_cap", "q16_topk").foreach { q =>
+  test("q79 / q16 / q92 rank-filters compile to WindowGroupLimit (map-side per-group top-k)") {
+    Seq("q79_domain_cap", "q16_topk", "q92_prototypes").foreach { q =>
       assert(plan(q).contains("WindowGroupLimit"),
         s"$q must push a per-partition group limit below the shuffle — " +
           "without it the window shuffles the whole group contents")

@@ -42,6 +42,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.05) // random unit vectors: 4-plane LSH keeps ~1/8 of pairs
   }
 
+  test("prototypes: keeps the k most-central members per cluster, drops outliers") {
+    // planted 2-dim model: centroids on the axes; per cluster one exact
+    // prototype, one mid vector, and one that loses the top-2 cut
+    val cents = Array(1.0, 0.0, 0.0, 1.0)
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)),  // c0, cos 1.0            -> rank 1
+      (2L, Seq(0.8, 0.2)),  // c0, cos 0.970143       -> cut
+      (3L, Seq(0.5, 0.1)),  // c0, cos 0.980581       -> rank 2
+      (4L, Seq(0.0, 1.0)),  // c1, cos 1.0            -> rank 1
+      (5L, Seq(0.2, 0.9)),  // c1, cos 0.976187       -> rank 2
+      (6L, Seq(-0.9, 0.5))) // c1 (nearest by L2), cos 0.485643 — the outlier
+      .toDF("vec_id", "embedding")
+    val got = Similarity.prototypes(vecs, "vec_id", "embedding", cents, 2, 2)
+      .select($"vec_id", $"centroid", $"cos_c", $"rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L, 5L),
+      s"top-2 per cluster must survive, got ${got.keySet}")
+    assert(got(1L) == ((0L, 1.0, 1L)) && got(4L) == ((1L, 1.0, 1L)))
+    assert(got(3L)._1 == 0L && got(3L)._3 == 2L && math.abs(got(3L)._2 - 0.980581) < 1e-6)
+    assert(got(5L)._1 == 1L && got(5L)._3 == 2L && math.abs(got(5L)._2 - 0.976187) < 1e-6)
+  }
+
   test("lshNearDupPairs: threshold edges feed duplicateClusters (dedup composition)") {
     val emb = graft.core.Tables.load(spark, TestSession.sf, "embeddings")
     val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 4, 64, 0.35)

@@ -135,4 +135,43 @@ class TrainingDataQueriesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "the unigram LM must reach the corpus as a broadcast, not a shuffle join")
   }
+
+  test("q91: DSIR scores match a plain-Scala replay; the target replica ranks top") {
+    // replay the planted corpus (same texts as `dir`) through the hashed
+    // bag-of-unigrams model in plain Scala — buckets, smoothing, 6dp
+    // rounding and all — then compare every raw doc's score exactly
+    val block = (i: Int) => (1 to 300).map(j => s"w${i}_$j").mkString(" ")
+    val texts: Map[Long, Array[String]] = Map(
+      0L -> "alpha beta gamma delta eps", 1L -> "zeta beta gamma delta omega",
+      2L -> "alpha beta gamma delta eps", 3L -> block(3), 4L -> block(4),
+      5L -> block(5)).map { case (k, v) => k -> v.split(" ") }
+    def bucket(tok: String): Int =
+      (tok.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L) % 64).toInt
+    val (target, raw) = texts.partition(_._1 % 7 == 0)
+    val tc = Array.fill(64)(0L); val rc = Array.fill(64)(0L)
+    target.values.flatten.foreach(t => tc(bucket(t)) += 1)
+    raw.values.flatten.foreach(t => rc(bucket(t)) += 1)
+    val (tTot, rTot) = (tc.sum, rc.sum)
+    def llr(b: Int): BigDecimal = BigDecimal(
+      math.log((tc(b) + 1.0) / (tTot + 64)) - math.log((rc(b) + 1.0) / (rTot + 64)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = raw.map { case (id, toks) =>
+      val s = toks.map(t => llr(bucket(t))).sum
+      id -> ((toks.length.toLong, (s / toks.length).toDouble, if (s > 0) 1 else 0))
+    }
+    val got = run("q91_dsir_select")
+      .select($"doc_id", $"n_tokens", $"avg_llr", $"kept")
+      .as[(Long, Long, Double, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got.keySet == raw.keySet, "exactly the raw (non-target) docs are scored")
+    expected.foreach { case (id, (n, avg, kept)) =>
+      assert(got(id)._1 == n, s"doc $id n_tokens")
+      assert(math.abs(got(id)._2 - avg) < 2e-6, s"doc $id avg_llr ${got(id)._2} != $avg")
+      assert(got(id)._3 == kept, s"doc $id kept")
+    }
+    // doc 2 is byte-identical to the target slice (doc 0): it must be the
+    // highest-scoring raw doc, and kept
+    val top = got.maxBy(_._2._2)
+    assert(top._1 == 2L && top._2._3 == 1, s"target replica must rank top, got $top")
+  }
 }
