@@ -50,7 +50,7 @@ object ScaleBench {
     "q28_lsh_neardup", "q10_join_left", "q49_minhash_estimate",
     "q11_join_dict", "q57_order_uu_window", "q34_json_extract",
     "q75_dup_spans", "q68_tfidf", "q73_unigram_ll", "q80_bloom_prune",
-    "q88_span_removal")
+    "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -100,6 +100,25 @@ object ScaleBench {
       Similarity.semanticDedup(emb, "vec_id", "embedding", cents, DIMS, 0.30)
     }
 
+  /** Prototypicality variants: same model geometry question as IVF /
+    * SemDeDup. Work is linear in n either way (one assignment pass + a
+    * WindowGroupLimit that forwards ≤ kKeep rows per cluster per task);
+    * fixed k only narrows the final exchange to k partitions, so unlike
+    * the pair-join operators it degrades gracefully — both variants are
+    * measured to show exactly that.
+    */
+  private def protoQ(scaledK: Boolean): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents =
+        if (scaledK) {
+          val k = Ivf.kFor(emb.count(), targetListSize = 250)
+          Ivf.trainOnSample(emb, fraction = 0.1, seed = 42L, "vec_id",
+            "embedding", k = k, dims = DIMS, iters = 2)
+        } else Ivf.train(emb, "vec_id", "embedding", k = 8, dims = DIMS, iters = 2)
+      Similarity.prototypes(emb, "vec_id", "embedding", cents, DIMS, 16)
+    }
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
@@ -145,7 +164,7 @@ object ScaleBench {
     }
     // per row: cell keys for (sf0.1, 10×, optional 100×)
     val decade2 = Set("q68_tfidf", "q75_dup_spans", "q80_bloom_prune",
-      "q73_unigram_ll", "q88_span_removal")
+      "q73_unigram_ll", "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),
@@ -182,7 +201,15 @@ object ScaleBench {
         ("q87_semdedup_scaledk",
           cell("q87sk|01", semQ(scaledK = true), sf01),
           cell("q87sk|1", semQ(scaledK = true), sf1),
-          sf100.map(d => cell("q87sk|100", semQ(scaledK = true), d))))
+          sf100.map(d => cell("q87sk|100", semQ(scaledK = true), d))),
+        ("q92_prototypes_fixedk",
+          cell("q92k8|01", protoQ(scaledK = false), sf01),
+          cell("q92k8|1", protoQ(scaledK = false), sf1),
+          sf100.map(d => cell("q92k8|100", protoQ(scaledK = false), d))),
+        ("q92_prototypes_scaledk",
+          cell("q92sk|01", protoQ(scaledK = true), sf01),
+          cell("q92sk|1", protoQ(scaledK = true), sf1),
+          sf100.map(d => cell("q92sk|100", protoQ(scaledK = true), d))))
 
     // round-robin the iterations (iter 1 of every cell, then iter 2, …) so
     // slow phases of a shared host hit all measurements evenly instead of

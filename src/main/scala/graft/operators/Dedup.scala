@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -484,31 +483,38 @@ object Dedup {
     *
     * Returns one row per chunk: (idCol, chunk, fp, n_toks), fp the
     * portable poly hash of the space-joined chunk content (q88's 'x'-
-    * prefix convention so the empty chunk hashes nonzero).
+    * prefix convention so the empty chunk hashes nonzero). Empty docs
+    * yield no chunks.
     *
-    * Scale shape: the TEXT shuffles exactly once, on the doc key — token
-    * adjacency is what a chunker consumes, so that shuffle is the
-    * operator's floor — and both the chunk-id window and the chunk
-    * aggregate ride the same doc-key exchange (hashpartitioning(doc)
-    * satisfies the (doc, chunk) clustering, PlanAuditSpec pins it).
-    * Downstream dedup then shuffles fp LONGS, never content.
+    * Scale shape: ZERO shuffles — boundaries depend only on a document's
+    * own token adjacency, so the whole chunker is per-row HOF arithmetic
+    * (cut positions → start/end zip → sliced joins) and an explode; the
+    * text never leaves its scan partition, and this works unchanged on a
+    * stream (stateless, like CorpusPipeline.chunk). Downstream dedup then
+    * shuffles fp LONGS, never content.
     */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 avgChunk: Int = 8): DataFrame = {
     require(avgChunk > 1, s"avgChunk must exceed 1, got $avgChunk")
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val wRun = wDoc.rowsBetween(Window.unboundedPreceding, 0)
-    val bnd = when(col("prev").isNotNull &&
-      pmod(polyHash(concat(col("prev"), lit("_"), col("tok"))),
-        lit(avgChunk)) === 0, 1L).otherwise(0L)
-    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .withColumn("prev", lag(col("tok"), 1).over(wDoc))
-      .withColumn("chunk", sum(bnd).over(wRun))
-      .groupBy(col(idCol), col("chunk"))
-      .agg(count(lit(1)).as("n_toks"),
-        polyHash(concat(lit("x"), array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " "))).as("fp"))
-      .select(col(idCol), col("chunk"), col("fp"), col("n_toks"))
+    val toks = col("__toks")
+    val n = size(toks)
+    // 0-based positions where a new chunk starts: the two-token window
+    // hash lands on the cut mask (guarded: sequence(1, 0) would DESCEND)
+    val cuts = when(n >= 2,
+      filter(sequence(lit(1), n - 1), i =>
+        pmod(polyHash(concat(element_at(toks, i), lit("_"),
+          element_at(toks, i + 1))), lit(avgChunk)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val contents = zip_with(
+      concat(array(lit(0)), col("__cuts")),
+      concat(col("__cuts"), array(n)),
+      (s, e) => array_join(slice(toks, s + 1, e - s), " "))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(n > 0)
+      .withColumn("__cuts", cuts)
+      .select(col(idCol), posexplode(contents).as(Seq("chunk", "content")))
+      .select(col(idCol), col("chunk").cast("long").as("chunk"),
+        polyHash(concat(lit("x"), col("content"))).as("fp"),
+        size(tokens(col("content"))).cast("long").as("n_toks"))
   }
 }

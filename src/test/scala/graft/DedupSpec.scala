@@ -228,6 +228,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L).map(_._3).sum == t1.length && got(2L).map(_._3).sum == t2.length)
   }
 
+  test("cdcChunks is stateless: runs incrementally on a stream, same chunks as batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"tk${i % 13}").mkString(" ")),
+      (2L, (1 to 25).map(i => s"u$i").mkString(" ")),
+      (3L, "")) // empty doc must yield no chunks on the stream too
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.cdcChunks(in.toDF().toDF("doc_id", "text"), "doc_id", "text", 8)
+      .writeStream.format("memory").queryName("cdc_chunks").outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("cdc_chunks")
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val batch = Dedup.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text", 8)
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got == batch && got.nonEmpty)
+      assert(!got.exists(_._1 == 3L), "empty doc must produce no chunks")
+    } finally q.stop()
+  }
+
   test("cdcChunks: an edit at the head re-chunks only its neighborhood") {
     // the CONTENT-DEFINED property — the reason over fixed-width chunking:
     // prepending a token shifts every token position, but boundaries

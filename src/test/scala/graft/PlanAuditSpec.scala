@@ -63,7 +63,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q90_quality_classifier" -> 0, // one codegen'd fold per row, shuffle-free
     "q91_dsir_select" -> 2,       // bucket-count agg + per-doc sum; the O(CLS_DIM) ratio table broadcasts back
     "q92_prototypes" -> 1,        // centroid-key window; model + centroid frame broadcast
-    "q93_cdc_chunks" -> 3)        // text→doc key once; fp-window dup mark; doc rollup — longs only after the first
+    "q93_cdc_chunks" -> 2)        // chunker is scan-local HOFs (text never shuffles); fp-window dup mark + doc rollup, longs only
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
