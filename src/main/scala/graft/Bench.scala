@@ -40,7 +40,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val excluded = Set("q32_top_pairs", "q66_corpus_survivors",
-    "q77_corpus_funnel") // q77 = q66's plan + count aggregates — same fixpoint-round latency
+    "q77_corpus_funnel", // q77 = q66's plan + count aggregates — same fixpoint-round latency
+    "q94_canonical_dedup") // component fixpoint: driver-synchronous star rounds, same physics as q66
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

@@ -164,7 +164,41 @@ object DedupQueries {
           .cast("long").as("shared_toks"))
   }
 
+  /** Quality-canonical duplicate resolution: q28's near-dup edges →
+    * connected components → keep each cluster's BEST-quality member
+    * (q23's shared formula), ties toward the lower id — the production
+    * keep rule, where min-id keep (q66's pipeline) is the cheap default.
+    * Emits every clustered doc with its cluster label, quality, and the
+    * keeper mark, so the oracle checks the full resolution.
+    */
+  val q94_canonical_dedup: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5).select(col("d1"), col("d2"))
+    val scores = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    Dedup.resolveClustersByQuality(pairs, scores, "doc_id", "quality")
+  }
+
+  /** q84's split with the bloom fast path: the bitset over the admitted
+    * index proves most shard fingerprints novel scan-locally, and only
+    * bloom-positives consult the index. Output (and oracle) are exactly
+    * q84's — the bloom is a plan optimization, never a semantics change.
+    * The bitset build runs at query construction ([[graft.operators
+    * .RuntimeFilter.bloomBits]]'s documented eagerness).
+    */
+  val q95_incremental_bloomed: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val index = Dedup.fingerprints(docs.filter(col("doc_id") < 250), "text")
+    val bits = 1 << 16
+    val bloom = graft.operators.RuntimeFilter.bloomBits(index, col("fp"), bits, 3)
+    Dedup.incrementalExactBloomed(docs.filter(col("doc_id") >= 250), index,
+      bloom, bits, "doc_id", "text").select(col("doc_id"), col("fp"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q95_incremental_bloomed" -> q95_incremental_bloomed,
+    "q94_canonical_dedup" -> q94_canonical_dedup,
     "q93_cdc_chunks" -> q93_cdc_chunks,
     "q77_corpus_funnel" -> q77_corpus_funnel,
     "q49_minhash_estimate" -> q49_minhash_estimate,
@@ -215,6 +249,35 @@ object DedupQueries {
        |  FROM th)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q94_canonical_dedup" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |bands AS (SELECT doc_id, b,
+         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |e1 AS (SELECT d1, d2 FROM cand
+         |  JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+         |  WHERE round(
+         |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
+         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+         |    6) >= 0.5),
+         |e1s AS (SELECT d1 AS a, d2 AS b FROM e1 UNION ALL SELECT d2, d1 FROM e1),
+         |r1 AS (SELECT a, b FROM e1s UNION SELECT r1.a, e.b FROM r1 JOIN e1s e ON r1.b = e.a),
+         |lbl AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster
+         |  FROM r1 GROUP BY a),
+         |sc AS (SELECT doc_id,
+         |    round((len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) *
+         |          (1.0 - len(list_filter(toks, t -> t = 'a' OR t = 'the'))::DOUBLE
+         |           / len(toks)::DOUBLE), 6) AS quality
+         |  FROM d),
+         |m AS (SELECT lbl.doc_id, lbl.cluster, sc.quality
+         |  FROM lbl JOIN sc ON lbl.doc_id = sc.doc_id)
+         |SELECT doc_id, cluster, quality,
+         |  CASE WHEN row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END::BIGINT AS keep
+         |FROM m""".stripMargin,
     "q93_cdc_chunks" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -301,15 +364,19 @@ object DedupQueries {
          |    6) >= 0.5)
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT nid FROM dropped)""".stripMargin,
-    "q84_incremental_dedup" ->
-      """WITH nw AS (
-        |  SELECT doc_id, md5(trim(lower(text))) AS fp
-        |  FROM documents WHERE doc_id >= 250),
-        |first AS (SELECT fp, min(doc_id) AS doc_id FROM nw GROUP BY fp)
-        |SELECT doc_id, fp FROM first f
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM documents d
-        |  WHERE d.doc_id < 250 AND md5(trim(lower(d.text))) = f.fp)""".stripMargin)
+    "q84_incremental_dedup" -> incrementalExactOracle,
+    // the bloomed path must admit the IDENTICAL set — same oracle
+    "q95_incremental_bloomed" -> incrementalExactOracle)
+
+  private def incrementalExactOracle: String =
+    """WITH nw AS (
+      |  SELECT doc_id, md5(trim(lower(text))) AS fp
+      |  FROM documents WHERE doc_id >= 250),
+      |first AS (SELECT fp, min(doc_id) AS doc_id FROM nw GROUP BY fp)
+      |SELECT doc_id, fp FROM first f
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents d
+      |  WHERE d.doc_id < 250 AND md5(trim(lower(d.text))) = f.fp)""".stripMargin
 
   private def lshNearDupOracle: String =
     s"""WITH $shingleCtes,

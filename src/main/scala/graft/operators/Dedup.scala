@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -470,6 +471,69 @@ object Dedup {
       .filter(firstMatch)
       .select(col("d1"), col("d2"), hamming(col("s1"), col("s2")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[incrementalExact]] with a bloom fast path over the persisted index
+    * — the continuous-ingest geometry that matters at 100 TB: the
+    * fingerprint index is corpus-sized, but a typical shard is mostly
+    * NOVEL text, and a bloom filter of the index proves novelty
+    * scan-locally. Bloom-negative fingerprints are admitted without
+    * touching the index; only the bloom-positive minority anti-joins the
+    * index, where false positives die — the result is EXACTLY
+    * [[incrementalExact]]'s (DedupSpec pins it, including under a
+    * deliberately saturated bloom, where every fp degrades to the plain
+    * anti-join path).
+    *
+    * `indexBloom` is the O(numBits) bitset over the index fps
+    * ([[RuntimeFilter.bloomBits]]). Build it when the index is
+    * (re)written and maintain it incrementally — admitted fps OR into the
+    * bitset — rather than per shard; size per
+    * [[RuntimeFilter.requiredBits]] (10⁹ fps at 1% fpp ≈ 1.2 GB — an
+    * executor broadcast, not driver state).
+    *
+    * Scale shape: at false-positive rate ε and novel fraction ν the
+    * anti-join's shard side shrinks to (1−ν) + νε of the batch, and with
+    * the index bucketed by fp the join prunes to matching buckets. The
+    * shard's (fp, id) aggregate is planned under both branches (union) —
+    * exchange reuse collapses it at runtime. NULL-fp rows probe negative
+    * and take the novel path, preserving the min-id-per-NULL-group rule.
+    */
+  def incrementalExactBloomed(newDocs: DataFrame, index: DataFrame,
+                              indexBloom: Array[Long], numBits: Int,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 3): DataFrame = {
+    val withFp = newDocs.withColumn("fp", wideFp(textCol))
+    val first = withFp.select(col("fp"), col(idCol))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    val maybe = RuntimeFilter.mightContain(col("fp"), indexBloom, numBits, numHashes)
+    val novel = first.filter(!maybe) // definite: no index I/O for these
+    val confirmed = first.filter(maybe).join(index, Seq("fp"), "left_anti")
+    val admittedIds = novel.unionByName(confirmed).select(col(idCol))
+    withFp.join(broadcast(admittedIds), Seq(idCol), "left_semi")
+  }
+
+  /** Resolve duplicate clusters by QUALITY — the production keep rule
+    * (keep the best member of each near-dup cluster, not the lowest id,
+    * which is what RefinedWeb/Gopher-style pipelines actually do): label
+    * components with [[duplicateClustersStar]], attach each member's
+    * quality score, and mark per cluster the single keeper — highest
+    * quality, ties toward the lower id. Returns every clustered doc as
+    * (idCol, cluster, qualityCol, keep 0|1); unclustered docs are implied
+    * keepers and never enter the component machinery.
+    *
+    * Scale shape: components cost O(log n) star rounds over edges only;
+    * the score attach is an id-key join of (id, double) pairs; the keeper
+    * mark is one window over the cluster key. Ids, labels and doubles
+    * shuffle — never text.
+    */
+  def resolveClustersByQuality(pairs: DataFrame, scores: DataFrame,
+                               idCol: String, qualityCol: String): DataFrame = {
+    val labels = duplicateClustersStar(pairs).withColumnRenamed("doc_id", idCol)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    labels.join(scores, Seq(idCol))
+      .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+      .select(col(idCol), col("cluster"), col(qualityCol), col("keep"))
   }
 
   /** Content-defined chunking (FastCDC-style, at token granularity): a

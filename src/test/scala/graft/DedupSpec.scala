@@ -195,6 +195,44 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(2L).forall(_ < TextFunctions.HashMod))
   }
 
+  test("incrementalExactBloomed admits exactly incrementalExact's set — healthy AND saturated bloom") {
+    import graft.operators.RuntimeFilter
+    val index = Dedup.fingerprints(
+      Seq((1L, "seen before"), (2L, "also indexed")).toDF("doc_id", "text"), "text")
+    val shard = Seq((10L, "novel one"), (11L, "seen before"), (12L, "novel one"),
+      (13L, "novel two"), (14L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val plain = Dedup.incrementalExact(shard, index, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    // healthy bloom: negatives skip the index, positives get verified
+    val bits = 1 << 10
+    val bloom = RuntimeFilter.bloomBits(index, col("fp"), bits, 3)
+    val bloomed = Dedup.incrementalExactBloomed(shard, index, bloom, bits,
+      "doc_id", "text").select($"doc_id").as[Long].collect().toSet
+    assert(bloomed == plain, s"bloomed $bloomed != plain $plain")
+    assert(plain == Set(10L, 13L, 14L)) // min-id per fp, NULL-fp row admitted
+    // fully saturated bloom (all 64 bits set): every fp probes positive,
+    // everything degrades to the exact anti-join — output must not change
+    val saturated = Dedup.incrementalExactBloomed(shard, index, Array(-1L), 64,
+      "doc_id", "text").select($"doc_id").as[Long].collect().toSet
+    assert(saturated == plain, "a saturated bloom may cost, never change results")
+  }
+
+  test("resolveClustersByQuality keeps the best member, NOT the min id; ties break low") {
+    // cluster {1,2,3}: doc 2 has the best quality, so min-id keep (doc 1)
+    // and quality keep (doc 2) DIFFER — the point of the operator
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7))
+      .toDF("doc_id", "quality")
+    val got = Dedup.resolveClustersByQuality(pairs, scores, "doc_id", "quality")
+      .select($"doc_id", $"cluster", $"keep").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(Seq(1L, 2L, 3L).forall(got(_)._1 == 1L) && Seq(4L, 5L).forall(got(_)._1 == 4L))
+    assert(got(2L)._2 == 1L && got(1L)._2 == 0L && got(3L)._2 == 0L,
+      "the best-quality member must be the keeper")
+    assert(got(4L)._2 == 1L && got(5L)._2 == 0L, "quality tie must break toward the lower id")
+  }
+
   // — content-defined chunking —
 
   private def ph(s: String): Long =

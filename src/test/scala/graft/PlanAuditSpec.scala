@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q90_quality_classifier" -> 0, // one codegen'd fold per row, shuffle-free
     "q91_dsir_select" -> 2,       // bucket-count agg + per-doc sum; the O(CLS_DIM) ratio table broadcasts back
     "q92_prototypes" -> 1,        // centroid-key window; model + centroid frame broadcast
-    "q93_cdc_chunks" -> 2)        // chunker is scan-local HOFs (text never shuffles); fp-window dup mark + doc rollup, longs only
+    "q93_cdc_chunks" -> 2,        // chunker is scan-local HOFs (text never shuffles); fp-window dup mark + doc rollup, longs only
+    "q95_incremental_bloomed" -> 2) // q84's budget holds: (fp,id) agg + anti-join; the bloom adds scan-local filters only
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
@@ -81,6 +82,12 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q must push a per-partition group limit below the shuffle — " +
           "without it the window shuffles the whole group contents")
     }
+  }
+
+  test("q95's bloom probe is scan-local (xxhash64 filter in the plan, not a join)") {
+    assert(plan("q95_incremental_bloomed").contains("xxhash64"),
+      "the novelty fast path must probe the bitset in the scan stage — " +
+        "without it every shard fp pays the index anti-join")
   }
 
   test("q73's LM broadcast is vocab-capped (TakeOrdered limit, no full-vocab broadcast)") {

@@ -147,6 +147,23 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunks: contiguous ids, non-empty chunks, token counts partition random docs") {
+    val tokList = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+    val drawn = cases(tokList, 40)
+    val df = drawn.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.cdcChunks(df, "doc_id", "text", 8)
+      .select($"doc_id", $"chunk", $"n_toks").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._2, r._3)).toSeq).toMap
+    drawn.zipWithIndex.foreach { case (toks, i) =>
+      val cs = byDoc(i.toLong)
+      assert(cs.map(_._1) == cs.indices.map(_.toLong), s"case $i: chunk ids not contiguous")
+      assert(cs.map(_._2).sum == toks.length, s"case $i: token counts must partition the doc")
+      assert(cs.forall(_._2 >= 1), s"case $i: empty chunk")
+    }
+  }
+
   test("exactDedup: distinct representatives, one per normalized text") {
     val docsGen = Gen.listOfN(30, Gen.oneOf("a b", "c d", "e f", "A B ", "x"))
     cases(docsGen, 5).foreach { texts =>
