@@ -50,7 +50,8 @@ object ScaleBench {
     "q28_lsh_neardup", "q10_join_left", "q49_minhash_estimate",
     "q11_join_dict", "q57_order_uu_window", "q34_json_extract",
     "q75_dup_spans", "q68_tfidf", "q73_unigram_ll", "q80_bloom_prune",
-    "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks")
+    "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks",
+    "q84_incremental_dedup", "q95_incremental_bloomed")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -164,7 +165,8 @@ object ScaleBench {
     }
     // per row: cell keys for (sf0.1, 10×, optional 100×)
     val decade2 = Set("q68_tfidf", "q75_dup_spans", "q80_bloom_prune",
-      "q73_unigram_ll", "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks")
+      "q73_unigram_ll", "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks",
+      "q84_incremental_dedup", "q95_incremental_bloomed")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),
