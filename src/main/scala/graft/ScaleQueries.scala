@@ -59,13 +59,17 @@ object ScaleQueries {
     * URGENT orders. The bloom filter built from the filtered orders keys
     * drops ~80 % of lineitem rows scan-local, BEFORE the join shuffle —
     * the explicit form of AQE's InjectRuntimeFilter. Results are exactly
-    * the plain join's (the oracle IS the plain join).
+    * the plain join's (the oracle IS the plain join). The AUTO form sizes
+    * the bitset from measured build cardinality and skips the bloom
+    * entirely once no affordable bitset prunes usefully — the fixed-size
+    * form measured as a saturated no-op at 100× (300k keys already fill
+    * 2^16 bits at 10×; BASELINE.md).
     */
   val q80_bloom_prune: Q = (s, dir) => {
     val urgent = t(s, dir).orders
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    RuntimeFilter.bloomPrunedJoin(t(s, dir).lineitem, urgent,
+    RuntimeFilter.bloomPrunedJoinAuto(t(s, dir).lineitem, urgent,
         "l_orderkey", "o_orderkey")
       .groupBy(col("l_returnflag"))
       .agg(

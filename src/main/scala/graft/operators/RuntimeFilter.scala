@@ -131,15 +131,21 @@ object RuntimeFilter {
                 numHashes: Int = 3): Array[Long] = {
     require(numBits % 64 == 0, s"numBits must be a multiple of 64, got $numBits")
     val words = new Array[Long](numBits / 64)
+    // the bitset assembles DISTRIBUTED: positions fold into per-word OR
+    // masks (map-side partial, OR is idempotent so no distinct pass), and
+    // the driver collects at most numBits/64 (word, mask) rows — a
+    // position-row collect at a few million build keys was measured as
+    // the operator's bottleneck at 100× (BASELINE.md)
     build
       .select(explode(array(
         positions(canon(build, key), numBits, numHashes): _*)).as("pos"))
-      .distinct()
+      .where(col("pos").isNotNull)
+      .select(shiftright(col("pos"), 6).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), col("pos").bitwiseAND(63L).cast("int")).as("b"))
+      .groupBy(col("w"))
+      .agg(call_function("bit_or", col("b")).as("word"))
       .collect()
-      .foreach { r =>
-        val pos = r.getLong(0)
-        words((pos / 64).toInt) |= 1L << (pos % 64)
-      }
+      .foreach(r => words(r.getInt(0)) = r.getLong(1))
     words
   }
 
@@ -222,6 +228,33 @@ object RuntimeFilter {
     checkKeyTypes(probe, build, probeKey, buildKey)
     val (words, bits, hashes) = bloomBitsSized(build, col(buildKey), targetFpp, maxBits)
     joinPruned(probe, build, probeKey, buildKey, words, bits, hashes)
+  }
+
+  /** [[bloomPrunedJoinSized]] that DEGRADES to the plain join instead of
+    * throwing when the measured build cardinality makes every affordable
+    * bitset useless — the decision a production operator should make on
+    * its own: a saturated bloom is a no-op prune that still pays the
+    * build pass (q80's fixed-size form measured exactly that at 100×
+    * corpus scale, BASELINE.md). Output is the plain inner join's in both
+    * branches; only the plan differs. Same eager-measurement caveat as
+    * the sized form (one `approx_count_distinct` pass at construction).
+    */
+  def bloomPrunedJoinAuto(probe: DataFrame, build: DataFrame,
+                          probeKey: String, buildKey: String,
+                          targetFpp: Double = 0.03,
+                          maxBits: Long = 1L << 24,
+                          fppCeiling: Double = 0.25): DataFrame = {
+    checkKeyTypes(probe, build, probeKey, buildKey)
+    val nKeys = math.ceil(
+      build.agg(approx_count_distinct(canon(build, col(buildKey))))
+        .head().getLong(0) * 1.1).toLong
+    val bits = math.min(requiredBits(nKeys, targetFpp), (maxBits / 64) * 64)
+    val hashes = optimalHashes(bits, nKeys)
+    if (projectedFpp(nKeys, bits.toInt, hashes) > fppCeiling)
+      probe.join(build, probe(probeKey) === build(buildKey)) // not selective enough — skip the bloom
+    else
+      joinPruned(probe, build, probeKey, buildKey,
+        bloomBits(build, col(buildKey), bits.toInt, hashes), bits.toInt, hashes)
   }
 
   private def checkKeyTypes(probe: DataFrame, build: DataFrame,

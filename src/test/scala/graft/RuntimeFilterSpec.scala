@@ -162,6 +162,30 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(RuntimeFilter.requiredBits(1000, 0.03) % 64 === 0)
   }
 
+  test("auto: selective build blooms; non-selective build degrades to the plain join — identical output") {
+    // parquet-backed tables: an in-memory LocalRelation would let
+    // ConvertToLocalRelation fold the probe filter out of the plan text
+    val urgent = tables.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val plain = tables.lineitem.join(urgent, $"l_orderkey" === $"o_orderkey")
+    // selective (affordable bitset): the bloom path engages — scan-local
+    // xxhash64 probe in the plan
+    val autoSel = RuntimeFilter.bloomPrunedJoinAuto(
+      tables.lineitem, urgent, "l_orderkey", "o_orderkey")
+    assert(autoSel.queryExecution.executedPlan.toString.contains("xxhash64"),
+      "a selective build must take the bloom path")
+    assert(autoSel.exceptAll(plain).isEmpty && plain.exceptAll(autoSel).isEmpty)
+    // same build under a bit cap too tight for its cardinality: the fpp
+    // ceiling trips, the operator must SKIP the bloom (no probe in the
+    // plan) and still return the exact join
+    val autoSat = RuntimeFilter.bloomPrunedJoinAuto(
+      tables.lineitem, urgent, "l_orderkey", "o_orderkey",
+      targetFpp = 0.03, maxBits = 256)
+    assert(!autoSat.queryExecution.executedPlan.toString.contains("xxhash64"),
+      "a saturating build must degrade to the plain join, not a no-op bloom")
+    assert(autoSat.exceptAll(plain).isEmpty && plain.exceptAll(autoSat).isEmpty)
+  }
+
   test("NULL probe keys are dropped, matching inner-join semantics") {
     val build = Seq(1L, 2L, 3L).toDF("k")
     val words = RuntimeFilter.bloomBits(build, $"k")
