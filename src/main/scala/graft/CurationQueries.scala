@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators, round 4: the remaining steps a production
+  * pretraining-data pipeline runs that q22–q95 don't yet cover —
+  * benchmark decontamination at eval-set scale, a reason-coded Gopher-style
+  * rule filter, per-document token entropy, temperature-based mixture
+  * weighting (UniMax / mT5 alpha-sampling), and MOSS-style winnowing
+  * fingerprints. Generalizes the same reference seam as TextQueries (the
+  * keyword UDTF, …/app/func/KeywordUDTF.java:13-20): per-document text ops
+  * that must survive a 100 TB corpus.
+  *
+  * Shapes: q97/q100 are scan-local HOF projections (zero shuffle);
+  * q96/q98 shuffle only narrow keys (hashes, token counts); q99 aggregates
+  * to one row per source before any window.
+  */
+object CurationQueries {
+  import Queries.Q
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
+
+  /** Benchmark decontamination at n-gram granularity (the GPT-3 appendix-C
+    * family: drop a training doc when any of its n-grams appears in an
+    * eval benchmark; here n=5, eval = doc_id < 20). Contrast q69, which
+    * broadcasts the eval side and counts pair overlaps: this is the SCALE
+    * form for when the eval side is NOT small (all benchmarks × all
+    * 13-grams = hundreds of millions of rows) — both sides shuffle only
+    * (hash) longs into an equi-join, no forced broadcast, and AQE still
+    * picks a broadcast when the eval side measures small at runtime. The
+    * doc verdict is a semi-join + distinct, so no pair row ever
+    * materializes; text never shuffles.
+    */
+  val q96_ngram_decontaminate: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val hashes = docs.select(col("doc_id"), explode(shingleHashes(col("text"), 5)).as("h"))
+    val evalH = hashes.filter(col("doc_id") < 20).select(col("h")).distinct()
+    val contaminated = hashes.filter(col("doc_id") >= 20)
+      .join(evalH, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") >= 20)
+      .join(contaminated.withColumn("flag", lit(1)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("flag"), lit(0)).as("contaminated"))
+  }
+
+  /** Reason-coded Gopher-style rule filter (Rae et al. table A1 family):
+    * each doc carries one boolean PER RULE plus the conjunction, so the
+    * funnel "which rule removed how much" is one groupBy away — the form
+    * data-quality dashboards need, vs q23's single scalar score. All
+    * per-row HOF arithmetic, zero shuffle; thresholds are deterministic
+    * stand-ins for the published ones.
+    */
+  val q97_gopher_rules: Q = (s, dir) => {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (acc, tk) => acc + length(tk)).cast("double") / n
+    val nStop = size(filter(toks, tk => tk.isin("a", "the")))
+    val uniqRatio = size(array_distinct(toks)) / n
+    t(s, dir).documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      round(meanLen, 6).as("mean_len"),
+      (size(toks) >= 10 && size(toks) <= 500).cast("int").as("r_count"),
+      (meanLen >= 2.0 && meanLen <= 8.0).cast("int").as("r_mean_len"),
+      (nStop >= 1).cast("int").as("r_stop"),
+      (uniqRatio >= 0.3).cast("int").as("r_uniq"))
+      .withColumn("pass",
+        (col("r_count") === 1 && col("r_mean_len") === 1 &&
+          col("r_stop") === 1 && col("r_uniq") === 1).cast("int"))
+  }
+
+  /** Per-document token-distribution Shannon entropy — the compressibility
+    * proxy quality filters use to drop keyboard-mash / template spam
+    * (low-entropy) and encrypted/binary-ish noise (max-entropy), computed
+    * as H = log2(n) − Σ c·log2(c) / n over token counts.
+    *
+    * Two exchanges, both narrow: groupBy (doc_id, tok) has doc_id in the
+    * key so the partial agg combines map-side, and the shuffle carries
+    * (doc_id, tok, count); the second groupBy carries three numbers per
+    * distinct token. The oracle needs the literal token in the key — a
+    * production run at 100 TB would key on xxhash64(tok) instead and
+    * shuffle only longs (collisions merge counts, an error of ~2⁻⁶⁴ per
+    * pair — invisible in an entropy score).
+    */
+  val q98_token_entropy: Q = (s, dir) => {
+    val cnt = t(s, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(
+          log2(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+              sum(col("c")).cast("double"),
+          6).as("entropy"))
+  }
+
+  /** Temperature-based mixture weighting (mT5/UniMax alpha-sampling,
+    * alpha = 0.5): per-source token mass → p_s, reweighted q_s ∝ p_s^α and
+    * renormalized, then a 100k-token budget allocated per source. This is
+    * the step that up-samples low-resource sources before q74's
+    * budget-enforcement pass consumes the allocation.
+    *
+    * One groupBy collapses the corpus to ONE ROW PER SOURCE before the
+    * unpartitioned normalization windows run — the single-partition window
+    * sees #sources rows (a mixture table is ≤ thousands of entries at any
+    * corpus size), never corpus rows. alloc derives from the ROUNDED q so
+    * both engines floor the same 1-decimal multiple.
+    */
+  val q99_temperature_mix: Q = (s, dir) => {
+    val w = Window.partitionBy()
+    t(s, dir).documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+      .withColumn("p", col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+      .withColumn("q_raw", pow(col("p"), 0.5))
+      .withColumn("q", round(col("q_raw") / sum(col("q_raw")).over(w), 6))
+      .select(
+        col("source"), col("n_tokens"), round(col("p"), 6).as("p"), col("q"),
+        floor(lit(100000) * col("q") + 0.5).cast("long").as("alloc"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * MOSS algorithm): over the positional 3-shingle hash sequence, each
+    * sliding window of w=4 selects its leftmost-minimum hash; the distinct
+    * (position, hash) selections are the fingerprint set. Unlike MinHash
+    * (q27), selections keep their POSITIONS, so shared fingerprints
+    * localize the matching span, and the guarantee is combinatorial: any
+    * shared token run of length ≥ w + n − 1 = 6 shares at least one
+    * fingerprint. Entirely scan-local and zero-shuffle — one native
+    * monotonic-deque pass per row (winnow_fps, O(tokens); the HOF
+    * formulation re-scans every window, measured 1.5 s → see BASELINE.md);
+    * downstream matching joins on (h) exactly like q96.
+    */
+  val q100_winnow: Q = (s, dir) =>
+    t(s, dir).documents
+      .select(col("doc_id"), explode(winnowFps(col("text"), 3, 4)).as("v"))
+      .select(col("doc_id"), shiftright(col("v"), 32).as("pos"),
+        col("v").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
+
+  def all: Map[String, Q] = Map(
+    "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
+    "q97_gopher_rules" -> q97_gopher_rules,
+    "q98_token_entropy" -> q98_token_entropy,
+    "q99_temperature_mix" -> q99_temperature_mix,
+    "q100_winnow" -> q100_winnow)
+
+  /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
+  private def polyHashSql(expr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),
+       |  (h, a) -> (h * 31 + a) % 1000000007)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q96_ngram_decontaminate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    list_transform(range(len(toks) - 4),
+         |      i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3] || '_' ||
+         |           toks[i+4] || '_' || toks[i+5]),
+         |    s -> ${polyHashSql("s")})) AS h
+         |  FROM d WHERE len(toks) >= 5),
+         |e AS (SELECT DISTINCT h FROM p WHERE doc_id < 20),
+         |c AS (SELECT DISTINCT doc_id FROM p
+         |      WHERE doc_id >= 20 AND h IN (SELECT h FROM e))
+         |SELECT d.doc_id, (CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS contaminated
+         |FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+         |WHERE d.doc_id >= 20""".stripMargin,
+    "q97_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_tok,
+        |    list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) AS mean_raw,
+        |    len(list_filter(toks, t -> t IN ('a', 'the'))) AS n_stop,
+        |    len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio
+        |  FROM d)
+        |SELECT doc_id, n_tok, round(mean_raw, 6) AS mean_len,
+        |  (n_tok BETWEEN 10 AND 500)::INT AS r_count,
+        |  (mean_raw >= 2.0 AND mean_raw <= 8.0)::INT AS r_mean_len,
+        |  (n_stop >= 1)::INT AS r_stop,
+        |  (uniq_ratio >= 0.3)::INT AS r_uniq,
+        |  (n_tok BETWEEN 10 AND 500 AND mean_raw >= 2.0 AND mean_raw <= 8.0
+        |   AND n_stop >= 1 AND uniq_ratio >= 0.3)::INT AS pass
+        |FROM m""".stripMargin,
+    "q98_token_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM d GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+        |  round(log2(sum(c)::DOUBLE)
+        |    - sum(c::DOUBLE * log2(c::DOUBLE)) / sum(c)::DOUBLE, 6) AS entropy
+        |FROM c GROUP BY 1""".stripMargin,
+    "q99_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT source, n_tokens,
+        |    n_tokens::DOUBLE / sum(n_tokens) OVER () AS p,
+        |    pow(n_tokens::DOUBLE / sum(n_tokens) OVER (), 0.5) AS q_raw
+        |  FROM per),
+        |n AS (
+        |  SELECT source, n_tokens, p, round(q_raw / sum(q_raw) OVER (), 6) AS q
+        |  FROM t)
+        |SELECT source, n_tokens, round(p, 6) AS p, q,
+        |  floor(100000 * q + 0.5)::BIGINT AS alloc
+        |FROM n""".stripMargin,
+    "q100_winnow" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, list_transform(
+         |    list_transform(range(len(toks) - 2),
+         |      i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]),
+         |    s -> ${polyHashSql("s")}) AS hs
+         |  FROM d WHERE len(toks) >= 3),
+         |wnd AS (
+         |  SELECT DISTINCT doc_id,
+         |    (i + list_position(list_slice(hs, i + 1, i + 4),
+         |       list_min(list_slice(hs, i + 1, i + 4))) - 1)::BIGINT AS pos,
+         |    list_min(list_slice(hs, i + 1, i + 4)) AS h
+         |  FROM h, unnest(range(len(hs) - 3)) AS t(i)
+         |  WHERE len(hs) >= 4)
+         |SELECT doc_id, pos, h FROM wnd""".stripMargin)
+}

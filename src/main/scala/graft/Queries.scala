@@ -317,7 +317,7 @@ object Queries {
   def all: Map[String, Q] =
     (base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
       ++ ExtraQueries.all ++ FunctionQueries.all ++ DwsQueries.all
-      ++ ScaleQueries.all)
+      ++ ScaleQueries.all ++ CurationQueries.all)
       .view.mapValues(withEngineFunctions).toMap
 
   /** Engine functions (plans.PolyHash etc.) resolve via the function
@@ -360,7 +360,8 @@ object Queries {
   def oracles: Map[String, String] =
     baseOracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ ExtraQueries.oracles ++
-      FunctionQueries.oracles ++ DwsQueries.oracles ++ ScaleQueries.oracles
+      FunctionQueries.oracles ++ DwsQueries.oracles ++ ScaleQueries.oracles ++
+      CurationQueries.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the canonical test tables (TESTDATA.md).
   *
@@ -16,19 +16,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Parquet-read plus one normalization: driver testdata generations have
+    * flipped temporal columns between tz-adjusted and naive encodings, and
+    * naive reads surface as TIMESTAMP_NTZ — a type the queries (written
+    * and oracle-validated against TimestampType) can't cast numerically.
+    * Sessions run in UTC, so NTZ → LTZ preserves every wall-clock value
+    * and the DuckDB oracle (naive-as-UTC) agreement.
+    */
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+    raw.schema.collect { case f if f.dataType == TimestampNTZType => f.name } match {
+      case Seq() => raw
+      case ntz   => ntz.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
+    }
+  }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) cannot represent; read nanos as raw long and truncate to a
-    * micros timestamp. Truncation (not rounding) keeps whole-second
-    * bucketing identical to engines that read the nanos natively.
+  /** events.parquet's `ts` physical type has varied across driver testdata
+    * generations — TIMESTAMP(NANOS) (unrepresentable in Spark's micros
+    * TimestampType; read as raw long and truncated) and naive
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, which rejects the
+    * numeric casts and tz arithmetic the queries use). Normalize both to
+    * TimestampType here: sessions run in UTC, so NTZ → LTZ preserves the
+    * wall-clock value and keeps window/epoch arithmetic identical to the
+    * DuckDB oracle, which treats the naive timestamps as UTC.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _        => raw
     }
   }

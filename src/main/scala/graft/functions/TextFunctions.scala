@@ -160,4 +160,26 @@ object TextFunctions {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing fingerprints (Schleimer et al. / MOSS): each w-window over
+    * the positional n-shingle hashes selects its leftmost minimum;
+    * distinct selections return encoded `(pos << 32) | hash`. Native
+    * one-pass monotonic-deque expression (plans.TextExprs); HOF reference
+    * below re-scans each window — O(len·w) — and exists for the parity
+    * spec only.
+    */
+  def winnowFps(text: Column, n: Int, w: Int): Column =
+    call_function("winnow_fps", text, lit(n), lit(w))
+
+  /** HOF reference implementation of [[winnowFps]] (parity spec). */
+  def winnowFpsHof(text: Column, n: Int, w: Int): Column = {
+    val hs = hashAll(shingles(tokens(text), n))
+    val sel = transform(sequence(lit(0), size(hs) - w), i => {
+      val win = slice(hs, i + 1, lit(w))
+      val m = array_min(win)
+      shiftleft((i + array_position(win, m) - 1).cast("long"), 32).bitwiseOR(m)
+    })
+    when(size(hs) >= w, array_distinct(sel))
+      .otherwise(array().cast("array<long>"))
+  }
 }

@@ -88,8 +88,8 @@ object GraftFunctions {
 
   private[plans] val descriptors = Seq(
     PolyHash.descriptor, ShingleHashes.descriptor,
-    MinHashSig.descriptor, SimHashOf.descriptor, VecDot.descriptor,
-    LshBucket.descriptor, NearestCentroid.descriptor)
+    MinHashSig.descriptor, SimHashOf.descriptor, WinnowFps.descriptor,
+    VecDot.descriptor, LshBucket.descriptor, NearestCentroid.descriptor)
 
   /** Register all engine functions on a live session (idempotent overwrite). */
   def register(spark: SparkSession): Unit =

@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -84,6 +84,89 @@ object TextExprs {
     new GenericArrayData(seen.toArray)
   }
 
+  /** Positional (non-distinct) '_'-joined n-token shingle hashes — the
+    * winnowing input, where position identity matters. Same tokenization
+    * and hash arithmetic as [[shingleHashes]] minus the dedup.
+    */
+  private def positionalShingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = new Array[Byte](s.numBytes())
+    s.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    var ascii = true
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) { ascii = false; i = bytes.length }; i += 1 }
+    if (ascii) {
+      val starts = mutable.ArrayBuffer[Int]()
+      val ends = mutable.ArrayBuffer[Int]()
+      i = 0
+      while (i < bytes.length) {
+        while (i < bytes.length && bytes(i) == ' ') i += 1
+        if (i < bytes.length) {
+          starts += i
+          while (i < bytes.length && bytes(i) != ' ') i += 1
+          ends += i
+        }
+      }
+      val t = starts.length
+      if (t < n) return Array.empty[Long]
+      val out = new Array[Long](t - n + 1)
+      var s0 = 0
+      while (s0 <= t - n) {
+        var h = 0L
+        var k = 0
+        while (k < n) {
+          if (k > 0) h = (h * 31 + '_') % Mod
+          var j = starts(s0 + k)
+          val e = ends(s0 + k)
+          while (j < e) { h = (h * 31 + bytes(j)) % Mod; j += 1 }
+          k += 1
+        }
+        out(s0) = h
+        s0 += 1
+      }
+      out
+    } else {
+      val toks = s.toString.split(" ").filter(_.nonEmpty)
+      if (toks.length < n) return Array.empty[Long]
+      Array.tabulate(toks.length - n + 1) { j =>
+        PolyHash.hash(UTF8String.fromString(toks.slice(j, j + n).mkString("_")))
+      }
+    }
+  }
+
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03): each
+    * w-window over the positional n-shingle hash sequence selects its
+    * LEFTMOST minimum; distinct (position, hash) selections return encoded
+    * as `(pos << 32) | hash` (poly hashes are < 2³⁰, so the low word is
+    * exact). One monotonic-deque pass — O(tokens) total, vs the HOF
+    * formulation's O(tokens × w) slice + array_min rescans — and the
+    * output order (first selection first) matches the HOF's
+    * array_distinct order exactly.
+    */
+  def winnowEncoded(s: UTF8String, n: Int, w: Int): ArrayData = {
+    val hs = positionalShingleHashes(s, n)
+    if (hs.length < w) return new GenericArrayData(Array.empty[Long])
+    val sel = new mutable.LinkedHashSet[Long]()
+    val dq = new Array[Int](hs.length)
+    var head = 0
+    var tail = 0
+    var j = 0
+    while (j < hs.length) {
+      // strict > keeps the earliest index among equal values at the front,
+      // which IS the leftmost-min tie rule
+      while (tail > head && hs(dq(tail - 1)) > hs(j)) tail -= 1
+      dq(tail) = j
+      tail += 1
+      val winStart = j - w + 1
+      if (winStart >= 0) {
+        while (dq(head) < winStart) head += 1
+        val p = dq(head)
+        sel += (p.toLong << 32) | hs(p)
+      }
+      j += 1
+    }
+    new GenericArrayData(sel.toArray)
+  }
+
   /** SimHash over a hash set: bit j of the result is set iff more than half
     * of the hashes have bit j set (ties -> 0, matching the HOF `2*ones > n`).
     */
@@ -153,6 +236,39 @@ case class ShingleHashes(left: Expression, right: Expression) extends BinaryExpr
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashes =
     copy(left = l, right = r)
+}
+
+/** winnow_fps(text, n, w) -> array<long> of (pos << 32) | shingle_hash */
+case class WinnowFps(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType &&
+        second.dataType == IntegerType && second.foldable &&
+        third.dataType == IntegerType && third.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "winnow_fps(text: string, n: int literal, w: int literal)")
+
+  protected override def nullSafeEval(text: Any, n: Any, w: Any): Any =
+    TextExprs.winnowEncoded(
+      text.asInstanceOf[UTF8String], n.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n, w) => s"graft.plans.TextExprs$$.MODULE$$.winnowEncoded($t, $n, $w)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFps = copy(f, s, t)
+}
+
+object WinnowFps {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fps"),
+    new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+    (c: Seq[Expression]) => WinnowFps(c.head, c(1), c(2)))
 }
 
 /** minhash_sig(hashes, k) -> array<long> */

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** Semantic pins for the round-4 curation queries (q96–q100) on a planted
+  * corpus — the DuckDB oracle hash-checks them on the synthetic tables;
+  * these prove the *semantics* on constructed inputs (a known contaminated
+  * 5-gram, rule-boundary docs, closed-form entropies, a hand-computable
+  * temperature mixture, and the winnowing window-coverage guarantee).
+  */
+class CurationQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** docs 0–1 play the eval set (doc_id < 20); docs 20+ are the corpus.
+    * - doc 20 repeats eval doc 0's "e1 e2 e3 e4 e5" verbatim → contaminated
+    * - doc 21 shares only the 4-gram prefix ("e5" → "x5") → clean
+    * - docs 30/31 share the 6-token run "p q r s t u" (winnowing guarantee
+    *   threshold w + n − 1 = 6); doc 32 is token-disjoint from both
+    * - doc 40 is one token repeated (entropy 0); doc 41 is 4 distinct
+    *   tokens (entropy 2); they also pin the mixture arithmetic: src_a
+    *   carries 9 tokens, src_b 16, so q ∝ 3 : 4
+    */
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-curation-sf").toFile.getAbsolutePath
+    val docs = Seq(
+      (0L, "e1 e2 e3 e4 e5 tail0 tail1 tail2 tail3 tail4", "en", "src_a", 0L),
+      (1L, "other eval doc with no overlap at all here now", "en", "src_a", 0L),
+      (20L, "lead0 lead1 e1 e2 e3 e4 e5 trail0 trail1 trail2", "en", "src_a", 0L),
+      (21L, "lead2 lead3 e1 e2 e3 e4 x5 trail3 trail4 trail5", "en", "src_a", 0L),
+      (30L, "p q r s t u v w", "en", "src_b", 0L),
+      (31L, "z1 z2 p q r s t u y1", "en", "src_b", 0L),
+      (32L, "k1 k2 k3 k4 k5 k6 k7 k8", "en", "src_b", 0L),
+      (40L, "same same same same", "en", "src_a", 0L),
+      (41L, "one two three four", "en", "src_a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(q: String) = SparkEntry.queries(q)(spark, dir)
+
+  test("q96: exact 5-gram hit flags the doc; a 4-gram-only overlap does not") {
+    val flags = run("q96_ngram_decontaminate")
+      .as[(Long, Int)].collect().toMap
+    assert(flags(20L) == 1, "doc 20 repeats an eval 5-gram verbatim")
+    assert(flags(21L) == 0, "doc 21 shares only a 4-gram — below n")
+    assert(flags.keys.forall(_ >= 20L), "eval docs must not appear in output")
+    // winnow/entropy fixtures are 5-gram-disjoint from the eval docs
+    assert(Seq(30L, 31L, 32L, 40L, 41L).forall(flags(_) == 0))
+  }
+
+  test("q97: each rule trips on its own boundary, pass is the conjunction") {
+    val rows = run("q97_gopher_rules")
+      .select($"doc_id", $"n_tok", $"r_count", $"r_mean_len", $"r_stop", $"r_uniq", $"pass")
+      .as[(Long, Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 30: 8 tokens of length 1 → mean_len 1.0 < 2.0, no stopwords
+    val d30 = rows(30L)
+    assert(d30._2 == 8 && d30._4 == 0 && d30._5 == 0 && d30._7 == 0)
+    // doc 40: 4 repeated tokens → uniq_ratio 0.25 < 0.3 and n_tok < 10
+    val d40 = rows(40L)
+    assert(d40._3 == 0 && d40._6 == 0 && d40._7 == 0)
+    // doc 0: 10 tokens (boundary pass on r_count), mean_len in range,
+    // no stopword → r_stop is the only failing rule
+    val d0 = rows(0L)
+    assert(d0._2 == 10 && d0._3 == 1 && d0._4 == 1 && d0._5 == 0 && d0._7 == 0)
+  }
+
+  test("q98: closed-form entropies — 0 for a constant doc, log2(n) for distinct") {
+    val rows = run("q98_token_entropy")
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"entropy")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(40L)._2 == 4 && rows(40L)._3 == 1 && rows(40L)._4 == 0.0)
+    assert(rows(41L)._2 == 4 && rows(41L)._3 == 4 && rows(41L)._4 == 2.0)
+  }
+
+  test("q99: alpha=0.5 reweighting and budget allocation, by hand") {
+    // src_a: 10+10+10+10+4+4 = 48 tokens; src_b: 8+9+8 = 25 tokens
+    val rows = run("q99_temperature_mix")
+      .select($"source", $"n_tokens", $"p", $"q", $"alloc")
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (na, nb) = (48.0, 25.0)
+    val (qa, qb) = (math.sqrt(na / 73), math.sqrt(nb / 73))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows("src_a")._2 == 48 && rows("src_b")._2 == 25)
+    assert(rows("src_a")._4 == r6(qa / (qa + qb)))
+    assert(rows("src_b")._4 == r6(qb / (qa + qb)))
+    assert(rows("src_a")._5 == math.floor(100000 * rows("src_a")._4 + 0.5).toLong)
+    // temperature flattens: q_a < p_a for the majority source, q_b > p_b
+    assert(rows("src_a")._4 < rows("src_a")._3 && rows("src_b")._4 > rows("src_b")._3)
+  }
+
+  test("q100: every selection is its windows' min, every window is covered, " +
+    "and a shared 6-token run shares a fingerprint") {
+    val w = 4
+    val fps = run("q100_winnow")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val hsByDoc = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", hashAll(shingles(tokens($"text"), 3)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((doc, hs) <- hsByDoc if hs.length >= w) {
+      val sel = fps(doc)
+      // validity: each (pos, h) is the leftmost min of SOME window
+      for ((pos, h) <- sel) assert(hs(pos.toInt) == h)
+      // coverage: every window of w consecutive hashes holds a selection
+      for (i <- 0 to hs.length - w) {
+        val win = (i until i + w)
+        assert(win.exists(j => sel.contains((j.toLong, hs(j)))),
+          s"doc $doc window $i has no selected fingerprint")
+      }
+    }
+    // the MOSS guarantee: docs 30/31 share "p q r s t u" (= w+n-1 tokens)
+    val shared = fps(30L).map(_._2) intersect fps(31L).map(_._2)
+    assert(shared.nonEmpty, "6-token overlap must share a fingerprint")
+    assert((fps(30L).map(_._2) intersect fps(32L).map(_._2)).isEmpty,
+      "token-disjoint docs share nothing")
+  }
+}

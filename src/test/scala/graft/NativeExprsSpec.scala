@@ -41,6 +41,20 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(empty == Seq.fill(4)(TextFunctions.HashMod))
   }
 
+  test("winnow_fps native == HOF on the corpus + edge cases (order included)") {
+    // edge cases: empty, fewer shingles than the window, exactly one
+    // window, ties (equal hashes from repeated tokens), non-ASCII
+    val edge = Seq((9001L, ""), (9002L, "a b c"), (9003L, "a b c d e f"),
+      (9004L, "x x x x x x x x"), (9005L, "中文 分词 测试 句子 中文 分词 测试 句子"))
+      .toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(edge)
+    val diff = all.select(
+      TextFunctions.winnowFps($"text", 3, 4).as("native"),
+      TextFunctions.winnowFpsHof($"text", 3, 4).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+    assert(diff.count() == 0)
+  }
+
   test("simhash_of native == HOF incl. distinct-token path") {
     val diff = docs.select(
       TextFunctions.simhash(TextFunctions.shingleHashes($"text", 1), 24).as("native"),

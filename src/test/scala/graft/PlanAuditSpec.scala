@@ -64,7 +64,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q91_dsir_select" -> 2,       // bucket-count agg + per-doc sum; the O(CLS_DIM) ratio table broadcasts back
     "q92_prototypes" -> 1,        // centroid-key window; model + centroid frame broadcast
     "q93_cdc_chunks" -> 2,        // chunker is scan-local HOFs (text never shuffles); fp-window dup mark + doc rollup, longs only
-    "q95_incremental_bloomed" -> 2) // q84's budget holds: (fp,id) agg + anti-join; the bloom adds scan-local filters only
+    "q95_incremental_bloomed" -> 2, // q84's budget holds: (fp,id) agg + anti-join; the bloom adds scan-local filters only
+    "q96_ngram_decontaminate" -> 2, // eval-hash distinct + contaminated-doc distinct; both joins broadcast at this SF (hash-equi-join on long keys at scale)
+    "q97_gopher_rules" -> 0,      // per-row HOF rule arithmetic only
+    "q98_token_entropy" -> 2,     // (doc,tok) count + per-doc entropy agg — doc_id in both keys, map-side partials
+    "q99_temperature_mix" -> 1,   // source agg; the normalization windows run on the one-row-per-source table (SinglePartition by design)
+    "q100_winnow" -> 0)           // native winnow_fps + explode, scan-stage only
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
@@ -88,6 +93,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q95_incremental_bloomed").contains("xxhash64"),
       "the novelty fast path must probe the bitset in the scan stage — " +
         "without it every shard fp pays the index anti-join")
+  }
+
+  test("q100's fingerprint selection is the native one-pass expression, in the scan stage") {
+    val p = plan("q100_winnow")
+    assert(p.contains("winnow_fps"),
+      "q100 must plan the O(tokens) monotonic-deque expression — the HOF " +
+        "window re-scan form measured 7× slower at sf0.1")
+    assert(!p.contains("Exchange hash"), "winnowing is per-row; no shuffle belongs here")
   }
 
   test("q73's LM broadcast is vocab-capped (TakeOrdered limit, no full-vocab broadcast)") {
