@@ -51,7 +51,13 @@ object ScaleBench {
     "q11_join_dict", "q57_order_uu_window", "q34_json_extract",
     "q75_dup_spans", "q68_tfidf", "q73_unigram_ll", "q80_bloom_prune",
     "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks",
-    "q84_incremental_dedup", "q95_incremental_bloomed")
+    "q84_incremental_dedup", "q95_incremental_bloomed",
+    // round-4 curation ops with a scaling question worth answering:
+    // q96 shuffle-joins corpus n-gram hashes against a FIXED eval set
+    // (doc_ids shift per replica, so doc_id<20 stays the original 20 docs
+    // — the real decontamination geometry); q98 shuffles (doc_id, tok)
+    // counts; q100 is the native scan-local winnow pass
+    "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -166,7 +172,8 @@ object ScaleBench {
     // per row: cell keys for (sf0.1, 10×, optional 100×)
     val decade2 = Set("q68_tfidf", "q75_dup_spans", "q80_bloom_prune",
       "q73_unigram_ll", "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks",
-      "q84_incremental_dedup", "q95_incremental_bloomed")
+      "q84_incremental_dedup", "q95_incremental_bloomed",
+      "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Bounded-memory sketch operators — the structures that replace exact
+  * aggregation state when the key domain itself outgrows memory at
+  * 100 TB (q83's heavy-hitter caveat made the count-min promise; this
+  * file keeps it). Both sketches are built with the engine's portable
+  * poly-hash + the MinHash permutation constants, so the DuckDB oracle
+  * replays them bit-for-bit — the sketch ESTIMATES are deterministic even
+  * though they are approximate.
+  */
+object SketchQueries {
+  import Queries.Q
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
+
+  private val Mod = HashMod
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
+  /** Row-i pairwise-independent bucket of a pre-hashed key: the MinHash
+    * permutation (a_i·x + b_i mod p) folded onto the sketch width.
+    */
+  private def cmsBucket(x: org.apache.spark.sql.Column, i: Int) = {
+    val a = java.lang.Math.floorMod(2654435761L * (i + 1), Mod)
+    val b = java.lang.Math.floorMod(40503L * (i + 1) + 17, Mod)
+    pmod(pmod(lit(a) * x + lit(b), lit(Mod)), lit(CmsWidth))
+  }
+
+  /** Count-min sketch over corpus token frequencies (Cormode &
+    * Muthukrishnan): a d=4 × w=1024 counter grid — O(d·w) memory no
+    * matter the corpus — probed here for the top-20 exact tokens so the
+    * output carries (exact, estimate) side by side; est ≥ exact always,
+    * inflation = bucket collisions. At 100 TB the sketch is the scale
+    * path where q83's exact per-token aggregate state (one counter per
+    * DISTINCT token, Heaps'-law growth) stops fitting; the grid stays
+    * 4096 longs and merges by cell-wise addition across partitions or
+    * micro-batches.
+    *
+    * Shuffle shape: occurrences fold to ≤ d·w partial cells per
+    * partition map-side, so the sketch exchange is O(d·w) rows regardless
+    * of corpus size; the probe side broadcasts the 4096-row grid.
+    */
+  val q101_countmin: Q = (s, dir) => {
+    val toks = t(s, dir).documents
+      .select(explode(tokens(col("text"))).as("tok"))
+    val hashed = toks.select(col("tok"), polyHash(col("tok")).as("x"))
+    val cells = hashed.select(explode(array((0 until CmsDepth).map { i =>
+      struct(lit(i).as("i"), cmsBucket(col("x"), i).as("bucket"))
+    }: _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = hashed.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok").asc).limit(20)
+    val probes = top
+      .withColumn("x", polyHash(col("tok")))
+      .select(col("tok"), col("exact"), explode(array((0 until CmsDepth).map { i =>
+        struct(lit(i).as("i"), cmsBucket(col("x"), i).as("bucket"))
+      }: _*)).as("p"))
+      .select(col("tok"), col("exact"), col("p.i").as("i"), col("p.bucket").as("bucket"))
+    probes.join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy(col("tok"), col("exact"))
+      .agg(min(col("c")).as("est"))
+  }
+
+  /** KMV / bottom-k sample: the k=100 documents with the smallest
+    * poly-hash of a salted id — a uniform, REPLAYABLE corpus sample (no
+    * rand(); same winner set on any engine, any partitioning, any day),
+    * plus the classic k-minimum-values distinct estimate
+    * `(k−1)·M / max(h)` carried on every row. One TakeOrdered — map-side
+    * top-k per partition, k rows to the driver — no matter the corpus
+    * size; this is how a 100 TB pipeline draws eyeball/eval samples and
+    * sizes a corpus without a full count.
+    */
+  val q102_kmv_sample: Q = (s, dir) => {
+    val k = 100
+    val hk = polyHash(concat(lit("sample|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy()
+    t(s, dir).documents
+      .select(col("doc_id"), hk.as("hk"))
+      .orderBy(col("hk").asc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("est_distinct",
+        floor(lit((k - 1).toDouble) * lit(Mod.toDouble) / max(col("hk")).over(w))
+          .cast("long"))
+  }
+
+  def all: Map[String, Q] = Map(
+    "q101_countmin" -> q101_countmin,
+    "q102_kmv_sample" -> q102_kmv_sample)
+
+  /** The engine poly-hash over an arbitrary SQL string expression. */
+  private def polyHashSql(expr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),
+       |  (h, a) -> (h * 31 + a) % 1000000007)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q101_countmin" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |hx AS (SELECT tok, ${polyHashSql("tok")} AS x FROM tk),
+         |cells AS (
+         |  SELECT i,
+         |    ((((2654435761 * (i+1)) % 1000000007) * x
+         |      + (40503 * (i+1) + 17) % 1000000007) % 1000000007) % $CmsWidth
+         |      AS bucket,
+         |    count(*) AS c
+         |  FROM hx, unnest([0, 1, 2, 3]) AS u(i) GROUP BY 1, 2),
+         |exact AS (SELECT tok, count(*) AS exact FROM tk GROUP BY 1),
+         |top AS (SELECT tok, exact FROM exact ORDER BY exact DESC, tok ASC LIMIT 20),
+         |pr AS (
+         |  SELECT tok, exact, i,
+         |    ((((2654435761 * (i+1)) % 1000000007) * ${polyHashSql("tok")}
+         |      + (40503 * (i+1) + 17) % 1000000007) % 1000000007) % $CmsWidth
+         |      AS bucket
+         |  FROM top, unnest([0, 1, 2, 3]) AS u(i))
+         |SELECT pr.tok, pr.exact, min(cells.c) AS est
+         |FROM pr JOIN cells USING (i, bucket)
+         |GROUP BY 1, 2""".stripMargin,
+    "q102_kmv_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${polyHashSql("'sample|' || doc_id::VARCHAR")} AS hk
+         |  FROM documents),
+         |s AS (SELECT doc_id, hk FROM h ORDER BY hk ASC, doc_id ASC LIMIT 100)
+         |SELECT doc_id, hk,
+         |  floor(99.0 * 1000000007.0 / max(hk) OVER ())::BIGINT AS est_distinct
+         |FROM s""".stripMargin)
+}

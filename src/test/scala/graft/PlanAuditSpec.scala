@@ -69,7 +69,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q97_gopher_rules" -> 0,      // per-row HOF rule arithmetic only
     "q98_token_entropy" -> 2,     // (doc,tok) count + per-doc entropy agg — doc_id in both keys, map-side partials
     "q99_temperature_mix" -> 1,   // source agg; the normalization windows run on the one-row-per-source table (SinglePartition by design)
-    "q100_winnow" -> 0)           // native winnow_fps + explode, scan-stage only
+    "q100_winnow" -> 0,           // native winnow_fps + explode, scan-stage only
+    "q101_countmin" -> 2,         // cells agg (≤ d·w rows map-side) + exact-top agg; probe side is a 20-row TakeOrdered, grid broadcasts
+    "q102_kmv_sample" -> 0)       // TakeOrdered bottom-k; estimator window runs on the 100-row result
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
@@ -101,6 +103,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "q100 must plan the O(tokens) monotonic-deque expression — the HOF " +
         "window re-scan form measured 7× slower at sf0.1")
     assert(!p.contains("Exchange hash"), "winnowing is per-row; no shuffle belongs here")
+  }
+
+  test("q102's bottom-k compiles to TakeOrderedAndProject (map-side k, no global sort)") {
+    assert(plan("q102_kmv_sample").contains("TakeOrderedAndProject"),
+      "the KMV sample must ship k rows per partition to the driver, " +
+        "never a full sort exchange")
   }
 
   test("q73's LM broadcast is vocab-capped (TakeOrdered limit, no full-vocab broadcast)") {
