@@ -231,27 +231,42 @@ object RuntimeFilter {
   }
 
   /** [[bloomPrunedJoinSized]] that DEGRADES to the plain join instead of
-    * throwing when the measured build cardinality makes every affordable
-    * bitset useless — the decision a production operator should make on
-    * its own: a saturated bloom is a no-op prune that still pays the
-    * build pass (q80's fixed-size form measured exactly that at 100×
-    * corpus scale, BASELINE.md). Output is the plain inner join's in both
-    * branches; only the plan differs. Same eager-measurement caveat as
-    * the sized form (one `approx_count_distinct` pass at construction).
+    * throwing when the bloom cannot pay — the decision a production
+    * operator should make on its own. Two degrade triggers, both measured
+    * (BASELINE.md):
+    *
+    *  - `nKeys > keysCeiling`: the bitset is inlined as `numBits/64`
+    *    Literal nodes, so a big build explodes the PLAN, not just driver
+    *    memory — at ~3.3 M urgent-order keys (2²⁴ bits, 262 k literals)
+    *    the pruned join measured 24–39 s vs 6.4 s for the plain join at
+    *    the same scale: the expression tree broke whole-stage codegen and
+    *    out-cost any prune. Above the ceiling a build side is also SMJ /
+    *    AQE territory (or Spark's own injected runtime bloom filter,
+    *    which lives off-plan); the explicit literal bitset is the wrong
+    *    tool there no matter how good its fpp looks.
+    *  - projected fpp above `fppCeiling`: a saturated bloom is a no-op
+    *    prune that still pays the build pass (the fixed-size form
+    *    measured exactly that at 100× corpus scale).
+    *
+    * Output is the plain inner join's in all branches; only the plan
+    * differs. Same eager-measurement caveat as the sized form (one
+    * `approx_count_distinct` pass at construction).
     */
   def bloomPrunedJoinAuto(probe: DataFrame, build: DataFrame,
                           probeKey: String, buildKey: String,
                           targetFpp: Double = 0.03,
                           maxBits: Long = 1L << 24,
-                          fppCeiling: Double = 0.25): DataFrame = {
+                          fppCeiling: Double = 0.25,
+                          keysCeiling: Long = 1L << 17): DataFrame = {
     checkKeyTypes(probe, build, probeKey, buildKey)
     val nKeys = math.ceil(
       build.agg(approx_count_distinct(canon(build, col(buildKey))))
         .head().getLong(0) * 1.1).toLong
     val bits = math.min(requiredBits(nKeys, targetFpp), (maxBits / 64) * 64)
     val hashes = optimalHashes(bits, nKeys)
-    if (projectedFpp(nKeys, bits.toInt, hashes) > fppCeiling)
-      probe.join(build, probe(probeKey) === build(buildKey)) // not selective enough — skip the bloom
+    if (nKeys > keysCeiling ||
+        projectedFpp(nKeys, bits.toInt, hashes) > fppCeiling)
+      probe.join(build, probe(probeKey) === build(buildKey)) // bloom can't pay — plain join
     else
       joinPruned(probe, build, probeKey, buildKey,
         bloomBits(build, col(buildKey), bits.toInt, hashes), bits.toInt, hashes)

@@ -186,6 +186,20 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(autoSat.exceptAll(plain).isEmpty && plain.exceptAll(autoSat).isEmpty)
   }
 
+  test("auto: a build beyond keysCeiling degrades to the plain join — the literal bitset is plan poison there") {
+    // measured (BASELINE.md): at ~3.3M build keys the 2^24-bit bitset is
+    // 262k Literal nodes — the pruned join ran 24–39 s vs 6.4 s plain at
+    // 100x, so size alone must trip the degrade even when fpp looks fine
+    val urgent = tables.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val plain = tables.lineitem.join(urgent, $"l_orderkey" === $"o_orderkey")
+    val capped = RuntimeFilter.bloomPrunedJoinAuto(
+      tables.lineitem, urgent, "l_orderkey", "o_orderkey", keysCeiling = 2L)
+    assert(!capped.queryExecution.executedPlan.toString.contains("xxhash64"),
+      "a build beyond keysCeiling must skip the bloom entirely")
+    assert(capped.exceptAll(plain).isEmpty && plain.exceptAll(capped).isEmpty)
+  }
+
   test("NULL probe keys are dropped, matching inner-join semantics") {
     val build = Seq(1L, 2L, 3L).toDF("k")
     val words = RuntimeFilter.bloomBits(build, $"k")
