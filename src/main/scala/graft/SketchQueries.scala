@@ -20,17 +20,7 @@ object SketchQueries {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
 
   private val Mod = HashMod
-  private val CmsDepth = 4
-  private val CmsWidth = 1024
-
-  /** Row-i pairwise-independent bucket of a pre-hashed key: the MinHash
-    * permutation (a_i·x + b_i mod p) folded onto the sketch width.
-    */
-  private def cmsBucket(x: org.apache.spark.sql.Column, i: Int) = {
-    val a = java.lang.Math.floorMod(2654435761L * (i + 1), Mod)
-    val b = java.lang.Math.floorMod(40503L * (i + 1) + 17, Mod)
-    pmod(pmod(lit(a) * x + lit(b), lit(Mod)), lit(CmsWidth))
-  }
+  private val CmsWidth = graft.operators.Sketch.CmsWidth
 
   /** Count-min sketch over corpus token frequencies (Cormode &
     * Muthukrishnan): a d=4 × w=1024 counter grid — O(d·w) memory no
@@ -47,21 +37,14 @@ object SketchQueries {
     * of corpus size; the probe side broadcasts the 4096-row grid.
     */
   val q101_countmin: Q = (s, dir) => {
+    import graft.operators.Sketch
     val toks = t(s, dir).documents
       .select(explode(tokens(col("text"))).as("tok"))
-    val hashed = toks.select(col("tok"), polyHash(col("tok")).as("x"))
-    val cells = hashed.select(explode(array((0 until CmsDepth).map { i =>
-      struct(lit(i).as("i"), cmsBucket(col("x"), i).as("bucket"))
-    }: _*)).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val top = hashed.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    val cells = Sketch.cmsCells(toks, "tok")
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("tok").asc).limit(20)
     val probes = top
-      .withColumn("x", polyHash(col("tok")))
-      .select(col("tok"), col("exact"), explode(array((0 until CmsDepth).map { i =>
-        struct(lit(i).as("i"), cmsBucket(col("x"), i).as("bucket"))
-      }: _*)).as("p"))
+      .select(col("tok"), col("exact"), Sketch.cmsEntries(col("tok")).as("p"))
       .select(col("tok"), col("exact"), col("p.i").as("i"), col("p.bucket").as("bucket"))
     probes.join(broadcast(cells), Seq("i", "bucket"))
       .groupBy(col("tok"), col("exact"))

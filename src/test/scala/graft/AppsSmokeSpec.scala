@@ -5,8 +5,8 @@ import java.nio.file.{Files, Path}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.apps.{BaseLogApp, CorpusIngestApp, DimApp, DwdOrderApp,
-  DwsTradePaymentSucWindowApp, DwsTradeProvinceOrderWindowApp,
+import graft.apps.{BaseLogApp, CorpusCurateApp, CorpusIngestApp, DimApp,
+  DwdOrderApp, DwsTradePaymentSucWindowApp, DwsTradeProvinceOrderWindowApp,
   DwsUserRegisterWindowApp, KeywordWindowApp, TrafficPageViewWindowApp}
 import graft.sinks.Sinks
 
@@ -293,6 +293,30 @@ class AppsSmokeSpec extends AnyFunSuite {
       assert(spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
         == Set(1L, 3L))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("CorpusCurateApp main: batch quality -> exact -> near-dedup funnel, from CLI over parquet") {
+    val in = tmp("appcurate-in"); val out = tmp("appcurate-out")
+    val statsDir = tmp("appcurate-stats")
+    val base = "anchor bridge canyon delta engine furnace glacier hammer " +
+      "ingot journey keystone ladder mortar needle oxide piston quarry"
+    Seq(
+      (1L, base, "en", "src0", 0L),
+      (2L, base, "en", "src0", 0L),                 // exact dup of 1
+      (3L, "a a a a a a a a", "en", "src0", 0L),    // quality reject
+      (4L, base + " appended", "en", "src0", 0L),   // near-dup of 1
+      (5L, "completely different prose about volcanic geology and rare minerals", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(in)
+
+    CorpusCurateApp.main(Array("--input", in, "--out", out, "--stats", statsDir))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val survivors = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 5L),
+      s"expected exact dup 2, low-quality 3, near-dup 4 dropped; got $survivors")
+    val stages = spark.read.parquet(statsDir).select($"stage").as[String].collect().toSet
+    assert(stages.nonEmpty, "the funnel stats must record per-stage counts")
   }
 
   test("DwsUserRegisterWindowApp + DwsTradePaymentSucWindowApp mains over one CDC feed") {

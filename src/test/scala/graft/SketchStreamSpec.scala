@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketch
+
+/** The count-min grid's two scale properties, proven rather than claimed:
+  *
+  *  - MERGE: the sketch of a union is the cell-wise sum of the shards'
+  *    sketches — the property that lets executors build partials
+  *    independently and a 100 TB corpus build per-shard grids that fold
+  *    into one.
+  *  - STREAMING: the same `cmsCells` aggregate, run in complete mode over
+  *    a MemoryStream fed in three batches, converges to exactly the batch
+  *    grid of the same data — the sketch never has to be rebuilt; the
+  *    running aggregate IS the sketch of the stream so far.
+  */
+class SketchStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  private def cellMap(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] = {
+    import spark.implicits._
+    df.select($"i", $"bucket", $"c").as[(Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("cms grids merge by cell-wise addition: sketch(A ∪ B) == sketch(A) + sketch(B)") {
+    import spark.implicits._
+    val a = Seq("x", "y", "x", "z").toDF("tok")
+    val b = Seq("x", "w", "w").toDF("tok")
+    val whole = cellMap(Sketch.cmsCells(a.unionByName(b), "tok"))
+    val sa = cellMap(Sketch.cmsCells(a, "tok"))
+    val sb = cellMap(Sketch.cmsCells(b, "tok"))
+    val merged = (sa.keySet ++ sb.keySet)
+      .map(k => k -> (sa.getOrElse(k, 0L) + sb.getOrElse(k, 0L))).toMap
+    assert(whole == merged)
+  }
+
+  test("streaming cmsCells converges to the batch grid of the same tokens") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq("a", "b", "a"),
+      Seq("c", "a"),
+      Seq("b", "b", "d"))
+    val in = MemoryStream[String]
+    val q = Sketch.cmsCells(in.toDF().toDF("tok"), "tok")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = cellMap(spark.table("cms_stream"))
+      val batch = cellMap(Sketch.cmsCells(batches.flatten.toDF("tok"), "tok"))
+      assert(streamed == batch)
+      // and the streamed grid still answers point queries soundly
+      val est = Sketch.cmsEstimate(Seq("a", "b", "c", "d").toDF("tok"),
+        "tok", spark.table("cms_stream"))
+        .as[(String, Long)].collect().toMap
+      assert(est("a") >= 3 && est("b") >= 3 && est("c") >= 1 && est("d") >= 1)
+    } finally q.stop()
+  }
+}
