@@ -135,7 +135,30 @@ object ScaleQueries {
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(50)
 
+  /** Inverted-index postings build — the retrieval-side index construction
+    * a corpus serves search from: per token, document frequency plus the
+    * first 10 postings in doc_id order. The posting CAP is the scale move:
+    * `row_number <= 10` compiles to WindowGroupLimit (map-side per-group
+    * top-k, like q79), so a stop-word's millions of postings never
+    * materialize — production would page postings in doc_id ranges off
+    * the same shape. Token selection (top-50 by df) is its own aggregate;
+    * df rides the broadcast join back onto the capped postings.
+    */
+  val q103_postings: Q = (s, dir) => {
+    val pairs = t(s, dir).documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val top = pairs.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(50)
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("doc_id"))
+    pairs.join(broadcast(top), "tok")
+      .withColumn("rnk", row_number().over(wTok))
+      .filter(col("rnk") <= 10)
+      .select(col("tok"), col("df"), col("rnk"), col("doc_id"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q103_postings" -> q103_postings,
     "q78_chunk_overlap" -> q78_chunk_overlap,
     "q79_domain_cap" -> q79_domain_cap,
     "q80_bloom_prune" -> q80_bloom_prune,
@@ -150,6 +173,20 @@ object ScaleQueries {
   }.mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q103_postings" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+        |      AS tok
+        |  FROM documents),
+        |top AS (
+        |  SELECT tok, count(*) AS df FROM p GROUP BY 1
+        |  ORDER BY df DESC, tok ASC LIMIT 50),
+        |r AS (
+        |  SELECT p.tok, t.df, p.doc_id,
+        |    row_number() OVER (PARTITION BY p.tok ORDER BY p.doc_id) AS rnk
+        |  FROM p JOIN top t USING (tok))
+        |SELECT tok, df, rnk, doc_id FROM r WHERE rnk <= 10""".stripMargin,
     "q78_chunk_overlap" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -71,7 +71,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q99_temperature_mix" -> 1,   // source agg; the normalization windows run on the one-row-per-source table (SinglePartition by design)
     "q100_winnow" -> 0,           // native winnow_fps + explode, scan-stage only
     "q101_countmin" -> 2,         // cells agg (≤ d·w rows map-side) + exact-top agg; probe side is a 20-row TakeOrdered, grid broadcasts
-    "q102_kmv_sample" -> 0)       // TakeOrdered bottom-k; estimator window runs on the 100-row result
+    "q102_kmv_sample" -> 0,       // TakeOrdered bottom-k; estimator window runs on the 100-row result
+    "q103_postings" -> 2)         // df agg + postings window; rnk<=10 is a Partial+Final WindowGroupLimit (shape-pinned below)
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
@@ -84,7 +85,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // Plan-SHAPE pins: operators whose scale story depends on a specific
   // physical operator, not just the exchange count.
   test("q79 / q16 / q92 rank-filters compile to WindowGroupLimit (map-side per-group top-k)") {
-    Seq("q79_domain_cap", "q16_topk", "q92_prototypes").foreach { q =>
+    Seq("q79_domain_cap", "q16_topk", "q92_prototypes", "q103_postings").foreach { q =>
       assert(plan(q).contains("WindowGroupLimit"),
         s"$q must push a per-partition group limit below the shuffle — " +
           "without it the window shuffles the whole group contents")

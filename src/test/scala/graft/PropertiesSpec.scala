@@ -174,4 +174,27 @@ class PropertiesSpec extends AnyFunSuite {
       assert(kept.length == texts.map(_.trim.toLowerCase).distinct.length)
     }
   }
+
+  test("winnowEncoded equals the definitional window scan on random docs (n=3, w=4)") {
+    // small token alphabet forces repeated shingle hashes, exercising the
+    // deque's leftmost-min tie rule
+    val doc = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))
+    val (n, w) = (3, 4)
+    cases(doc, 100).foreach { text =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val hs = (0 to toks.length - n).map { i =>
+        toks.slice(i, i + n).mkString("_")
+          .foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % PolyHash.Mod)
+      }
+      val expected = (0 to hs.length - w).map { i =>
+        val win = hs.slice(i, i + w)
+        val p = i + win.indexOf(win.min)
+        (p.toLong << 32) | hs(p)
+      }.distinct
+      val got = graft.plans.TextExprs
+        .winnowEncoded(UTF8String.fromString(text), n, w)
+        .toLongArray().toSeq
+      assert(got == expected, s"mismatch for '$text'")
+    }
+  }
 }

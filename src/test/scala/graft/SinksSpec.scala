@@ -66,6 +66,37 @@ class SinksSpec extends AnyFunSuite {
     assert(batches.flatMap(_._2).toSet == Set(("a", 1), ("b", 2)))
   }
 
+  test("foreachBatchSink: a batchId-keyed overwrite writer makes redelivery exactly-once effective") {
+    // the documented mapping of the reference's EXACTLY_ONCE transactional
+    // producer: delivery is at-least-once, so the WRITER must be
+    // idempotent — keying the write by batchId (dir overwrite here; a
+    // `DELETE WHERE batch_id = ? ; INSERT` transaction on JDBC) makes a
+    // redelivered batch overwrite itself instead of duplicating
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ck").toString
+    val delivered =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, Int)]]()
+    def write(rows: Seq[(String, Int)], id: Long): Unit =
+      rows.toDF("k", "v").write.mode("overwrite").parquet(s"$out/batch=$id")
+    in.addData(("a", 1), ("b", 2))
+    val q = Sinks.foreachBatchSink(
+      in.toDF().toDF("k", "v"), ckpt, Trigger.AvailableNow()) { (batch, id) =>
+      val rows = batch.collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      delivered.put(id, rows)
+      write(rows, id)
+    }
+    assert(q.awaitTermination(60000))
+    def readAll = spark.read.parquet(s"$out/batch=*")
+      .as[(String, Int)].collect().sorted.toSeq
+    val once = readAll
+    assert(once == Seq(("a", 1), ("b", 2)))
+    // redeliver every batch (the at-least-once case): same rows, same ids
+    delivered.forEach((id, rows) => write(rows, id))
+    assert(readAll == once, "replayed batches must overwrite, not append")
+  }
+
   test("dropTransient removes in-flight-only columns") {
     val df = Seq((1, "x", "tmp")).toDF("id", "v", "scratch")
     assert(Sinks.dropTransient(df, Seq("scratch")).columns.toSeq == Seq("id", "v"))
