@@ -146,12 +146,72 @@ object CurationQueries {
       .select(col("doc_id"), shiftright(col("v"), 32).as("pos"),
         col("v").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
 
+  /** BPE-training merge statistics (Sennrich et al. 2016, algorithm 1's
+    * hot loop): the top adjacent-symbol pairs by corpus-weighted count —
+    * the candidates the first merge iteration would fuse. The scale move
+    * is the VOCABULARY COLLAPSE the published algorithm itself relies on:
+    * the corpus aggregates once to a (word, freq) dictionary — narrow keys,
+    * map-side partials, Heaps-law sublinear row count — and all symbol-pair
+    * work runs over that dictionary, never over corpus tokens. At 100 TB
+    * the dictionary is millions of rows where the corpus is trillions of
+    * tokens, and each further merge iteration (not materialized here)
+    * re-scans only the dictionary rows containing the merged pair.
+    *
+    * Two narrow exchanges (word agg, pair agg) + a TakeOrdered top-20;
+    * (cnt desc, pair asc) ordering makes the cut deterministic.
+    */
+  val q104_bpe_pairs: Q = (s, dir) => {
+    val vocab = t(s, dir).documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+    vocab.filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), length(col("word")) - 1),
+          i => concat(col("word").substr(i, lit(1)), lit("+"),
+            col("word").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  /** Cross-source duplication provenance: for every source pair, how many
+    * distinct 5-gram fingerprints they share — the diagnostic that says
+    * WHICH feeds mirror each other (and therefore which pair a dedup pass
+    * should bucket together first). q96 answers "is this doc contaminated
+    * by the eval set"; this answers the corpus-level "who overlaps whom".
+    *
+    * No self-join: each hash aggregates to its SOURCE SET (collect_set
+    * partial-aggregates map-side, and is bounded by #sources — ≤ thousands
+    * of short strings — never by the millions of documents that may carry
+    * a boilerplate n-gram), and the pair fan-out explodes the ≤ |sources|²
+    * upper triangle per hash. Two narrow exchanges: (h → source set),
+    * then (src_a, src_b) counts; text never leaves its scan, and no
+    * subtree is computed twice (the join formulation re-scans the
+    * exploded distinct on both sides).
+    */
+  val q105_source_overlap: Q = (s, dir) => {
+    val ss = t(s, dir).documents
+      .select(col("source"), explode(shingleHashes(col("text"), 5)).as("h"))
+      .groupBy(col("h"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    ss.select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))), y =>
+          struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
   def all: Map[String, Q] = Map(
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
     "q97_gopher_rules" -> q97_gopher_rules,
     "q98_token_entropy" -> q98_token_entropy,
     "q99_temperature_mix" -> q99_temperature_mix,
-    "q100_winnow" -> q100_winnow)
+    "q100_winnow" -> q100_winnow,
+    "q104_bpe_pairs" -> q104_bpe_pairs,
+    "q105_source_overlap" -> q105_source_overlap)
 
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
@@ -239,5 +299,30 @@ object CurationQueries {
          |    list_min(list_slice(hs, i + 1, i + 4)) AS h
          |  FROM h, unnest(range(len(hs) - 3)) AS t(i)
          |  WHERE len(hs) >= 4)
-         |SELECT doc_id, pos, h FROM wnd""".stripMargin)
+         |SELECT doc_id, pos, h FROM wnd""".stripMargin,
+    "q104_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |p AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(word)),
+        |    i -> word[i] || '+' || word[i+1])) AS pair
+        |  FROM v WHERE len(word) >= 2)
+        |SELECT pair, sum(freq)::BIGINT AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q105_source_overlap" ->
+      s"""WITH d AS (
+         |  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |p AS (
+         |  SELECT DISTINCT source, unnest(list_transform(
+         |    list_transform(range(len(toks) - 4),
+         |      i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3] || '_' ||
+         |           toks[i+4] || '_' || toks[i+5]),
+         |    s -> ${polyHashSql("s")})) AS h
+         |  FROM d WHERE len(toks) >= 5)
+         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+         |FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin)
 }

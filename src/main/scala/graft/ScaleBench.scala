@@ -57,7 +57,13 @@ object ScaleBench {
     // (doc_ids shift per replica, so doc_id<20 stays the original 20 docs
     // — the real decontamination geometry); q98 shuffles (doc_id, tok)
     // counts; q100 is the native scan-local winnow pass
-    "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow")
+    "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow",
+    // q103 windows capped postings over exploded distinct tokens; q104's
+    // pair work must stay vocab-bound (Heaps-law sublinear) as the corpus
+    // grows — both have a real scaling question. q101/q102 are excluded by
+    // design: a fixed-size sketch state probed by constant-row tables has
+    // no per-SF term beyond the scan.
+    "q103_postings", "q104_bpe_pairs", "q105_source_overlap")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -173,7 +179,8 @@ object ScaleBench {
     val decade2 = Set("q68_tfidf", "q75_dup_spans", "q80_bloom_prune",
       "q73_unigram_ll", "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks",
       "q84_incremental_dedup", "q95_incremental_bloomed",
-      "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow")
+      "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow",
+      "q103_postings", "q104_bpe_pairs", "q105_source_overlap")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),

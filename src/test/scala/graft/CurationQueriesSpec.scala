@@ -124,4 +124,37 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert((fps(30L).map(_._2) intersect fps(32L).map(_._2)).isEmpty,
       "token-disjoint docs share nothing")
   }
+
+  test("q104: pair counts are corpus-weighted through the vocab collapse; " +
+    "single-char words drop out") {
+    val d = Files.createTempDirectory("graft-bpe-sf").toFile.getAbsolutePath
+    Seq(
+      (0L, "ab ab cd x", "en", "src_a", 0L),
+      (1L, "ab bc x x", "en", "src_a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    // vocab: ab→3, cd→1, bc→1, x→3 (len 1, excluded)
+    val rows = SparkEntry.queries("q104_bpe_pairs")(spark, d)
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("a+b", 3L), ("b+c", 1L), ("c+d", 1L)),
+      "expected corpus-weighted pair counts in (cnt desc, pair asc) order")
+  }
+
+  test("q105: shared 5-grams count once per source pair even when repeated " +
+    "within a source; disjoint sources produce no row") {
+    val d = Files.createTempDirectory("graft-overlap-sf").toFile.getAbsolutePath
+    Seq(
+      (0L, "a b c d e f", "en", "s1", 0L),
+      (1L, "a b c d e x", "en", "s2", 0L),
+      // repeats s2's "a b c d e" (distinct-collapsed within s2) and adds
+      // "b c d e f", shared with s1
+      (2L, "a b c d e f", "en", "s2", 0L),
+      (3L, "z1 z2 z3 z4 z5", "en", "s3", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("q105_source_overlap")(spark, d)
+      .as[(String, String, Long)].collect().toSet
+    assert(rows == Set(("s1", "s2", 2L)),
+      "s1∩s2 = {abcde, bcdef}; s3 shares nothing")
+  }
 }

@@ -72,7 +72,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q100_winnow" -> 0,           // native winnow_fps + explode, scan-stage only
     "q101_countmin" -> 2,         // cells agg (≤ d·w rows map-side) + exact-top agg; probe side is a 20-row TakeOrdered, grid broadcasts
     "q102_kmv_sample" -> 0,       // TakeOrdered bottom-k; estimator window runs on the 100-row result
-    "q103_postings" -> 2)         // df agg + postings window; rnk<=10 is a Partial+Final WindowGroupLimit (shape-pinned below)
+    "q103_postings" -> 2,         // df agg + postings window; rnk<=10 is a Partial+Final WindowGroupLimit (shape-pinned below)
+    "q104_bpe_pairs" -> 2,        // corpus→vocab word agg + pair agg — both narrow keys; top-20 is TakeOrdered
+    "q105_source_overlap" -> 2)   // h → source-set agg + pair agg — no self-join, no double scan; every key is (long) or (string, string)
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
@@ -126,9 +128,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "vocab cap must plan as TakeOrdered, not a global sort")
   }
 
-  test("q83 global top-k compiles to TakeOrdered, not a global sort") {
-    assert(plan("q83_frequent_ngrams").contains("TakeOrderedAndProject"),
-      "q83 must plan TakeOrderedAndProject; a Sort + Limit materializes " +
-        "a global sort of the full aggregate")
+  test("q83 / q104 global top-k compiles to TakeOrdered, not a global sort") {
+    Seq("q83_frequent_ngrams", "q104_bpe_pairs").foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q must plan TakeOrderedAndProject; a Sort + Limit materializes " +
+          "a global sort of the full aggregate")
+    }
   }
 }
