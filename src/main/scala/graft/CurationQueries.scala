@@ -204,6 +204,37 @@ object CurationQueries {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Winnowing plagiarism pairs (the MOSS match step over q100's
+    * fingerprints): top document pairs by shared winnow fingerprint count.
+    * Two scale guards, both from the published practice:
+    *  - a DF CAP (`maxDf`): fingerprints appearing in more than maxDf
+    *    docs are boilerplate and are dropped BEFORE pair generation — MOSS
+    *    itself ignores over-common fingerprints. This bounds the per-hash
+    *    doc set at maxDf, so pair fan-out is ≤ maxDf² per hash, never
+    *    corpus-quadratic.
+    *  - pair counting runs over (hash → doc set) aggregates like q105 —
+    *    no self-join, no double scan; positions are dropped first (a pos
+    *    disagreement never changes WHETHER a pair shares a fingerprint).
+    * Top-k is (shared desc, d1 asc, d2 asc) TakeOrdered — deterministic.
+    */
+  val q106_winnow_pairs: Q = (s, dir) => {
+    val maxDf = 20
+    val docSets = t(s, dir).documents
+      .select(col("doc_id"), explode(winnowFps(col("text"), 3, 4)).as("v"))
+      .select(col("doc_id"), col("v").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
+      .distinct()
+      .groupBy(col("h"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    docSets.select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))), y =>
+          struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy(col("shared").desc, col("d1").asc, col("d2").asc)
+      .limit(50)
+  }
+
   def all: Map[String, Q] = Map(
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
     "q97_gopher_rules" -> q97_gopher_rules,
@@ -211,7 +242,8 @@ object CurationQueries {
     "q99_temperature_mix" -> q99_temperature_mix,
     "q100_winnow" -> q100_winnow,
     "q104_bpe_pairs" -> q104_bpe_pairs,
-    "q105_source_overlap" -> q105_source_overlap)
+    "q105_source_overlap" -> q105_source_overlap,
+    "q106_winnow_pairs" -> q106_winnow_pairs)
 
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
@@ -324,5 +356,26 @@ object CurationQueries {
          |  FROM d WHERE len(toks) >= 5)
          |SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
          |FROM p a JOIN p b ON a.h = b.h AND a.source < b.source
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+    "q106_winnow_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |hh AS (
+         |  SELECT doc_id, list_transform(
+         |    list_transform(range(len(toks) - 2),
+         |      i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]),
+         |    s -> ${polyHashSql("s")}) AS hs
+         |  FROM d WHERE len(toks) >= 3),
+         |dh AS (
+         |  SELECT DISTINCT doc_id, list_min(list_slice(hs, i + 1, i + 4)) AS h
+         |  FROM hh, unnest(range(len(hs) - 3)) AS t(i)
+         |  WHERE len(hs) >= 4),
+         |g AS (SELECT h, count(*) AS df FROM dh GROUP BY 1),
+         |k AS (SELECT dh.doc_id, dh.h FROM dh JOIN g USING (h)
+         |      WHERE g.df BETWEEN 2 AND 20),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |      FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |SELECT d1, d2, count(*) AS shared FROM p GROUP BY 1, 2
+         |ORDER BY shared DESC, d1 ASC, d2 ASC LIMIT 50""".stripMargin)
 }

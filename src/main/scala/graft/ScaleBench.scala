@@ -63,7 +63,8 @@ object ScaleBench {
     // grows — both have a real scaling question. q101/q102 are excluded by
     // design: a fixed-size sketch state probed by constant-row tables has
     // no per-SF term beyond the scan.
-    "q103_postings", "q104_bpe_pairs", "q105_source_overlap")
+    "q103_postings", "q104_bpe_pairs", "q105_source_overlap",
+    "q106_winnow_pairs")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -180,7 +181,8 @@ object ScaleBench {
       "q73_unigram_ll", "q88_span_removal", "q91_dsir_select", "q93_cdc_chunks",
       "q84_incremental_dedup", "q95_incremental_bloomed",
       "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow",
-      "q103_postings", "q104_bpe_pairs", "q105_source_overlap")
+      "q103_postings", "q104_bpe_pairs", "q105_source_overlap",
+      "q106_winnow_pairs")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),
@@ -227,15 +229,23 @@ object ScaleBench {
           cell("q92sk|1", protoQ(scaledK = true), sf1),
           sf100.map(d => cell("q92sk|100", protoQ(scaledK = true), d))))
 
+    // SPARK_GRAFT_SCALE_ONLY=q104,q105 measures just the named row
+    // prefixes — re-measuring a new operator must not pay the full matrix
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val keptRows = only.map(f => rows.filter(r => f.exists(r._1.startsWith)))
+      .getOrElse(rows)
+    val keptKeys = keptRows.flatMap { case (_, a, b, c) => Seq(a, b) ++ c }.toSet
+
     // round-robin the iterations (iter 1 of every cell, then iter 2, …) so
     // slow phases of a shared host hit all measurements evenly instead of
     // wrecking whichever query they landed on — this sandbox demonstrably
     // drifts by 10×+ for minutes at a time
     val samples = collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to iters; (key, (fn, dir)) <- cells)
+    for (_ <- 1 to iters; (key, (fn, dir)) <- cells if keptKeys(key))
       samples(key) :+= run(fn, dir)
-    val out = rows.map { case (name, smallKey, bigKey, key100) =>
+    val out = keptRows.map { case (name, smallKey, bigKey, key100) =>
       val t01 = median(samples(smallKey))
       val t1 = median(samples(bigKey))
       val ratio = if (t01 > 0 && t1 > 0) r2(t1 / t01) else -1.0

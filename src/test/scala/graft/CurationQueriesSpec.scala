@@ -157,4 +157,14 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(rows == Set(("s1", "s2", 2L)),
       "s1∩s2 = {abcde, bcdef}; s3 shares nothing")
   }
+
+  test("q106: the shared 6-token run pairs docs 30/31; the token-disjoint " +
+    "doc 32 pairs with nobody") {
+    val pairs = run("q106_winnow_pairs")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((30L, 31L)),
+      "a w+n-1 token overlap must share a winnow fingerprint (MOSS guarantee)")
+    assert(!pairs.exists(p => p._1 == 32L || p._2 == 32L),
+      "doc 32 is token-disjoint from every other doc")
+  }
 }
