@@ -235,6 +235,37 @@ object CurationQueries {
       .limit(50)
   }
 
+  /** GPT-style cross-document block packing: documents are concatenated
+    * (with one EOS token each) in a seeded shuffle order and sliced into
+    * fixed 256-token training blocks; each doc reports its token offset
+    * and the first/last block it lands in. Contrast q71 (greedy first-fit
+    * into per-doc-capped sequences) and q78 (per-doc chunking): this is
+    * the packing that wastes zero tokens to padding, which is how large
+    * pretraining runs actually feed data.
+    *
+    * Scale shape: the only exchange is the shard window — each doc's
+    * offset is a running sum WITHIN its hash shard (q72's portable
+    * seeded-shuffle geometry), so shards pack in parallel and block ids
+    * are shard-local. Production sets #shards ≈ corpus_tokens /
+    * target_shard_tokens, bounding per-task state; a global running sum
+    * (one sequential partition) would serialize the corpus.
+    */
+  val q107_block_pack: Q = (s, dir) => {
+    val shards = 8
+    val blockSize = 256
+    val h = polyHash(concat(lit("s42|"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir).documents
+      .select(col("doc_id"), h.as("h"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .withColumn("off", coalesce(sum(col("n_tok") + 1).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("off"),
+        floor(col("off") / blockSize).cast("long").as("blk_first"),
+        floor((col("off") + col("n_tok")) / blockSize).cast("long").as("blk_last"))
+  }
+
   def all: Map[String, Q] = Map(
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
     "q97_gopher_rules" -> q97_gopher_rules,
@@ -243,7 +274,8 @@ object CurationQueries {
     "q100_winnow" -> q100_winnow,
     "q104_bpe_pairs" -> q104_bpe_pairs,
     "q105_source_overlap" -> q105_source_overlap,
-    "q106_winnow_pairs" -> q106_winnow_pairs)
+    "q106_winnow_pairs" -> q106_winnow_pairs,
+    "q107_block_pack" -> q107_block_pack)
 
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
@@ -377,5 +409,23 @@ object CurationQueries {
          |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
          |      FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id)
          |SELECT d1, d2, count(*) AS shared FROM p GROUP BY 1, 2
-         |ORDER BY shared DESC, d1 ASC, d2 ASC LIMIT 50""".stripMargin)
+         |ORDER BY shared DESC, d1 ASC, d2 ASC LIMIT 50""".stripMargin,
+    "q107_block_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tok,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split('s42|' || doc_id::VARCHAR, ''),
+        |        c -> ascii(c)::BIGINT)),
+        |      (h, a) -> (h * 31 + a) % 1000000007) AS h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, h % 8 AS shard, n_tok,
+        |    coalesce(sum(n_tok + 1) OVER (
+        |      PARTITION BY h % 8 ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM d)
+        |SELECT doc_id, shard, n_tok, off,
+        |  off // 256 AS blk_first, (off + n_tok) // 256 AS blk_last
+        |FROM o""".stripMargin)
 }

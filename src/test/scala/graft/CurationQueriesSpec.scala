@@ -167,4 +167,24 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 32L || p._2 == 32L),
       "doc 32 is token-disjoint from every other doc")
   }
+
+  test("q107: within every shard, offsets are a gapless EOS-inclusive " +
+    "prefix sum and block ids are offset/256") {
+    val rows = run("q107_block_pack")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 9, "one row per doc")
+    for ((_, shardDocs) <- rows.groupBy(_._2)) {
+      // replay the pack: order by (h, doc_id) is not visible here, but the
+      // offset set must be exactly the prefix sums of (n_tok + 1) in SOME
+      // order — sorted by off, each doc starts where its predecessor ended
+      val byOff = shardDocs.sortBy(_._4)
+      assert(byOff.head._4 == 0L, "first doc of a shard packs at offset 0")
+      for (Array(a, b) <- byOff.sliding(2).map(_.toArray) if byOff.length > 1)
+        assert(b._4 == a._4 + a._3 + 1,
+          s"doc ${b._1} must start at doc ${a._1}'s end + EOS")
+      for ((_, _, nTok, off, blkFirst, blkLast) <- byOff) {
+        assert(blkFirst == off / 256 && blkLast == (off + nTok) / 256)
+      }
+    }
+  }
 }
