@@ -250,13 +250,12 @@ object CurationQueries {
     * target_shard_tokens, bounding per-task state; a global running sum
     * (one sequential partition) would serialize the corpus.
     */
-  val q107_block_pack: Q = (s, dir) => {
-    val shards = 8
-    val blockSize = 256
+  def blockPack(docs: org.apache.spark.sql.DataFrame, shards: Int,
+                blockSize: Int): org.apache.spark.sql.DataFrame = {
     val h = polyHash(concat(lit("s42|"), col("doc_id").cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(s, dir).documents
+    docs
       .select(col("doc_id"), h.as("h"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("shard", pmod(col("h"), lit(shards)))
@@ -265,6 +264,8 @@ object CurationQueries {
         floor(col("off") / blockSize).cast("long").as("blk_first"),
         floor((col("off") + col("n_tok")) / blockSize).cast("long").as("blk_last"))
   }
+
+  val q107_block_pack: Q = (s, dir) => blockPack(t(s, dir).documents, 8, 256)
 
   def all: Map[String, Q] = Map(
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,

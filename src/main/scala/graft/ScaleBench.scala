@@ -133,6 +133,17 @@ object ScaleBench {
       Similarity.prototypes(emb, "vec_id", "embedding", cents, DIMS, 16)
     }
 
+  /** Block-packing variants: the scale rule is #shards ∝ corpus size
+    * (production fixes a target tokens-per-shard, so per-task sort state
+    * is constant). Fixed shards carried up a decade means each shard's
+    * window sorts 10× the rows in one task; the scaled rule (8 → 80 →
+    * 800) holds per-shard size flat. Same fixed/scaled contrast as the
+    * LSH planes and IVF k rules.
+    */
+  private def packQ(shards: Int): (SparkSession, String) => DataFrame =
+    (s, dir) => CurationQueries.blockPack(
+      Tables.load(s, dir, "documents"), shards, 256)
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
@@ -227,7 +238,14 @@ object ScaleBench {
         ("q92_prototypes_scaledk",
           cell("q92sk|01", protoQ(scaledK = true), sf01),
           cell("q92sk|1", protoQ(scaledK = true), sf1),
-          sf100.map(d => cell("q92sk|100", protoQ(scaledK = true), d))))
+          sf100.map(d => cell("q92sk|100", protoQ(scaledK = true), d))),
+        ("q107_pack_fixed_shards",
+          cell("q107s8|01", packQ(8), sf01),
+          cell("q107s8|1", packQ(8), sf1),
+          sf100.map(d => cell("q107s8|100", packQ(8), d))),
+        ("q107_pack_scaled_shards", "q107s8|01",
+          cell("q107s80|1", packQ(80), sf1),
+          sf100.map(d => cell("q107s800|100", packQ(800), d))))
 
     // SPARK_GRAFT_SCALE_ONLY=q104,q105 measures just the named row
     // prefixes — re-measuring a new operator must not pay the full matrix
