@@ -267,6 +267,29 @@ object CurationQueries {
 
   val q107_block_pack: Q = (s, dir) => blockPack(t(s, dir).documents, 8, 256)
 
+  /** Zipf-fit corpus-health diagnostic: least-squares slope of the token
+    * FREQUENCY SPECTRUM (log2 #types-with-frequency-f against log2 f) — a
+    * natural corpus sits near the Zipf regime (spectrum slope ≈ −2 when
+    * the rank exponent is 1); template spam or synthetic text bends it.
+    *
+    * Fitting the spectrum instead of the rank-frequency curve is the
+    * scale move: a rank needs a global row_number over the whole
+    * vocabulary (one sequential partition at 100 TB), while the spectrum
+    * is two narrow aggregates — (word → freq), (freq → #types), each with
+    * map-side partials — and the regression runs over the few hundred
+    * distinct frequencies. No window anywhere.
+    */
+  val q108_zipf: Q = (s, dir) => {
+    val spectrum = t(s, dir).documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+    spectrum.agg(
+      count(lit(1)).as("n_points"),
+      round(regr_slope(log2(col("n_types")), log2(col("freq"))), 6).as("slope"),
+      round(regr_intercept(log2(col("n_types")), log2(col("freq"))), 6).as("intercept"))
+  }
+
   def all: Map[String, Q] = Map(
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
     "q97_gopher_rules" -> q97_gopher_rules,
@@ -276,7 +299,8 @@ object CurationQueries {
     "q104_bpe_pairs" -> q104_bpe_pairs,
     "q105_source_overlap" -> q105_source_overlap,
     "q106_winnow_pairs" -> q106_winnow_pairs,
-    "q107_block_pack" -> q107_block_pack)
+    "q107_block_pack" -> q107_block_pack,
+    "q108_zipf" -> q108_zipf)
 
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
@@ -428,5 +452,15 @@ object CurationQueries {
         |  FROM d)
         |SELECT doc_id, shard, n_tok, off,
         |  off // 256 AS blk_first, (off + n_tok) // 256 AS blk_last
-        |FROM o""".stripMargin)
+        |FROM o""".stripMargin,
+    "q108_zipf" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |sp AS (SELECT freq, count(*) AS n_types FROM v GROUP BY 1)
+        |SELECT count(*) AS n_points,
+        |  round(regr_slope(log2(n_types), log2(freq)), 6) AS slope,
+        |  round(regr_intercept(log2(n_types), log2(freq)), 6) AS intercept
+        |FROM sp""".stripMargin)
 }

@@ -187,4 +187,23 @@ class CurationQueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q108: a two-point spectrum has a closed-form slope") {
+    val d = Files.createTempDirectory("graft-zipf-sf").toFile.getAbsolutePath
+    // vocab: a→4, b→2, c→2, d→1, e→1, f→1 ⇒ spectrum: (1,3) (2,2) (4,1)
+    // fit log2 n_types = slope·log2 freq + b over x∈{0,1,2}, y={log2 3,1,0}
+    Seq((0L, "a a b c d", "en", "s", 0L), (1L, "a a b c e f", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val Array(row) = SparkEntry.queries("q108_zipf")(spark, d)
+      .as[(Long, Double, Double)].collect()
+    val xs = Seq(0.0, 1.0, 2.0)
+    val ys = Seq(math.log(3) / math.log(2), 1.0, 0.0)
+    val xm = xs.sum / 3; val ym = ys.sum / 3
+    val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+      xs.map(x => (x - xm) * (x - xm)).sum
+    assert(row._1 == 3L)
+    assert(math.abs(row._2 - slope) < 1e-6, s"slope ${row._2} vs $slope")
+    assert(math.abs(row._3 - (ym - slope * xm)) < 1e-6)
+  }
 }

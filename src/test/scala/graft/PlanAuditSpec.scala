@@ -76,7 +76,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q104_bpe_pairs" -> 2,        // corpus→vocab word agg + pair agg — both narrow keys; top-20 is TakeOrdered
     "q105_source_overlap" -> 2,   // h → source-set agg + pair agg — no self-join, no double scan; every key is (long) or (string, string)
     "q106_winnow_pairs" -> 3,     // (doc,h) distinct + h → doc-set agg (df-capped) + pair agg; top-50 is TakeOrdered
-    "q107_block_pack" -> 1)       // the shard window is the only exchange; offsets/blocks are scan-local arithmetic after it
+    "q107_block_pack" -> 1,       // the shard window is the only exchange; offsets/blocks are scan-local arithmetic after it
+    "q108_zipf" -> 2)             // word agg + spectrum agg; the regression runs in the final global agg (SinglePartition over ~hundreds of spectrum rows)
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
