@@ -8,16 +8,21 @@ import graft.functions.TextFunctions._
 
 /** Corpus-curation operators, round 4: the remaining steps a production
   * pretraining-data pipeline runs that q22–q95 don't yet cover —
-  * benchmark decontamination at eval-set scale, a reason-coded Gopher-style
-  * rule filter, per-document token entropy, temperature-based mixture
-  * weighting (UniMax / mT5 alpha-sampling), and MOSS-style winnowing
-  * fingerprints. Generalizes the same reference seam as TextQueries (the
-  * keyword UDTF, …/app/func/KeywordUDTF.java:13-20): per-document text ops
-  * that must survive a 100 TB corpus.
+  * benchmark decontamination at eval-set scale (q96), a reason-coded
+  * Gopher-style rule filter (q97), per-document token entropy (q98),
+  * temperature-based mixture weighting (UniMax / mT5 alpha-sampling, q99),
+  * MOSS-style winnowing fingerprints (q100) and their plagiarism-pair
+  * match step (q106), BPE-training merge statistics (q104), the
+  * cross-source overlap matrix (q105), GPT-style cross-document block
+  * packing (q107), and the Zipf spectrum-slope diagnostic (q108).
+  * Generalizes the same reference seam as TextQueries (the keyword UDTF,
+  * …/app/func/KeywordUDTF.java:13-20): per-document text ops that must
+  * survive a 100 TB corpus.
   *
-  * Shapes: q97/q100 are scan-local HOF projections (zero shuffle);
-  * q96/q98 shuffle only narrow keys (hashes, token counts); q99 aggregates
-  * to one row per source before any window.
+  * Shapes: q97/q100 are scan-local HOF projections (zero shuffle); the
+  * rest shuffle only narrow keys (hashes, token counts, word frequencies)
+  * or collapse the corpus before any window (q99's per-source row, q104's
+  * vocabulary, q108's frequency spectrum, q107's shard-local running sum).
   */
 object CurationQueries {
   import Queries.Q

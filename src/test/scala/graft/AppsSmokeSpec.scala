@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.apps.{BaseLogApp, CorpusCurateApp, CorpusIngestApp, DimApp,
+import graft.apps.{BaseLogApp, CorpusCurateApp, CorpusIngestApp, CorpusReportApp, DimApp,
   DwdOrderApp, DwsTradePaymentSucWindowApp, DwsTradeProvinceOrderWindowApp,
   DwsUserRegisterWindowApp, KeywordWindowApp, TrafficPageViewWindowApp}
 import graft.sinks.Sinks
@@ -317,6 +317,30 @@ class AppsSmokeSpec extends AnyFunSuite {
       s"expected exact dup 2, low-quality 3, near-dup 4 dropped; got $survivors")
     val stages = spark.read.parquet(statsDir).select($"stage").as[String].collect().toSet
     assert(stages.nonEmpty, "the funnel stats must record per-stage counts")
+  }
+
+  test("CorpusReportApp main: the four-diagnostic bundle lands under --out") {
+    val data = tmp("appreport-in"); val out = tmp("appreport-out")
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s1", 0L),
+      (1L, "alpha beta gamma delta epsilon lambda mu nu xi omicron", "en", "s2", 0L),
+      (2L, "pi rho sigma tau upsilon phi chi psi omega alpha", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$data/documents.parquet")
+
+    CorpusReportApp.main(Array("--data", data, "--out", out))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val funnel = spark.read.parquet(s"$out/rule_funnel").collect()
+    assert(funnel.length == 1 && funnel(0).getAs[Long]("docs") == 3L)
+    val mix = spark.read.parquet(s"$out/mixture")
+      .select($"source").as[String].collect().toSet
+    assert(mix == Set("s1", "s2"))
+    // docs 0/1 share the 5-gram "alpha beta gamma delta epsilon"
+    val overlap = spark.read.parquet(s"$out/source_overlap")
+      .as[(String, String, Long)].collect().toSet
+    assert(overlap == Set(("s1", "s2", 1L)))
+    assert(spark.read.parquet(s"$out/zipf").count() == 1L)
   }
 
   test("DwsUserRegisterWindowApp + DwsTradePaymentSucWindowApp mains over one CDC feed") {
