@@ -51,6 +51,31 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** Pick the (bands, rows) split of a k-entry MinHash signature for a
+    * target Jaccard threshold — the standard S-curve design (Mining of
+    * Massive Datasets §3.4.3; also how the reference era's dedup configs
+    * are tuned by hand). A pair with similarity s collides in at least one
+    * band with probability p(s) = 1 − (1 − s^r)^b; among the divisors of
+    * k, we pick the (b, r) whose S-curve midpoint (1/b)^(1/r) — the
+    * similarity at which p crosses ≈ 1 − 1/e — lands closest to
+    * `threshold` in log space (log space because thresholds live on a
+    * ratio scale: 0.4 vs 0.5 and 0.8 vs 1.0 are the same-sized miss).
+    *
+    * Driver-side arithmetic over the O(√k) divisors of k — call it once
+    * and pass the result to [[lshCandidatePairs]] / [[nearDupPairs]];
+    * nothing here touches data.
+    */
+  def lshBandsFor(k: Int, threshold: Double): Int = {
+    require(k > 0 && threshold > 0 && threshold < 1,
+      s"need k > 0 and 0 < threshold < 1, got k=$k threshold=$threshold")
+    val candidates = (1 to k).filter(k % _ == 0)
+    candidates.minBy { b =>
+      val r = k / b
+      val midpoint = math.pow(1.0 / b, 1.0 / r)
+      math.abs(math.log(midpoint) - math.log(threshold))
+    }
+  }
+
   /** id + distinct word-n-gram shingle hashes + k-entry MinHash signature. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =

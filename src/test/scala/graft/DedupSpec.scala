@@ -307,4 +307,25 @@ class DedupSpec extends AnyFunSuite {
     assert((fps(1L) -- fps(2L)).size <= 1,
       "at most the head chunk may differ after a head edit")
   }
+
+  test("lshBandsFor: S-curve midpoint lands nearest the threshold; " +
+    "monotone — lower thresholds mean more bands") {
+    // exhaustive check against the definition for a few (k, t)
+    for (k <- Seq(8, 16, 64, 128); t <- Seq(0.2, 0.5, 0.8)) {
+      val b = graft.operators.Dedup.lshBandsFor(k, t)
+      assert(k % b == 0)
+      def err(b: Int) = {
+        val r = k / b
+        math.abs(math.log(math.pow(1.0 / b, 1.0 / r)) - math.log(t))
+      }
+      val best = (1 to k).filter(k % _ == 0).map(err).min
+      assert(math.abs(err(b) - best) < 1e-12, s"k=$k t=$t chose b=$b")
+    }
+    // catching MORE similar pairs (higher t) needs FEWER bands
+    val bands = Seq(0.9, 0.6, 0.3).map(graft.operators.Dedup.lshBandsFor(64, _))
+    assert(bands == bands.sorted, s"bands must grow as threshold falls: $bands")
+    // and the benched q28 geometry (k=16, bands=4 -> r=4) is what the
+    // tuner picks for its actual midpoint (1/4)^(1/4) = 0.707
+    assert(graft.operators.Dedup.lshBandsFor(16, 0.7) == 4)
+  }
 }
