@@ -197,6 +197,13 @@ object CurationQueries {
     * exploded distinct on both sides).
     */
   val q105_source_overlap: Q = (s, dir) => {
+    // one-shot collect_set (no pre-distinct): a same-JVM alternating A/B
+    // of {bare collect_set, distinct+collect_set, distinct+collect_list}
+    // at 10× and 100× put bare collect_set fastest-or-tied (medians
+    // 2.3/7.8 s vs 2.8/8.7 and 3.3/12.3) with the tightest spread at
+    // 100× — the set's partial aggregate dedups map-side, so the extra
+    // distinct exchange buys nothing (collect_list, which cannot dedup
+    // partially, loses outright)
     val ss = t(s, dir).documents
       .select(col("source"), explode(shingleHashes(col("text"), 5)).as("h"))
       .groupBy(col("h"))
@@ -224,10 +231,13 @@ object CurationQueries {
     */
   val q106_winnow_pairs: Q = (s, dir) => {
     val maxDf = 20
+    // one-shot collect_set, same A/B-measured canonical form as q105:
+    // the set's partial aggregate dedups (doc per hash) map-side, so a
+    // pre-distinct exchange buys nothing and collect_list (no partial
+    // dedup possible) measures strictly slower
     val docSets = t(s, dir).documents
       .select(col("doc_id"), explode(winnowFps(col("text"), 3, 4)).as("v"))
       .select(col("doc_id"), col("v").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
-      .distinct()
       .groupBy(col("h"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))

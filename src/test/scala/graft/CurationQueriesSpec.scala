@@ -7,11 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFunctions._
 
-/** Semantic pins for the round-4 curation queries (q96–q100) on a planted
-  * corpus — the DuckDB oracle hash-checks them on the synthetic tables;
-  * these prove the *semantics* on constructed inputs (a known contaminated
-  * 5-gram, rule-boundary docs, closed-form entropies, a hand-computable
-  * temperature mixture, and the winnowing window-coverage guarantee).
+/** Semantic pins for the round-4 curation queries (q96–q100, q104–q108)
+  * on planted corpora — the DuckDB oracle hash-checks them on the
+  * synthetic tables; these prove the *semantics* on constructed inputs
+  * (a known contaminated 5-gram, rule-boundary docs, closed-form
+  * entropies, a hand-computable temperature mixture, the winnowing
+  * window-coverage guarantee, hand-counted BPE pairs and source/doc
+  * overlaps, a gapless pack replay, and a closed-form Zipf fit).
   */
 class CurationQueriesSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark

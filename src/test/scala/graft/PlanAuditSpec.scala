@@ -74,8 +74,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q102_kmv_sample" -> 0,       // TakeOrdered bottom-k; estimator window runs on the 100-row result
     "q103_postings" -> 2,         // df agg + postings window; rnk<=10 is a Partial+Final WindowGroupLimit (shape-pinned below)
     "q104_bpe_pairs" -> 2,        // corpus→vocab word agg + pair agg — both narrow keys; top-20 is TakeOrdered
-    "q105_source_overlap" -> 2,   // h → source-set agg + pair agg — no self-join, no double scan; every key is (long) or (string, string)
-    "q106_winnow_pairs" -> 3,     // (doc,h) distinct + h → doc-set agg (df-capped) + pair agg; top-50 is TakeOrdered
+    "q105_source_overlap" -> 2,   // h → source-set agg (partial collect_set dedups map-side) + pair agg — no self-join, no double scan
+    "q106_winnow_pairs" -> 2,     // h → doc-set agg (partial collect_set dedups, df cap filters) + pair agg; top-50 is TakeOrdered
     "q107_block_pack" -> 1,       // the shard window is the only exchange; offsets/blocks are scan-local arithmetic after it
     "q108_zipf" -> 2)             // word agg + spectrum agg; the regression runs in the final global agg (SinglePartition over ~hundreds of spectrum rows)
 
