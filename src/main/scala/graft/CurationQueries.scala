@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Dedup
 
 /** Corpus-curation operators, round 4: the remaining steps a production
   * pretraining-data pipeline runs that q22–q95 don't yet cover —
@@ -305,6 +306,47 @@ object CurationQueries {
       round(regr_intercept(log2(col("n_types")), log2(col("freq"))), 6).as("intercept"))
   }
 
+  /** The curation capstone: rules → decontamination → exact dedup →
+    * block packing composed as ONE declarative plan — the "build the
+    * training set" run, where q66 is the dedup-funnel recap. Stages:
+    *
+    *   1. reason-coded rule gate (q97's conjunction);
+    *   2. eval-set 5-gram decontamination (q96's geometry — eval is
+    *      doc_id < 20, hashes equi-join, text never shuffles);
+    *   3. exact dedup (q26's min-id-per-fingerprint);
+    *   4. GPT-style block packing of the survivors (q107).
+    *
+    * Stage order is the cost order: the scan-local rule gate runs first
+    * (no shuffle spent on docs it drops), both shuffle stages see only
+    * survivors, and packing — the only stage whose output depends on the
+    * survivor SET — runs last. Catalyst pipelines the whole thing; the
+    * oracle replays all four stages as chained CTEs, so the driver
+    * hash-checks the composition, not just the parts.
+    */
+  val q109_curated_pack: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (acc, tk) => acc + length(tk)).cast("double") / n
+    val pass = size(toks) >= 10 && size(toks) <= 500 &&
+      meanLen >= 2.0 && meanLen <= 8.0 &&
+      size(filter(toks, tk => tk.isin("a", "the"))) >= 1 &&
+      (size(array_distinct(toks)) / n) >= 0.3
+    val ruleKept = docs.filter(col("doc_id") >= 20 && pass)
+
+    val evalH = docs.filter(col("doc_id") < 20)
+      .select(explode(shingleHashes(col("text"), 5)).as("h")).distinct()
+    val contaminated = ruleKept
+      .select(col("doc_id"), explode(shingleHashes(col("text"), 5)).as("h"))
+      .join(evalH, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val decont = ruleKept.join(contaminated, Seq("doc_id"), "left_anti")
+
+    val survivors = decont.join(
+      Dedup.exactDedup(decont, "doc_id", "text"), Seq("doc_id"), "left_semi")
+    blockPack(survivors, 8, 256)
+  }
+
   def all: Map[String, Q] = Map(
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
     "q97_gopher_rules" -> q97_gopher_rules,
@@ -315,7 +357,8 @@ object CurationQueries {
     "q105_source_overlap" -> q105_source_overlap,
     "q106_winnow_pairs" -> q106_winnow_pairs,
     "q107_block_pack" -> q107_block_pack,
-    "q108_zipf" -> q108_zipf)
+    "q108_zipf" -> q108_zipf,
+    "q109_curated_pack" -> q109_curated_pack)
 
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
@@ -477,5 +520,50 @@ object CurationQueries {
         |SELECT count(*) AS n_points,
         |  round(regr_slope(log2(n_types), log2(freq)), 6) AS slope,
         |  round(regr_intercept(log2(n_types), log2(freq)), 6) AS intercept
-        |FROM sp""".stripMargin)
+        |FROM sp""".stripMargin,
+    "q109_curated_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |keep0 AS (
+         |  SELECT doc_id FROM d
+         |  WHERE doc_id >= 20
+         |    AND len(toks) BETWEEN 10 AND 500
+         |    AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)
+         |          BETWEEN 2.0 AND 8.0
+         |    AND len(list_filter(toks, t -> t IN ('a', 'the'))) >= 1
+         |    AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3),
+         |p AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    list_transform(range(len(toks) - 4),
+         |      i -> toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3] || '_' ||
+         |           toks[i+4] || '_' || toks[i+5]),
+         |    s -> ${polyHashSql("s")})) AS h
+         |  FROM d WHERE len(toks) >= 5),
+         |e AS (SELECT DISTINCT h FROM p WHERE doc_id < 20),
+         |c AS (SELECT DISTINCT p.doc_id FROM p JOIN keep0 USING (doc_id)
+         |      WHERE h IN (SELECT h FROM e)),
+         |keep1 AS (SELECT doc_id FROM keep0
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM c)),
+         |fp AS (
+         |  SELECT d.doc_id, ${polyHashSql("trim(lower(text))")} AS fp
+         |  FROM d JOIN keep1 USING (doc_id)),
+         |keep2 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |h2 AS (
+         |  SELECT d.doc_id, len(toks)::BIGINT AS n_tok,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(string_split('s42|' || d.doc_id::VARCHAR, ''),
+         |        c -> ascii(c)::BIGINT)),
+         |      (h, a) -> (h * 31 + a) % 1000000007) AS h
+         |  FROM d JOIN keep2 USING (doc_id)),
+         |o AS (
+         |  SELECT doc_id, h % 8 AS shard, n_tok,
+         |    coalesce(sum(n_tok + 1) OVER (
+         |      PARTITION BY h % 8 ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+         |  FROM h2)
+         |SELECT doc_id, shard, n_tok, off,
+         |  off // 256 AS blk_first, (off + n_tok) // 256 AS blk_last
+         |FROM o""".stripMargin)
 }

@@ -190,6 +190,34 @@ class CurationQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q109: the composed build is consistent with its stages — every " +
+    "packed doc passes rules, is decontaminated, deduped, and gapless-packed") {
+    val sf = TestSession.sf
+    val packed = SparkEntry.queries("q109_curated_pack")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val packedIds = packed.map(_._1).toSet
+    assert(packedIds.nonEmpty)
+    val rules = SparkEntry.queries("q97_gopher_rules")(spark, sf)
+      .select($"doc_id", $"pass").as[(Long, Int)].collect().toMap
+    val decont = SparkEntry.queries("q96_ngram_decontaminate")(spark, sf)
+      .as[(Long, Int)].collect().toMap
+    for (id <- packedIds) {
+      assert(id >= 20L && rules(id) == 1, s"doc $id fails the rule gate")
+      assert(decont(id) == 0, s"doc $id is contaminated")
+    }
+    // stage consistency the other way: a clean, rule-passing doc is packed
+    // unless exact dedup dropped it for an earlier twin
+    val shouldSurvive = rules.keySet.filter(id =>
+      id >= 20L && rules(id) == 1 && decont.getOrElse(id, 1) == 0)
+    assert(packedIds.subsetOf(shouldSurvive))
+    // and the pack is gapless per shard (q107's invariant)
+    for ((_, sh) <- packed.groupBy(_._2); byOff = sh.sortBy(_._4)) {
+      assert(byOff.head._4 == 0L)
+      for (Array(a, b) <- byOff.sliding(2).map(_.toArray) if byOff.length > 1)
+        assert(b._4 == a._4 + a._3 + 1)
+    }
+  }
+
   test("q108: a two-point spectrum has a closed-form slope") {
     val d = Files.createTempDirectory("graft-zipf-sf").toFile.getAbsolutePath
     // vocab: a→4, b→2, c→2, d→1, e→1, f→1 ⇒ spectrum: (1,3) (2,2) (4,1)

@@ -77,7 +77,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q105_source_overlap" -> 2,   // h → source-set agg (partial collect_set dedups map-side) + pair agg — no self-join, no double scan
     "q106_winnow_pairs" -> 2,     // h → doc-set agg (partial collect_set dedups, df cap filters) + pair agg; top-50 is TakeOrdered
     "q107_block_pack" -> 1,       // the shard window is the only exchange; offsets/blocks are scan-local arithmetic after it
-    "q108_zipf" -> 2)             // word agg + spectrum agg; the regression runs in the final global agg (SinglePartition over ~hundreds of spectrum rows)
+    "q108_zipf" -> 2,             // word agg + spectrum agg; the regression runs in the final global agg (SinglePartition over ~hundreds of spectrum rows)
+    "q109_curated_pack" -> 6)     // the composed build: eval-h distinct + contaminated-doc distinct + fp agg + shard window, plus the survivor-id semi-join's SMJ pair at this SF (AQE broadcasts the id set when it measures small; all keys narrow either way)
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
