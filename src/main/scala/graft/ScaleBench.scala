@@ -64,7 +64,7 @@ object ScaleBench {
     // design: a fixed-size sketch state probed by constant-row tables has
     // no per-SF term beyond the scan.
     "q103_postings", "q104_bpe_pairs", "q105_source_overlap",
-    "q106_winnow_pairs")
+    "q106_winnow_pairs", "q109_curated_pack")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -193,7 +193,7 @@ object ScaleBench {
       "q84_incremental_dedup", "q95_incremental_bloomed",
       "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow",
       "q103_postings", "q104_bpe_pairs", "q105_source_overlap",
-      "q106_winnow_pairs")
+      "q106_winnow_pairs", "q109_curated_pack")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),
