@@ -27,7 +27,7 @@ object CorpusIngestApp {
   val usage = "graft.apps.CorpusIngestApp --source file|kafka --input <dir> " +
     "[--brokers <csv> --topics <csv>] --index <dir> --out <dir> " +
     "--checkpoint <dir> [--min-quality 0.35] [--delay '10 seconds'] " +
-    "[--trigger available-now|'<interval>']"
+    "[--eval <parquet of eval docs>] [--trigger available-now|'<interval>']"
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -42,9 +42,18 @@ object CorpusIngestApp {
       .filter(col("j").isNotNull && col("j.doc_id").isNotNull && col("j.text").isNotNull)
       .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
         timestamp_seconds(col("j.ts")).as("ts"))
+    // eval-set decontamination: hashes computed once batch-side (bounded
+    // set — q69's premise), probed scan-locally in the stream
+    val evalHashes: Array[Long] = conf.get("eval").map { p =>
+      import graft.functions.TextFunctions.shingleHashes
+      spark.read.parquet(p)
+        .select(explode(shingleHashes(col("text"), 5)).as("h"))
+        .distinct().collect().map(_.getLong(0))
+    }.getOrElse(Array.empty)
     val ingested = CorpusPipeline.streamingIngest(docs, "ts",
       conf.getOrElse("delay", "10 seconds"),
-      minQuality = conf.getOrElse("min-quality", "0.35").toDouble)
+      minQuality = conf.getOrElse("min-quality", "0.35").toDouble,
+      evalHashes = evalHashes)
     val q = CorpusPipeline.streamingNearDedup(ingested,
       AppEnv.get(conf, "index", usage), AppEnv.get(conf, "out", usage),
       AppEnv.get(conf, "checkpoint", usage), trigger = AppEnv.trigger(conf))

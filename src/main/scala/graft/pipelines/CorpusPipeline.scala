@@ -158,8 +158,9 @@ object CorpusPipeline {
     */
   def streamingIngest(docs: DataFrame, tsCol: String, delay: String,
                       textCol: String = "text",
-                      minQuality: Double = Config().minQuality): DataFrame = {
-    val scored = docs
+                      minQuality: Double = Config().minQuality,
+                      evalHashes: Array[Long] = Array.empty): DataFrame = {
+    val scored = decontaminate(docs, evalHashes, textCol)
       .withColumn("quality", qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
       .withColumn("fp", md5(trim(lower(col(textCol)))))
@@ -167,6 +168,22 @@ object CorpusPipeline {
       scored.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("fp")
     else scored.dropDuplicates("fp")
   }
+
+  /** Eval-set n-gram decontamination as a STATELESS stream stage: drop any
+    * doc sharing a 5-gram hash with `evalHashes`. The eval set rides along
+    * as a literal array probed scan-locally (`arrays_overlap`) — q69's
+    * broadcast premise (benchmarks are bounded: all of them together are
+    * thousands of docs) applied where a stream can't run q96's
+    * aggregate-join form (the contaminated-id `distinct` is stateful).
+    * Batch callers with an UNBOUNDED eval side use q96's equi-join
+    * instead; an empty eval set is the identity.
+    */
+  def decontaminate(docs: DataFrame, evalHashes: Array[Long],
+                    textCol: String = "text", n: Int = 5): DataFrame =
+    if (evalHashes.isEmpty) docs
+    else docs.filter(!arrays_overlap(
+      shingleHashes(col(textCol), n),
+      lit(evalHashes)))
 
   /** Streaming incremental NEAR dedup — the continuous-ingest completion of
     * the dedup lambda ([[streamingIngest]] covers the exact path; this is

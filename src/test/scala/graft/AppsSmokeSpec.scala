@@ -254,21 +254,27 @@ class AppsSmokeSpec extends AnyFunSuite {
       doc(4, "completely different prose about volcanic geology and rare minerals", 13),
       "not json at all"))
     // batch 2: near-dup of 1 (append-one-word, jacc ~0.95) + a fresh doc
+    // + a doc repeating an eval 5-gram -> dropped by in-stream decont
     writeLines(in, "01_docs.jsonl", Seq(
       doc(5, base + " appended", 20),         // near-dup of 1 -> dropped vs index
-      doc(6, "another standalone text on deep sea hydrothermal vents and fauna", 21)))
+      doc(6, "another standalone text on deep sea hydrothermal vents and fauna", 21),
+      doc(7, "intro words then held out benchmark sequence five exactly closing", 22)))
+    val evalDir = tmp("appcorpus-eval")
+    Seq("held out benchmark sequence five").toDF("text")
+      .coalesce(1).write.mode("overwrite").parquet(evalDir)
 
     CorpusIngestApp.main(Array(
       "--source", "file", "--input", in, "--index", idx, "--out", out,
-      "--checkpoint", cp, "--max-files-per-trigger", "1"))
+      "--checkpoint", cp, "--eval", evalDir, "--max-files-per-trigger", "1"))
     spark.sparkContext.setLogLevel("ERROR")
 
     val admitted = spark.read.parquet(out).select($"doc_id")
       .as[Long].collect().toSet
     assert(admitted == Set(1L, 4L, 6L),
-      s"expected exact dup 2, low-quality 3, near-dup 5 dropped; got $admitted")
-    // the signature index holds every doc the near-dedup stage SAW
-    // (ingest survivors), admitted or not
+      s"expected exact dup 2, low-quality 3, near-dup 5, contaminated 7 dropped; got $admitted")
+    // the signature index holds every doc the near-dedup stage SAW (ingest
+    // survivors, admitted or not); decont drops doc 7 BEFORE ingest, so it
+    // never reaches the index
     assert(spark.read.parquet(idx).select($"doc_id").as[Long].collect().toSet
       == Set(1L, 4L, 5L, 6L))
   }

@@ -179,6 +179,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingIngest decontaminates in-stream: a doc sharing an eval " +
+    "5-gram is dropped statelessly, batch agrees") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // the eval doc's hashes, computed once batch-side (bounded set)
+    val evalHashes = Seq("e1 e2 e3 e4 e5 tail").toDF("text")
+      .select(explode(graft.functions.TextFunctions.shingleHashes($"text", 5)))
+      .as[Long].collect()
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = CorpusPipeline.streamingIngest(
+      in.toDF().toDF("doc_id", "text", "ts"), "ts", "10 seconds",
+      evalHashes = evalHashes)
+      .select($"doc_id")
+      .writeStream.format("memory").queryName("ingestdecont")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "lead e1 e2 e3 e4 e5 trail words here", ts(1)), // contaminated
+        (2L, "lead e1 e2 e3 e4 x5 trail words here", ts(2)), // 4-gram only
+        (3L, "fresh interesting clean words all around", ts(3)))
+      q.processAllAvailable()
+      val kept = spark.table("ingestdecont").as[Long].collect().toSet
+      assert(kept == Set(2L, 3L),
+        s"doc 1 shares an eval 5-gram and must drop in-stream; got $kept")
+    } finally q.stop()
+    // the batch form of the same call agrees
+    val batchKept = CorpusPipeline.streamingIngest(
+      Seq((1L, "lead e1 e2 e3 e4 e5 trail words here", ts(1)),
+        (2L, "lead e1 e2 e3 e4 x5 trail words here", ts(2)),
+        (3L, "fresh interesting clean words all around", ts(3)))
+        .toDF("doc_id", "text", "ts"),
+      "ts", "10 seconds", evalHashes = evalHashes)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(2L, 3L))
+  }
+
   test("streamingNearDedup: micro-batched near-dedup matches the batch recap survivors") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Dedup
