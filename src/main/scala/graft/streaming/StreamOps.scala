@@ -321,6 +321,54 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Streaming continuation of cross-document block packing
+    * (CurationQueries.blockPack / q107): each shard keeps ONE long of
+    * state — its cumulative packed length (tokens + EOS of everything
+    * packed so far) — and every micro-batch appends its docs at the
+    * persisted cursor. Emits q107's row shape (doc_id, shard, n_tok,
+    * off, blk_first, blk_last); offsets are gapless per shard ACROSS
+    * batches, so a one-batch stream reproduces the batch pack exactly
+    * and later batches extend shards without repacking — the batch form
+    * re-sorts the whole corpus, this is the append-only form a
+    * continuous admission stream feeds.
+    *
+    * In-batch order is q107's (h, doc_id); cross-batch order is arrival
+    * order — the streaming analogue of the dedup stages'
+    * first-arrival-wins (the periodic batch recap re-packs globally when
+    * byte-identical layout matters). State is O(#shards) longs — the
+    * smallest keyed state in the engine; NoTimeout, because the cursor
+    * IS the pack layout's tail position and must survive idle gaps.
+    */
+  def streamingBlockPack(spark: SparkSession, docs: DataFrame,
+                         shards: Int, blockSize: Int,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{polyHash, tokens}
+    require(shards >= 1 && blockSize >= 1,
+      s"need shards >= 1 and blockSize >= 1, got $shards/$blockSize")
+    docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        polyHash(concat(lit("s42|"), col(idCol).cast("string"))).as("h"),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard, events, state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = events.toSeq.sortBy(e => (e._2, e._1)).map { e =>
+            val o = off
+            off += e._3 + 1
+            (e._1, shard, e._3, o, o / blockSize, (o + e._3) / blockSize)
+          }
+          state.update(off)
+          out.iterator
+      }
+      .toDF("doc_id", "shard", "n_tok", "off", "blk_first", "blk_last")
+  }
+
   /** T6 CEP jump-out (bounce) detection. Pattern over each mid's
     * event-time-ordered page views: a session-entry view (lastPageId null)
     * is a bounce if the NEXT view is also a session entry, or if no view

@@ -216,6 +216,49 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(batchKept == Set(2L, 3L))
   }
 
+  test("streamingBlockPack: batch 1 reproduces the batch pack; batch 2 " +
+    "appends at each shard's persisted cursor, gapless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val shards = 2
+    val b1 = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"), (4L, "j k l m n"))
+    val b2 = Seq((5L, "o p q"), (6L, "r s"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.streamingBlockPack(
+      spark, in.toDF().toDF("doc_id", "text"), shards, 4)
+      .writeStream.format("memory").queryName("spack").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("spack")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      // one batch == the batch operator on the same rows (same order rule)
+      val batchPack = CurationQueries.blockPack(
+        b1.toDF("doc_id", "text"), shards, 4)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(afterB1.toSet == batchPack.toSet,
+        "a single-batch stream must reproduce the batch pack exactly")
+      in.addData(b2: _*); q.processAllAvailable()
+      val all = spark.table("spack")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(all.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+      // cross-batch invariant: offsets stay a gapless EOS-inclusive prefix
+      // sum per shard — batch 2 docs start where their shard's cursor was
+      for ((_, sh) <- all.groupBy(_._2); byOff = sh.sortBy(_._4)) {
+        assert(byOff.head._4 == 0L)
+        for (Array(a, b) <- byOff.sliding(2).map(_.toArray) if byOff.length > 1)
+          assert(b._4 == a._4 + a._3 + 1,
+            s"doc ${b._1} must start at doc ${a._1}'s end + EOS")
+      }
+      // and batch-2 docs never landed BEFORE batch-1 docs of their shard
+      val b1Ids = b1.map(_._1).toSet
+      for ((_, sh) <- all.groupBy(_._2)) {
+        val (olds, news) = sh.partition(r => b1Ids(r._1))
+        if (olds.nonEmpty && news.nonEmpty)
+          assert(news.map(_._4).min > olds.map(_._4).max)
+      }
+    } finally q.stop()
+  }
+
   test("streamingNearDedup: micro-batched near-dedup matches the batch recap survivors") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Dedup
