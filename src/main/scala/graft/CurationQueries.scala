@@ -15,7 +15,10 @@ import graft.operators.Dedup
   * MOSS-style winnowing fingerprints (q100) and their plagiarism-pair
   * match step (q106), BPE-training merge statistics (q104), the
   * cross-source overlap matrix (q105), GPT-style cross-document block
-  * packing (q107), and the Zipf spectrum-slope diagnostic (q108).
+  * packing (q107) with its streaming continuation
+  * (StreamOps.streamingBlockPack), the Zipf spectrum-slope diagnostic
+  * (q108), and the composed rules → decontaminate → dedup → pack build
+  * (q109).
   * Generalizes the same reference seam as TextQueries (the keyword UDTF,
   * …/app/func/KeywordUDTF.java:13-20): per-document text ops that must
   * survive a 100 TB corpus.

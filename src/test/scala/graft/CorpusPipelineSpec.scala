@@ -259,6 +259,45 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingBlockPack: the shard cursor survives a checkpointed restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("spack-in").toString
+    val out = java.nio.file.Files.createTempDirectory("spack-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("spack-cp").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    var n = 0
+    def write(docs: Seq[(Long, String)]): Unit = {
+      n += 1
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(in, f"f$n%02d.jsonl"),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n"))
+    }
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema).json(in)
+      val q = graft.streaming.StreamOps.streamingBlockPack(spark, docs, 2, 4)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination()
+    }
+    write(Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i")))
+    run()
+    write(Seq((4L, "j k l m n"), (5L, "o p")))
+    run() // FRESH query, same checkpoint: cursors must resume, not reset
+    val all = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(all.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    for ((_, sh) <- all.groupBy(_._2); byOff = sh.sortBy(_._4)) {
+      assert(byOff.head._4 == 0L)
+      for (Array(a, b) <- byOff.sliding(2).map(_.toArray) if byOff.length > 1)
+        assert(b._4 == a._4 + a._3 + 1,
+          s"restart must resume the cursor: doc ${b._1} vs doc ${a._1}")
+    }
+  }
+
   test("streamingNearDedup: micro-batched near-dedup matches the batch recap survivors") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Dedup
