@@ -64,6 +64,27 @@ object AppEnv {
         sys.error(s"unknown --state-store $other (rocksdb|memory)")
       case _ => ()
     }
+    // --progress <dir>: append each trigger's StreamingQueryProgress JSON
+    // to <dir>/<queryId>.jsonl — throughput/lag/state-size observability
+    // for headless jobs (the UI is what a cluster operator does NOT have
+    // on a batch-submitted streaming job). One line per trigger; rotation
+    // is the operator's logrotate problem, like any app log. The listener
+    // lives for the session lifetime — a CLI job is one JVM, which is the
+    // deployment this targets.
+    conf.get("progress").foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${e.progress.id}.jsonl"),
+            (e.progress.json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
+    }
     s
   }
 

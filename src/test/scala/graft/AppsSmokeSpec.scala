@@ -263,9 +263,11 @@ class AppsSmokeSpec extends AnyFunSuite {
     Seq("held out benchmark sequence five").toDF("text")
       .coalesce(1).write.mode("overwrite").parquet(evalDir)
 
+    val progressDir = tmp("appcorpus-progress")
     CorpusIngestApp.main(Array(
       "--source", "file", "--input", in, "--index", idx, "--out", out,
-      "--checkpoint", cp, "--eval", evalDir, "--max-files-per-trigger", "1"))
+      "--checkpoint", cp, "--eval", evalDir, "--max-files-per-trigger", "1",
+      "--progress", progressDir))
     spark.sparkContext.setLogLevel("ERROR")
 
     val admitted = spark.read.parquet(out).select($"doc_id")
@@ -277,6 +279,13 @@ class AppsSmokeSpec extends AnyFunSuite {
     // never reaches the index
     assert(spark.read.parquet(idx).select($"doc_id").as[Long].collect().toSet
       == Set(1L, 4L, 5L, 6L))
+    // --progress wrote one StreamingQueryProgress JSON line per trigger
+    val progressFiles = new java.io.File(progressDir).listFiles()
+    assert(progressFiles != null && progressFiles.nonEmpty,
+      "progress dir must hold a <queryId>.jsonl")
+    val lines = scala.io.Source.fromFile(progressFiles.head).getLines().toSeq
+    assert(lines.nonEmpty && lines.forall(_.contains("numInputRows")),
+      "each line must be a StreamingQueryProgress JSON")
   }
 
   test("CorpusIngestApp --state-store rocksdb: same admissions, RocksDB provider active") {
