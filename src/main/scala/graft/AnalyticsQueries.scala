@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Retrieval ranking and corpus-monitoring analytics: BM25 (the scoring
+  * head on top of the q103 postings family), cohort retention (the classic
+  * warehouse activity matrix the reference's DWS layer feeds), and PSI
+  * distribution drift (how a production corpus pipeline notices that this
+  * week's crawl stopped looking like last week's).
+  */
+object AnalyticsQueries {
+  import Queries.Q
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
+
+  /** BM25 parameters (Robertson-Spärck Jones defaults) and the query term
+    * set. Terms are a literal: a search head scores ONE query at a time,
+    * so only matching postings ever leave the scan stage.
+    */
+  val BM25_K1 = 1.2
+  val BM25_B = 0.75
+  val BM25_TERMS = Seq("spark", "join", "window", "data")
+  val BM25_TOPN = 20
+
+  /** BM25 ranked retrieval, top-20 docs for the literal term set.
+    *
+    * Scale shape: the `tok isin terms` filter runs BEFORE the (doc, tok)
+    * aggregate, so only query-term postings shuffle (a few rows/doc, no
+    * text); doc length is scan-local `size(tokens)`; N and avgdl are one
+    * global aggregate that cross-joins back as a 1-row broadcast; df is a
+    * count window over the tf aggregate — |terms| distinct keys. Scores
+    * round to 6 before ranking (tie-break doc_id asc); top-N compiles to
+    * TakeOrdered. idf is the standard `ln(1 + (N - df + .5)/(df + .5))`
+    * (always positive, unlike the raw RSJ form).
+    */
+  val q110_bm25: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+      .select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+        tokens(col("text")).as("tk"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(BM25_TERMS: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * (col("tf") * (BM25_K1 + 1)) /
+          (col("tf") + lit(BM25_K1) * (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+    // top-N first (TakeOrdered — map-side N, no global sort), THEN the rank
+    // window, which therefore runs on BM25_TOPN rows, not the corpus
+    val top = scored.orderBy(col("bm25").desc, col("doc_id").asc).limit(BM25_TOPN)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+  }
+
+  /** Cohort retention matrix over the events stream: users grouped by
+    * first-active day, counted on each later active day (offset in days).
+    *
+    * Scale shape: one events scan; distinct (user, day) first — the raw
+    * stream never reaches the window — then the cohort via a min-window on
+    * user, then the (cohort, offset) aggregate. `count(*)` IS the distinct
+    * user count there: rows are distinct (user, day) and a user's offset
+    * is a function of its day, so (user, offset) is unique within a cohort
+    * — no count-distinct expand needed. All three exchanges carry narrow
+    * (user/date) keys.
+    */
+  val q111_retention: Q = (s, dir) => {
+    val ua = t(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val wc = ua.withColumn("cohort_d",
+      min(col("d")).over(Window.partitionBy(col("user_id"))))
+    wc.groupBy(
+        date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
+  /** PSI binning: fixed-width n_chars bins (width 64, capped at bin 15) —
+    * fixed edges rather than reference deciles so the bin rule is a pure
+    * per-row expression (no quantile pass, engine-independent). PSI floors
+    * empty cells at 1e-6, the conventional epsilon.
+    */
+  val PSI_BINW = 64.0
+  val PSI_BINMAX = 15
+  val PSI_EPS = 1e-6
+  val PSI_REF = "src0"
+
+  /** Population-stability-index drift of the n_chars distribution, each
+    * source scored against the reference snapshot `src0`.
+    *
+    * Scale shape: ONE corpus-wide exchange (the (source, bin) count, ≤16
+    * rows per source after map-side partials); everything after it —
+    * per-source shares, the source×bin grid (so bins missing on either
+    * side still contribute), the epsilon floor, the PSI sum — runs on
+    * O(sources × 16) rows with broadcast joins. The monitoring query a
+    * 100 TB ingest runs per batch for the cost of one narrow aggregate.
+    */
+  val q112_psi_drift: Q = (s, dir) => {
+    val counts = t(s, dir).documents
+      .select(col("source"),
+        least(floor(col("n_chars") / PSI_BINW), lit(PSI_BINMAX)).cast("int").as("bin"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val shares = counts.withColumn("p",
+      col("c") / sum(col("c")).over(Window.partitionBy(col("source"))))
+    val ref = shares.filter(col("source") === PSI_REF)
+      .select(col("bin"), col("p").as("pr"))
+    val cur = shares.filter(col("source") =!= PSI_REF)
+      .select(col("source"), col("bin"), col("p"))
+    val grid = cur.select(col("source")).distinct()
+      .crossJoin(broadcast(counts.select(col("bin")).distinct()))
+    val psi = grid
+      .join(broadcast(ref), Seq("bin"), "left")
+      .join(broadcast(cur), Seq("source", "bin"), "left")
+      .select(col("source"),
+        greatest(coalesce(col("p"), lit(0.0)), lit(PSI_EPS)).as("q"),
+        greatest(coalesce(col("pr"), lit(0.0)), lit(PSI_EPS)).as("pb"))
+      .groupBy(col("source"))
+      .agg(round(sum((col("q") - col("pb")) * log(col("q") / col("pb"))), 6).as("psi"))
+    psi
+  }
+
+  def all: Map[String, Q] = Map(
+    "q110_bm25" -> q110_bm25,
+    "q111_retention" -> q111_retention,
+    "q112_psi_drift" -> q112_psi_drift)
+
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  def oracles: Map[String, String] = Map(
+    "q110_bm25" -> {
+      val termsIn = BM25_TERMS.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH d AS (SELECT doc_id, len($toksSql) AS dl, $toksSql AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+         |ex AS (SELECT doc_id, dl, unnest(tk) AS tok FROM d),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM ex
+         |       WHERE tok IN $termsIn GROUP BY 1, 2, 3),
+         |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT tf.doc_id,
+         |        ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+         |          (tf.tf * ${BM25_K1 + 1}) /
+         |          (tf.tf + $BM25_K1 * (1 - $BM25_B + $BM25_B * tf.dl / s.avgdl)) AS w
+         |      FROM tf JOIN dfx USING (tok) CROSS JOIN stats s),
+         |sc AS (SELECT doc_id, round(sum(w), 6) AS bm25, count(*) AS n_terms
+         |       FROM w GROUP BY 1)
+         |SELECT doc_id, bm25, n_terms, rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |WHERE rank <= $BM25_TOPN""".stripMargin
+    },
+    "q111_retention" ->
+      """WITH ua AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        |wc AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_d
+        |       FROM ua)
+        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort,
+        |       date_diff('day', cohort_d, d)::BIGINT AS day_offset,
+        |       count(*) AS users
+        |FROM wc GROUP BY 1, 2""".stripMargin,
+    "q112_psi_drift" ->
+      s"""WITH b AS (SELECT source,
+         |             least(floor(n_chars / $PSI_BINW), $PSI_BINMAX)::INT AS bin
+         |           FROM documents),
+         |c AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+         |sh AS (SELECT source, bin,
+         |         c / (sum(c) OVER (PARTITION BY source)) AS p FROM c),
+         |ref AS (SELECT bin, p AS pr FROM sh WHERE source = '$PSI_REF'),
+         |cur AS (SELECT source, bin, p FROM sh WHERE source <> '$PSI_REF'),
+         |grid AS (SELECT s.source, bn.bin
+         |         FROM (SELECT DISTINCT source FROM cur) s
+         |         CROSS JOIN (SELECT DISTINCT bin FROM c) bn),
+         |j AS (SELECT g.source,
+         |        greatest(coalesce(cur.p, 0), $PSI_EPS) AS q,
+         |        greatest(coalesce(ref.pr, 0), $PSI_EPS) AS pb
+         |      FROM grid g
+         |      LEFT JOIN ref ON g.bin = ref.bin
+         |      LEFT JOIN cur ON cur.source = g.source AND cur.bin = g.bin)
+         |SELECT source, round(sum((q - pb) * ln(q / pb)), 6) AS psi
+         |FROM j GROUP BY 1""".stripMargin)
+}

@@ -317,7 +317,8 @@ object Queries {
   def all: Map[String, Q] =
     (base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
       ++ ExtraQueries.all ++ FunctionQueries.all ++ DwsQueries.all
-      ++ ScaleQueries.all ++ CurationQueries.all ++ SketchQueries.all)
+      ++ ScaleQueries.all ++ CurationQueries.all ++ SketchQueries.all
+      ++ AnalyticsQueries.all)
       .view.mapValues(withEngineFunctions).toMap
 
   /** Engine functions (plans.PolyHash etc.) resolve via the function
@@ -361,7 +362,8 @@ object Queries {
     baseOracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ ExtraQueries.oracles ++
       FunctionQueries.oracles ++ DwsQueries.oracles ++ ScaleQueries.oracles ++
-      CurationQueries.oracles ++ SketchQueries.oracles
+      CurationQueries.oracles ++ SketchQueries.oracles ++
+      AnalyticsQueries.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.core.Tables
-import graft.operators.{Ivf, Similarity}
+import graft.operators.{Ivf, Pq, Similarity}
 
 /** Scaling bench (round-2 verdict item 4): the sf0.1 bench is fixed-cost
   * dominated (every query 0.2–2 s), so a regression hiding a super-linear
@@ -64,7 +64,13 @@ object ScaleBench {
     // design: a fixed-size sketch state probed by constant-row tables has
     // no per-SF term beyond the scan.
     "q103_postings", "q104_bpe_pairs", "q105_source_overlap",
-    "q106_winnow_pairs", "q109_curated_pack")
+    "q106_winnow_pairs", "q109_curated_pack",
+    // analytics family: q110 scans a growing corpus for a FIXED query's
+    // postings (replica-suffixed tokens keep df flat, so the measured term
+    // is the scan+dl pass — the realistic shape: one search query's work
+    // must not inherit corpus growth beyond the scan); q111/q112 are the
+    // narrow-agg monitoring passes a continuous ingest pays per batch
+    "q110_bm25", "q111_retention", "q112_psi_drift")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -144,6 +150,26 @@ object ScaleBench {
     (s, dir) => CurationQueries.blockPack(
       Tables.load(s, dir, "documents"), shards, 256)
 
+  /** PQ flat-ADC variants: the scan is linear in n by construction (every
+    * candidate pays one m-term codes walk), so the only super-constant
+    * cost is training's Lloyd scans — the sampled variant (train on 10%)
+    * bounds exactly that, mirroring ivfQ's train-on-sample form. At
+    * 100 TB the flat scan itself yields to the composed IVF-PQ shape
+    * (PqSpec's last case): q61 measures the probe half, these rows the
+    * ADC half.
+    */
+  private def pqQ(sampled: Boolean): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents =
+        if (sampled)
+          Pq.trainOnSample(emb, fraction = 0.1, seed = 42L, "vec_id",
+            "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+        else Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+      Pq.adcTopK(Pq.assignCodes(emb, "embedding", cents, 8),
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", cents, 5)
+    }
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
@@ -193,7 +219,8 @@ object ScaleBench {
       "q84_incremental_dedup", "q95_incremental_bloomed",
       "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow",
       "q103_postings", "q104_bpe_pairs", "q105_source_overlap",
-      "q106_winnow_pairs", "q109_curated_pack")
+      "q106_winnow_pairs", "q109_curated_pack",
+      "q110_bm25", "q111_retention", "q112_psi_drift")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),
@@ -245,7 +272,15 @@ object ScaleBench {
           sf100.map(d => cell("q107s8|100", packQ(8), d))),
         ("q107_pack_scaled_shards", "q107s8|01",
           cell("q107s80|1", packQ(80), sf1),
-          sf100.map(d => cell("q107s800|100", packQ(800), d))))
+          sf100.map(d => cell("q107s800|100", packQ(800), d))),
+        ("q113_pq_fulltrain",
+          cell("q113f|01", pqQ(sampled = false), sf01),
+          cell("q113f|1", pqQ(sampled = false), sf1),
+          sf100.map(d => cell("q113f|100", pqQ(sampled = false), d))),
+        ("q113_pq_sampledtrain",
+          cell("q113s|01", pqQ(sampled = true), sf01),
+          cell("q113s|1", pqQ(sampled = true), sf1),
+          sf100.map(d => cell("q113s|100", pqQ(sampled = true), d))))
 
     // SPARK_GRAFT_SCALE_ONLY=q104,q105 measures just the named row
     // prefixes — re-measuring a new operator must not pay the full matrix

@@ -121,6 +121,38 @@ object SimilarityQueries {
     Similarity.prototypes(emb, "vec_id", "embedding", cents, DIMS, PROTO_K)
   }
 
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids each — a
+    * vector compresses to 8 codes (4 bytes at 4 bits/code). k=16 over 500
+    * vectors ≈ 31 vectors/cell per subspace, enough to exercise real
+    * quantization error (PqSpec measures recall vs exact L2).
+    */
+  val PQ_M = 8
+  val PQ_SUBD = 8
+  val PQ_K = 16
+  val PQ_ITERS = 2
+
+  private def pqKey(dir: String) = s"pq|$dir|$PQ_M|$PQ_SUBD|$PQ_K|$PQ_ITERS"
+
+  @volatile private var lastPqKey: Option[String] = None
+
+  /** PQ-compressed ANN (ADC over the full corpus — "flat PQ"): the memory
+    * half of the 100 TB ANN story (IVF q61 is the probe half; PqSpec runs
+    * them composed). Training happens Spark-side; the oracle replays code
+    * assignment + reconstruction + top-k from the trained codebooks
+    * inlined as a literal, exactly like q61's centroid-literal oracle.
+    */
+  val q113_pq_adc: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val cents = graft.operators.Pq.trainCached(emb, pqKey(dir), "vec_id",
+      "embedding", m = PQ_M, subDims = PQ_SUBD, k = PQ_K, iters = PQ_ITERS)
+    lastPqKey = Some(pqKey(dir))
+    val corpus = graft.operators.Pq.assignCodes(emb, "embedding", cents, PQ_SUBD)
+    graft.operators.Pq.adcTopK(corpus, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", cents, kNeighbors = 5)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
@@ -129,7 +161,8 @@ object SimilarityQueries {
     "q64_embedding_neardup" -> q64_embedding_neardup,
     "q87_semantic_dedup" -> q87_semantic_dedup,
     "q89_incremental_semdedup" -> q89_incremental_semdedup,
-    "q92_prototypes" -> q92_prototypes)
+    "q92_prototypes" -> q92_prototypes,
+    "q113_pq_adc" -> q113_pq_adc)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private def foldSum(terms: String) =
@@ -254,11 +287,49 @@ object SimilarityQueries {
          |WHERE rank <= $PROTO_K""".stripMargin
     }
 
+  /** q113 oracle: per-subspace code assignment over the Spark-trained
+    * codebooks as a literal VALUES list, reconstruction via an ORDERED
+    * list aggregate (so the ADC fold runs in the same subspace-major dim
+    * order as the codegen'd loop), squared-L2 + per-query top-k.
+    */
+  private def q113Oracle: Option[String] =
+    lastPqKey.flatMap(graft.operators.Pq.cachedModel).map { cents =>
+      val cbRows = (for (j <- 0 until PQ_M; c <- 0 until PQ_K) yield {
+        val off = (j * PQ_K + c) * PQ_SUBD
+        val vs = (0 until PQ_SUBD).map(t => cents(off + t)).mkString("[", ", ", "]")
+        s"($j, $c, $vs::DOUBLE[])"
+      }).mkString(", ")
+      val subL2 = foldSum(
+        s"list_transform(range($PQ_SUBD), t -> " +
+          s"(v.v[cb.j*$PQ_SUBD + t + 1] - cb.cvec[t+1]) * (v.v[cb.j*$PQ_SUBD + t + 1] - cb.cvec[t+1]))")
+      s"""WITH $vCte,
+         |cb AS (SELECT * FROM (VALUES $cbRows) t(j, c, cvec)),
+         |asg AS (
+         |  SELECT vec_id, j, cvec FROM (
+         |    SELECT v.vec_id, cb.j, cb.cvec,
+         |      row_number() OVER (PARTITION BY v.vec_id, cb.j
+         |        ORDER BY $subL2 ASC, cb.c ASC) AS rn
+         |    FROM v CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |recon AS (
+         |  SELECT vec_id, flatten(list(cvec ORDER BY j)) AS rv
+         |  FROM asg GROUP BY vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+         |    round(${foldSum(s"list_transform(range(${PQ_M * PQ_SUBD}), i -> (q.v[i+1] - r.rv[i+1]) * (q.v[i+1] - r.rv[i+1]))")}, 6) AS adc
+         |  FROM v q JOIN recon r ON q.vec_id < 10 AND q.vec_id <> r.vec_id)
+         |SELECT query_id, neighbor_id, adc, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    }
+
   def oracles: Map[String, String] = {
     val dynamic = Seq(
       "q61_ivf_ann" -> q61Oracle, "q87_semantic_dedup" -> q87Oracle,
       "q89_incremental_semdedup" -> q89Oracle,
-      "q92_prototypes" -> q92Oracle)
+      "q92_prototypes" -> q92Oracle,
+      "q113_pq_adc" -> q113Oracle)
       .collect { case (k, Some(sql)) => k -> sql }
     staticOracles ++ dynamic
   }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.asDouble
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): the vector is split into `m` contiguous
+  * subvectors and each subspace gets its own k-centroid codebook, so a
+  * 64-dim float vector compresses to m small ints (m=8, k=16 → 8×4 bits =
+  * 4 bytes vs 256 — the reason 100 TB of embeddings can live in executor
+  * memory at all). Search uses asymmetric distance computation (ADC):
+  * the query stays full-precision and candidates are scored against their
+  * reconstructions — one codegen'd `pq_adc` per pair.
+  *
+  * Scale design (the PQ half of the IVF story in [[Ivf]]):
+  *  - training is per-subspace Lloyd's, but all m subspaces train in the
+  *    SAME corpus scan per iteration (codes → posexplode → one narrow
+  *    groupBy of ≤ m·k·subDims rows) — at 100 TB you train on a sample,
+  *    exactly like [[Ivf.trainOnSample]];
+  *  - the model is O(m·k·subDims) doubles of driver state, independent of
+  *    corpus size; it rides into executors as a plan literal, so code
+  *    assignment ([[assignCodes]]) is a zero-shuffle scan;
+  *  - ADC search broadcasts the (small) query set against the code column
+  *    only — the corpus' float vectors are never read again, which is the
+  *    point: a PQ index scan moves m bytes/vector, not dims·4;
+  *  - composing with IVF (assign a coarse centroid AND codes, probe lists,
+  *    ADC within the probed lists) needs no new machinery — PqSpec runs
+  *    the composed form.
+  */
+object Pq {
+
+  /** Per-(input, params) model cache — same contract as [[Ivf.trainCached]]:
+    * `avg`'s partial-merge order is deterministic only up to FP
+    * reassociation, so the oracle must replay the EXACT array this JVM
+    * trained, and bench reruns should pay training once.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]
+
+  def trainCached(df: DataFrame, cacheKey: String, idCol: String, vecCol: String,
+                  m: Int, subDims: Int, k: Int, iters: Int): Array[Double] =
+    modelCache.computeIfAbsent(cacheKey, _ => train(df, idCol, vecCol, m, subDims, k, iters))
+
+  def cachedModel(cacheKey: String): Option[Array[Double]] =
+    Option(modelCache.get(cacheKey))
+
+  /** Train on a deterministic sample — same contract and rationale as
+    * [[Ivf.trainOnSample]]: the codebooks are an index-layout choice, and
+    * Lloyd's on a uniform few-percent sample places them within sampling
+    * noise of the full fit, so at 100 TB the training scans touch a
+    * fraction of the corpus while assignment still runs exactly once.
+    */
+  def trainOnSample(df: DataFrame, fraction: Double, seed: Long,
+                    idCol: String, vecCol: String,
+                    m: Int, subDims: Int, k: Int, iters: Int): Array[Double] = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    train(df.sample(withReplacement = false, fraction, seed), idCol, vecCol, m, subDims, k, iters)
+  }
+
+  /** Flat m×k×subDims codebook array (layout `(j*k + c)*subDims + t`, the
+    * `pq_codes`/`pq_adc` contract) trained by `iters` Lloyd rounds per
+    * subspace — all subspaces in the same scans. Deterministic given a
+    * deterministic input: init = the k lowest-id vectors sliced per
+    * subspace; assignment ties break toward the lower code; empty codes
+    * keep their previous centroid.
+    */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+            m: Int, subDims: Int, k: Int, iters: Int): Array[Double] = {
+    val dims = m * subDims
+    val v = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    val init = v.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect().map(_.getSeq[Double](0))
+    require(init.length == k && init.forall(_.length == dims),
+      s"need $k init vectors of $dims dims")
+    var cents = Array.ofDim[Double](m * k * subDims)
+    for (c <- 0 until k; j <- 0 until m; t <- 0 until subDims)
+      cents((j * k + c) * subDims + t) = init(c)(j * subDims + t)
+    for (_ <- 1 to iters) {
+      val coded = v.withColumn("__codes",
+        call_function("pq_codes", col("__v"), lit(cents), lit(subDims)))
+      val means = coded
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy(
+          (col("__d") / subDims).cast("int").as("__j"),
+          element_at(col("__codes"), (col("__d") / subDims).cast("int") + 1).as("__c"),
+          (col("__d") % subDims).as("__t"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = cents.clone()
+      means.foreach { r =>
+        next((r.getInt(0) * k + r.getInt(1)) * subDims + r.getAs[Number](2).intValue()) =
+          r.getDouble(3)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Attach the m-int code array (one codegen'd pass, no shuffle). */
+  def assignCodes(df: DataFrame, vecCol: String, cents: Array[Double], subDims: Int): DataFrame =
+    df.withColumn("codes",
+      call_function("pq_codes", asDouble(col(vecCol)), lit(cents), lit(subDims)))
+
+  /** ADC top-k per query over a PQ-coded corpus: squared-L2 to the
+    * reconstruction, ascending, ties toward the lower neighbor id.
+    * The corpus side reads ONLY (id, codes); the query set broadcasts.
+    * Distances round to 6 decimals BEFORE ranking (the oracle contract).
+    */
+  def adcTopK(corpusCoded: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, cents: Array[Double],
+              kNeighbors: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = corpusCoded
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(call_function("pq_adc", col("qv"), col("codes"), lit(cents)), 6).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+  }
+}

@@ -182,17 +182,26 @@ object NearestCentroid {
     * assignment is total and engine-independent.
     */
   def nearest(vec: ArrayData, cents: ArrayData, dims: Int): Int = {
-    val k = cents.numElements() / dims
-    val n = math.min(dims, vec.numElements())
+    nearestSub(vec, 0, cents, 0, math.min(dims, vec.numElements()),
+      cents.numElements() / dims, dims)
+  }
+
+  /** Shared argmin-L2 kernel over a subrange: compares `vec[vOff..vOff+n)`
+    * against `k` centroids of stride `dims` starting at `cOff`, accumulating
+    * squared diffs in index order (the FP-order contract every oracle
+    * replays with a strict left fold).
+    */
+  def nearestSub(vec: ArrayData, vOff: Int, cents: ArrayData, cOff: Int,
+                 n: Int, k: Int, dims: Int): Int = {
     var best = -1
     var bestD = Double.MaxValue
     var c = 0
     while (c < k) {
-      val off = c * dims
+      val off = cOff + c * dims
       var d = 0d
       var i = 0
       while (i < n) {
-        val diff = vec.getDouble(i) - cents.getDouble(off + i)
+        val diff = vec.getDouble(vOff + i) - cents.getDouble(off + i)
         d += diff * diff
         i += 1
       }
@@ -206,4 +215,133 @@ object NearestCentroid {
     FunctionIdentifier("nearest_centroid"),
     new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
     (c: Seq[Expression]) => NearestCentroid(c.head, c(1), c(2)))
+}
+
+/** pq_codes(vec, codebooks, subdims): product-quantization code assignment —
+  * the vector is split into m = len(vec)/subdims contiguous subvectors, and
+  * each is assigned the index of its L2-nearest centroid in that subspace's
+  * codebook. Returns array<int> of length m.
+  *
+  * Codebook layout is a single flat array<double> literal: entry
+  * `(j*k + c)*subdims + t` holds dim `t` of centroid `c` of subspace `j`,
+  * with k = len(codebooks)/len(vec) centroids per subspace — the whole
+  * model rides into executors as one plan literal (O(m·k·subdims) doubles,
+  * independent of corpus size), so code assignment is a zero-shuffle
+  * codegen'd scan, exactly like IVF's `nearest_centroid`.
+  *
+  * Ties break toward the lower code index; per-subspace squared diffs
+  * accumulate in dim order (both FP-order contracts the DuckDB oracle
+  * replays). A trailing partial subspace (len(vec) % subdims != 0) is
+  * ignored — callers pass vectors whose length is m*subdims by contract.
+  */
+case class PqCodes(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = (first.dataType, second.dataType, third.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "pq_codes(vec: array<double>, codebooks: array<double>, subdims: int)")
+  }
+
+  protected override def nullSafeEval(v: Any, c: Any, d: Any): Any =
+    PqCodes.codes(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, d) => s"graft.plans.PqCodes$$.MODULE$$.codes($v, $c, $d)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): PqCodes =
+    copy(first = f, second = s, third = t)
+}
+
+object PqCodes {
+  def codes(vec: ArrayData, cents: ArrayData, subDims: Int): ArrayData = {
+    val m = vec.numElements() / subDims
+    val k = if (m == 0) 0 else cents.numElements() / (m * subDims)
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      out(j) = NearestCentroid.nearestSub(
+        vec, j * subDims, cents, j * k * subDims, subDims, k, subDims)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_codes"),
+    new ExpressionInfo(classOf[PqCodes].getName, "pq_codes"),
+    (c: Seq[Expression]) => PqCodes(c.head, c(1), c(2)))
+}
+
+/** pq_adc(qvec, codes, codebooks): asymmetric distance computation — the
+  * squared L2 distance between a full-precision query vector and a
+  * PQ-compressed corpus vector, i.e. the L2 to the code's RECONSTRUCTION
+  * (the concatenation of each subspace's chosen centroid). The PQ search
+  * hot loop: every (query, candidate) pair pays exactly this.
+  *
+  * Geometry is inferred: m = len(codes), subdims = len(qvec)/m,
+  * k = len(codebooks)/len(qvec). Accumulation order is global dim order
+  * (subspace-major), identical to a strict left fold over the
+  * reconstructed vector — the DuckDB oracle rebuilds the reconstruction
+  * with an ordered list aggregate and folds the same way. A code outside
+  * [0, k) (never produced by `pq_codes`) yields NULL.
+  */
+case class PqAdc(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (first.dataType, second.dataType, third.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(IntegerType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "pq_adc(qvec: array<double>, codes: array<int>, codebooks: array<double>)")
+  }
+
+  protected override def nullSafeEval(q: Any, c: Any, cb: Any): Any =
+    PqAdc.adc(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, cb) =>
+      s"""
+         |Object r = graft.plans.PqAdc$$.MODULE$$.adc($q, $c, $cb);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) r).doubleValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): PqAdc =
+    copy(first = f, second = s, third = t)
+}
+
+object PqAdc {
+  /** Boxed Double (null on an out-of-range code). */
+  def adc(q: ArrayData, codes: ArrayData, cents: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0d
+    val subDims = q.numElements() / m
+    val k = cents.numElements() / (m * subDims)
+    var acc = 0d
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k) return null
+      val cOff = (j * k + c) * subDims
+      val qOff = j * subDims
+      var t = 0
+      while (t < subDims) {
+        val diff = q.getDouble(qOff + t) - cents.getDouble(cOff + t)
+        acc += diff * diff
+        t += 1
+      }
+      j += 1
+    }
+    acc
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_adc"),
+    new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+    (c: Seq[Expression]) => PqAdc(c.head, c(1), c(2)))
 }

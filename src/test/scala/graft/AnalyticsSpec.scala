@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the analytics family on planted data: BM25 against
+  * hand-evaluated weights, the cohort retention matrix on a hand-drawn
+  * activity calendar, and PSI's three contracts (identical → 0, shifted →
+  * positive, bins missing on one side → finite via the epsilon floor).
+  * The DuckDB oracle hash-checks the same queries on the synthetic tables;
+  * these prove the arithmetic on inputs small enough to check by hand.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** BM25 corpus: doc 1 has two 'spark' of 4 tokens; doc 2 one 'spark' of
+    * 8; doc 3 matches nothing. PSI corpus rides along via n_chars/source:
+    * src0 (ref) and src_same share the same n_chars multiset {100, 200};
+    * src_shift sits in different bins {400, 500}; src_gap puts one doc in
+    * a bin src0 never populates.
+    */
+  lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-analytics-sf").toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, "spark spark x y", "en", "src0", 100L),
+      (2L, "spark a b c d e f g", "en", "src0", 200L),
+      (3L, "q w e r", "en", "src_same", 100L),
+      (4L, "t y u i", "en", "src_same", 200L),
+      (5L, "m n b v", "en", "src_shift", 400L),
+      (6L, "l k j h", "en", "src_shift", 500L),
+      (7L, "z z z z", "en", "src_gap", 100L),
+      (8L, "g g g g", "en", "src_gap", 1300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    // activity calendar: u1 active d0,d1,d3 (d0 twice — the distinct must
+    // collapse it); u2 d0 only; u3 first seen d1, also d2
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-02-0${day + 1}%d 0$h:00:00")
+    val events = Seq(
+      (1L, ts(0, 1), 1L, "view", 1.0, "{}"),
+      (2L, ts(0, 2), 1L, "view", 1.0, "{}"),
+      (3L, ts(1, 1), 1L, "view", 1.0, "{}"),
+      (4L, ts(3, 1), 1L, "view", 1.0, "{}"),
+      (5L, ts(0, 1), 2L, "view", 1.0, "{}"),
+      (6L, ts(1, 1), 3L, "view", 1.0, "{}"),
+      (7L, ts(2, 1), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(1).write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  private def run(q: String) = SparkEntry.queries(q)(spark, dir)
+
+  test("q110: BM25 weights match the hand-evaluated formula; no-term docs absent") {
+    // N=8 docs, avgdl = (4+8+4·6)/8 = 4.5, df('spark')=2
+    val N = 8.0; val avgdl = 4.5; val df = 2.0
+    val idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    def w(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    val got = run("q110_bm25")
+      .select($"doc_id", $"bm25", $"rank").as[(Long, Double, Long)].collect()
+      .sortBy(_._3)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), s"ranking wrong: ${got.toSeq}")
+    assert(math.abs(got(0)._2 - w(2, 4)) < 1e-6 && math.abs(got(1)._2 - w(1, 8)) < 1e-6,
+      s"weights: got ${got.toSeq}, want ${w(2, 4)} / ${w(1, 8)}")
+  }
+
+  test("q111: retention matrix matches the hand-drawn calendar") {
+    val got = run("q111_retention")
+      .select($"cohort", $"day_offset", $"users").as[(String, Long, Long)]
+      .collect().toSet
+    val want = Set(
+      ("2024-02-01", 0L, 2L), // u1+u2 on their first day
+      ("2024-02-01", 1L, 1L), // u1 back next day (double event counted once)
+      ("2024-02-01", 3L, 1L), // u1 back on day 3
+      ("2024-02-02", 0L, 1L), // u3's cohort
+      ("2024-02-02", 1L, 1L)) // u3 back next day
+    assert(got == want, s"got $got")
+  }
+
+  test("q112: identical dist → 0; shifted → positive; gap bin stays finite") {
+    val got = run("q112_psi_drift")
+      .select($"source", $"psi").as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("src_same", "src_shift", "src_gap"),
+      "reference src0 must not score itself")
+    assert(got("src_same") == 0.0, s"identical distribution: ${got("src_same")}")
+    assert(got("src_shift") > 1.0, s"fully disjoint bins should spike: ${got("src_shift")}")
+    assert(got("src_gap") > 0 && !got("src_gap").isInfinite && !got("src_gap").isNaN,
+      s"epsilon floor must keep a one-sided bin finite: ${got("src_gap")}")
+  }
+}

@@ -78,7 +78,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q106_winnow_pairs" -> 2,     // h → doc-set agg (partial collect_set dedups, df cap filters) + pair agg; top-50 is TakeOrdered
     "q107_block_pack" -> 1,       // the shard window is the only exchange; offsets/blocks are scan-local arithmetic after it
     "q108_zipf" -> 2,             // word agg + spectrum agg; the regression runs in the final global agg (SinglePartition over ~hundreds of spectrum rows)
-    "q109_curated_pack" -> 6)     // the composed build: eval-h distinct + contaminated-doc distinct + fp agg + shard window, plus the survivor-id semi-join's SMJ pair at this SF (AQE broadcasts the id set when it measures small; all keys narrow either way)
+    "q109_curated_pack" -> 6,     // the composed build: eval-h distinct + contaminated-doc distinct + fp agg + shard window, plus the survivor-id semi-join's SMJ pair at this SF (AQE broadcasts the id set when it measures small; all keys narrow either way)
+    "q110_bm25" -> 3,             // query-term tf agg + df count-window on tok + per-doc score agg — only query-term postings shuffle; N/avgdl is SinglePartition; top-N is TakeOrdered (shape-pinned below)
+    "q111_retention" -> 3,        // distinct (user,day) + cohort min-window on user + (cohort,offset) agg; count(*) IS the distinct-user count (rows unique per (user,offset)) so no count-distinct expand
+    "q112_psi_drift" -> 6,        // one CORPUS exchange — (source,bin) counts — printed 2× for the ref/cur branches plus grid distincts; identical subplans collapse via runtime exchange reuse, and everything after the counts is O(sources×bins) broadcast work
+    "q113_pq_adc" -> 1)           // codes assign is scan-local (model is a plan literal); ADC join broadcasts the query set; the only exchange is the per-query top-k, pre-cut map-side by WindowGroupLimit
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
@@ -96,6 +100,14 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q must push a per-partition group limit below the shuffle — " +
           "without it the window shuffles the whole group contents")
     }
+  }
+
+  test("q110's top-N compiles to TakeOrdered; q113's per-query cut to WindowGroupLimit") {
+    assert(plan("q110_bm25").contains("TakeOrderedAndProject"),
+      "q110 must TakeOrdered the corpus-wide ranking — a global row_number " +
+        "window would single-partition-sort every scored doc")
+    assert(plan("q113_pq_adc").contains("WindowGroupLimit"),
+      "q113 must pre-cut per-query candidates map-side before the rank shuffle")
   }
 
   test("q95's bloom probe is scan-local (xxhash64 filter in the plan, not a join)") {

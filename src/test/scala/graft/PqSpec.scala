@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.{Ivf, Pq}
+
+/** Product quantization: code assignment semantics, ADC's exact
+  * reconstruction-distance contract, training convergence, recall of the
+  * compressed search against the exact-L2 baseline, and the composed
+  * IVF-PQ form (coarse probe + ADC re-rank) — the full 100 TB ANN shape.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.load(spark, TestSession.sf, "embeddings")
+
+  // codebook layout (j*k + c)*subDims + t: 2 subspaces × 2 dims, k=2
+  // subspace0: c0=(0,0) c1=(10,10); subspace1: c0=(5,5) c1=(-5,-5)
+  private val toyCents =
+    Array(0.0, 0.0, 10.0, 10.0, 5.0, 5.0, -5.0, -5.0)
+
+  test("pq_codes: per-subspace L2 argmin with low-code tie-break") {
+    val df = Seq(
+      (1L, Seq(1.0, 1.0, 4.0, 4.0)),    // sub0 → c0, sub1 → c0
+      (2L, Seq(9.0, 9.0, -4.0, -4.0)),  // sub0 → c1, sub1 → c1
+      (3L, Seq(5.0, 5.0, 0.0, 0.0)))    // both equidistant → lower code
+      .toDF("id", "v")
+    val got = Pq.assignCodes(df, "v", toyCents, 2)
+      .select($"id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(1L -> Seq(0, 0), 2L -> Seq(1, 1), 3L -> Seq(0, 0)))
+  }
+
+  test("pq_adc is the exact squared L2 to the code reconstruction") {
+    // query (1,2,3,4) vs codes [1,0] → recon (10,10,5,5):
+    // (1-10)^2+(2-10)^2+(3-5)^2+(4-5)^2 = 81+64+4+1 = 150
+    val df = Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(1, 0))).toDF("qv", "codes")
+    val got = df.select(
+      call_function("pq_adc", $"qv", $"codes", lit(toyCents)).as("d"))
+      .as[Double].head()
+    assert(got == 150.0)
+  }
+
+  test("pq_adc: out-of-range code yields NULL, empty codes yield 0") {
+    val bad = Seq((Seq(1.0, 2.0), Seq(7))).toDF("qv", "codes")
+      .select(call_function("pq_adc", $"qv", $"codes", lit(toyCents)).as("d"))
+    assert(bad.filter($"d".isNull).count() == 1)
+  }
+
+  test("training reduces mean quantization error vs the init codebook") {
+    def meanSelfAdc(cents: Array[Double]): Double =
+      Pq.assignCodes(emb, "embedding", cents, 8)
+        .select(call_function("pq_adc",
+          graft.operators.Similarity.asDouble($"embedding"), $"codes", lit(cents)).as("d"))
+        .agg(avg($"d")).as[Double].head()
+    val init = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 0)
+    val trained = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    val e0 = meanSelfAdc(init)
+    val e2 = meanSelfAdc(trained)
+    assert(e2 < e0, s"training should cut quantization error: init $e0, trained $e2")
+  }
+
+  /** Exact squared-L2 top-5 per query, computed driver-side (500×64 is
+    * nothing locally; the point is an independent baseline, not a plan).
+    */
+  private def exactTop5(vecs: Map[Long, Array[Double]]): Map[Long, Set[Long]] =
+    vecs.filter(_._1 < 10).map { case (q, qv) =>
+      val top = vecs.toSeq.filter(_._1 != q)
+        .map { case (n, nv) =>
+          var d = 0d; var i = 0
+          while (i < qv.length) { val x = qv(i) - nv(i); d += x * x; i += 1 }
+          (n, d)
+        }
+        .sortBy { case (n, d) => (d, n) }.take(5).map(_._1).toSet
+      q -> top
+    }
+
+  test("ADC top-5 recall vs exact L2 top-5 (8 bytes/vector vs 512)") {
+    val vecs = emb.select($"vec_id",
+      graft.operators.Similarity.asDouble($"embedding").as("v"))
+      .as[(Long, Array[Double])].collect().toMap
+    val exact = exactTop5(vecs)
+    val got = SparkEntry.queries("q113_pq_adc")(spark, TestSession.sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    assert(got.keySet == exact.keySet && got.values.forall(_.size == 5))
+    val recall = exact.map { case (q, ex) => (got(q) & ex).size / 5.0 }.sum / exact.size
+    // The synthetic embeddings are ISOTROPIC — no cluster structure for the
+    // codebooks to exploit, which is PQ's published worst case. Measured
+    // recall@5 here is 0.2 at 64:1 compression vs a 5/499 ≈ 0.01 chance
+    // baseline (20×). The floor guards layout/code bugs (those drop recall
+    // to ~chance), not the isotropic ceiling.
+    assert(recall >= 0.1, s"ADC recall@5 collapsed toward chance: $recall")
+  }
+
+  test("composed IVF-PQ: probe nprobe coarse lists, ADC-rank inside them") {
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    val corpus = Pq.assignCodes(
+      Ivf.assign(emb, "embedding", coarse, 64), "embedding", pq, 8)
+    val queries = emb.filter($"vec_id" < 10)
+    // coarse probe: 2 nearest lists per query (Ivf.knn's probe plan)
+    val cf = Ivf.centroidFrame(spark, coarse, 64)
+    val q = queries.select($"vec_id".as("query_id"),
+      graft.operators.Similarity.asDouble($"embedding").as("qv"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cdist".asc, $"centroid".asc)
+    val probes = q.crossJoin(broadcast(cf))
+      .withColumn("cdist",
+        -graft.operators.Similarity.dot($"qv", $"cvec") * 2 +
+          graft.operators.Similarity.dot($"cvec", $"cvec"))
+      .withColumn("pr", row_number().over(probeW)).filter($"pr" <= 2)
+      .select($"query_id", $"qv", $"centroid")
+    // candidates = probed lists only; ADC-rank them (codes, not floats)
+    val scored = corpus.select($"centroid", $"vec_id".as("neighbor_id"), $"codes")
+      .join(broadcast(probes), Seq("centroid"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", $"centroid",
+        call_function("pq_adc", $"qv", $"codes", lit(pq)).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"adc".asc, $"neighbor_id".asc)
+    val top = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+    val rows = top.select($"query_id", $"neighbor_id", $"centroid").collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // every returned neighbor must live in one of its query's probed lists
+    val probed = probes.select($"query_id", $"centroid")
+      .as[(Long, Int)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(rows.forall(r => probed(r.getLong(0)).contains(r.getInt(2))))
+  }
+}
