@@ -134,34 +134,104 @@ object AnalyticsQueries {
     psi
   }
 
+  /** RRF constant (Cormack et al.'s 60) and arm/output depths. */
+  val RRF_K = 60
+  val RRF_ARM_N = 20
+  val RRF_TOPN = 10
+  val RRF_QUERY_VEC = 0L
+
+  /** Hybrid retrieval: BM25 lexical arm fused with an embedding cosine arm
+    * by reciprocal-rank fusion — the standard head of a production RAG
+    * stack (each arm covers the other's blind spot: BM25 exact terms,
+    * embeddings paraphrase). Σ 1/(k + rank) over the arms that returned
+    * the doc; vec_id doubles as doc_id in the synthetic tables.
+    *
+    * Scale shape: each arm is already top-N (BM25's TakeOrdered, the
+    * cosine arm's broadcast-1-query scan + TakeOrdered), so the fusion
+    * full-outer join runs on 2×RRF_ARM_N rows — driver-trivial no matter
+    * the corpus. At 100 TB the arms are the expensive part and both stay
+    * index-shaped (postings filter / ANN probe); fusion cost never grows.
+    */
+  val q116_hybrid_rrf: Q = (s, dir) => {
+    val W = Window
+    val lex = q110_bm25(s, dir).select(col("doc_id"), col("rank").as("lex_rank"))
+    val emb = t(s, dir).embeddings
+    val qv = emb.filter(col("vec_id") === RRF_QUERY_VEC)
+      .select(graft.operators.Similarity.asDouble(col("embedding")).as("qv"))
+    val sem = emb.filter(col("vec_id") =!= RRF_QUERY_VEC)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.operators.Similarity.cosine(
+          graft.operators.Similarity.asDouble(col("embedding")), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(RRF_ARM_N)
+      .withColumn("sem_rank",
+        row_number().over(W.orderBy(col("cos").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("sem_rank"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RRF_K) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("sem_rank")), lit(0.0)), 6).as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(RRF_TOPN)
+      .withColumn("fused_rank",
+        row_number().over(W.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+  }
+
   def all: Map[String, Q] = Map(
     "q110_bm25" -> q110_bm25,
     "q111_retention" -> q111_retention,
-    "q112_psi_drift" -> q112_psi_drift)
+    "q112_psi_drift" -> q112_psi_drift,
+    "q116_hybrid_rrf" -> q116_hybrid_rrf)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** The BM25 scoring pipeline as a reusable CTE chain ending in `lexr`
+    * (doc_id, bm25, n_terms, rank) — shared by the q110 oracle and q116's
+    * lexical arm.
+    */
+  private def bm25Ctes: String = {
+    val termsIn = BM25_TERMS.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""d AS (SELECT doc_id, len($toksSql) AS dl, $toksSql AS tk FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       |ex AS (SELECT doc_id, dl, unnest(tk) AS tok FROM d),
+       |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM ex
+       |       WHERE tok IN $termsIn GROUP BY 1, 2, 3),
+       |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |w AS (SELECT tf.doc_id,
+       |        ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+       |          (tf.tf * ${BM25_K1 + 1}) /
+       |          (tf.tf + $BM25_K1 * (1 - $BM25_B + $BM25_B * tf.dl / s.avgdl)) AS w
+       |      FROM tf JOIN dfx USING (tok) CROSS JOIN stats s),
+       |sc AS (SELECT doc_id, round(sum(w), 6) AS bm25, count(*) AS n_terms
+       |       FROM w GROUP BY 1),
+       |lexr AS (SELECT doc_id, bm25, n_terms,
+       |           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+       |         FROM sc)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    "q110_bm25" -> {
-      val termsIn = BM25_TERMS.map(t => s"'$t'").mkString("(", ", ", ")")
-      s"""WITH d AS (SELECT doc_id, len($toksSql) AS dl, $toksSql AS tk FROM documents),
-         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
-         |ex AS (SELECT doc_id, dl, unnest(tk) AS tok FROM d),
-         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM ex
-         |       WHERE tok IN $termsIn GROUP BY 1, 2, 3),
-         |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
-         |w AS (SELECT tf.doc_id,
-         |        ln(1 + (s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
-         |          (tf.tf * ${BM25_K1 + 1}) /
-         |          (tf.tf + $BM25_K1 * (1 - $BM25_B + $BM25_B * tf.dl / s.avgdl)) AS w
-         |      FROM tf JOIN dfx USING (tok) CROSS JOIN stats s),
-         |sc AS (SELECT doc_id, round(sum(w), 6) AS bm25, count(*) AS n_terms
-         |       FROM w GROUP BY 1)
-         |SELECT doc_id, bm25, n_terms, rank FROM (
-         |  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
-         |  FROM sc)
-         |WHERE rank <= $BM25_TOPN""".stripMargin
-    },
+    "q110_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, bm25, n_terms, rank FROM lexr
+         |WHERE rank <= $BM25_TOPN""".stripMargin,
+    "q116_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |${SimilarityQueries.vCte},
+         |sq AS (SELECT v AS qv FROM v WHERE vec_id = $RRF_QUERY_VEC),
+         |cs AS (SELECT v.vec_id AS doc_id, ${SimilarityQueries.cosSql("v.v", "sq.qv")} AS cos
+         |       FROM v CROSS JOIN sq WHERE v.vec_id <> $RRF_QUERY_VEC),
+         |semr AS (SELECT doc_id, sem_rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS sem_rank
+         |  FROM cs) WHERE sem_rank <= $RRF_ARM_N),
+         |lex AS (SELECT doc_id, rank AS lex_rank FROM lexr WHERE rank <= $RRF_ARM_N),
+         |f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+         |        round(coalesce(1.0::DOUBLE / ($RRF_K + l.lex_rank), 0) +
+         |              coalesce(1.0::DOUBLE / ($RRF_K + s.sem_rank), 0), 6) AS rrf
+         |      FROM lex l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, lex_rank, sem_rank, rrf, fused_rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+         |  FROM f)
+         |WHERE fused_rank <= $RRF_TOPN""".stripMargin,
     "q111_retention" ->
       """WITH ua AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
         |wc AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_d

@@ -140,7 +140,22 @@ object ExtraQueries {
       .select(col("user_id"), col("p_event"), col("v_event"))
   }
 
+  /** SCD Type-2 dimension history: each user's event_type stream collapsed
+    * into versioned validity intervals (a new version only when the value
+    * changes — the reference's DIM layer keeps only the latest row; SCD2 is
+    * what a warehouse needs to answer "what was this dim worth at order
+    * time"). Epoch-micros is the order key: (user_id, ts) is unique in the
+    * generated events table (checked at all SFs) and [[Relational.scd2]]
+    * requires a per-key total order.
+    */
+  val q118_scd2: Q = (s, dir) => {
+    val e = t(s, dir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("ord"), col("event_type"))
+    Relational.scd2(e, "user_id", "ord", "event_type")
+  }
+
   def all: Map[String, Q] = Map(
+    "q118_scd2" -> q118_scd2,
     "q56_asof_join" -> q56_asof_join,
     "q48_grouping_sets" -> q48_grouping_sets,
     "q50_interval_join" -> q50_interval_join,
@@ -154,6 +169,17 @@ object ExtraQueries {
     "q42_argmax" -> q42_argmax)
 
   def oracles: Map[String, String] = Map(
+    "q118_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ord, event_type FROM events),
+        |ch AS (SELECT user_id, ord, event_type FROM (
+        |  SELECT user_id, ord, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ord) AS prev
+        |  FROM e) WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS attr, ord AS valid_from,
+        |       lead(ord) OVER w AS valid_to,
+        |       row_number() OVER w AS version,
+        |       (lead(ord) OVER w IS NULL)::INT AS is_current
+        |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ord)""".stripMargin,
     "q56_asof_join" ->
       """WITH v AS (SELECT user_id, ts, max(event_id) AS v_event
         |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Graph
+
+/** Link-graph ranking over the part→supplier supply graph (a stand-in for
+  * the crawl's domain link graph): global PageRank as the corpus-quality
+  * authority prior, and personalized PageRank as the trusted-seed
+  * expansion (TrustRank) form. Oracles replay the exact fixed-iteration
+  * recurrence as chained CTEs — decimal contribution sums make the
+  * per-iteration aggregate order-independent, so the replay hash-matches.
+  */
+object GraphQueries {
+  import Queries.Q
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String) = Tables.Tpch(s, dir)
+
+  val PR_ITERS = 5
+  val PR_DAMPING = 0.85
+  /** Offset keeps supplier node ids disjoint from part node ids. */
+  val PR_SUPP_OFFSET = 1000000L
+  val PPR_SEEDS = Seq(1L, 2L, 3L)
+
+  private def edges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir).lineitem.select(
+      col("l_partkey").as("src"),
+      (col("l_suppkey") + PR_SUPP_OFFSET).as("dst"))
+
+  /** Global PageRank over distinct part→supplier edges. */
+  val q114_pagerank: Q = (s, dir) =>
+    Graph.pageRank(edges(s, dir), "src", "dst", PR_ITERS, PR_DAMPING)
+
+  /** Personalized PageRank from a 3-part seed set. */
+  val q115_ppr: Q = (s, dir) =>
+    Graph.personalizedPageRank(edges(s, dir), "src", "dst",
+      PPR_SEEDS, PR_ITERS, PR_DAMPING)
+
+  def all: Map[String, Q] = Map(
+    "q114_pagerank" -> q114_pagerank,
+    "q115_ppr" -> q115_ppr)
+
+  // ——— oracle SQL (DuckDB) ———
+
+  private val edgeCtes =
+    s"""e AS (SELECT DISTINCT l_partkey::BIGINT AS src,
+       |       (l_suppkey + $PR_SUPP_OFFSET)::BIGINT AS dst FROM lineitem),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))""".stripMargin
+
+  /** One PageRank iteration as a (contrib, rank) CTE pair; `teleport` and
+    * `init` parameterize the global vs personalized forms.
+    */
+  private def iterCtes(k: Int, rankRel: String, teleportSql: String): String =
+    s"""c$k AS (SELECT e.dst AS node,
+       |  sum(round(r.r / deg.deg, 12)::DECIMAL(26,12)) AS s
+       |  FROM $rankRel r JOIN e ON r.node = e.src JOIN deg ON e.src = deg.src
+       |  GROUP BY 1),
+       |r$k AS (SELECT n.node,
+       |  round($teleportSql + ($PR_DAMPING)::DOUBLE * coalesce(c$k.s::DOUBLE, 0), 12) AS r
+       |  FROM nodes n LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
+
+  private def prSql: String = {
+    val chain = (1 to PR_ITERS).map { k =>
+      iterCtes(k, if (k == 1) "r0" else s"r${k - 1}",
+        s"(${1.0 - PR_DAMPING})::DOUBLE / (SELECT count(*) FROM nodes)")
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |r0 AS (SELECT node,
+       |  round(1.0::DOUBLE / (SELECT count(*) FROM nodes), 12) AS r FROM nodes),
+       |$chain
+       |SELECT node, round(r, 6) AS pr FROM r$PR_ITERS""".stripMargin
+  }
+
+  private def pprSql: String = {
+    val seedList = PPR_SEEDS.mkString("(", ", ", ")")
+    val tele = s"(CASE WHEN n.node IN $seedList THEN (${1.0 - PR_DAMPING})::DOUBLE / ${PPR_SEEDS.size} ELSE 0 END)"
+    val chain = (1 to PR_ITERS).map { k =>
+      iterCtes(k, if (k == 1) "r0" else s"r${k - 1}", tele)
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |r0 AS (SELECT node,
+       |  round(CASE WHEN node IN $seedList THEN 1.0::DOUBLE / ${PPR_SEEDS.size} ELSE 0::DOUBLE END, 12) AS r
+       |  FROM nodes),
+       |$chain
+       |SELECT node, round(r, 6) AS ppr FROM r$PR_ITERS""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q114_pagerank" -> prSql,
+    "q115_ppr" -> pprSql)
+}

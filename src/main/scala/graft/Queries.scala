@@ -318,7 +318,7 @@ object Queries {
     (base ++ TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
       ++ ExtraQueries.all ++ FunctionQueries.all ++ DwsQueries.all
       ++ ScaleQueries.all ++ CurationQueries.all ++ SketchQueries.all
-      ++ AnalyticsQueries.all)
+      ++ AnalyticsQueries.all ++ GraphQueries.all)
       .view.mapValues(withEngineFunctions).toMap
 
   /** Engine functions (plans.PolyHash etc.) resolve via the function
@@ -363,7 +363,7 @@ object Queries {
       SimilarityQueries.oracles ++ ExtraQueries.oracles ++
       FunctionQueries.oracles ++ DwsQueries.oracles ++ ScaleQueries.oracles ++
       CurationQueries.oracles ++ SketchQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ GraphQueries.oracles
 
   private def baseOracles: Map[String, String] = Map(
     "q1_agg" ->

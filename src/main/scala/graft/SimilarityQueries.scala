@@ -165,14 +165,14 @@ object SimilarityQueries {
     "q113_pq_adc" -> q113_pq_adc)
 
   // ——— oracle SQL helpers (DuckDB) ———
-  private def foldSum(terms: String) =
+  private[graft] def foldSum(terms: String) =
     s"list_reduce(list_prepend(0.0, $terms), (x, y) -> x + y)"
-  private def dotSql(a: String, b: String) =
+  private[graft] def dotSql(a: String, b: String) =
     foldSum(s"list_transform(range($DIMS), i -> $a[i+1] * $b[i+1])")
-  private def cosSql(a: String, b: String) =
+  private[graft] def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
 
-  private val vCte =
+  private[graft] val vCte =
     "v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
 
   /** Sequential left-fold of squared diffs — the exact accumulation order of

@@ -311,6 +311,69 @@ object TextQueries {
 
   val q73_unigram_ll: Q = (s, dir) => unigramLl(t(s, dir).documents, 16)
 
+  /** Interpolation weights for [[bigramLl]] — BOTH are explicit literals
+    * (never `1 - λ`: the IEEE value of `1 - 0.7` is 0.30000000000000004,
+    * which would diverge from the oracle's parsed `0.3`).
+    */
+  val BG_LAMBDA = 0.7
+  val BG_MU = 0.3
+  val BG_BIGRAM_CAP = 32
+  val BG_UNIGRAM_CAP = 16
+
+  /** Interpolated bigram-LM perplexity proxy — the next step up from
+    * [[unigramLl]]'s CCNet-style filter: score each document's token
+    * TRANSITIONS, `p = λ·P(w2|w1) + μ·P_uni(w2)`, so word-salad documents
+    * whose unigrams all look normal (shuffled text, keyword stuffing)
+    * finally surface. MLE conditional `c(w1,w2)/c(w1·)` over the corpus
+    * bigram table, both model tables CAPPED top-V by frequency
+    * (deterministic tie-breaks) with 1/total OOV floors — the same
+    * Heaps'-law armor as q73: broadcast sides are O(cap) rows no matter
+    * the corpus, so the plan survives 100×. Bigram extraction is a
+    * scan-local `transform(sequence(...))` — positions never shuffle; the
+    * wide exchanges carry (w1,w2) pairs and doc_ids only.
+    *
+    * Per-position lls round to 6 dp and sum as DECIMAL (order-independent,
+    * q73's contract). Docs with <2 tokens have no transitions and drop out
+    * (documented; the oracle filters identically).
+    */
+  def bigramLl(docs: DataFrame, bigramCap: Int, unigramCap: Int): DataFrame = {
+    val tk = tokens(col("text"))
+    val d2 = docs.filter(size(tk) >= 2)
+    val base = d2.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(tk) - 2), i =>
+          struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = base.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
+    val ctx = bc.groupBy(col("w1")).agg(sum(col("bcnt")).as("w1cnt"))
+    val topb = bc.join(ctx, Seq("w1"))
+      .orderBy(col("bcnt").desc, col("w1").asc, col("w2").asc).limit(bigramCap)
+    val btot = bc.agg(sum(col("bcnt")).cast("long").as("b_total"))
+    // unigram model over the WHOLE corpus (the normalizer is the corpus,
+    // not just multi-token docs) — q73's exact construction
+    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val topu = uni.orderBy(col("tf").desc, col("tok").asc).limit(unigramCap)
+    val utot = docs.agg(sum(size(tokens(col("text")))).cast("long").as("t_total"))
+    val pBi = when(col("bcnt").isNotNull, col("bcnt") / col("w1cnt"))
+      .otherwise(lit(1.0) / col("b_total"))
+    val pUni = coalesce(col("tf"), lit(1L)).cast("double") / col("t_total")
+    base
+      .join(broadcast(topb), Seq("w1", "w2"), "left")
+      .join(broadcast(topu), col("w2") === col("tok"), "left")
+      .crossJoin(broadcast(btot))
+      .crossJoin(broadcast(utot))
+      .select(col("doc_id"),
+        round(log(lit(BG_LAMBDA) * pBi + lit(BG_MU) * pUni), 6)
+          .cast("decimal(18,6)").as("ll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ll")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((-col("s")).cast("double") / col("n_bigrams"), 6).as("nll"))
+  }
+
+  val q117_bigram_ll: Q = (s, dir) =>
+    bigramLl(t(s, dir).documents, BG_BIGRAM_CAP, BG_UNIGRAM_CAP)
+
   /** Token-budget mixture sampling — the epoch-composition step of a
     * pretraining run: each source contributes documents in deterministic
     * doc_id order until its token budget (weight × base) is spent. Unlike
@@ -531,6 +594,7 @@ object TextQueries {
   def all: Map[String, Q] = Map(
     "q72_shuffle_shard" -> q72_shuffle_shard,
     "q73_unigram_ll" -> q73_unigram_ll,
+    "q117_bigram_ll" -> q117_bigram_ll,
     "q74_token_budget_mix" -> q74_token_budget_mix,
     "q75_dup_spans" -> q75_dup_spans,
     "q88_span_removal" -> q88_span_removal,
@@ -553,6 +617,38 @@ object TextQueries {
 
   // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
   def oracles: Map[String, String] = Map(
+    "q117_bigram_ll" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(tk) - 1),
+         |      i -> struct_pack(w1 := tk[i+1], w2 := tk[i+2]))) AS b
+         |    FROM dt WHERE len(tk) >= 2)),
+         |bc AS (SELECT w1, w2, count(*) AS bcnt FROM base GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(bcnt)::BIGINT AS w1cnt FROM bc GROUP BY 1),
+         |topb AS (SELECT bc.w1, bc.w2, bc.bcnt, ctx.w1cnt FROM bc JOIN ctx USING (w1)
+         |         ORDER BY bcnt DESC, w1 ASC, w2 ASC LIMIT $BG_BIGRAM_CAP),
+         |btot AS (SELECT sum(bcnt)::BIGINT AS b_total FROM bc),
+         |uni AS (SELECT tok, count(*) AS tf FROM (
+         |          SELECT unnest(tk) AS tok FROM dt) GROUP BY 1),
+         |topu AS (SELECT tok, tf FROM uni ORDER BY tf DESC, tok ASC LIMIT $BG_UNIGRAM_CAP),
+         |utot AS (SELECT sum(len(tk))::BIGINT AS t_total FROM dt),
+         |ll AS (
+         |  SELECT base.doc_id,
+         |    round(ln($BG_LAMBDA *
+         |        (CASE WHEN topb.bcnt IS NOT NULL
+         |              THEN topb.bcnt::DOUBLE / topb.w1cnt
+         |              ELSE 1.0::DOUBLE / btot.b_total END) +
+         |      $BG_MU * (coalesce(topu.tf, 1)::DOUBLE / utot.t_total)), 6)::DECIMAL(18,6) AS ll
+         |  FROM base
+         |  LEFT JOIN topb ON base.w1 = topb.w1 AND base.w2 = topb.w2
+         |  LEFT JOIN topu ON base.w2 = topu.tok
+         |  CROSS JOIN btot CROSS JOIN utot)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(-(sum(ll)::DOUBLE) / count(*), 6) AS nll
+         |FROM ll GROUP BY 1""".stripMargin,
     "q73_unigram_ll" ->
       """WITH d AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over edge lists — the second fixpoint family
+  * next to [[Dedup.duplicateClusters]]' connected components. The driving
+  * use at 100 TB is crawl curation: PageRank-style domain authority is a
+  * standard quality prior for web corpora (a page on a well-linked domain
+  * is likelier to be worth training on than one on a link-farm island),
+  * computed once per snapshot and joined onto documents as a feature.
+  *
+  * Scale shape: state per iteration is one (node, rank) table — O(V) rows,
+  * two narrow columns. Each iteration is one join (ranks × out-edges,
+  * shuffling only (dst, contribution) pairs — never adjacency lists) and
+  * one aggregate. The edge table with out-degrees is built ONCE and reused
+  * by every iteration, so a cluster run caches/checkpoints `ed` and the
+  * per-iteration cost is a single shuffle of E contribution rows. Fixed
+  * iteration count (the production form: convergence-delta stopping needs
+  * a driver-side action per round; snapshot ranking runs a known budget,
+  * e.g. ~10 iterations for web-scale graphs).
+  *
+  * Determinism contract (shared with the DuckDB oracle): contributions
+  * round to 12 dp and sum as DECIMAL(26,12) — decimal addition is
+  * associative, so the aggregate is partition-order independent — and each
+  * new rank rounds to 12 dp after the scalar teleport arithmetic. Every
+  * remaining operation is a scalar double op with a fixed operand order,
+  * identical in any IEEE-754 engine.
+  */
+object Graph {
+
+  /** Damped PageRank, `iters` fixed iterations.
+    *
+    * Semantics: r0(v) = 1/N; r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u)/deg(u)
+    * over the DISTINCT edge set. Dangling nodes (no out-edges) leak their
+    * mass — the classic simplification; the redistribution variant adds a
+    * per-iteration scalar aggregate, which a caller can layer on when
+    * sink-mass conservation matters. Nodes are the union of both endpoint
+    * sets; a node with no in-edges holds the teleport floor (1-d)/N.
+    *
+    * Returns (node, pr) with pr rounded to 6 dp.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (e_src, e_dst, e_deg) — the one table every iteration joins against;
+    // renamed so the rank ⋈ edges self-lineage join resolves unambiguously
+    val ed = e.join(deg, Seq("src"))
+      .select(col("src").as("e_src"), col("dst").as("e_dst"), col("deg").as("e_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // N rides along as a broadcast-scalar column so the loop stays one plan
+    val nn = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+    var r = nn.select(col("node"), col("n"),
+      round(lit(1.0) / col("n"), 12).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = r.join(ed, col("node") === col("e_src"))
+        .select(col("e_dst").as("node"),
+          round(col("r") / col("e_deg"), 12).cast("decimal(26,12)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = nn.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("n"),
+          round(lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+    }
+    r.select(col("node"), round(col("r"), 6).as("pr"))
+  }
+
+  /** Personalized PageRank: same recurrence, but the teleport mass lands
+    * only on the seed set S — r0 = 1/|S| on S else 0; teleport term
+    * (1-d)/|S| on S else 0. The "related domains" / "expand from a trusted
+    * whitelist" form of the ranking (TrustRank): scores measure proximity
+    * to the seeds rather than global authority.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && seeds.nonEmpty,
+      s"personalizedPageRank: need iters>=1 and a non-empty seed set")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, Seq("src"))
+      .select(col("src").as("e_src"), col("dst").as("e_dst"), col("deg").as("e_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val isSeed: Column = col("node").isin(seeds: _*)
+    val teleport: Column =
+      when(isSeed, lit(1.0 - damping) / seeds.size).otherwise(lit(0.0))
+    var r = nodes.select(col("node"),
+      round(when(isSeed, lit(1.0) / seeds.size).otherwise(lit(0.0)), 12).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = r.join(ed, col("node") === col("e_src"))
+        .select(col("e_dst").as("node"),
+          round(col("r") / col("e_deg"), 12).cast("decimal(26,12)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(teleport +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+    }
+    r.select(col("node"), round(col("r"), 6).as("ppr"))
+  }
+}

@@ -147,4 +147,32 @@ object Relational {
     df.withColumn("prev_state", lag(col(stateCol), 1).over(w))
       .filter(col("prev_state").isNotNull)
   }
+
+  /** Slowly-changing-dimension type 2: collapse a per-key change log into
+    * versioned validity intervals. A new version opens only when `attrCol`
+    * actually CHANGES (consecutive duplicates fold into the open version —
+    * the change-detection half of SCD2 that a raw snapshot diff misses);
+    * `valid_to` is the next version's `valid_from`, NULL on the current row.
+    *
+    * Scale shape: two windows over the same (key × order) partitioning —
+    * one exchange + one sort, reused by both (the change filter shrinks
+    * rows between them but keeps the partitioning, so no second shuffle).
+    * The order column must be a total order per key (pass a tie-breaking
+    * struct when the business timestamp can collide).
+    *
+    * Returns the input keys plus (attr, valid_from, valid_to, version,
+    * is_current) with version numbered from 1 per key.
+    */
+  def scd2(df: DataFrame, keyCol: String, orderCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val changes = df
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attrCol))
+    changes
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        col(orderCol).as("valid_from"), col("valid_to"),
+        row_number().over(w).cast("long").as("version"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
 }

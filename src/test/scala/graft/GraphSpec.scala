@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Pins the PageRank recurrence against hand-computed fixpoints: symmetry,
+  * teleport floors, dangling-mass leakage, and the personalized form's
+  * seed-proximity semantics.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Double] = {
+    val df = edges.toDF("src", "dst")
+    Graph.pageRank(df, "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("3-cycle is already at the uniform fixpoint: every rank stays 1/3") {
+    val r = ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(r.size == 3)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6, s"got $r"))
+  }
+
+  test("star: the hub collects the spokes' mass; spokes sit near the teleport floor") {
+    // 2,3,4 all point at 1; 1 points back at 2 only
+    val r = ranks(Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)))
+    assert(r(1L) > r(2L) && r(2L) > r(3L), s"got $r")
+    // 3 and 4 are structurally identical (in-edges only from nothing)
+    assert(math.abs(r(3L) - r(4L)) < 1e-9, s"got $r")
+    // nodes with no in-edges hold exactly the teleport floor (1-d)/N
+    assert(math.abs(r(3L) - 0.15 / 4) < 1e-6, s"got $r")
+  }
+
+  test("dangling sink leaks mass: total rank < 1 and shrinks with iterations") {
+    val e = Seq((1L, 2L), (2L, 3L)) // 3 is dangling
+    val total1 = ranks(e, 1).values.sum
+    val total5 = ranks(e, 5).values.sum
+    assert(total1 < 1.0 + 1e-9 && total5 < total1, s"$total1 -> $total5")
+  }
+
+  test("rank order follows in-link weight: the doubly-linked node beats singles") {
+    val r = ranks(Seq((1L, 9L), (2L, 9L), (3L, 8L), (9L, 3L), (8L, 1L)))
+    assert(r(9L) == r.values.max, s"got $r")
+  }
+
+  test("personalized: mass concentrates on/near seeds; unreachable nodes score 0") {
+    // 1 -> 2 -> 3, and an island 10 -> 11 unreachable from the seed
+    val df = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(df, "src", "dst", Seq(1L), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L), s"got $r")
+    assert(r(10L) == 0.0 && r(11L) == 0.0, s"got $r")
+  }
+
+  test("pageRank at sf0.001 (q114 shape): one rank per node, teleport floor holds") {
+    val pr = GraphQueries.q114_pagerank(spark, TestSession.sf)
+    val rows = pr.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val n = rows.length.toDouble
+    val floor = 0.15 / n
+    // pr is rounded to 6 dp on output, so allow a half-ulp of that rounding
+    rows.foreach(r => assert(r.getDouble(1) >= floor - 5.1e-7))
+    // suppliers (offset ids) absorb part mass: their mean rank must exceed parts'
+    val (supp, parts) = rows.partition(_.getLong(0) >= GraphQueries.PR_SUPP_OFFSET)
+    assert(supp.map(_.getDouble(1)).sum / supp.length >
+           parts.map(_.getDouble(1)).sum / parts.length)
+  }
+}
