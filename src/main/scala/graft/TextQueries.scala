@@ -345,8 +345,13 @@ object TextQueries {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val bc = base.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
     val ctx = bc.groupBy(col("w1")).agg(sum(col("bcnt")).as("w1cnt"))
-    val topb = bc.join(ctx, Seq("w1"))
-      .orderBy(col("bcnt").desc, col("w1").asc, col("w2").asc).limit(bigramCap)
+    // top-cap FIRST (TakeOrdered, map-side), THEN attach contexts by
+    // streaming the vocabulary-sized ctx against the cap-row broadcast —
+    // never the reverse: ctx grows Heaps'-law with the corpus, and
+    // broadcasting it is exactly the plan that dies at 100× (q73's lesson)
+    val topb = ctx.join(
+      broadcast(bc.orderBy(col("bcnt").desc, col("w1").asc, col("w2").asc)
+        .limit(bigramCap)), Seq("w1"))
     val btot = bc.agg(sum(col("bcnt")).cast("long").as("b_total"))
     // unigram model over the WHOLE corpus (the normalizer is the corpus,
     // not just multi-token docs) — q73's exact construction
