@@ -350,7 +350,44 @@ object CurationQueries {
     blockPack(survivors, 8, 256)
   }
 
+  /** A-ES deterministic-uniform parameters: the Knuth multiplicative hash
+    * of doc_id modulo a prime, mapped into (0, 1]. Portable integer
+    * arithmetic, so the oracle replays it exactly.
+    */
+  val WS_MULT = 2654435761L
+  val WS_MOD = 1000000007L
+  val WS_K = 10
+
+  /** Weighted sampling WITHOUT replacement, k per source, inclusion
+    * probability ∝ n_chars — Efraimidis–Spirakis A-ES by exponential race:
+    * each doc draws key = -ln(u)/w and the k SMALLEST keys win (equivalent
+    * to the largest u^(1/w); one race, no rejection/retry rounds). This is
+    * the importance-weighted subsample step of mixture construction —
+    * "take 100k docs from this source, longer docs proportionally more
+    * often" — where per-row Bernoulli (q70) can't hit an exact k and
+    * uniform top-k ignores the weights.
+    *
+    * Scale shape: the key is a scan-local expression (hash → u → -ln(u)/w,
+    * no state, no model); per-source top-k compiles to WindowGroupLimit —
+    * each task forwards ≤ k rows per source, so the single exchange
+    * carries O(sources × k × tasks) rows, not the corpus. Deterministic
+    * end-to-end: u is a pure function of doc_id.
+    */
+  val q119_weighted_sample: Q = (s, dir) => {
+    val u = ((col("doc_id") * WS_MULT) % WS_MOD + 1).cast("double") / (WS_MOD + 1)
+    val key = -log(u) / col("n_chars")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+    t(s, dir).documents
+      .select(col("source"), col("doc_id"), col("n_chars"), key.as("key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= WS_K)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("key"), 9).as("key"), col("rk"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q119_weighted_sample" -> q119_weighted_sample,
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
     "q97_gopher_rules" -> q97_gopher_rules,
     "q98_token_entropy" -> q98_token_entropy,
@@ -370,6 +407,15 @@ object CurationQueries {
        |  (h, a) -> (h * 31 + a) % 1000000007)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q119_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id, n_chars,
+         |    -ln(((doc_id * $WS_MULT) % $WS_MOD + 1)::DOUBLE / ${WS_MOD + 1}) / n_chars AS key
+         |  FROM documents)
+         |SELECT source, doc_id, n_chars, round(key, 9) AS key, rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY key ASC, doc_id ASC) AS rk
+         |  FROM k) WHERE rk <= $WS_K""".stripMargin,
     "q96_ngram_decontaminate" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

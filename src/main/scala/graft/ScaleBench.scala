@@ -70,7 +70,15 @@ object ScaleBench {
     // is the scan+dl pass — the realistic shape: one search query's work
     // must not inherit corpus growth beyond the scan); q111/q112 are the
     // narrow-agg monitoring passes a continuous ingest pays per batch
-    "q110_bm25", "q111_retention", "q112_psi_drift")
+    "q110_bm25", "q111_retention", "q112_psi_drift",
+    // round-4 additions: q117 shuffles the corpus BIGRAM table (larger than
+    // the vocab — its model caps must keep broadcasts flat while the (w1,w2)
+    // aggregate grows); q118's two windows ride one (user × ord) exchange
+    // that grows with the event log. q114 itself is measured via the
+    // growing-graph variant below (ScaleData leaves part/supp keys
+    // unshifted, so the registered part→supp graph would collapse under
+    // distinct instead of growing).
+    "q117_bigram_ll", "q118_scd2")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -170,6 +178,19 @@ object ScaleBench {
         emb.filter(col("vec_id") < 10), "vec_id", "embedding", cents, 5)
     }
 
+  /** PageRank over a graph that actually GROWS with the directory: orders
+    * link the parts they contain (o_orderkey is replica-shifted by
+    * ScaleData, so V and E scale ×factor while part hubs accumulate
+    * in-links — the popular-domain shape of a web graph). Cost model:
+    * 5 × (one contribution shuffle of E narrow rows + one aggregate);
+    * expected ratio ≈ linear per decade.
+    */
+  private def prQ: (SparkSession, String) => DataFrame =
+    (s, dir) => graft.operators.Graph.pageRank(
+      Tables.load(s, dir, "lineitem").select(col("l_orderkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst")),
+      "src", "dst", iters = 5)
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
@@ -220,7 +241,8 @@ object ScaleBench {
       "q96_ngram_decontaminate", "q98_token_entropy", "q100_winnow",
       "q103_postings", "q104_bpe_pairs", "q105_source_overlap",
       "q106_winnow_pairs", "q109_curated_pack",
-      "q110_bm25", "q111_retention", "q112_psi_drift")
+      "q110_bm25", "q111_retention", "q112_psi_drift",
+      "q117_bigram_ll", "q118_scd2")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),
@@ -273,6 +295,10 @@ object ScaleBench {
         ("q107_pack_scaled_shards", "q107s8|01",
           cell("q107s80|1", packQ(80), sf1),
           sf100.map(d => cell("q107s800|100", packQ(800), d))),
+        ("q114_pagerank_growing",
+          cell("q114g|01", prQ, sf01),
+          cell("q114g|1", prQ, sf1),
+          sf100.map(d => cell("q114g|100", prQ, d))),
         ("q113_pq_fulltrain",
           cell("q113f|01", pqQ(sampled = false), sf01),
           cell("q113f|1", pqQ(sampled = false), sf1),

@@ -236,4 +236,25 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(math.abs(row._2 - slope) < 1e-6, s"slope ${row._2} vs $slope")
     assert(math.abs(row._3 - (ym - slope * xm)) < 1e-6)
   }
+
+  test("q119: exactly k per source, keys follow the A-ES formula, weights bias inclusion") {
+    val got = CurationQueries.q119_weighted_sample(spark, TestSession.sf).collect()
+    val bySource = got.groupBy(_.getString(0))
+    bySource.values.foreach(rows => assert(rows.length == CurationQueries.WS_K))
+    // replay the key for every sampled row
+    got.foreach { r =>
+      val id = r.getLong(1); val w = r.getLong(2)
+      val u = ((id * CurationQueries.WS_MULT) % CurationQueries.WS_MOD + 1).toDouble /
+        (CurationQueries.WS_MOD + 1)
+      val key = -math.log(u) / w
+      assert(math.abs(r.getDouble(3) - math.rint(key * 1e9) / 1e9) < 1e-9)
+    }
+    // bias: sampled docs should skew long — mean sampled n_chars above the
+    // corpus mean (weights ∝ n_chars; u is uniform, so this holds with
+    // overwhelming margin at 50 docs/source × 10 sources)
+    val corpusMean = graft.core.Tables.Tpch(spark, TestSession.sf).documents
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
+    val sampleMean = got.map(_.getLong(2).toDouble).sum / got.length
+    assert(sampleMean > corpusMean, s"sample $sampleMean vs corpus $corpusMean")
+  }
 }
