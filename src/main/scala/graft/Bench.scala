@@ -41,7 +41,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val excluded = Set("q32_top_pairs", "q66_corpus_survivors",
     "q77_corpus_funnel", // q77 = q66's plan + count aggregates — same fixpoint-round latency
-    "q94_canonical_dedup") // component fixpoint: driver-synchronous star rounds, same physics as q66
+    "q94_canonical_dedup", // component fixpoint: driver-synchronous star rounds, same physics as q66
+    // PageRank supersteps: 5 × (contribution shuffle + 2 broadcasts +
+    // job scheduling) ≈ 10 s of ROUND latency at sf0.1 regardless of data
+    // (ProbeAb: checkpointed vs pure-plan supersteps within 8%) — the q66
+    // exclusion class. Per-superstep data cost is what scales, and that is
+    // measured across both decades in ScaleBench (q114_pagerank_growing).
+    "q114_pagerank", "q115_ppr")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

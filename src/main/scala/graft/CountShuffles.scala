@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object CountShuffles {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftFunctions.register(spark)
+    for (q <- args) {
+      val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      val n = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+      println(s"$q -> $n")
+    }
+    spark.stop()
+  }
+}

@@ -24,38 +24,21 @@ object ProbeAb {
     graft.plans.GraftFunctions.register(spark)
     val docs = Tables.load(spark, sfDir, "documents")
 
-    // A: the current q117 form (struct bigrams via transform(sequence))
-    def a(): DataFrame = TextQueries.bigramLl(docs, 32, 16)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // the GROWING graph (ScaleBench prQ geometry): order keys are
+    // replica-shifted, so V and E scale with the directory
+    def edges = li.select(col("l_orderkey").as("src"),
+      (col("l_partkey") + 10000000L).as("dst"))
 
-    // B: model pass only, struct keys — isolates the (w1,w2) aggregate
-    def b(): DataFrame = {
-      val tk = tokens(col("text"))
-      docs.filter(size(tk) >= 2)
-        .select(explode(transform(sequence(lit(0), size(tk) - 2), i =>
-          struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2")))).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
-    }
+    // A: supersteps checkpointed (rank table materialized per iteration)
+    def a(): DataFrame =
+      graft.operators.Graph.pageRank(edges, "src", "dst", 5, 0.85, checkpointRanks = true)
 
-    // C: model pass only, single joined-string keys via zip_with shingles
-    def c(): DataFrame = {
-      val tk = tokens(col("text"))
-      docs.filter(size(tk) >= 2)
-        .select(explode(shingles(tk, 2)).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("bcnt"))
-    }
+    // B: pure plan over checkpointed bases (one job, AQE + exchange reuse)
+    def b(): DataFrame =
+      graft.operators.Graph.pageRank(edges, "src", "dst", 5, 0.85, checkpointRanks = false)
 
-    // D: scoring-pass skeleton only — explode + two broadcast probes +
-    // doc re-agg with a dummy model (isolates the second pass)
-    def d(): DataFrame = {
-      val tk = tokens(col("text"))
-      docs.filter(size(tk) >= 2)
-        .select(col("doc_id"), explode(shingles(tk, 2)).as("bg"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    }
-
-    val variants = Seq("a_full" -> (() => a()), "b_model_struct" -> (() => b()),
-      "c_model_string" -> (() => c()), "d_score_skeleton" -> (() => d()))
+    val variants = Seq("a_ckpt_ranks" -> (() => a()), "b_pure_over_bases" -> (() => b()))
     val times = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
     a().write.format("noop").mode("overwrite").save() // warm-up
     for (_ <- 1 to iters; (name, fn) <- variants) {

@@ -82,7 +82,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "q110_bm25" -> 3,             // query-term tf agg + df count-window on tok + per-doc score agg — only query-term postings shuffle; N/avgdl is SinglePartition; top-N is TakeOrdered (shape-pinned below)
     "q111_retention" -> 3,        // distinct (user,day) + cohort min-window on user + (cohort,offset) agg; count(*) IS the distinct-user count (rows unique per (user,offset)) so no count-distinct expand
     "q112_psi_drift" -> 6,        // one CORPUS exchange — (source,bin) counts — printed 2× for the ref/cur branches plus grid distincts; identical subplans collapse via runtime exchange reuse, and everything after the counts is O(sources×bins) broadcast work
-    "q113_pq_adc" -> 1)           // codes assign is scan-local (model is a plan literal); ADC join broadcasts the query set; the only exchange is the per-query top-k, pre-cut map-side by WindowGroupLimit
+    "q113_pq_adc" -> 1,           // codes assign is scan-local (model is a plan literal); ADC join broadcasts the query set; the only exchange is the per-query top-k, pre-cut map-side by WindowGroupLimit
+    "q114_pagerank" -> 10,        // 5 supersteps × (contribution agg + rank SMJ side) over the checkpointed edge/node bases; ed's shuffle collapses to ONE write via ReuseExchange at runtime (the printed count is static) — measured 144 s vs 202 s for checkpoint-per-superstep at the 100× graph
+    "q115_ppr" -> 10,             // same superstep shape as q114
+    "q116_hybrid_rrf" -> 3,       // the BM25 arm's budget; the cosine arm is a broadcast-1-query scan and the fusion join runs on 2×20 rows (broadcast)
+    "q117_bigram_ll" -> 6,        // bigram agg + ctx agg + unigram agg + per-doc re-agg (+ the bc subtree printed again under btot — collapsed by runtime exchange reuse)
+    "q118_scd2" -> 1,             // ONE (user × ord) exchange serves both windows and the change filter between them
+    "q119_weighted_sample" -> 1)  // the per-source rank window; the A-ES key is scan-local
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
@@ -150,5 +156,20 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q must plan TakeOrderedAndProject; a Sort + Limit materializes " +
           "a global sort of the full aggregate")
     }
+  }
+
+  test("q117's model caps plan as TakeOrdered limits (q73's contract for BOTH LM tables)") {
+    val p = plan("q117_bigram_ll")
+    assert(p.contains(s"TakeOrderedAndProject(limit=${TextQueries.BG_BIGRAM_CAP}"),
+      "the bigram model must cap via TakeOrdered BEFORE contexts attach — " +
+        "broadcasting the Heaps-law bigram or context table dies at 100x")
+    assert(p.contains(s"TakeOrderedAndProject(limit=${TextQueries.BG_UNIGRAM_CAP}"),
+      "the unigram interpolation table must be capped like q73's")
+  }
+
+  test("q119's per-source cut compiles to WindowGroupLimit (map-side k before the exchange)") {
+    assert(plan("q119_weighted_sample").contains("WindowGroupLimit"),
+      "the A-ES top-k must forward ≤k rows per source per task — without " +
+        "the group limit the exchange carries the whole corpus")
   }
 }
