@@ -177,11 +177,51 @@ object AnalyticsQueries {
         row_number().over(W.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
   }
 
+  /** The funnel's ordered steps (event_type values, in required order). */
+  val FUNNEL_STEPS = Seq("view", "click", "purchase")
+
+  /** Ordered conversion funnel: users who did view → click → purchase IN
+    * ORDER (each step strictly after the previous one's first completion —
+    * the min-ts chaining definition, so a purchase before any click does
+    * not count). The product-analytics staple over the reference's traffic
+    * domain; emits per-step user counts + conversion-from-start.
+    *
+    * Scale shape: one filtered scan per step feeding a per-user min
+    * aggregate — all three aggregates and both chaining joins share the
+    * user_id key, so AQE plans one exchange lineage per step and the
+    * chained tables shrink monotonically (step k+1 aggregates only step-k
+    * completers' events). The final rollup is three 1-row counts unioned —
+    * no wide state anywhere.
+    */
+  val q120_funnel: Q = (s, dir) => {
+    val ev = t(s, dir).events
+    def stepMin(typ: String) = ev.filter(col("event_type") === typ)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("mts"))
+    val s1 = stepMin(FUNNEL_STEPS(0)).select(col("user_id"), col("mts").as("t1"))
+    val s2 = ev.filter(col("event_type") === FUNNEL_STEPS(1))
+      .join(s1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === FUNNEL_STEPS(2))
+      .join(s2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = Seq(s1, s2, s3).zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).cast("long").as("step"),
+          lit(FUNNEL_STEPS(i)).as("event_type"), col("users"))
+    }
+    val u = counts.reduce(_ unionByName _)
+    val base = s1.agg(count(lit(1)).as("base_users"))
+    u.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("users"),
+        round(col("users").cast("double") / col("base_users"), 6).as("conv"))
+  }
+
   def all: Map[String, Q] = Map(
     "q110_bm25" -> q110_bm25,
     "q111_retention" -> q111_retention,
     "q112_psi_drift" -> q112_psi_drift,
-    "q116_hybrid_rrf" -> q116_hybrid_rrf)
+    "q116_hybrid_rrf" -> q116_hybrid_rrf,
+    "q120_funnel" -> q120_funnel)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -232,6 +272,25 @@ object AnalyticsQueries {
          |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
          |  FROM f)
          |WHERE fused_rank <= $RRF_TOPN""".stripMargin,
+    "q120_funnel" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |            WHERE event_type = '${FUNNEL_STEPS(0)}' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+         |       JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE e.event_type = '${FUNNEL_STEPS(1)}' AND e.ts > s1.t1
+         |       GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+         |       JOIN s2 ON e.user_id = s2.user_id
+         |       WHERE e.event_type = '${FUNNEL_STEPS(2)}' AND e.ts > s2.t2
+         |       GROUP BY 1),
+         |u AS (
+         |  SELECT 1::BIGINT AS step, '${FUNNEL_STEPS(0)}' AS event_type,
+         |         (SELECT count(*) FROM s1) AS users
+         |  UNION ALL SELECT 2, '${FUNNEL_STEPS(1)}', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, '${FUNNEL_STEPS(2)}', (SELECT count(*) FROM s3))
+         |SELECT step, event_type, users,
+         |  round(users::DOUBLE / (SELECT count(*) FROM s1), 6) AS conv
+         |FROM u""".stripMargin,
     "q111_retention" ->
       """WITH ua AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
         |wc AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_d

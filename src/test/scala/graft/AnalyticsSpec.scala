@@ -81,6 +81,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("q120: order matters — a purchase before the first click never counts") {
+    val d = Files.createTempDirectory("graft-funnel-sf").toFile.getAbsolutePath
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    // u1 completes in order; u2 purchases BEFORE viewing (step 1 only);
+    // u3 view+purchase but never clicks (step 1); u4 clicks without a view
+    // (not in the funnel at all)
+    val events = Seq(
+      (1L, ts(1), 1L, "view", 1.0, "{}"),
+      (2L, ts(2), 1L, "click", 1.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(1), 2L, "purchase", 1.0, "{}"),
+      (5L, ts(2), 2L, "view", 1.0, "{}"),
+      (6L, ts(1), 3L, "view", 1.0, "{}"),
+      (7L, ts(2), 3L, "purchase", 1.0, "{}"),
+      (8L, ts(1), 4L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(1).write.parquet(s"$d/events.parquet")
+    val got = AnalyticsQueries.q120_funnel(spark, d)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "view", 3L, 1.0),      // u1, u2, u3
+      (2L, "click", 1L, 0.333333), // only u1 clicked after viewing
+      (3L, "purchase", 1L, 0.333333)))
+  }
+
   test("q112: identical dist → 0; shifted → positive; gap bin stays finite") {
     val got = run("q112_psi_drift")
       .select($"source", $"psi").as[(String, Double)].collect().toMap
