@@ -414,4 +414,86 @@ object StreamOps extends Serializable {
           }
       }
   }
+
+  /** Keyed state for [[scd2Stream]]: events still inside the reorder
+    * horizon, the open version, and the next version number.
+    */
+  case class Scd2State(buf: List[(Long, String)],
+                       open: Option[(Long, String)],
+                       version: Long, flushAt: Long)
+
+  /** Incremental SCD Type-2 — the streaming form of
+    * [[graft.operators.Relational.scd2]]: a CDC change stream becomes
+    * versioned validity intervals AS THE VERSIONS CLOSE, instead of a
+    * nightly batch rebuild.
+    *
+    * Out-of-order safety: events buffer in state until the watermark
+    * passes them, then apply in `ord` order — so a late-but-inside-the-
+    * horizon change lands in the right interval (the batch operator gets
+    * this for free from its sort; a naive apply-on-arrival stream form
+    * would mis-chain). State per key = O(events inside the watermark
+    * horizon) + the open version; matured events leave on every
+    * invocation. Closed versions emit incrementally (is_current=0); the
+    * still-open version emits once at the `flushDelayMs` quiet-period
+    * timeout with valid_to=None, is_current=1 — [[latestByKeyStream]]'s
+    * flush convention.
+    *
+    * Emits (key, attr, valid_from, valid_to, version, is_current).
+    */
+  def scd2Stream(spark: SparkSession,
+                 rows: Dataset[(String, Long, String)],
+                 delay: String, flushDelayMs: Long)
+      : Dataset[(String, String, Long, Option[Long], Long, Int)] = {
+    import spark.implicits._
+
+    // apply matured (ord, attr) changes in order; returns closed emissions
+    def advance(key: String, st: Scd2State, matured: Seq[(Long, String)])
+        : (Scd2State, List[(String, String, Long, Option[Long], Long, Int)]) =
+      matured.sortBy(_._1).foldLeft((st, List.empty[(String, String, Long, Option[Long], Long, Int)])) {
+        case ((s, out), (ord, attr)) =>
+          s.open match {
+            case None =>
+              (s.copy(open = Some((ord, attr))), out)
+            case Some((_, a)) if a == attr => (s, out) // consecutive dup folds
+            case Some((from, a)) =>
+              val closed = (key, a, from, Some(ord), s.version, 0)
+              (s.copy(open = Some((ord, attr)), version = s.version + 1),
+                out :+ closed)
+          }
+      }
+
+    rows.toDF("key", "ord", "attr")
+      .withColumn("eventTime", timestamp_millis(col("ord")))
+      .withWatermark("eventTime", delay)
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, (String, String, Long, Option[Long], Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, events, state: GroupState[Scd2State]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val (fin, closed) = advance(key, st.copy(buf = Nil), st.buf)
+            state.remove()
+            val open = fin.open.map { case (from, a) =>
+              (key, a, from, Option.empty[Long], fin.version, 1)
+            }
+            (closed ++ open).iterator
+          } else {
+            val st0 = state.getOption.getOrElse {
+              Scd2State(Nil, None, 1L, Long.MinValue)
+            }
+            val incoming = events.map(e => (e._2, e._3)).toList
+            val flushAt =
+              if (st0.flushAt != Long.MinValue) st0.flushAt
+              else incoming.map(_._1).min + flushDelayMs
+            val wm = state.getCurrentWatermarkMs()
+            val (matured, pending) =
+              (st0.buf ++ incoming).partition(_._1 <= wm)
+            val (st1, closed) = advance(key, st0.copy(buf = pending), matured)
+            state.update(st1.copy(flushAt = flushAt))
+            state.setTimeoutTimestamp(flushAt)
+            closed.iterator
+          }
+      }
+  }
 }

@@ -1,8 +1,10 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relational
+import graft.streaming.StreamOps
 
 /** SCD2 change-log collapse: consecutive duplicates fold, intervals chain
   * exactly (valid_to = next valid_from), versions number from 1, the open
@@ -45,5 +47,40 @@ class Scd2Spec extends AnyFunSuite {
       assert(sorted.last._4.isEmpty && sorted.last._6 == 1)
       assert(sorted.init.forall(_._6 == 0))
     }
+  }
+
+  test("scd2Stream: out-of-order CDC events produce the batch history, incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val q = StreamOps.scd2Stream(spark, in.toDS(), "25 milliseconds",
+        flushDelayMs = 100)
+      .toDF("key", "attr", "valid_from", "valid_to", "version", "is_current")
+      .writeStream.format("memory").queryName("scd2s").outputMode("append").start()
+    try {
+      // user 1's ord-20 duplicate arrives LATE (next batch) but inside
+      // the 25 ms horizon — the buffer must reorder it before ord 30/40
+      in.addData(("1", 10L, "a"), ("1", 30L, "b"))
+      q.processAllAvailable()
+      // user 2's ord must clear batch 1's watermark (30-25=5) — an event
+      // AT the watermark is late and dropped before the operator sees it
+      in.addData(("1", 20L, "a"), ("1", 40L, "a"), ("2", 26L, "x"))
+      q.processAllAvailable()
+      in.addData(("wm", 300L, "z")) // watermark past every buffered ord + flushAt
+      q.processAllAvailable()
+      in.addData(("wm2", 301L, "z")) // nudge: timeouts fire
+      q.processAllAvailable()
+      val got = spark.table("scd2s")
+        .collect()
+        .filter(r => r.getString(0) == "1" || r.getString(0) == "2")
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4), r.getInt(5)))
+        .toSet
+      // batch reference on the same data (Scd2Spec's fixture semantics)
+      assert(got == Set(
+        ("1", "a", 10L, Some(30L), 1L, 0),
+        ("1", "b", 30L, Some(40L), 2L, 0),
+        ("1", "a", 40L, None, 3L, 1),
+        ("2", "x", 26L, None, 1L, 1)))
+    } finally q.stop()
   }
 }
