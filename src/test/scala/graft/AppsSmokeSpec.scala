@@ -358,6 +358,27 @@ class AppsSmokeSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/zipf").count() == 1L)
   }
 
+  test("ProductReportApp main: funnel + retention land under --out; psi only with --docs") {
+    val data = tmp("appprod-in"); val out = tmp("appprod-out")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")
+    Seq(
+      (1L, ts(1), 1L, "view", 1.0, "{}"),
+      (2L, ts(2), 1L, "click", 1.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(1), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$data/events.parquet")
+
+    graft.apps.ProductReportApp.main(Array("--data", data, "--out", out))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val funnel = spark.read.parquet(s"$out/funnel").collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("users")).toMap
+    assert(funnel == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    assert(spark.read.parquet(s"$out/retention").count() == 1L) // one cohort-day
+    assert(!new java.io.File(s"$out/psi_drift").exists, "psi needs --docs")
+  }
+
   test("DwsUserRegisterWindowApp + DwsTradePaymentSucWindowApp mains over one CDC feed") {
     val in = tmp("appdws-in"); val regOut = tmp("appdws-reg")
     val payOut = tmp("appdws-pay")
