@@ -216,7 +216,46 @@ object AnalyticsQueries {
         round(col("users").cast("double") / col("base_users"), 6).as("conv"))
   }
 
+  val BASKET_MIN_PAIR = 2L
+  val BASKET_TOPN = 20
+
+  /** Market-basket association rules over co-ordered parts: for part pairs
+    * appearing in ≥ BASKET_MIN_PAIR orders, emit support, confidence
+    * (pair/p1-count) and lift (confidence / p2's base rate) — the
+    * recommendation starter kit over the reference's trade domain.
+    *
+    * Scale shape: the self-join runs on the (order, part) DISTINCT pairs
+    * co-partitioned by order key — one exchange serves both sides and the
+    * pair fan-out is Σ items-per-order², bounded by basket size, never
+    * corpus size. Item counts broadcast back (one row per part appearing
+    * in a kept pair). Top-N by lift compiles to TakeOrdered.
+    */
+  val q121_basket_rules: Q = (s, dir) => {
+    val op = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pairs = op.select(col("o"), col("p").as("p1"))
+      .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= BASKET_MIN_PAIR)
+    val items = op.groupBy(col("p").as("pid")).agg(count(lit(1)).as("item_cnt"))
+    val nOrders = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(items.select(col("pid").as("p1"), col("item_cnt").as("c1"))), Seq("p1"))
+      .join(broadcast(items.select(col("pid").as("p2"), col("item_cnt").as("c2"))), Seq("p2"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("p1"), col("p2"), col("pair_cnt"),
+        round(col("pair_cnt").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("pair_cnt").cast("double") / col("c1"), 6).as("confidence"),
+        round((col("pair_cnt").cast("double") / col("c1")) * col("n_orders") / col("c2"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("p1").asc, col("p2").asc)
+      .limit(BASKET_TOPN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("p1").asc, col("p2").asc)).cast("long"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q121_basket_rules" -> q121_basket_rules,
     "q110_bm25" -> q110_bm25,
     "q111_retention" -> q111_retention,
     "q112_psi_drift" -> q112_psi_drift,
@@ -272,6 +311,28 @@ object AnalyticsQueries {
          |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
          |  FROM f)
          |WHERE fused_rank <= $RRF_TOPN""".stripMargin,
+    "q121_basket_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |pairs AS (
+         |  SELECT a.p AS p1, b.p AS p2, count(*) AS pair_cnt
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $BASKET_MIN_PAIR),
+         |items AS (SELECT p AS pid, count(*) AS item_cnt FROM op GROUP BY 1),
+         |n AS (SELECT count(DISTINCT o) AS n_orders FROM op),
+         |scored AS (
+         |  SELECT p1, p2, pair_cnt,
+         |    round(pair_cnt::DOUBLE / n.n_orders, 6) AS support,
+         |    round(pair_cnt::DOUBLE / i1.item_cnt, 6) AS confidence,
+         |    round((pair_cnt::DOUBLE / i1.item_cnt) * n.n_orders / i2.item_cnt, 6) AS lift
+         |  FROM pairs
+         |  JOIN items i1 ON pairs.p1 = i1.pid
+         |  JOIN items i2 ON pairs.p2 = i2.pid
+         |  CROSS JOIN n)
+         |SELECT p1, p2, pair_cnt, support, confidence, lift, rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    ORDER BY lift DESC, p1 ASC, p2 ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $BASKET_TOPN""".stripMargin,
     "q120_funnel" ->
       s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
          |            WHERE event_type = '${FUNNEL_STEPS(0)}' GROUP BY 1),

@@ -37,9 +37,42 @@ object GraphQueries {
     Graph.personalizedPageRank(edges(s, dir), "src", "dst",
       PPR_SEEDS, PR_ITERS, PR_DAMPING)
 
+  /** Triangle count over the co-purchase part graph (parts co-occurring in
+    * an order are linked). Triangle density separates organic neighborhoods
+    * from link-farm/spam cliques in web graphs — the standard graph-quality
+    * companion to PageRank.
+    *
+    * Shape: edges are canonical ordered pairs (x < y), so each triangle is
+    * enumerated exactly once as x < y < z via wedge join + closing-edge
+    * join. The wedge fan-out is Σ deg(y)² over the middle vertex — bounded
+    * by basket-co-occurrence degree here; at web scale the standard fix is
+    * degree-ordered orientation (each edge charged to its lower-degree
+    * endpoint), which this canonical-pair form already approximates for
+    * skewed graphs when ids correlate with degree — the remaining skew
+    * lever is the same salting playbook as the LSH hot buckets.
+    */
+  val q122_triangles: Q = (s, dir) => {
+    val op = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.select(col("o"), col("p").as("x"))
+      .join(op.select(col("o"), col("p").as("y")), Seq("o"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+    val wedges = e.select(col("x").as("a"), col("y").as("b"))
+      .join(e.select(col("x").as("b"), col("y").as("c")), Seq("b"))
+    val tri = wedges
+      .join(e.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("triangles"))
+    val nodes = e.select(col("x").as("n")).union(e.select(col("y").as("n")))
+      .distinct().agg(count(lit(1)).as("nodes"))
+    val edges = e.agg(count(lit(1)).as("edges"))
+    tri.crossJoin(broadcast(nodes)).crossJoin(broadcast(edges))
+  }
+
   def all: Map[String, Q] = Map(
     "q114_pagerank" -> q114_pagerank,
-    "q115_ppr" -> q115_ppr)
+    "q115_ppr" -> q115_ppr,
+    "q122_triangles" -> q122_triangles)
 
   // ——— oracle SQL (DuckDB) ———
 
@@ -90,5 +123,15 @@ object GraphQueries {
 
   def oracles: Map[String, String] = Map(
     "q114_pagerank" -> prSql,
-    "q115_ppr" -> pprSql)
+    "q115_ppr" -> pprSql,
+    "q122_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS x, b.p AS y
+        |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        |SELECT
+        |  (SELECT count(*) FROM e e1
+        |   JOIN e e2 ON e1.y = e2.x
+        |   JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y) AS triangles,
+        |  (SELECT count(*) FROM (SELECT x AS n FROM e UNION SELECT y FROM e)) AS nodes,
+        |  (SELECT count(*) FROM e) AS edges""".stripMargin)
 }

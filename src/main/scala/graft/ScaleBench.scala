@@ -78,7 +78,12 @@ object ScaleBench {
     // growing-graph variant below (ScaleData leaves part/supp keys
     // unshifted, so the registered part→supp graph would collapse under
     // distinct instead of growing).
-    "q117_bigram_ll", "q118_scd2")
+    "q117_bigram_ll", "q118_scd2",
+    // q121's pair fan-out is Σ items-per-order² (replicated orders grow the
+    // pair COUNTS over a fixed part vocabulary — the aggregate stays
+    // vocab-bound); q122's wedge join fan-out is Σ deg(mid)² on the
+    // co-purchase graph, the real scaling question of triangle counting
+    "q121_basket_rules", "q122_triangles")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -242,7 +247,12 @@ object ScaleBench {
       "q103_postings", "q104_bpe_pairs", "q105_source_overlap",
       "q106_winnow_pairs", "q109_curated_pack",
       "q110_bm25", "q111_retention", "q112_psi_drift",
-      "q117_bigram_ll", "q118_scd2")
+      "q117_bigram_ll", "q118_scd2",
+    // q121's pair fan-out is Σ items-per-order² (replicated orders grow the
+    // pair COUNTS over a fixed part vocabulary — the aggregate stays
+    // vocab-bound); q122's wedge join fan-out is Σ deg(mid)² on the
+    // co-purchase graph, the real scaling question of triangle counting
+    "q121_basket_rules", "q122_triangles")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),

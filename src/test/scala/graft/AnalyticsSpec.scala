@@ -81,6 +81,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("q121: support/confidence/lift match the hand calculation; singleton pairs drop") {
+    val d = Files.createTempDirectory("graft-basket-sf").toFile.getAbsolutePath
+    // o1{10,20} o2{10,20} o3{10,30} o4{20}: only (10,20) clears min-pair 2
+    val li = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      (4L, 20L))
+      .toDF("l_orderkey", "l_partkey")
+    li.coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = AnalyticsQueries.q121_basket_rules(spark, d).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("p1") == 10L && r.getAs[Long]("p2") == 20L)
+    assert(r.getAs[Long]("pair_cnt") == 2L)
+    assert(r.getAs[Double]("support") == 0.5)           // 2 of 4 orders
+    assert(r.getAs[Double]("confidence") == 0.666667)   // 2 of 3 orders with 10
+    assert(r.getAs[Double]("lift") == 0.888889)         // conf / (3/4)
+    assert(r.getAs[Long]("rank") == 1L)
+  }
+
   test("q120: order matters — a purchase before the first click never counts") {
     val d = Files.createTempDirectory("graft-funnel-sf").toFile.getAbsolutePath
     def ts(h: Int) = Timestamp.valueOf(f"2024-03-01 $h%02d:00:00")

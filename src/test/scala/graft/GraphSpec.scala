@@ -56,6 +56,22 @@ class GraphSpec extends AnyFunSuite {
     assert(r(10L) == 0.0 && r(11L) == 0.0, s"got $r")
   }
 
+  test("q122: two edge-sharing triangles on a hand graph, counted once each") {
+    val d = java.nio.file.Files.createTempDirectory("graft-tri-sf").toFile.getAbsolutePath
+    // o1{1,2,3} → triangle (1,2,3); o5{2,3,4} → triangle (2,3,4); chain 4-5
+    val li = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L),
+      (4L, 1L), (4L, 2L), // duplicate edge (1,2) must collapse
+      (5L, 2L), (5L, 3L), (5L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    li.coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = GraphQueries.q122_triangles(spark, d).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (2L, 5L, 6L),
+      s"got $got")
+  }
+
   test("pageRank at sf0.001 (q114 shape): one rank per node, teleport floor holds") {
     val pr = GraphQueries.q114_pagerank(spark, TestSession.sf)
     val rows = pr.collect()
