@@ -47,7 +47,7 @@ object Bench {
     // (ProbeAb: checkpointed vs pure-plan supersteps within 8%) — the q66
     // exclusion class. Per-superstep data cost is what scales, and that is
     // measured across both decades in ScaleBench (q114_pagerank_growing).
-    "q114_pagerank", "q115_ppr")
+    "q114_pagerank", "q115_ppr", "q123_hits")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

@@ -69,10 +69,20 @@ object GraphQueries {
     tri.crossJoin(broadcast(nodes)).crossJoin(broadcast(edges))
   }
 
+  val HITS_ITERS = 3
+
+  /** HITS hubs/authorities on the part→supplier bipartite graph: parts
+    * score as hubs (they "cite" many suppliers), suppliers as
+    * authorities.
+    */
+  val q123_hits: Q = (s, dir) =>
+    Graph.hits(edges(s, dir), "src", "dst", HITS_ITERS)
+
   def all: Map[String, Q] = Map(
     "q114_pagerank" -> q114_pagerank,
     "q115_ppr" -> q115_ppr,
-    "q122_triangles" -> q122_triangles)
+    "q122_triangles" -> q122_triangles,
+    "q123_hits" -> q123_hits)
 
   // ——— oracle SQL (DuckDB) ———
 
@@ -121,9 +131,36 @@ object GraphQueries {
        |SELECT node, round(r, 6) AS ppr FROM r$PR_ITERS""".stripMargin
   }
 
+  private def hitsSql: String = {
+    val chain = (1 to HITS_ITERS).map { k =>
+      val prevH = if (k == 1) "h0" else s"h${k - 1}"
+      s"""a${k}r AS (SELECT e.dst AS node, sum(round(h.h, 12)::DECIMAL(26,12)) AS ar
+         |  FROM $prevH h JOIN e ON h.node = e.src GROUP BY 1),
+         |a$k AS (SELECT node,
+         |  round(ar::DOUBLE / (SELECT sum(ar) FROM a${k}r)::DOUBLE, 12) AS a
+         |  FROM a${k}r),
+         |h${k}r AS (SELECT e.src AS node, sum(round(a.a, 12)::DECIMAL(26,12)) AS hr
+         |  FROM a$k a JOIN e ON a.node = e.dst GROUP BY 1),
+         |h$k AS (SELECT node,
+         |  round(hr::DOUBLE / (SELECT sum(hr) FROM h${k}r)::DOUBLE, 12) AS h
+         |  FROM h${k}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |h0 AS (SELECT node,
+       |  round(1.0::DOUBLE / (SELECT count(*) FROM nodes), 12) AS h FROM nodes),
+       |$chain
+       |SELECT n.node,
+       |  round(coalesce(h$HITS_ITERS.h, 0), 6) AS hub,
+       |  round(coalesce(a$HITS_ITERS.a, 0), 6) AS auth
+       |FROM nodes n
+       |LEFT JOIN h$HITS_ITERS ON n.node = h$HITS_ITERS.node
+       |LEFT JOIN a$HITS_ITERS ON n.node = a$HITS_ITERS.node""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q114_pagerank" -> prSql,
     "q115_ppr" -> pprSql,
+    "q123_hits" -> hitsSql,
     "q122_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS x, b.p AS y

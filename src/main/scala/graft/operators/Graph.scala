@@ -90,6 +90,58 @@ object Graph {
     r.select(col("node"), round(col("r"), 6).as("pr"))
   }
 
+  /** HITS (Kleinberg): mutually-recursive hub/authority scores with L1
+    * normalization per half-step — a_k(v) = Σ_{u→v} h_{k-1}(u) then
+    * a_k /= Σa; h_k(u) = Σ_{u→v} a_k(v) then h_k /= Σh. On a bipartite
+    * graph (e.g. parts → suppliers) the two sides separate cleanly:
+    * sources score as hubs, targets as authorities — the complementary
+    * ranking to [[pageRank]]'s single authority axis.
+    *
+    * Same plan discipline as pageRank: edge/node bases checkpointed once,
+    * supersteps stay one plan (exchange reuse), every aggregate sums
+    * 12-dp DECIMAL terms so the oracle's CTE replay matches exactly; the
+    * L1 norms are exact decimal sums, so even the normalizers replay.
+    * Nodes with no score on an axis (no in-edges / no out-edges) hold 0.
+    *
+    * Returns (node, hub, auth) rounded to 6 dp.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, s"hits: iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("e_src"),
+                         col(dstCol).cast("long").as("e_dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("e_src").as("node"))
+      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count() // O(1) driver scalar, mirrors the oracle's count(*)
+    var h = nodes.select(col("node"), round(lit(1.0 / n), 12).as("h"))
+    var a = nodes.select(col("node"), lit(0.0).as("a")).limit(0)
+    for (_ <- 1 to iters) {
+      val araw = h.join(e, col("node") === col("e_src"))
+        .select(col("e_dst").as("node"),
+          round(col("h"), 12).cast("decimal(26,12)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("ar"))
+      val an = araw.agg(sum(col("ar")).as("an"))
+      a = araw.crossJoin(broadcast(an))
+        .select(col("node"),
+          round(col("ar").cast("double") / col("an").cast("double"), 12).as("a"))
+      val hraw = a.join(e, col("node") === col("e_dst"))
+        .select(col("e_src").as("node"),
+          round(col("a"), 12).cast("decimal(26,12)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("hr"))
+      val hn = hraw.agg(sum(col("hr")).as("hn"))
+      h = hraw.crossJoin(broadcast(hn))
+        .select(col("node"),
+          round(col("hr").cast("double") / col("hn").cast("double"), 12).as("h"))
+    }
+    nodes
+      .join(h, Seq("node"), "left")
+      .join(a, Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("h"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("a"), lit(0.0)), 6).as("auth"))
+  }
+
   /** Personalized PageRank: same recurrence, but the teleport mass lands
     * only on the seed set S — r0 = 1/|S| on S else 0; teleport term
     * (1-d)/|S| on S else 0. The "related domains" / "expand from a trusted

@@ -415,6 +415,84 @@ object StreamOps extends Serializable {
       }
   }
 
+  /** Keyed state for [[funnelStream]]: buffered events inside the reorder
+    * horizon, the step index reached so far, and the completion time of
+    * the last reached step.
+    */
+  case class FunnelState(buf: List[(Long, String)], step: Int, lastT: Long,
+                         flushAt: Long)
+
+  /** Incremental ordered-funnel tracking — the streaming twin of the q120
+    * batch funnel: per user, advance through `steps` IN ORDER (each step
+    * strictly after the previous one's completion) and emit
+    * (key, step_index_1based, step_name, ord) the moment a step is
+    * reached. A dashboard consumes the emissions as they happen instead
+    * of waiting for the nightly recap.
+    *
+    * Same out-of-order discipline as [[scd2Stream]]: events buffer in
+    * state until the watermark passes them, then apply in `ord` order —
+    * so a click that ARRIVES after the purchase but HAPPENED before it
+    * still advances the funnel correctly. State per key = O(horizon
+    * events) + two scalars; a key whose funnel completes drops its state
+    * immediately (nothing further can emit), others evict at the
+    * `flushDelayMs` quiet-period timeout.
+    *
+    * Semantics note (matches q120's min-ts chaining): only the FIRST
+    * qualifying completion of each step advances — later repeats of an
+    * earlier step are ignored.
+    */
+  def funnelStream(spark: SparkSession,
+                   rows: Dataset[(String, Long, String)],
+                   steps: Seq[String], delay: String, flushDelayMs: Long)
+      : Dataset[(String, Int, String, Long)] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnelStream: steps must be non-empty")
+
+    def advance(key: String, st: FunnelState, matured: Seq[(Long, String)])
+        : (FunnelState, List[(String, Int, String, Long)]) =
+      matured.sortBy(_._1).foldLeft((st, List.empty[(String, Int, String, Long)])) {
+        case ((s, out), (ord, typ)) =>
+          if (s.step < steps.length && typ == steps(s.step) &&
+              (s.step == 0 || ord > s.lastT)) {
+            val reached = s.step + 1
+            (s.copy(step = reached, lastT = ord),
+              out :+ ((key, reached, typ, ord)))
+          } else (s, out)
+      }
+
+    rows.toDF("key", "ord", "typ")
+      .withColumn("eventTime", timestamp_millis(col("ord")))
+      .withWatermark("eventTime", delay)
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, (String, Int, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, events, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val (_, out) = advance(key, st.copy(buf = Nil), st.buf)
+            state.remove()
+            out.iterator
+          } else {
+            val st0 = state.getOption.getOrElse(
+              FunnelState(Nil, 0, Long.MinValue, Long.MinValue))
+            val incoming = events.map(e => (e._2, e._3)).toList
+            val flushAt =
+              if (st0.flushAt != Long.MinValue) st0.flushAt
+              else incoming.map(_._1).min + flushDelayMs
+            val wm = state.getCurrentWatermarkMs()
+            val (matured, pending) = (st0.buf ++ incoming).partition(_._1 <= wm)
+            val (st1, out) = advance(key, st0.copy(buf = pending), matured)
+            if (st1.step == steps.length && st1.buf.isEmpty) state.remove()
+            else {
+              state.update(st1.copy(flushAt = flushAt))
+              state.setTimeoutTimestamp(flushAt)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Keyed state for [[scd2Stream]]: events still inside the reorder
     * horizon, the open version, and the next version number.
     */

@@ -56,6 +56,18 @@ class GraphSpec extends AnyFunSuite {
     assert(r(10L) == 0.0 && r(11L) == 0.0, s"got $r")
   }
 
+  test("hits: the doubly-cited authority and the broader hub win; axes stay L1-normalized") {
+    val df = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val r = Graph.hits(df, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // bipartite separation: sources carry no authority, targets no hubness
+    assert(r(1L)._2 == 0.0 && r(2L)._2 == 0.0 && r(10L)._1 == 0.0 && r(11L)._1 == 0.0)
+    assert(r(10L)._2 > r(11L)._2, s"got $r") // 10 cited by both hubs
+    assert(r(1L)._1 > r(2L)._1, s"got $r")   // 1 cites both authorities
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
   test("q122: two edge-sharing triangles on a hand graph, counted once each") {
     val d = java.nio.file.Files.createTempDirectory("graft-tri-sf").toFile.getAbsolutePath
     // o1{1,2,3} → triangle (1,2,3); o5{2,3,4} → triangle (2,3,4); chain 4-5

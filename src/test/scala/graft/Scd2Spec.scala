@@ -83,4 +83,34 @@ class Scd2Spec extends AnyFunSuite {
         ("2", "x", 26L, None, 1L, 1)))
     } finally q.stop()
   }
+
+  test("funnelStream: late-arriving click still lands between view and purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val q = StreamOps.funnelStream(spark, in.toDS(),
+        Seq("view", "click", "purchase"), "25 milliseconds", flushDelayMs = 100)
+      .toDF("key", "step", "typ", "ord")
+      .writeStream.format("memory").queryName("funnels").outputMode("append").start()
+    try {
+      // user 1's click HAPPENED (ord 20) between view and purchase but
+      // ARRIVES after the purchase; user 2 purchased before viewing
+      in.addData(("1", 10L, "view"), ("1", 30L, "purchase"))
+      q.processAllAvailable()
+      in.addData(("1", 20L, "click"), ("2", 26L, "purchase"), ("2", 28L, "view"))
+      q.processAllAvailable()
+      in.addData(("wm", 300L, "view"))
+      q.processAllAvailable()
+      in.addData(("wm2", 301L, "view")) // nudge: timeouts fire
+      q.processAllAvailable()
+      val got = spark.table("funnels").collect()
+        .filter(r => r.getString(0) == "1" || r.getString(0) == "2")
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(got == Set(
+        ("1", 1, "view", 10L),
+        ("1", 2, "click", 20L),
+        ("1", 3, "purchase", 30L),
+        ("2", 1, "view", 28L))) // the pre-view purchase never counts
+    } finally q.stop()
+  }
 }
