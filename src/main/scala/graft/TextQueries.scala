@@ -391,6 +391,50 @@ object TextQueries {
   val q117_bigram_ll: Q = (s, dir) =>
     bigramLl(t(s, dir).documents, BG_BIGRAM_CAP, BG_UNIGRAM_CAP)
 
+  val PMI_MIN_COUNT = 3L
+  val PMI_TOPN = 30
+
+  /** PMI collocations — the phrase-detection pass (word2vec-style
+    * preprocessing, Church & Hanks' association ratio): for bigrams seen
+    * ≥ PMI_MIN_COUNT times, pmi = ln( p(w1,w2) / (p(w1)·p(w2)) ); high-PMI
+    * pairs co-occur far above chance and get joined into single tokens
+    * before embedding training. Top-N by PMI (ties on the bigram).
+    *
+    * Scale shape: q117's machinery — space-joined string bigram keys
+    * (the measured 7× fast path), vocab-bound aggregates, scalar totals as
+    * 1-row broadcasts. The unigram joins shuffle (bigrams ⋈ vocab) on
+    * narrow string keys; nothing vocabulary-sized broadcasts. The min-count
+    * filter runs before the joins, so only qualifying pairs pay them.
+    */
+  val q124_pmi: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val tk = tokens(col("text"))
+    val bgCol = zip_with(
+      slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val base = docs.filter(size(tk) >= 2).select(explode(bgCol).as("bg"))
+    val bc = base.groupBy(col("bg")).agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") >= PMI_MIN_COUNT)
+    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val btot = docs.filter(size(tk) >= 2)
+      .agg(sum(size(tk) - 1).cast("long").as("b_total"))
+    val utot = docs.agg(sum(size(tk)).cast("long").as("t_total"))
+    bc
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("tok").as("w1"), col("tf").as("tf1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("tf").as("tf2")), Seq("w2"))
+      .crossJoin(broadcast(btot))
+      .crossJoin(broadcast(utot))
+      .select(col("bg"), col("bcnt"), col("tf1"), col("tf2"),
+        round(log((col("bcnt").cast("double") / col("b_total")) /
+          ((col("tf1").cast("double") / col("t_total")) *
+           (col("tf2").cast("double") / col("t_total")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg").asc)
+      .limit(PMI_TOPN)
+  }
+
   /** Token-budget mixture sampling — the epoch-composition step of a
     * pretraining run: each source contributes documents in deterministic
     * doc_id order until its token budget (weight × base) is spent. Unlike
@@ -612,6 +656,7 @@ object TextQueries {
     "q72_shuffle_shard" -> q72_shuffle_shard,
     "q73_unigram_ll" -> q73_unigram_ll,
     "q117_bigram_ll" -> q117_bigram_ll,
+    "q124_pmi" -> q124_pmi,
     "q74_token_budget_mix" -> q74_token_budget_mix,
     "q75_dup_spans" -> q75_dup_spans,
     "q88_span_removal" -> q88_span_removal,
@@ -634,6 +679,31 @@ object TextQueries {
 
   // DuckDB equivalents. Token list: list_filter(string_split(text,' '), x <> '').
   def oracles: Map[String, String] = Map(
+    "q124_pmi" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         |  FROM documents),
+         |base AS (
+         |  SELECT unnest(list_transform(range(len(tk) - 1),
+         |    i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+         |  FROM dt WHERE len(tk) >= 2),
+         |bc AS (SELECT bg, count(*) AS bcnt FROM base GROUP BY 1
+         |       HAVING count(*) >= $PMI_MIN_COUNT),
+         |uni AS (SELECT tok, count(*) AS tf FROM (
+         |          SELECT unnest(tk) AS tok FROM dt) GROUP BY 1),
+         |btot AS (SELECT sum(len(tk) - 1)::BIGINT AS b_total FROM dt WHERE len(tk) >= 2),
+         |utot AS (SELECT sum(len(tk))::BIGINT AS t_total FROM dt),
+         |scored AS (
+         |  SELECT bc.bg, bc.bcnt, u1.tf AS tf1, u2.tf AS tf2,
+         |    round(ln((bc.bcnt::DOUBLE / btot.b_total) /
+         |      ((u1.tf::DOUBLE / utot.t_total) *
+         |       (u2.tf::DOUBLE / utot.t_total))), 6) AS pmi
+         |  FROM bc
+         |  JOIN uni u1 ON split_part(bc.bg, ' ', 1) = u1.tok
+         |  JOIN uni u2 ON split_part(bc.bg, ' ', 2) = u2.tok
+         |  CROSS JOIN btot CROSS JOIN utot)
+         |SELECT bg, bcnt, tf1, tf2, pmi FROM scored
+         |ORDER BY pmi DESC, bg ASC LIMIT $PMI_TOPN""".stripMargin,
     "q117_bigram_ll" ->
       s"""WITH dt AS (
          |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk

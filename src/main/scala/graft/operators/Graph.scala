@@ -106,7 +106,7 @@ object Graph {
     * Returns (node, hub, auth) rounded to 6 dp.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int): DataFrame = {
+           iters: Int, checkpointRanks: Boolean = false): DataFrame = {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("e_src"),
                          col(dstCol).cast("long").as("e_dst"))
@@ -116,7 +116,7 @@ object Graph {
     val n = nodes.count() // O(1) driver scalar, mirrors the oracle's count(*)
     var h = nodes.select(col("node"), round(lit(1.0 / n), 12).as("h"))
     var a = nodes.select(col("node"), lit(0.0).as("a")).limit(0)
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val araw = h.join(e, col("node") === col("e_src"))
         .select(col("e_dst").as("node"),
           round(col("h"), 12).cast("decimal(26,12)").as("c"))
@@ -133,6 +133,10 @@ object Graph {
       h = hraw.crossJoin(broadcast(hn))
         .select(col("node"),
           round(col("hr").cast("double") / col("hn").cast("double"), 12).as("h"))
+      // same deep-iteration lineage trade as pageRank's checkpointRanks
+      if (checkpointRanks && k < iters) {
+        h = h.localCheckpoint(); a = a.localCheckpoint()
+      }
     }
     nodes
       .join(h, Seq("node"), "left")

@@ -109,4 +109,32 @@ object Layout {
     (0 until bits).foldLeft(0L) { (acc, i) =>
       acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
     }
+
+  /** Small-file compaction — the table-maintenance pass every long-running
+    * ingest needs: streaming sinks and incremental appends leave thousands
+    * of KB-sized part files, and at 100 TB the resulting task-per-file
+    * scheduling + footer-read overhead dominates scans. Rewrites `inDir`
+    * into `outDir` with file count sized from the ACTUAL input bytes
+    * (ceil(bytes / targetBytes)), so output files land near the parquet
+    * sweet spot regardless of how fragmented the input was.
+    *
+    * Content-preserving, order-agnostic: rows are only re-bucketed
+    * (round-robin repartition — even output sizes with no shuffle key to
+    * skew). Callers that also want clustering compose [[zOrderWrite]]
+    * instead. Returns (input file count, output file count).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    (files.length, parts)
+  }
 }

@@ -379,6 +379,30 @@ class AppsSmokeSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$out/psi_drift").exists, "psi needs --docs")
   }
 
+  test("GraphRankApp main: pagerank + hits land under --out; seeds switch to ppr") {
+    val in = tmp("appgraph-in"); val out = tmp("appgraph-out")
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+
+    graft.apps.GraphRankApp.main(Array(
+      "--edges", in, "--out", out, "--iters", "20", "--hits", "true"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val pr = spark.read.parquet(s"$out/pagerank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 4 && pr(1L) == pr.values.max) // 1 has the extra in-link
+    assert(spark.read.parquet(s"$out/hits").count() == 4L)
+
+    val out2 = tmp("appgraph-ppr")
+    graft.apps.GraphRankApp.main(Array(
+      "--edges", in, "--out", out2, "--iters", "20", "--seeds", "4"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val ppr = spark.read.parquet(s"$out2/pagerank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // near the fixpoint the seed's neighbor 1 holds the most mass
+    // (r1 ≈ .267 > r2 ≈ .227 > r3 ≈ .193 > r4 = teleport .15)
+    assert(ppr(1L) == ppr.values.max && ppr(4L) > 0.149 && ppr(3L) > 0)
+  }
+
   test("DwsUserRegisterWindowApp + DwsTradePaymentSucWindowApp mains over one CDC feed") {
     val in = tmp("appdws-in"); val regOut = tmp("appdws-reg")
     val payOut = tmp("appdws-pay")

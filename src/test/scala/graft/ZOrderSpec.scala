@@ -96,4 +96,23 @@ class ZOrderSpec extends AnyFunSuite {
         s"z($x,$y)=$z escapes the corner range")
     }
   }
+
+  test("compact: fragmented input collapses to byte-sized file count, content intact") {
+    val in = java.nio.file.Files.createTempDirectory("compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact-out").toString
+    val df = spark.range(0, 2000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.mode("overwrite").parquet(in) // 40 tiny files
+    val bytes = new java.io.File(in).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val (inFiles, outFiles) = Layout.compact(spark, in, out, targetBytes = bytes / 4)
+    assert(inFiles == 40)
+    assert(outFiles <= 5 && outFiles >= 4, s"expected ~ceil(bytes/target)=4, got $outFiles")
+    val written = new java.io.File(out).listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(written == outFiles)
+    // content equality, order-agnostic
+    val a = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val b = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
 }
