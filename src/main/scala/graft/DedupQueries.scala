@@ -31,6 +31,26 @@ object DedupQueries {
   val q26_dedup_exact: Q = (s, dir) =>
     Dedup.exactDedup(t(s, dir).documents, "doc_id", "text")
 
+  /** Exact shingle-set Jaccard ≥ 3/5 pairs via prefix filtering — the
+    * recall-1.0 complement to q28's MinHash-LSH, over the SAME 3-shingle
+    * sets, so the planted ≥0.8-Jaccard pairs must all surface with exact
+    * intersection counts (see [[graft.operators.SetSim]]; rational
+    * threshold keeps every filter integer-exact cross-engine). Shingle
+    * sets rather than token sets deliberately: this corpus draws every
+    * doc from one 31-word vocabulary, so token SETS are near-identical
+    * corpus-wide (~71k qualifying pairs at sf0.01 — a measured fixture
+    * pathology, not a plan property), while shingle sets stay sparse.
+    */
+  val PPJ_NUM = 3
+  val PPJ_DEN = 5
+  val q125_ppjoin: Q = (s, dir) => {
+    val sets = t(s, dir).documents.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingleHashes(
+        col("text"), SHINGLE_N)).as("hs"))
+    graft.operators.SetSim.jaccardSelfJoinSets(
+      sets, "doc_id", "hs", PPJ_NUM, PPJ_DEN)
+  }
+
   val q27_minhash_sig: Q = (s, dir) =>
     Dedup.minhashSignatures(t(s, dir).documents, "doc_id", "text", SHINGLE_N, MINHASH_K)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "sig")))
@@ -203,6 +223,7 @@ object DedupQueries {
     "q77_corpus_funnel" -> q77_corpus_funnel,
     "q49_minhash_estimate" -> q49_minhash_estimate,
     "q26_dedup_exact" -> q26_dedup_exact,
+    "q125_ppjoin" -> q125_ppjoin,
     "q27_minhash_sig" -> q27_minhash_sig,
     "q28_lsh_neardup" -> q28_lsh_neardup,
     "q85_lsh_salted" -> q85_lsh_salted,
@@ -249,6 +270,23 @@ object DedupQueries {
        |  FROM th)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Exact all-pairs replay of the prefix-filtered join's DEFINITION over
+    // the same distinct 3-shingle hash sets: shared-element pairs +
+    // integer cross-multiplied Jaccard threshold.
+    "q125_ppjoin" ->
+      s"""WITH $shingleCtes,
+         |sz AS (SELECT doc_id, len(hs) AS n FROM sh WHERE len(hs) >= 1),
+         |el AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE len(hs) >= 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter_cnt
+         |  FROM el a JOIN el b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.d1, p.d2, p.inter_cnt,
+         |  (s1.n + s2.n - p.inter_cnt)::BIGINT AS union_cnt
+         |FROM pairs p
+         |JOIN sz s1 ON p.d1 = s1.doc_id
+         |JOIN sz s2 ON p.d2 = s2.doc_id
+         |WHERE p.inter_cnt * $PPJ_DEN >= (s1.n + s2.n - p.inter_cnt) * $PPJ_NUM""".stripMargin,
     "q94_canonical_dedup" ->
       s"""WITH RECURSIVE $shingleCtes,
          |bands AS (SELECT doc_id, b,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Layout, Relational, RuntimeFilter}
+import graft.operators.{Layout, Merge, Relational, RuntimeFilter}
 
 /** Scale-technique queries: operators whose POINT is the 100 TB plan shape
   * — chunking fan-out without shuffles, per-domain caps as a rank
@@ -157,7 +157,30 @@ object ScaleQueries {
       .select(col("tok"), col("df"), col("rnk"), col("doc_id"))
   }
 
+  /** Copy-on-write MERGE upsert ([[graft.operators.Merge]]): write orders
+    * as a partitioned table, upsert updates (+1000 on every 97th key) and
+    * inserts (same rows re-keyed +10M), then aggregate the merged table.
+    * The partition-pruned rewrite contract — untouched partitions'
+    * files stay byte-identical — is pinned in MergeSpec; here the oracle
+    * checks the MERGE SEMANTICS end-to-end through real parquet rewrites.
+    */
+  val q126_merge_upsert: Q = (s, dir) => {
+    val orders = t(s, dir).orders
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+    val touched = orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+    val updates = touched.withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(touched.withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    Merge.into(s, root, updates, "o_orderkey", "o_orderpriority")
+    s.read.parquet(root)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+  }
+
   def all: Map[String, Q] = Map(
+    "q126_merge_upsert" -> q126_merge_upsert,
     "q103_postings" -> q103_postings,
     "q78_chunk_overlap" -> q78_chunk_overlap,
     "q79_domain_cap" -> q79_domain_cap,
@@ -173,6 +196,27 @@ object ScaleQueries {
   }.mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    // MERGE semantics replayed relationally: survivors (keys not updated)
+    // ∪ updates ∪ inserts, then the same aggregate. Base keys are < 10M so
+    // the +10M re-key never collides with a survivor.
+    "q126_merge_upsert" ->
+      """WITH touched AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM touched
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+        |  FROM touched),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT * FROM upd)
+        |SELECT o_orderpriority, count(*)::BIGINT AS cnt,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM merged GROUP BY 1""".stripMargin,
     "q103_postings" ->
       """WITH p AS (
         |  SELECT doc_id,

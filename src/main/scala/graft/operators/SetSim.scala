@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering (the AllPairs /
+  * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08). Finds ALL
+  * document pairs with token-set Jaccard ≥ t — exactly, no probabilistic
+  * recall loss — without the all-pairs cross join.
+  *
+  * This is the deterministic complement to the MinHash-LSH path in
+  * [[Dedup]]: LSH trades a tunable S-curve of recall for O(bands) shuffle
+  * keys per doc; prefix filtering keeps recall at 1.0 and instead bounds
+  * candidate generation by a provable pruning rule. Use it where misses
+  * are not acceptable (legal dedup, eval-set decontamination audits) or
+  * where the corpus's similarity mass sits near the threshold, which is
+  * exactly where the LSH S-curve is softest.
+  *
+  * The pruning rule: order every token set by a GLOBAL total order —
+  * ascending document frequency, ties by token — and keep only each set's
+  * first |x| − ⌈t·|x|⌉ + 1 tokens (its "prefix"). Any pair with
+  * J(x,y) ≥ t has intersection o ≥ t·max(|x|,|y|) (from
+  * o/(|x|+|y|−o) ≥ t and |min| ≥ t·|max|), so a set's suffix of
+  * ⌈t·|x|⌉ − 1 tokens cannot hold all common tokens: every qualifying
+  * pair shares at least one PREFIX token and is found by the equi-join on
+  * prefix tokens (SetSimSpec pins recall against the brute-force join,
+  * including threshold-boundary pairs).
+  *
+  * Scale shape at 100 TB:
+  *  - the shuffle for candidate generation carries (prefix-token, id, n)
+  *    only — O(prefix) rows per doc, never the text or the full set;
+  *  - rarest-first ordering makes prefix tokens each doc's LOWEST-df
+  *    tokens, so join buckets are small by construction — the hot-bucket
+  *    risk of the LSH path is designed out rather than salted away
+  *    (residual pathologies — a corpus of docs built entirely from a few
+  *    common tokens — fall back to the same salting playbook as
+  *    [[Dedup.lshCandidatePairsSalted]]);
+  *  - the length filter t·max(n1,n2) ≤ min(n1,n2) prunes candidates
+  *    before the verify join ever sees a token array;
+  *  - verification joins full token sets only for surviving candidate
+  *    pairs.
+  *
+  * The threshold is a RATIONAL tNum/tDen (e.g. 3/5 for 0.6) so every
+  * filter is integer arithmetic — ⌈t·n⌉ = (tNum·n + tDen − 1) div tDen and
+  * J ≥ t ⇔ inter·tDen ≥ tNum·union — bit-identical in any engine (the
+  * q125 oracle replays the definition all-pairs in DuckDB).
+  */
+object SetSim {
+
+  /** Per-doc distinct token sets: (id, tk: array<string>, n). Docs with
+    * empty token sets are dropped — Jaccard is undefined on empty sets and
+    * they can match nothing.
+    */
+  def tokenSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        array_distinct(filter(split(col(textCol), " "), t => t =!= "")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") >= 1)
+
+  /** ⌈tNum·n/tDen⌉ in exact integer arithmetic. n is bounded by tokens-
+    * per-doc, so tNum·n stays far inside the double-exact integer range
+    * and floor() introduces no rounding.
+    */
+  private def ceilMul(n: Column, tNum: Int, tDen: Int): Column =
+    floor((n * tNum + (tDen - 1)) / tDen).cast("int")
+
+  /** All pairs (d1 < d2) with token-set Jaccard ≥ tNum/tDen over
+    * whitespace TOKEN sets. Granularity caveat: token sets are the right
+    * unit for short records (titles, queries); for document near-dup they
+    * are coarse — two long docs over one topical vocabulary share most
+    * token TYPES without sharing any phrasing, so prefer
+    * [[jaccardSelfJoinSets]] over shingle-hash sets (q125), which keep
+    * both the pair count and the prefix-bucket sizes sparse.
+    */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, textCol: String,
+                      tNum: Int, tDen: Int): DataFrame =
+    jaccardSelfJoinSets(tokenSets(df, idCol, textCol), idCol, "tk", tNum, tDen)
+
+  /** All pairs (d1 < d2) with set Jaccard ≥ tNum/tDen over an arbitrary
+    * set column (array of any orderable atomic type — token strings,
+    * shingle hashes, feature ids), as (d1, d2, inter_cnt, union_cnt).
+    * Exact — recall 1.0 by the prefix argument above. Rows must carry
+    * DISTINCT elements ([[tokenSets]]-style preparation) and non-empty
+    * sets.
+    *
+    * Plan: one element-frequency agg, one per-doc sort to order sets, a
+    * prefix-element equi-join for candidates, then a set-verify join.
+    */
+  def jaccardSelfJoinSets(sets0: DataFrame, idCol: String, setCol: String,
+                          tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen,
+      s"threshold must be a rational in (0,1), got $tNum/$tDen")
+    val sets = sets0.select(col(idCol), col(setCol).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") >= 1)
+
+    // Global order: ascending element frequency, ties by element. No
+    // global rank/window is needed — (df, elem) pairs compare
+    // lexicographically, so sorting each doc's struct array yields the
+    // same order every engine would.
+    val toks = sets.select(col(idCol), explode(col("tk")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = toks.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .join(sets.select(col(idCol), col("n")), idCol)
+
+    // Prefix = first n − ⌈t·n⌉ + 1 elements of the ordered set, each with
+    // its 1-based position (for the positional filter below).
+    val prefLen = (col("n") - ceilMul(col("n"), tNum, tDen) + 1)
+    val pref = ordered.select(col(idCol), col("n"),
+        posexplode(slice(col("ord"), lit(1), prefLen)))
+      .select(col(idCol), col("n"), (col("pos") + 1).as("pos"),
+        col("col.tok").as("tok"))
+
+    // Candidates: share a prefix element, id-ordered, length-compatible,
+    // and POSITION-compatible (PPJoin's positional filter). Both sets are
+    // sorted by the same global order, so shared elements are aligned:
+    // every shared element beyond the FIRST shared one sits after its
+    // positions in BOTH sets, and any shared element before the first
+    // collision would itself be a both-prefix collision — so
+    //   overlap ≤ 1 + min(n1 − p1, n2 − p2)
+    // at the first collision's positions (p1, p2) = (min p1, min p2 over
+    // collision rows — the same row, by alignment). Requiring that upper
+    // bound to reach the threshold overlap ⌈t(n1+n2)/(1+t)⌉ prunes the
+    // long tail of single-shared-rare-element candidates before the
+    // verify join ever materializes a token array (measured: 193k → ~2k
+    // candidates on the sf0.1 shingle corpus).
+    val a = pref.select(col("tok"), col(idCol).as("d1"),
+      col("n").as("n1"), col("pos").as("p1"))
+    val b = pref.select(col("tok"), col(idCol).as("d2"),
+      col("n").as("n2"), col("pos").as("p2"))
+    // shuffle_hash: a SELF-join's sides are by definition the same size,
+    // so broadcasting one side both caps scale (the prefix table grows
+    // with the corpus) and recomputes the whole prefix pipeline for the
+    // build side; the shuffled form keys both sides on `tok` so AQE can
+    // reuse one exchange for both (and no sort, unlike merge).
+    val cand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("tok"))
+      .filter(col("d1") < col("d2") &&
+        greatest(col("n1"), col("n2")) * tNum <=
+          least(col("n1"), col("n2")) * tDen)
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
+      .filter((lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")))
+        * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
+      .select(col("d1"), col("d2"))
+
+    // Verify: exact intersection over the full distinct-token sets —
+    // arrays travel only for candidate docs.
+    val s1 = sets.select(col(idCol).as("d1"), col("tk").as("tk1"), col("n").as("n1"))
+    val s2 = sets.select(col(idCol).as("d2"), col("tk").as("tk2"), col("n").as("n2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("inter_cnt", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .withColumn("union_cnt", (col("n1") + col("n2")).cast("long") - col("inter_cnt"))
+      .filter(col("inter_cnt") * tDen >= col("union_cnt") * tNum)
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
+  }
+}

@@ -93,4 +93,29 @@ object Sinks {
     */
   def dropTransient(df: DataFrame, transientCols: Seq[String]): DataFrame =
     df.drop(transientCols: _*)
+
+  /** K4 as a lakehouse table: continuous copy-on-write upsert. Each
+    * micro-batch is resolved to ONE row per key (last write wins under
+    * `orderCols` — which must give a TOTAL order per key, same requirement
+    * as [[upsertView]]) and merged into the partitioned parquet table at
+    * `path` ([[graft.operators.Merge]]; first batch bootstraps the table).
+    *
+    * This is the Spark-native form of the reference's Phoenix upsert sink
+    * (…/app/dim/DimSinkApp.java routes dims into upserted HBase tables):
+    * replaying a micro-batch rewrites the same keys with the same rows, so
+    * at-least-once delivery composes to idempotent table state — the same
+    * argument as the Kafka key-dedup convention, now for table storage.
+    * `df`'s columns must match the target table's schema; Merge's
+    * stable-partition contract applies per key.
+    */
+  def mergeSink(df: DataFrame, path: String, keyCol: String, partCol: String,
+                orderCols: Seq[org.apache.spark.sql.Column], checkpoint: String,
+                trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    foreachBatchSink(df, checkpoint, trigger) { (batch, _) =>
+      if (!batch.isEmpty) {
+        val resolved = Relational.latestByKey(batch.toDF(), Seq(keyCol), orderCols)
+        graft.operators.Merge.intoOrCreate(
+          batch.sparkSession, path, resolved, keyCol, partCol)
+      }
+    }
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.SetSim
+
+/** Exactness of the prefix-filtered set-similarity join: recall 1.0 vs the
+  * brute-force all-pairs join, including pairs AT the threshold boundary
+  * (the spot where both a lossy prefix rule and FP threshold arithmetic
+  * would first break).
+  */
+class SetSimSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  /** Brute-force truth: all-pairs cross join + exact integer Jaccard. */
+  private def bruteSets(sets0: DataFrame, setCol: String, tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] = {
+    val sets = sets0.select(col("doc_id"), col(setCol).as("tk"))
+      .withColumn("n", size(col("tk"))).filter(col("n") >= 1)
+    val a = sets.select(col("doc_id").as("d1"), col("tk").as("tk1"), col("n").as("n1"))
+    val b = sets.select(col("doc_id").as("d2"), col("tk").as("tk2"), col("n").as("n2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("inter_cnt", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .withColumn("union_cnt", (col("n1") + col("n2")).cast("long") - col("inter_cnt"))
+      .filter(col("inter_cnt") * tDen >= col("union_cnt") * tNum)
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  private def brute(df: DataFrame, tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] =
+    bruteSets(SetSim.tokenSets(df, "doc_id", "text"), "tk", tNum, tDen)
+
+  private def run(df: DataFrame, tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] =
+    SetSim.jaccardSelfJoin(df, "doc_id", "text", tNum, tDen)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("boundary pairs: exactly-at-threshold kept, just-below dropped") {
+    // J(1,2) = 3/5 exactly (inter {b c d}, union {a b c d e}): kept at 3/5.
+    // J(3,4) = 2/4 = 1/2 < 3/5: dropped. J(5,6) = 2/3 > 3/5: kept.
+    val df = Seq(
+      (1L, "a b c d"), (2L, "b c d e"),
+      (3L, "p q r"), (4L, "q r s"),
+      (5L, "x y z"), (6L, "x y")).toDF("doc_id", "text")
+    val got = run(df, 3, 5)
+    assert(got == Set((1L, 2L, 3L, 5L), (5L, 6L, 2L, 3L)), s"got $got")
+    assert(got == brute(df, 3, 5))
+  }
+
+  test("identical sets (J=1), duplicate tokens collapse to sets, empties drop") {
+    val df = Seq(
+      (1L, "a a a b"),        // set {a,b}
+      (2L, "b a"),            // set {a,b} — J(1,2)=1
+      (3L, "   "),            // empty set: matches nothing
+      (4L, "a")).toDF("doc_id", "text") // {a}: J with {a,b} = 1/2 < 3/5
+    val got = run(df, 3, 5)
+    assert(got == Set((1L, 2L, 2L, 2L)), s"got $got")
+    assert(got == brute(df, 3, 5))
+  }
+
+  test("prefix pruning loses nothing on the real corpus (recall 1.0 vs brute force)") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    for ((tNum, tDen) <- Seq((3, 5), (4, 5), (1, 2))) {
+      val got = run(docs, tNum, tDen)
+      val want = brute(docs, tNum, tDen)
+      assert(got == want,
+        s"t=$tNum/$tDen: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"fixture should yield pairs at $tNum/$tDen")
+    }
+  }
+
+  test("shingle-hash set form (q125 shape): recall 1.0 vs brute force, planted near-dups surface") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val sets = docs.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingleHashes(col("text"), 3)).as("hs"))
+    val got = SetSim.jaccardSelfJoinSets(sets, "doc_id", "hs", 3, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = bruteSets(sets, "hs", 3, 5)
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "the corpus plants >=0.8-Jaccard shingle pairs; 3/5 must catch them")
+  }
+
+  test("rejects degenerate thresholds") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](SetSim.jaccardSelfJoin(df, "doc_id", "text", 0, 5))
+    intercept[IllegalArgumentException](SetSim.jaccardSelfJoin(df, "doc_id", "text", 5, 5))
+  }
+}
