@@ -47,7 +47,12 @@ object Bench {
     // (ProbeAb: checkpointed vs pure-plan supersteps within 8%) — the q66
     // exclusion class. Per-superstep data cost is what scales, and that is
     // measured across both decades in ScaleBench (q114_pagerank_growing).
-    "q114_pagerank", "q115_ppr", "q123_hits")
+    "q114_pagerank", "q115_ppr", "q123_hits",
+    // BFS frontier rounds are driver-synchronous localCheckpoints — the
+    // same round-latency physics (measured in ScaleBench across both
+    // decades instead: 6.8 s at sf0.1 is ~4 rounds of job latency, and
+    // the second decade's 8× is edge growth, not per-round cost)
+    "q127_bfs_hops")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

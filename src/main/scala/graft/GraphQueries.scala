@@ -78,11 +78,31 @@ object GraphQueries {
   val q123_hits: Q = (s, dir) =>
     Graph.hits(edges(s, dir), "src", "dst", HITS_ITERS)
 
+  /** Multi-source BFS over the (symmetric) co-purchase part graph: min
+    * hop distance from the q115 seed parts, bounded at [[BFS_HOPS]] — the
+    * reachability companion to the rank family ("blast radius" of a
+    * compromised item / proximity to a trusted whitelist). The frontier
+    * form expands each node once (O(E) total work across rounds); the
+    * oracle replays it as a level-bounded recursive CTE whose UNION
+    * dedups (node, dist) rows, so both sides compute exact BFS levels.
+    */
+  val BFS_HOPS = 3
+  val q127_bfs_hops: Q = (s, dir) => {
+    val op = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.select(col("o"), col("p").as("src"))
+      .join(op.select(col("o"), col("p").as("dst")), Seq("o"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    Graph.shortestHops(e, "src", "dst", PPR_SEEDS, BFS_HOPS)
+  }
+
   def all: Map[String, Q] = Map(
     "q114_pagerank" -> q114_pagerank,
     "q115_ppr" -> q115_ppr,
     "q122_triangles" -> q122_triangles,
-    "q123_hits" -> q123_hits)
+    "q123_hits" -> q123_hits,
+    "q127_bfs_hops" -> q127_bfs_hops)
 
   // ——— oracle SQL (DuckDB) ———
 
@@ -170,5 +190,17 @@ object GraphQueries {
         |   JOIN e e2 ON e1.y = e2.x
         |   JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y) AS triangles,
         |  (SELECT count(*) FROM (SELECT x AS n FROM e UNION SELECT y FROM e)) AS nodes,
-        |  (SELECT count(*) FROM e) AS edges""".stripMargin)
+        |  (SELECT count(*) FROM e) AS edges""".stripMargin,
+    "q127_bfs_hops" ->
+      s"""WITH RECURSIVE
+         |op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT a.p::BIGINT AS src, b.p::BIGINT AS dst
+         |      FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+         |r AS (
+         |  SELECT s::BIGINT AS node, 0 AS dist
+         |  FROM (VALUES ${PPR_SEEDS.map(s => s"($s)").mkString(", ")}) AS sv(s)
+         |  UNION
+         |  SELECT e.dst, r.dist + 1
+         |  FROM r JOIN e ON e.src = r.node WHERE r.dist < $BFS_HOPS)
+         |SELECT node, min(dist)::INT AS dist FROM r GROUP BY 1""".stripMargin)
 }

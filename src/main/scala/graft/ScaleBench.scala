@@ -83,7 +83,15 @@ object ScaleBench {
     // pair COUNTS over a fixed part vocabulary — the aggregate stays
     // vocab-bound); q122's wedge join fan-out is Σ deg(mid)² on the
     // co-purchase graph, the real scaling question of triangle counting
-    "q121_basket_rules", "q122_triangles")
+    "q121_basket_rules", "q122_triangles",
+    // fifth-session adds: q125's candidate fan-out is Σ df² over prefix
+    // elements (replica-suffixed shingles keep df flat, so the candidate
+    // table should grow ~linearly — the prefix-filter scaling claim);
+    // q126 is the copy-on-write merge, whose cost is the rewrite volume
+    // (linear in the affected partitions' rows by design); q127's BFS
+    // frontier joins ride the same densifying co-purchase graph as q122
+    // (fixed part vocabulary, Σ deg² edge growth)
+    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -252,7 +260,8 @@ object ScaleBench {
     // pair COUNTS over a fixed part vocabulary — the aggregate stays
     // vocab-bound); q122's wedge join fan-out is Σ deg(mid)² on the
     // co-purchase graph, the real scaling question of triangle counting
-    "q121_basket_rules", "q122_triangles")
+    "q121_basket_rules", "q122_triangles",
+    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),

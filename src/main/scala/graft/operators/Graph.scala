@@ -184,4 +184,51 @@ object Graph {
     }
     r.select(col("node"), round(col("r"), 6).as("ppr"))
   }
+
+  /** Multi-source BFS: min hop distance from a seed set, bounded at
+    * `maxHops` — the reachability companion to the rank family (blast
+    * radius of a poisoned domain, "within K citation hops of a trusted
+    * corpus", supply-chain exposure). Directed over the DISTINCT edge set;
+    * symmetrize (union of both directions) for undirected graphs.
+    *
+    * Frontier form, not dense re-propagation: round k joins only the
+    * nodes FIRST discovered in round k−1 against the edge table and
+    * anti-joins the known set, so each node is expanded exactly once and
+    * total join work is O(E) across ALL rounds — the property that makes
+    * BFS affordable where the dense min-plus form (every node re-expanded
+    * every round, O(E·hops)) is not. Per-round frontier/known tables are
+    * localCheckpointed: like [[Dedup.duplicateClusters]], rounds are
+    * driver-synchronous, and the checkpoint keeps round k's plan O(1)
+    * deep instead of O(k).
+    *
+    * Returns (node, dist) for every node within `maxHops`, dist = exact
+    * BFS level (deterministic: a node's level is the unique first round
+    * that reaches it — no tie-break needed). Seeds not present in the
+    * graph still report dist 0: reachability of a seed is a fact about
+    * the QUERY, not the edge table.
+    */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && seeds.nonEmpty,
+      "shortestHops: need maxHops >= 0 and a non-empty seed set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("e_src"),
+        col(dstCol).cast("long").as("e_dst")).distinct()
+      .localCheckpoint()
+    var known = seeds.distinct.toDF("node")
+      .select(col("node").cast("long").as("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = known
+    for (k <- 1 to maxHops if !frontier.isEmpty) {
+      val discovered = frontier.join(e, col("node") === col("e_src"))
+        .select(col("e_dst").as("node")).distinct()
+        .join(known, Seq("node"), "left_anti")
+        .select(col("node"), lit(k).as("dist"))
+        .localCheckpoint()
+      known = known.union(discovered).localCheckpoint()
+      frontier = discovered
+    }
+    known
+  }
 }

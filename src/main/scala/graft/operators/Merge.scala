@@ -1,13 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Copy-on-write MERGE (upsert) into a directory-partitioned parquet table —
-  * the lakehouse maintenance primitive (Delta/Iceberg MERGE INTO) re-expressed
-  * on plain parquet: rows in `updates` REPLACE base rows with the same key
-  * and are INSERTED when the key is new, and only the partitions that
-  * actually contain updated keys are rewritten.
+/** Copy-on-write MERGE (upsert + delete) into a directory-partitioned
+  * parquet table — the lakehouse maintenance primitive (Delta/Iceberg
+  * MERGE INTO) re-expressed on plain parquet: upsert rows REPLACE base
+  * rows with the same key and are INSERTED when the key is new, delete
+  * keys are removed, and only the partitions that actually contain
+  * changed keys are rewritten.
   *
   * Why partition-pruned rewrite is the whole point at 100 TB: a daily
   * upsert touches a handful of recent date partitions; rewriting the full
@@ -17,74 +18,81 @@ import org.apache.spark.sql.functions._
   * byte-identical and never relisted by the rewrite).
   *
   * Contract:
-  *  - `updates` must carry the table's full schema including `partCol`,
-  *    and a key's partition value must be STABLE (partition by an
-  *    immutable, key-derived column — the standard date/tenant layout).
-  *    The rewrite prunes to the partitions named by the updates, so a row
-  *    whose update changes `partCol` would leave its old copy stranded in
-  *    a partition the merge never reads; detecting that requires the
+  *  - upserts must carry (at least) the table's full schema including
+  *    `partCol`; extra columns (changelog op markers) are dropped;
+  *  - a key's partition value must be STABLE (partition by an immutable,
+  *    key-derived column — the standard date/tenant layout). The rewrite
+  *    prunes to the partitions named by the changes, so a row whose
+  *    update changes `partCol` would leave its old copy stranded in a
+  *    partition the merge never reads; detecting that requires the
   *    full-table key scan this operator exists to avoid, so the contract
   *    forbids it instead (MergeSpec pins the stable-partition semantics);
-  *  - duplicate keys WITHIN `updates` are rejected loudly — "replace with
-  *    which row?" has no deterministic answer, and last-write-wins needs
-  *    an ordering column the caller should apply upstream
-  *    ([[Relational]]'s latest-row dedup) before merging;
-  *  - driver state is O(affected partitions + a count) — the affected
-  *    partition list is collected to build the pruning predicate, the
-  *    standard dynamic-partition-overwrite shape.
+  *  - one change per key per merge — "replace with which row?" has no
+  *    deterministic answer, and last-write-wins needs an ordering column
+  *    the caller should apply upstream ([[Relational]]'s latest-row
+  *    dedup, as [[graft.sinks.Sinks]] mergeSink does) before merging;
+  *  - driver state is O(affected partitions) — the affected partition
+  *    list is collected to build the pruning predicate, the standard
+  *    dynamic-partition-overwrite shape.
   *
   * The write uses dynamic partition overwrite, so ONLY partitions present
-  * in the merged output are replaced; Spark never lists or touches the
-  * others. Atomicity is per-partition-directory (the parquet committer's
-  * contract) — same as any non-transactional lakehouse write; layering a
-  * manifest/commit log on top is a metadata concern deliberately out of
-  * scope here.
+  * in the merged output are replaced (an affected partition whose rows
+  * were all deleted is cleared explicitly — it produces no output for the
+  * writer to replace); Spark never lists or touches the others. Atomicity
+  * is per-partition-directory (the parquet committer's contract) — same
+  * as any non-transactional lakehouse write; layering a manifest/commit
+  * log on top is a metadata concern deliberately out of scope here.
   */
 object Merge {
 
-  /** Number of partitions an update set may touch before we refuse to
+  /** Number of partitions a change set may touch before we refuse to
     * collect the partition list to the driver. Far above any sane daily
-    * upsert (a year of dates is 365); hitting it means the update set is
+    * upsert (a year of dates is 365); hitting it means the change set is
     * effectively a full-table rewrite — do that explicitly instead.
     */
   val MaxAffectedPartitions = 100000
 
-  /** Merge `updates` into the parquet table at `path` (partitioned by
-    * `partCol`), rewriting only affected partitions. Returns the number of
-    * partitions rewritten.
+  /** Core form: apply `upserts` (full-schema rows that replace-or-insert
+    * their key) and `deletes` (rows carrying at least (`keyCol`,
+    * `partCol`); the key is removed — deleting an absent key is a no-op)
+    * to the table at `path`. Returns the number of partitions rewritten
+    * or cleared.
     */
-  def into(spark: SparkSession, path: String, updates: DataFrame,
-           keyCol: String, partCol: String): Int = {
-    val dupKeys = updates.groupBy(col(keyCol)).count().filter(col("count") > 1)
+  def applyChanges(spark: SparkSession, path: String,
+                   upserts: DataFrame, deletes: DataFrame,
+                   keyCol: String, partCol: String): Int = {
+    val changedKeys = upserts.select(col(keyCol), col(partCol))
+      .unionByName(deletes.select(col(keyCol), col(partCol)))
+    val dupKeys = changedKeys.groupBy(col(keyCol)).count().filter(col("count") > 1)
     require(dupKeys.isEmpty,
-      s"updates carry duplicate keys (e.g. ${dupKeys.select(keyCol).take(3).mkString(", ")}) — " +
-        "resolve to one row per key upstream (latest-row dedup) before merging")
+      s"change set carries duplicate keys (e.g. ${dupKeys.select(keyCol).take(3).mkString(", ")}) — " +
+        "resolve to one change per key upstream (latest-row dedup) before merging")
 
-    val affected = updates.select(col(partCol)).distinct()
+    val affected = changedKeys.select(col(partCol)).distinct()
       .limit(MaxAffectedPartitions + 1).collect().map(_.get(0))
     require(affected.length <= MaxAffectedPartitions,
-      s"update set touches > $MaxAffectedPartitions partitions — a full rewrite in disguise; " +
+      s"change set touches > $MaxAffectedPartitions partitions — a full rewrite in disguise; " +
         "write the table directly instead of merging")
 
     val base = spark.read.parquet(path)
-    // Align update columns to the base schema (order included) so the
-    // union below is positional-safe.
+    // Align upsert columns to the base schema (order included) so the
+    // union below is positional-safe; extra columns (op markers) drop here.
     val cols = base.columns
-    require(cols.toSet == updates.columns.toSet,
-      s"updates schema ${updates.columns.sorted.mkString(",")} must match " +
+    require(cols.toSet.subsetOf(upserts.columns.toSet),
+      s"upsert schema ${upserts.columns.sorted.mkString(",")} must cover " +
         s"base ${cols.sorted.mkString(",")}")
-    val upd = updates.select(cols.map(col): _*)
+    val upd = upserts.select(cols.map(col): _*)
 
     // Survivors of the affected partitions: base rows there whose key is
-    // NOT updated. The partition filter prunes the scan to affected
-    // directories; the anti-join removes replaced keys.
+    // neither replaced nor deleted. The partition filter prunes the scan
+    // to affected directories; the anti-join removes changed keys.
     val survivors = base
       .filter(col(partCol).isInCollection(affected))
-      .join(upd.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(changedKeys.select(col(keyCol)), Seq(keyCol), "left_anti")
       .select(cols.map(col): _*)
 
-    // Dynamic overwrite: only partitions present in (survivors ∪ updates)
-    // — exactly the affected set — are replaced on disk.
+    // Dynamic overwrite: only partitions present in (survivors ∪ upserts)
+    // — a subset of the affected set — are replaced on disk.
     //
     // localCheckpoint materializes the merged rows BEFORE the write both
     // to satisfy Spark's self-overwrite guard ("Cannot overwrite a path
@@ -102,29 +110,73 @@ object Merge {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+    // Dynamic overwrite only rewrites partitions PRESENT in the output —
+    // an affected partition whose rows were ALL deleted produces no output
+    // rows, so its stale directory is cleared explicitly (escaped the same
+    // way the writer escapes partition values, so the paths match; NULL
+    // partition values are excluded by the stable-partition contract).
+    val present = merged.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(present).foreach { v =>
+      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol, String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
+    }
     merged.unpersist()
     affected.length
   }
 
-  /** [[into]] that bootstraps the table when `path` has no data yet —
-    * the first micro-batch of a continuous upsert ([[graft.sinks.Sinks]]
-    * mergeSink) has nothing to merge against. The duplicate-key contract
-    * applies to the bootstrap write too: the created table must start
-    * one-row-per-key or every later merge inherits the ambiguity.
+  /** [[applyChanges]] that bootstraps the table when `path` has no data
+    * yet — the first micro-batch of a continuous upsert has nothing to
+    * merge against. Deletes against a table that doesn't exist are
+    * no-ops; the upserts DEFINE the table schema. The one-change-per-key
+    * contract applies to the bootstrap write too, or every later merge
+    * inherits the ambiguity.
     */
-  def intoOrCreate(spark: SparkSession, path: String, updates: DataFrame,
-                   keyCol: String, partCol: String): Int = {
+  def applyChangesOrCreate(spark: SparkSession, path: String,
+                           upserts: DataFrame, deletes: DataFrame,
+                           keyCol: String, partCol: String): Int = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(p) &&
       fs.listStatus(p).exists(!_.getPath.getName.startsWith("_"))
-    if (exists) into(spark, path, updates, keyCol, partCol)
+    if (exists) applyChanges(spark, path, upserts, deletes, keyCol, partCol)
     else {
-      val dupKeys = updates.groupBy(col(keyCol)).count().filter(col("count") > 1)
+      val dupKeys = upserts.groupBy(col(keyCol)).count().filter(col("count") > 1)
       require(dupKeys.isEmpty,
         "bootstrap write carries duplicate keys — resolve upstream first")
-      updates.write.partitionBy(partCol).mode("overwrite").parquet(path)
-      updates.select(col(partCol)).distinct().count().toInt
+      upserts.write.partitionBy(partCol).mode("overwrite").parquet(path)
+      upserts.select(col(partCol)).distinct().count().toInt
     }
+  }
+
+  /** Changelog form: one `updates` frame where rows matching `deleteWhen`
+    * are DELETE markers (the CDC `op = delete` leg) and the rest are
+    * upserts. With no predicate, everything upserts.
+    */
+  def into(spark: SparkSession, path: String, updates: DataFrame,
+           keyCol: String, partCol: String,
+           deleteWhen: Option[Column] = None): Int = {
+    val dels = deleteWhen.map(updates.filter(_))
+      .getOrElse(updates.limit(0))
+    val ups = deleteWhen.fold(updates)(c => updates.filter(!c))
+    applyChanges(spark, path, ups, dels, keyCol, partCol)
+  }
+
+  /** [[intoOrCreate]]: the changelog form of [[applyChangesOrCreate]].
+    * CAUTION at bootstrap: whatever columns the surviving upserts carry
+    * become the table schema — callers whose `deleteWhen` reads an
+    * op-marker column should use [[applyChangesOrCreate]] and drop the
+    * marker from the upsert side themselves (as
+    * [[graft.sinks.Sinks]] mergeSink's `transientCols` does).
+    */
+  def intoOrCreate(spark: SparkSession, path: String, updates: DataFrame,
+                   keyCol: String, partCol: String,
+                   deleteWhen: Option[Column] = None): Int = {
+    val dels = deleteWhen.map(updates.filter(_)).getOrElse(updates.limit(0))
+    val ups = deleteWhen.fold(updates)(c => updates.filter(!c))
+    applyChangesOrCreate(spark, path, ups, dels, keyCol, partCol)
   }
 }

@@ -105,17 +105,29 @@ object Sinks {
     * replaying a micro-batch rewrites the same keys with the same rows, so
     * at-least-once delivery composes to idempotent table state — the same
     * argument as the Kafka key-dedup convention, now for table storage.
-    * `df`'s columns must match the target table's schema; Merge's
-    * stable-partition contract applies per key.
+    * Merge's stable-partition contract applies per key.
+    *
+    * `deleteWhen`: rows matching the predicate delete their key (the CDC
+    * `op = delete` leg). The predicate is evaluated BEFORE `transientCols`
+    * drop, so it may read an op-marker column that never reaches the
+    * table; after the drop, the upsert columns must match the target
+    * table's schema.
     */
   def mergeSink(df: DataFrame, path: String, keyCol: String, partCol: String,
                 orderCols: Seq[org.apache.spark.sql.Column], checkpoint: String,
-                trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+                trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                transientCols: Seq[String] = Nil): StreamingQuery =
     foreachBatchSink(df, checkpoint, trigger) { (batch, _) =>
       if (!batch.isEmpty) {
         val resolved = Relational.latestByKey(batch.toDF(), Seq(keyCol), orderCols)
-        graft.operators.Merge.intoOrCreate(
-          batch.sparkSession, path, resolved, keyCol, partCol)
+        val dels = deleteWhen.map(resolved.filter(_))
+          .getOrElse(resolved.limit(0))
+          .select(col(keyCol), col(partCol))
+        val ups = deleteWhen.fold(resolved)(c => resolved.filter(!c))
+          .drop(transientCols: _*)
+        graft.operators.Merge.applyChangesOrCreate(
+          batch.sparkSession, path, ups, dels, keyCol, partCol)
       }
     }
 }

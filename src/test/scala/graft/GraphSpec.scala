@@ -97,4 +97,30 @@ class GraphSpec extends AnyFunSuite {
     assert(supp.map(_.getDouble(1)).sum / supp.length >
            parts.map(_.getDouble(1)).sum / parts.length)
   }
+
+  private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] =
+    Graph.shortestHops(edges.toDF("src", "dst"), "src", "dst", seeds, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("shortestHops: chain levels are exact, the hop bound cuts, unreachable nodes are absent") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    assert(hops(chain, Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // maxHops beyond the diameter: the empty frontier stops expansion early
+    assert(hops(chain, Seq(1L), 100) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("shortestHops: multi-source takes the MIN level; directed edges don't run backwards") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    // seeds at both ends: node 3 is 2 hops from 1 but 4 never reaches back
+    assert(hops(chain, Seq(1L, 4L), 3) ==
+      Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 2))
+    // a diamond where two paths reach node 4 at the same level: dist stays 2
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    assert(hops(diamond, Seq(1L), 5) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("shortestHops: a seed absent from the graph still reports dist 0") {
+    assert(hops(Seq((1L, 2L)), Seq(7L), 2) == Map(7L -> 0))
+  }
 }

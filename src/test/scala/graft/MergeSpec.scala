@@ -76,7 +76,7 @@ class MergeSpec extends AnyFunSuite {
     val bad = Seq((3L, "b")).toDF("id", "part")
     val e = intercept[IllegalArgumentException](
       Merge.into(spark, root, bad, "id", "part"))
-    assert(e.getMessage.contains("must match"))
+    assert(e.getMessage.contains("must cover"))
   }
 
   test("stable-partition contract: updates in one partition never touch keys elsewhere") {
@@ -92,6 +92,40 @@ class MergeSpec extends AnyFunSuite {
       .select($"part", $"v").as[(String, Double)].collect().toSet
     assert(got == Set(("b", 5.5), ("c", 50.0)),
       "out-of-contract partition move leaves the old copy — the documented tradeoff")
+  }
+
+  test("deletes: key removed, absent-key delete is a no-op, upsert+delete of one key rejected") {
+    val root = freshTable("delete")
+    import org.apache.spark.sql.functions.{col, lit}
+    // delete key 3 (exists, partition b) and key 99 (absent): only 3 goes
+    val updates = Seq((3L, "b", 0.0, "d"), (99L, "b", 0.0, "d"), (6L, "b", 60.0, "u"))
+      .toDF("id", "part", "v", "op")
+    Merge.into(spark, root, updates, "id", "part", deleteWhen = Some(col("op") === "d"))
+    val got = spark.read.parquet(root)
+      .select($"id", $"part", $"v").as[(Long, String, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10.0), (2L, "a", 20.0),
+      (4L, "b", 40.0), (6L, "b", 60.0),
+      (5L, "c", 50.0)), s"got $got")
+    // the op-marker column never reaches the table schema
+    assert(spark.read.parquet(root).columns.toSet == Set("id", "part", "v"))
+    // one key as both upsert and delete is ambiguous — rejected
+    val both = Seq((4L, "b", 44.0, "u"), (4L, "b", 0.0, "d")).toDF("id", "part", "v", "op")
+    val e = intercept[IllegalArgumentException](
+      Merge.into(spark, root, both, "id", "part", Some(col("op") === "d")))
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("deleting every row of a partition clears its directory (dynamic overwrite can't)") {
+    val root = freshTable("clearpart")
+    import org.apache.spark.sql.functions.col
+    val dels = Seq((5L, "c", 0.0, "d")).toDF("id", "part", "v", "op")
+    Merge.into(spark, root, dels, "id", "part", Some(col("op") === "d"))
+    assert(!Files.exists(Paths.get(root, "part=c")),
+      "an all-deleted partition's stale directory must be removed")
+    val got = spark.read.parquet(root)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
   }
 
   test("mergeSink: continuous upsert bootstraps, resolves within-batch dups, upserts across batches") {
@@ -114,5 +148,28 @@ class MergeSpec extends AnyFunSuite {
     val got = spark.read.parquet(root)
       .select($"id", $"part", $"v").as[(Long, String, Double)].collect().toSet
     assert(got == Set((1L, "a", 9.0), (2L, "b", 2.0), (3L, "a", 3.0)), s"got $got")
+  }
+
+  test("mergeSink: CDC ops — within-batch upsert-then-delete nets to delete; markers stay transient") {
+    val root = Files.createTempDirectory("graft-merge-cdc").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-merge-cdc-ckpt").toString
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double, String, Long)]
+    // batch 1: insert keys 1,2 (bootstrap — marker/seq must not land in the schema)
+    in.addData((1L, "a", 1.0, "u", 1L), (2L, "b", 2.0, "u", 1L))
+    val df = in.toDF().toDF("id", "part", "v", "op", "seq")
+    def sink() = Sinks.mergeSink(df, root, "id", "part", Seq(col("seq")), ckpt,
+      Trigger.AvailableNow(), deleteWhen = Some(col("op") === "d"),
+      transientCols = Seq("op", "seq"))
+    assert(sink().awaitTermination(60000))
+    assert(spark.read.parquet(root).columns.toSet == Set("id", "part", "v"))
+    // batch 2: key 1 updated then deleted within the batch (seq orders it —
+    // the delete is last and wins); key 3 inserted
+    in.addData((1L, "a", 8.0, "u", 2L), (1L, "a", 0.0, "d", 3L), (3L, "c", 3.0, "u", 1L))
+    assert(sink().awaitTermination(60000))
+    val got = spark.read.parquet(root)
+      .select($"id", $"part", $"v").as[(Long, String, Double)].collect().toSet
+    assert(got == Set((2L, "b", 2.0), (3L, "c", 3.0)), s"got $got")
   }
 }
