@@ -51,6 +51,22 @@ object DedupQueries {
       sets, "doc_id", "hs", PPJ_NUM, PPJ_DEN)
   }
 
+  /** Exact cross-corpus Jaccard ≥ 3/5 probe: which docs of the arriving
+    * shard (doc_id ≥ 250) near-duplicate the admitted corpus (doc_id <
+    * 250) — q86's incremental LSH probe with recall 1.0
+    * ([[graft.operators.SetSim]] jaccardJoinSets; element order = union
+    * document frequency, so both corpora share one total order and the
+    * prefix guarantee holds across the join).
+    */
+  val q128_ppjoin_incremental: Q = (s, dir) => {
+    val sets = t(s, dir).documents.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingleHashes(
+        col("text"), SHINGLE_N)).as("hs"))
+    graft.operators.SetSim.jaccardJoinSets(
+      sets.filter(col("doc_id") >= 250), sets.filter(col("doc_id") < 250),
+      "doc_id", "hs", PPJ_NUM, PPJ_DEN)
+  }
+
   val q27_minhash_sig: Q = (s, dir) =>
     Dedup.minhashSignatures(t(s, dir).documents, "doc_id", "text", SHINGLE_N, MINHASH_K)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "sig")))
@@ -224,6 +240,7 @@ object DedupQueries {
     "q49_minhash_estimate" -> q49_minhash_estimate,
     "q26_dedup_exact" -> q26_dedup_exact,
     "q125_ppjoin" -> q125_ppjoin,
+    "q128_ppjoin_incremental" -> q128_ppjoin_incremental,
     "q27_minhash_sig" -> q27_minhash_sig,
     "q28_lsh_neardup" -> q28_lsh_neardup,
     "q85_lsh_salted" -> q85_lsh_salted,
@@ -280,6 +297,23 @@ object DedupQueries {
          |pairs AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter_cnt
          |  FROM el a JOIN el b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.d1, p.d2, p.inter_cnt,
+         |  (s1.n + s2.n - p.inter_cnt)::BIGINT AS union_cnt
+         |FROM pairs p
+         |JOIN sz s1 ON p.d1 = s1.doc_id
+         |JOIN sz s2 ON p.d2 = s2.doc_id
+         |WHERE p.inter_cnt * $PPJ_DEN >= (s1.n + s2.n - p.inter_cnt) * $PPJ_NUM""".stripMargin,
+    // Same replay across the shard/corpus split: d1 from the arriving
+    // shard, d2 from the admitted corpus.
+    "q128_ppjoin_incremental" ->
+      s"""WITH $shingleCtes,
+         |sz AS (SELECT doc_id, len(hs) AS n FROM sh WHERE len(hs) >= 1),
+         |el AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE len(hs) >= 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter_cnt
+         |  FROM el a JOIN el b ON a.h = b.h
+         |  WHERE a.doc_id >= 250 AND b.doc_id < 250
          |  GROUP BY 1, 2)
          |SELECT p.d1, p.d2, p.inter_cnt,
          |  (s1.n + s2.n - p.inter_cnt)::BIGINT AS union_cnt

@@ -90,65 +90,118 @@ object SetSim {
                           tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum < tDen,
       s"threshold must be a rational in (0,1), got $tNum/$tDen")
-    val sets = sets0.select(col(idCol), col(setCol).as("tk"))
-      .withColumn("n", size(col("tk")))
-      .filter(col("n") >= 1)
-
-    // Global order: ascending element frequency, ties by element. No
-    // global rank/window is needed — (df, elem) pairs compare
-    // lexicographically, so sorting each doc's struct array yields the
-    // same order every engine would.
-    val toks = sets.select(col(idCol), explode(col("tk")).as("tok"))
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = toks.join(dfreq, "tok")
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .join(sets.select(col(idCol), col("n")), idCol)
-
-    // Prefix = first n − ⌈t·n⌉ + 1 elements of the ordered set, each with
-    // its 1-based position (for the positional filter below).
-    val prefLen = (col("n") - ceilMul(col("n"), tNum, tDen) + 1)
-    val pref = ordered.select(col(idCol), col("n"),
-        posexplode(slice(col("ord"), lit(1), prefLen)))
-      .select(col(idCol), col("n"), (col("pos") + 1).as("pos"),
-        col("col.tok").as("tok"))
-
-    // Candidates: share a prefix element, id-ordered, length-compatible,
-    // and POSITION-compatible (PPJoin's positional filter). Both sets are
-    // sorted by the same global order, so shared elements are aligned:
-    // every shared element beyond the FIRST shared one sits after its
-    // positions in BOTH sets, and any shared element before the first
-    // collision would itself be a both-prefix collision — so
-    //   overlap ≤ 1 + min(n1 − p1, n2 − p2)
-    // at the first collision's positions (p1, p2) = (min p1, min p2 over
-    // collision rows — the same row, by alignment). Requiring that upper
-    // bound to reach the threshold overlap ⌈t(n1+n2)/(1+t)⌉ prunes the
-    // long tail of single-shared-rare-element candidates before the
-    // verify join ever materializes a token array (measured: 193k → ~2k
-    // candidates on the sf0.1 shingle corpus).
-    val a = pref.select(col("tok"), col(idCol).as("d1"),
-      col("n").as("n1"), col("pos").as("p1"))
-    val b = pref.select(col("tok"), col(idCol).as("d2"),
-      col("n").as("n2"), col("pos").as("p2"))
+    val sets = prepare(sets0, idCol, setCol)
+    val dfreq = sets.select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pref = prefixes(sets, idCol, dfreq, tNum, tDen)
     // shuffle_hash: a SELF-join's sides are by definition the same size,
     // so broadcasting one side both caps scale (the prefix table grows
     // with the corpus) and recomputes the whole prefix pipeline for the
     // build side; the shuffled form keys both sides on `tok` so AQE can
     // reuse one exchange for both (and no sort, unlike merge).
-    val cand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("tok"))
-      .filter(col("d1") < col("d2") &&
-        greatest(col("n1"), col("n2")) * tNum <=
-          least(col("n1"), col("n2")) * tDen)
-      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+    val cand = candidates(pref.hint("shuffle_hash"), pref.hint("shuffle_hash"),
+      idCol, tNum, tDen, selfPairs = true)
+    verify(cand, sets, sets, idCol, tNum, tDen)
+  }
+
+  /** Cross-corpus form: all (left, right) pairs with set Jaccard ≥
+    * tNum/tDen — the EXACT incremental-dedup probe ("which docs of the
+    * new shard near-duplicate the admitted corpus", the recall-1.0 twin
+    * of [[Dedup.incrementalNearDup]]'s LSH probe). Same prefix/length/
+    * positional pruning as the self-join; the one structural change is the
+    * global element order, which must be IDENTICAL on both sides to keep
+    * the prefix guarantee — so element frequencies are counted over the
+    * UNION of both corpora. (Any consistent total order preserves
+    * correctness; union-df is the bucket-size heuristic. A continuous
+    * ingest that cannot afford the union recount each batch can order by
+    * a fixed hash instead — correct, with more populous candidate
+    * buckets.) Returns (d1 ∈ left, d2 ∈ right, inter_cnt, union_cnt);
+    * ids may repeat across sides and are reported as given.
+    */
+  def jaccardJoinSets(left: DataFrame, right: DataFrame,
+                      idCol: String, setCol: String,
+                      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen,
+      s"threshold must be a rational in (0,1), got $tNum/$tDen")
+    val l = prepare(left, idCol, setCol)
+    val r = prepare(right, idCol, setCol)
+    val dfreq = l.select(explode(col("tk")).as("tok"))
+      .unionAll(r.select(explode(col("tk")).as("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // R×S sides can differ wildly in size (daily shard vs full corpus) —
+    // join strategy stays with AQE, which broadcasts the small prefix side.
+    val cand = candidates(prefixes(l, idCol, dfreq, tNum, tDen),
+      prefixes(r, idCol, dfreq, tNum, tDen), idCol, tNum, tDen,
+      selfPairs = false)
+    verify(cand, l, r, idCol, tNum, tDen)
+  }
+
+  /** Normalize to (id, tk, n≥1) — see [[jaccardSelfJoinSets]]'s contract. */
+  private def prepare(sets0: DataFrame, idCol: String, setCol: String): DataFrame =
+    sets0.select(col(idCol), col(setCol).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") >= 1)
+
+  /** (id, n, pos, tok) for the first n − ⌈t·n⌉ + 1 elements of each set
+    * under the global order: ascending element frequency, ties by
+    * element. No global rank/window is needed — (df, elem) pairs compare
+    * lexicographically, so sorting each doc's struct array yields the
+    * same order every engine would. `pos` is the element's 1-based
+    * position (for the positional filter).
+    */
+  private def prefixes(sets: DataFrame, idCol: String, dfreq: DataFrame,
+                       tNum: Int, tDen: Int): DataFrame = {
+    val ordered = sets.select(col(idCol), explode(col("tk")).as("tok"))
+      .join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .join(sets.select(col(idCol), col("n")), idCol)
+    val prefLen = (col("n") - ceilMul(col("n"), tNum, tDen) + 1)
+    ordered.select(col(idCol), col("n"),
+        posexplode(slice(col("ord"), lit(1), prefLen)))
+      .select(col(idCol), col("n"), (col("pos") + 1).as("pos"),
+        col("col.tok").as("tok"))
+  }
+
+  /** Candidate pairs: share a prefix element, length-compatible, and
+    * POSITION-compatible (PPJoin's positional filter). Both sets are
+    * sorted by the same global order, so shared elements are aligned:
+    * every shared element beyond the FIRST shared one sits after its
+    * positions in BOTH sets, and any shared element before the first
+    * collision would itself be a both-prefix collision — so
+    *   overlap ≤ 1 + min(n1 − p1, n2 − p2)
+    * at the first collision's positions (p1, p2) = (min p1, min p2 over
+    * collision rows — the same row, by alignment). Requiring that upper
+    * bound to reach the threshold overlap ⌈t(n1+n2)/(1+t)⌉ prunes the
+    * long tail of single-shared-rare-element candidates before the
+    * verify join ever materializes a token array (measured: 193k → ~2k
+    * candidates on the sf0.1 shingle corpus). `selfPairs` adds the
+    * d1 < d2 canonical cut of a self-join.
+    */
+  private def candidates(prefL: DataFrame, prefR: DataFrame, idCol: String,
+                         tNum: Int, tDen: Int, selfPairs: Boolean): DataFrame = {
+    val a = prefL.select(col("tok"), col(idCol).as("d1"),
+      col("n").as("n1"), col("pos").as("p1"))
+    val b = prefR.select(col("tok"), col(idCol).as("d2"),
+      col("n").as("n2"), col("pos").as("p2"))
+    val joined = a.join(b, Seq("tok"))
+      .filter(greatest(col("n1"), col("n2")) * tNum <=
+        least(col("n1"), col("n2")) * tDen)
+    val cut = if (selfPairs) joined.filter(col("d1") < col("d2")) else joined
+    cut.groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
       .filter((lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")))
         * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
       .select(col("d1"), col("d2"))
+  }
 
-    // Verify: exact intersection over the full distinct-token sets —
-    // arrays travel only for candidate docs.
-    val s1 = sets.select(col(idCol).as("d1"), col("tk").as("tk1"), col("n").as("n1"))
-    val s2 = sets.select(col(idCol).as("d2"), col("tk").as("tk2"), col("n").as("n2"))
+  /** Exact intersection over the full distinct-element sets — arrays
+    * travel only for candidate docs.
+    */
+  private def verify(cand: DataFrame, setsL: DataFrame, setsR: DataFrame,
+                     idCol: String, tNum: Int, tDen: Int): DataFrame = {
+    val s1 = setsL.select(col(idCol).as("d1"), col("tk").as("tk1"), col("n").as("n1"))
+    val s2 = setsR.select(col(idCol).as("d2"), col("tk").as("tk2"), col("n").as("n2"))
     cand.join(s1, "d1").join(s2, "d2")
       .withColumn("inter_cnt", size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
       .withColumn("union_cnt", (col("n1") + col("n2")).cast("long") - col("inter_cnt"))

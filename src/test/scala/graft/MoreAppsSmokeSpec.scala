@@ -4,10 +4,11 @@ import java.nio.file.{Files, Path}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.apps.{DwdFactApp, DwdOrderApp, DwdTrafficUniqueVisitorApp,
-  DwdTrafficUserJumpApp, DwsTradeCartAddUuWindowApp, DwsTradeOrderWindowApp,
-  DwsTradeRefundWindowApp, DwsTradeSkuOrderWindowApp,
-  DwsTrafficHomeDetailPageViewWindowApp, DwsUserLoginWindowApp}
+import graft.apps.{DimLakehouseApp, DwdFactApp, DwdOrderApp,
+  DwdTrafficUniqueVisitorApp, DwdTrafficUserJumpApp,
+  DwsTradeCartAddUuWindowApp, DwsTradeOrderWindowApp, DwsTradeRefundWindowApp,
+  DwsTradeSkuOrderWindowApp, DwsTrafficHomeDetailPageViewWindowApp,
+  DwsUserLoginWindowApp}
 
 /** End-to-end smoke of the round-4 app mains (see AppsSmokeSpec for the
   * conventions: real `main(Array[String])` calls, file sources, mtime-
@@ -307,5 +308,39 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
     assert(sku.contains((100L, "Acme", "widget", "u1", 1L, 20.0)), s"got $sku")
     assert(sku.contains((100L, "Acme", "widget", "u2", 1L, 3.5)), s"got $sku")
     assert(sku.contains((100L, "Globex", "gadget", "u1", 1L, 5.0)), s"got $sku")
+  }
+
+  test("DimLakehouseApp main: CDC upserts+deletes maintain a resolved parquet dim table") {
+    val in = tmp("dimlake-in"); val out = tmp("dimlake-out") + "/user_dim"
+    val cp = tmp("dimlake-cp")
+    def runApp(): Unit = DimLakehouseApp.main(Array(
+      "--source", "file", "--input", in,
+      "--table", "user_info", "--pk", "id", "--columns", "id,name,tier",
+      "--buckets", "4", "--out", out, "--checkpoint", cp,
+      "--trigger", "available-now"))
+    // batch 1 (bootstrap): two inserts, an update, and a delete — resolved
+    // within the batch before the table exists
+    writeLines(in, "b1.jsonl", Seq(
+      env("user_info", "insert", 100, "id" -> "u1", "name" -> "ann", "tier" -> "gold"),
+      env("user_info", "insert", 100, "id" -> "u2", "name" -> "bob", "tier" -> "base"),
+      env("user_info", "update", 101, "id" -> "u1", "name" -> "anne", "tier" -> "gold"),
+      env("user_info", "delete", 102, "id" -> "u2", "name" -> "bob", "tier" -> "base"),
+      env("other_table", "insert", 103, "id" -> "x1"))) // filtered out
+    runApp()
+    spark.sparkContext.setLogLevel("ERROR")
+    val after1 = spark.read.parquet(out)
+      .select($"id", $"name", $"tier").as[(String, String, String)].collect().toSet
+    assert(after1 == Set(("u1", "anne", "gold")), s"got $after1")
+    // the op marker is transient; ts and the hash bucket are table columns
+    assert(spark.read.parquet(out).columns.toSet == Set("ts", "id", "name", "tier", "bucket"))
+    // batch 2 (merge): update u1, insert-then-delete u3 nets to nothing
+    writeLines(in, "b2.jsonl", Seq(
+      env("user_info", "update", 200, "id" -> "u1", "name" -> "anne", "tier" -> "plat"),
+      env("user_info", "insert", 201, "id" -> "u3", "name" -> "cal", "tier" -> "base"),
+      env("user_info", "delete", 202, "id" -> "u3", "name" -> "cal", "tier" -> "base")))
+    runApp()
+    val after2 = spark.read.parquet(out)
+      .select($"id", $"name", $"tier").as[(String, String, String)].collect().toSet
+    assert(after2 == Set(("u1", "anne", "plat")), s"got $after2")
   }
 }

@@ -83,6 +83,40 @@ class SetSimSpec extends AnyFunSuite {
     assert(want.nonEmpty, "the corpus plants >=0.8-Jaccard shingle pairs; 3/5 must catch them")
   }
 
+  test("cross-corpus form (q128 shape): recall 1.0 vs brute force across the shard split") {
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val sets = docs.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingleHashes(col("text"), 3)).as("hs"))
+    val half = 25L // TestSession.sf corpus splits around its median id
+    val l = sets.filter(col("doc_id") >= half)
+    val r = sets.filter(col("doc_id") < half)
+    val got = SetSim.jaccardJoinSets(l, r, "doc_id", "hs", 3, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // brute truth: cross join of the two halves, exact integer Jaccard
+    val a = l.withColumn("n", size(col("hs"))).filter(col("n") >= 1)
+      .select(col("doc_id").as("d1"), col("hs").as("h1"), col("n").as("n1"))
+    val b = r.withColumn("n", size(col("hs"))).filter(col("n") >= 1)
+      .select(col("doc_id").as("d2"), col("hs").as("h2"), col("n").as("n2"))
+    val want = a.crossJoin(b)
+      .withColumn("inter_cnt", size(array_intersect(col("h1"), col("h2"))).cast("long"))
+      .withColumn("union_cnt", (col("n1") + col("n2")).cast("long") - col("inter_cnt"))
+      .filter(col("inter_cnt") * 5 >= col("union_cnt") * 3)
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("union_cnt"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("cross-corpus form: sides are NOT deduped against each other — same id can pair") {
+    val l = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val got = SetSim.jaccardJoinSets(
+        SetSim.tokenSets(l, "doc_id", "text"),
+        SetSim.tokenSets(r, "doc_id", "text"), "doc_id", "tk", 3, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L, 3L)), s"got $got")
+  }
+
   test("rejects degenerate thresholds") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](SetSim.jaccardSelfJoin(df, "doc_id", "text", 0, 5))
