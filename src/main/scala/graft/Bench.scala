@@ -52,7 +52,7 @@ object Bench {
     // same round-latency physics (measured in ScaleBench across both
     // decades instead: 6.8 s at sf0.1 is ~4 rounds of job latency, and
     // the second decade's 8× is edge growth, not per-round cost)
-    "q127_bfs_hops")
+    "q127_bfs_hops", "q129_minplus")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

@@ -42,14 +42,16 @@ object GraphQueries {
     * from link-farm/spam cliques in web graphs — the standard graph-quality
     * companion to PageRank.
     *
-    * Shape: edges are canonical ordered pairs (x < y), so each triangle is
-    * enumerated exactly once as x < y < z via wedge join + closing-edge
-    * join. The wedge fan-out is Σ deg(y)² over the middle vertex — bounded
-    * by basket-co-occurrence degree here; at web scale the standard fix is
-    * degree-ordered orientation (each edge charged to its lower-degree
-    * endpoint), which this canonical-pair form already approximates for
-    * skewed graphs when ids correlate with degree — the remaining skew
-    * lever is the same salting playbook as the LSH hot buckets.
+    * Shape: [[graft.operators.Graph.triangleCount]] — degree-ordered
+    * orientation, so each triangle is enumerated exactly once at its
+    * lowest-(deg, id) vertex and the wedge fan-out is Σ out-deg² with
+    * out-deg O(√E) even on skewed graphs. Measured parity with the
+    * id-ordered wedge join at sf0.1 (~8 s warm either way — this
+    * co-purchase graph is near-degree-uniform, so every orientation
+    * yields the same wedge count); the orientation is the insurance that
+    * a power-law graph can't make one hub's wedges quadratic. The count
+    * itself is orientation-independent, so the oracle needs no
+    * orientation logic.
     */
   val q122_triangles: Q = (s, dir) => {
     val op = t(s, dir).lineitem
@@ -58,11 +60,7 @@ object GraphQueries {
       .join(op.select(col("o"), col("p").as("y")), Seq("o"))
       .filter(col("x") < col("y"))
       .select(col("x"), col("y")).distinct()
-    val wedges = e.select(col("x").as("a"), col("y").as("b"))
-      .join(e.select(col("x").as("b"), col("y").as("c")), Seq("b"))
-    val tri = wedges
-      .join(e.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
-      .agg(count(lit(1)).as("triangles"))
+    val tri = Graph.triangleCount(e, "x", "y")
     val nodes = e.select(col("x").as("n")).union(e.select(col("y").as("n")))
       .distinct().agg(count(lit(1)).as("nodes"))
     val edges = e.agg(count(lit(1)).as("edges"))
@@ -97,12 +95,32 @@ object GraphQueries {
     Graph.shortestHops(e, "src", "dst", PPR_SEEDS, BFS_HOPS)
   }
 
+  /** Bounded Bellman-Ford over the same co-purchase graph with a
+    * key-derived integer edge weight (1 + (src+dst) mod 5 — deterministic
+    * and identically computable in SQL): min route cost from the seed
+    * parts within [[BFS_HOPS]] relaxation rounds. The weighted q127 —
+    * a longer-hop cheaper path wins where BFS would stop at hop count
+    * (GraphSpec pins exactly that case); oracle replays the recurrence
+    * as chained per-round CTEs, all-integer.
+    */
+  val q129_minplus: Q = (s, dir) => {
+    val op = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.select(col("o"), col("p").as("src"))
+      .join(op.select(col("o"), col("p").as("dst")), Seq("o"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (lit(1) + pmod(col("src") + col("dst"), lit(5))).as("w"))
+    Graph.minPlus(e, "src", "dst", "w", PPR_SEEDS, BFS_HOPS)
+  }
+
   def all: Map[String, Q] = Map(
     "q114_pagerank" -> q114_pagerank,
     "q115_ppr" -> q115_ppr,
     "q122_triangles" -> q122_triangles,
     "q123_hits" -> q123_hits,
-    "q127_bfs_hops" -> q127_bfs_hops)
+    "q127_bfs_hops" -> q127_bfs_hops,
+    "q129_minplus" -> q129_minplus)
 
   // ——— oracle SQL (DuckDB) ———
 
@@ -202,5 +220,22 @@ object GraphQueries {
          |  UNION
          |  SELECT e.dst, r.dist + 1
          |  FROM r JOIN e ON e.src = r.node WHERE r.dist < $BFS_HOPS)
-         |SELECT node, min(dist)::INT AS dist FROM r GROUP BY 1""".stripMargin)
+         |SELECT node, min(dist)::INT AS dist FROM r GROUP BY 1""".stripMargin,
+    "q129_minplus" -> {
+      val roundCtes = (1 to BFS_HOPS).map { k =>
+        s"""d$k AS (SELECT node, min(cost)::BIGINT AS cost FROM (
+           |  SELECT node, cost FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.dst, d${k - 1}.cost + e.w FROM d${k - 1}
+           |  JOIN e ON e.src = d${k - 1}.node) GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT a.p::BIGINT AS src, b.p::BIGINT AS dst,
+         |        (1 + (a.p + b.p) % 5)::BIGINT AS w
+         |      FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+         |d0 AS (SELECT s::BIGINT AS node, 0::BIGINT AS cost
+         |  FROM (VALUES ${PPR_SEEDS.map(s => s"($s)").mkString(", ")}) AS sv(s)),
+         |$roundCtes
+         |SELECT node, cost FROM d$BFS_HOPS""".stripMargin
+    })
 }

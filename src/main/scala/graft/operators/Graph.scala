@@ -207,6 +207,77 @@ object Graph {
     * graph still report dist 0: reachability of a seed is a fact about
     * the QUERY, not the edge table.
     */
+  /** Triangle count over an undirected edge list given as canonical
+    * (x < y) pairs, using DEGREE-ORDERED orientation — the standard fix
+    * for the wedge-join blowup: orient every edge from its lower-(deg,
+    * id) endpoint, enumerate wedges as out-neighbor pairs of the lowest
+    * vertex, and close with the oriented (b, c) edge. Each triangle
+    * {u<v<w in π} is counted exactly once (wedge at u, closing edge
+    * v→w). Out-degree under this orientation is O(√E) on ANY graph
+    * (a vertex keeps only edges to higher-degree peers), so the wedge
+    * fan-out is Σ out-deg² ≤ E·√E even on skewed graphs — where id-
+    * ordered orientation leaves hub wedges quadratic in hub degree.
+    * Returns a single row (triangles).
+    */
+  def triangleCount(und: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val e = und.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+    val xFirst = (col("dx") < col("dy")) ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    val g = withDeg.select(
+      when(xFirst, col("x")).otherwise(col("y")).as("src"),
+      when(xFirst, col("y")).otherwise(col("x")).as("dst"),
+      when(xFirst, col("dy")).otherwise(col("dx")).as("ddeg"))
+    val w1 = g.select(col("src").as("a"), col("dst").as("b"), col("ddeg").as("db"))
+    val w2 = g.select(col("src").as("a"), col("dst").as("c"), col("ddeg").as("dc"))
+    val wedges = w1.join(w2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    wedges.join(g.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Bounded Bellman-Ford: min total WEIGHT from a seed set within
+    * `rounds` relaxation rounds — the weighted companion to
+    * [[shortestHops]] (cheapest supply route, weighted proximity to a
+    * trusted set). Directed over the DISTINCT (src, dst, w) edge set;
+    * INTEGER weights ≥ 0 so the arithmetic is exact in any engine (the
+    * q129 oracle replays the recurrence as chained CTEs).
+    *
+    * d_0 = 0 on seeds; d_{k+1}(v) = min(d_k(v), min over (u,v,w) of
+    * d_k(u) + w). Unlike BFS, a settled node can improve later (a
+    * longer-hop cheaper path), so every round relaxes the FULL reached
+    * set — O(E·rounds) join work, the honest cost of bounded-round
+    * min-plus; `rounds` ≥ graph diameter gives the exact fixpoint.
+    * Returns (node, cost) for nodes reachable within `rounds` hops.
+    */
+  def minPlus(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+              seeds: Seq[Long], rounds: Int): DataFrame = {
+    require(rounds >= 0 && seeds.nonEmpty,
+      "minPlus: need rounds >= 0 and a non-empty seed set")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("e_src"),
+        col(dstCol).cast("long").as("e_dst"),
+        col(wCol).cast("long").as("e_w")).distinct()
+      .localCheckpoint()
+    var d = seeds.distinct.toDF("node")
+      .select(col("node").cast("long").as("node"), lit(0L).as("cost"))
+      .localCheckpoint()
+    for (k <- 1 to rounds) {
+      val relaxed = d.join(e, col("node") === col("e_src"))
+        .select(col("e_dst").as("node"), (col("cost") + col("e_w")).as("cost"))
+      d = d.union(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    d
+  }
+
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: Seq[Long], maxHops: Int): DataFrame = {
     require(maxHops >= 0 && seeds.nonEmpty,

@@ -98,6 +98,17 @@ class GraphSpec extends AnyFunSuite {
            parts.map(_.getDouble(1)).sum / parts.length)
   }
 
+  test("triangleCount: hub-skewed graph counted right under degree orientation") {
+    // hub 1 fans to 2..6; {1,2,3}, {1,4,5}, and {1,2,4} all hang off the
+    // hub (edges 2-3, 4-5, 2-4 close them); clique {7,8,9} sits apart.
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L), (4L, 5L), (2L, 4L),
+      (7L, 8L), (7L, 9L), (8L, 9L)).toDF("x", "y")
+    val n = Graph.triangleCount(und, "x", "y").collect()(0).getLong(0)
+    assert(n == 4L)
+  }
+
   private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] =
     Graph.shortestHops(edges.toDF("src", "dst"), "src", "dst", seeds, maxHops)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -122,5 +133,27 @@ class GraphSpec extends AnyFunSuite {
 
   test("shortestHops: a seed absent from the graph still reports dist 0") {
     assert(hops(Seq((1L, 2L)), Seq(7L), 2) == Map(7L -> 0))
+  }
+
+  private def costs(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                    rounds: Int): Map[Long, Long] =
+    Graph.minPlus(edges.toDF("src", "dst", "w"), "src", "dst", "w", seeds, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("minPlus: a longer-hop cheaper path beats the direct edge — exactly where BFS can't") {
+    // 1→2 costs 5 direct; 1→3→2 costs 2. BFS distance to 2 is 1 hop; the
+    // weighted answer needs the second round to improve an already-reached node.
+    val g = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L))
+    assert(costs(g, Seq(1L), 1) == Map(1L -> 0, 2L -> 5, 3L -> 1),
+      "after 1 round only direct edges are relaxed")
+    assert(costs(g, Seq(1L), 2) == Map(1L -> 0, 2L -> 2, 3L -> 1),
+      "round 2 improves node 2 through the cheap detour")
+    assert(costs(g, Seq(1L), 5) == Map(1L -> 0, 2L -> 2, 3L -> 1),
+      "extra rounds past the fixpoint change nothing")
+  }
+
+  test("minPlus: multi-source takes the cheapest origin; zero-weight edges are fine") {
+    val g = Seq((1L, 3L, 10L), (2L, 3L, 4L), (3L, 4L, 0L))
+    assert(costs(g, Seq(1L, 2L), 2) == Map(1L -> 0, 2L -> 0, 3L -> 4, 4L -> 4))
   }
 }
