@@ -114,13 +114,32 @@ object GraphQueries {
     Graph.minPlus(e, "src", "dst", "w", PPR_SEEDS, BFS_HOPS)
   }
 
+  /** DOULION sampled triangle estimate over the same co-purchase graph —
+    * the scale path for q122's dense-graph Σ out-deg² ceiling: a 3/10
+    * deterministic-hash edge sample cuts wedge work ~9× and estimates the
+    * count as sampled/p³ ([[graft.operators.Graph.triangleCountSampled]]).
+    * The oracle replays sample, count, and the one-division scale exactly.
+    */
+  val TRI_P_NUM = 3
+  val TRI_P_DEN = 10
+  val q130_triangle_sample: Q = (s, dir) => {
+    val op = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.select(col("o"), col("p").as("x"))
+      .join(op.select(col("o"), col("p").as("y")), Seq("o"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y")).distinct()
+    Graph.triangleCountSampled(e, "x", "y", TRI_P_NUM, TRI_P_DEN)
+  }
+
   def all: Map[String, Q] = Map(
     "q114_pagerank" -> q114_pagerank,
     "q115_ppr" -> q115_ppr,
     "q122_triangles" -> q122_triangles,
     "q123_hits" -> q123_hits,
     "q127_bfs_hops" -> q127_bfs_hops,
-    "q129_minplus" -> q129_minplus)
+    "q129_minplus" -> q129_minplus,
+    "q130_triangle_sample" -> q130_triangle_sample)
 
   // ——— oracle SQL (DuckDB) ———
 
@@ -237,5 +256,20 @@ object GraphQueries {
          |  FROM (VALUES ${PPR_SEEDS.map(s => s"($s)").mkString(", ")}) AS sv(s)),
          |$roundCtes
          |SELECT node, cost FROM d$BFS_HOPS""".stripMargin
-    })
+    },
+    "q130_triangle_sample" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |eall AS (SELECT DISTINCT a.p AS x, b.p AS y
+         |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+         |e AS (SELECT x, y FROM eall
+         |      WHERE ((x * 2654435761 + y * 40503) % 1000000007) % $TRI_P_DEN < $TRI_P_NUM),
+         |tri AS (SELECT count(*)::BIGINT AS sampled_triangles FROM e e1
+         |   JOIN e e2 ON e1.y = e2.x
+         |   JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+         |se AS (SELECT count(*)::BIGINT AS sampled_edges FROM e)
+         |SELECT se.sampled_edges, tri.sampled_triangles,
+         |  round(tri.sampled_triangles *
+         |    (${TRI_P_DEN.toLong * TRI_P_DEN * TRI_P_DEN}.0 / ${TRI_P_NUM.toLong * TRI_P_NUM * TRI_P_NUM}.0), 6)
+         |    AS est_triangles
+         |FROM tri, se""".stripMargin)
 }

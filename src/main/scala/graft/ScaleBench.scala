@@ -91,7 +91,8 @@ object ScaleBench {
     // (linear in the affected partitions' rows by design); q127's BFS
     // frontier joins ride the same densifying co-purchase graph as q122
     // (fixed part vocabulary, Σ deg² edge growth)
-    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops", "q129_minplus")
+    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops", "q129_minplus",
+    "q130_triangle_sample")
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -261,7 +262,8 @@ object ScaleBench {
     // vocab-bound); q122's wedge join fan-out is Σ deg(mid)² on the
     // co-purchase graph, the real scaling question of triangle counting
     "q121_basket_rules", "q122_triangles",
-    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops", "q129_minplus")
+    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops", "q129_minplus",
+    "q130_triangle_sample")
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),

@@ -241,6 +241,39 @@ object Graph {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** DOULION (Tsourakakis et al. KDD'09): triangle-count ESTIMATE from a
+    * pNum/pDen edge sample — the scale path where [[triangleCount]]'s
+    * exact Σ out-deg² wedge work is the ceiling (dense co-occurrence
+    * graphs: q122's measured cost is ~180M wedges at sf0.1 because the
+    * co-purchase graph is near-complete). Each triangle survives the
+    * sample with probability p³, so sampled_count/p³ is unbiased while
+    * wedge work drops by ~p²; variance shrinks as the true count grows —
+    * exactly the regime (huge dense graphs) where sampling is needed.
+    *
+    * The "coin flip" is a DETERMINISTIC portable hash of the edge
+    * ((x·2654435761 + y·40503) mod 1e9+7 mod pDen < pNum — the engine's
+    * minhash constant family), so runs are reproducible, retries see the
+    * same sample, and an external engine can replay the estimate exactly.
+    * Returns one row: (sampled_edges, sampled_triangles, est_triangles —
+    * count·pDen³/pNum³ rounded to 6 dp in IEEE double).
+    */
+  def triangleCountSampled(und: DataFrame, xCol: String, yCol: String,
+                           pNum: Int, pDen: Int): DataFrame = {
+    require(pNum > 0 && pDen > 0 && pNum <= pDen,
+      s"sampling rate must be a rational in (0,1], got $pNum/$pDen")
+    val keep = pmod(pmod(col(xCol).cast("long") * 2654435761L +
+        col(yCol).cast("long") * 40503L, lit(1000000007L)), lit(pDen)) < pNum
+    val sampled = und.filter(keep)
+    // pDen³/pNum³ as ONE IEEE division of exact integers — bit-identical
+    // in any engine, unlike a pow() call
+    val scale = (pDen.toLong * pDen * pDen).toDouble / (pNum.toLong * pNum * pNum)
+    triangleCount(sampled, xCol, yCol)
+      .select(col("triangles").as("sampled_triangles"))
+      .crossJoin(broadcast(sampled.agg(count(lit(1)).as("sampled_edges"))))
+      .select(col("sampled_edges"), col("sampled_triangles"),
+        round(col("sampled_triangles") * scale, 6).as("est_triangles"))
+  }
+
   /** Bounded Bellman-Ford: min total WEIGHT from a seed set within
     * `rounds` relaxation rounds — the weighted companion to
     * [[shortestHops]] (cheapest supply route, weighted proximity to a

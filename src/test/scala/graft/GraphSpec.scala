@@ -109,6 +109,21 @@ class GraphSpec extends AnyFunSuite {
     assert(n == 4L)
   }
 
+  test("triangleCountSampled: p=1 reproduces the exact count; the hash sample is deterministic") {
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L), (4L, 5L), (2L, 4L),
+      (7L, 8L), (7L, 9L), (8L, 9L)).toDF("x", "y")
+    val full = Graph.triangleCountSampled(und, "x", "y", 1, 1).collect()(0)
+    assert(full.getLong(0) == 11L && full.getLong(1) == 4L && full.getDouble(2) == 4.0,
+      s"p=1 keeps all 11 edges and all 4 triangles: $full")
+    // deterministic hash sample: two runs agree row-for-row
+    val a = Graph.triangleCountSampled(und, "x", "y", 3, 10).collect()(0)
+    val b = Graph.triangleCountSampled(und, "x", "y", 3, 10).collect()(0)
+    assert(a == b, s"hash sampling must be reproducible: $a vs $b")
+    assert(a.getLong(0) < 11L, "a 3/10 sample should drop edges on this fixture")
+  }
+
   private def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int): Map[Long, Int] =
     Graph.shortestHops(edges.toDF("src", "dst"), "src", "dst", seeds, maxHops)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
