@@ -110,6 +110,74 @@ object Layout {
       acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
     }
 
+  /** Equi-depth quantile mapping of an arbitrarily-distributed numeric
+    * column into the curve's [0, 2^bits) coordinate space — the missing
+    * step that makes [[zOrderWrite]] usable on real columns (raw prices,
+    * timestamps, skewed counts) instead of pre-normalized ones, AND the
+    * property z-ordering actually wants: equi-depth buckets put ~equal
+    * row mass behind every curve coordinate, so partitions stay balanced
+    * under any skew.
+    *
+    * Returns the interior split points (≤ 2^bits − 1 of them; heavy ties
+    * collapse duplicates, harmlessly yielding fewer distinct buckets)
+    * from one `approxQuantile` pass — O(2^bits) driver state. Keep the
+    * splits: box-query bounds must be mapped through the SAME splits
+    * ([[bucketOf]]), the exact analogue of probing an IVF index with the
+    * centroids it was built with.
+    */
+  def quantileSplits(df: DataFrame, colName: String, bits: Int,
+                     relErr: Double = 0.001): Array[Double] = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    df.stat.approxQuantile(colName, probs, relErr).distinct.sorted
+  }
+
+  /** Column form: bucket index of `c` under `splits` — the count of
+    * splits ≤ value (so bucket i holds splits(i−1) ≤ v < splits(i)).
+    * Codegen'd filter over a literal array; NULLs reject at write time
+    * via [[zOrderWrite]]'s range check.
+    */
+  def bucketCol(c: Column, splits: Array[Double]): Column =
+    size(filter(lit(splits), s => s <= c))
+
+  /** Driver-side twin of [[bucketCol]] for mapping query bounds. */
+  def bucketOf(v: Double, splits: Array[Double]): Long =
+    splits.count(_ <= v)
+
+  /** [[zOrderWrite]] over quantile-bucketed coordinates: computes splits
+    * for both columns, writes the bucketized layout, and returns the two
+    * split arrays for [[boxQueryQuantile]].
+    */
+  def zOrderWriteQuantile(df: DataFrame, xCol: String, yCol: String,
+                          bits: Int, prefixBits: Int, path: String,
+                          relErr: Double = 0.001): (Array[Double], Array[Double]) = {
+    val sx = quantileSplits(df, xCol, bits, relErr)
+    val sy = quantileSplits(df, yCol, bits, relErr)
+    val mapped = df
+      .withColumn("__qx", bucketCol(col(xCol), sx))
+      .withColumn("__qy", bucketCol(col(yCol), sy))
+    zOrderWrite(mapped, "__qx", "__qy", bits, prefixBits, path)
+    (sx, sy)
+  }
+
+  /** Box query over a quantile-bucketed z layout: raw-value bounds map
+    * through the stored splits to bucket ranges (a raw bound inside a
+    * bucket widens to the whole bucket — superset pruning, exact after
+    * the raw per-row predicate re-applies, same contract as [[boxQuery]]).
+    */
+  def boxQueryQuantile(spark: SparkSession, path: String,
+                       xCol: String, yCol: String,
+                       bits: Int, prefixBits: Int,
+                       sx: Array[Double], sy: Array[Double],
+                       x0: Double, x1: Double,
+                       y0: Double, y1: Double): DataFrame =
+    boxQuery(spark, path, "__qx", "__qy", bits, prefixBits,
+        bucketOf(x0, sx), bucketOf(x1, sx), bucketOf(y0, sy), bucketOf(y1, sy))
+      .filter(col(xCol) >= x0 && col(xCol) <= x1 &&
+        col(yCol) >= y0 && col(yCol) <= y1)
+      .drop("__qx", "__qy")
+
   /** Small-file compaction — the table-maintenance pass every long-running
     * ingest needs: streaming sinks and incremental appends leave thousands
     * of KB-sized part files, and at 100 TB the resulting task-per-file

@@ -51,6 +51,32 @@ class ZOrderSpec extends AnyFunSuite {
       s"box z-range [0, $zMax] must cover fewer than all $allBuckets buckets")
   }
 
+  test("quantile-bucketed z layout: skewed raw columns, exact box results, balanced buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder-q").toString
+    // heavily skewed raw coordinates: quadratic growth and a hot cluster
+    // near zero — the shapes a raw pmod layout would pile into few buckets
+    val df = spark.range(0, 4000).toDF("id")
+      .withColumn("price", ($"id" * $"id").cast("double"))
+      .withColumn("qty", when(pmod($"id", lit(10)) < 8, $"id" % 7)
+        .otherwise($"id").cast("double"))
+    val (sx, sy) = Layout.zOrderWriteQuantile(df, "price", "qty", 6, 6, dir)
+    // exactness vs the raw filter, bounds chosen inside the data range
+    val (x0, x1, y0, y1) = (100.0, 2.5e6, 0.0, 5.0)
+    val got = Layout.boxQueryQuantile(spark, dir, "price", "qty", 6, 6,
+        sx, sy, x0, x1, y0, y1)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val expected = df.filter($"price" >= x0 && $"price" <= x1 &&
+        $"qty" >= y0 && $"qty" <= y1)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    // equi-depth promise: no single x-bucket holds a gross share of rows
+    // (price is strictly monotone in id, so buckets should be near-even)
+    val counts = df.select(Layout.bucketCol($"price", sx).as("b"))
+      .groupBy($"b").count().select($"count").as[Long].collect()
+    assert(counts.max < 4000 / 8,
+      s"equi-depth buckets must spread skewed mass, got max=${counts.max}")
+  }
+
   test("zValue column matches the driver-side interleave on every row") {
     val rows = Tables.load(spark, TestSession.sf, "customer")
       .select(
