@@ -216,6 +216,36 @@ object AnalyticsQueries {
         round(col("users").cast("double") / col("base_users"), 6).as("conv"))
   }
 
+  /** Last-touch attribution: each purchase's value is credited to the
+    * user's most recent NON-purchase event before it (the marketing
+    * "which touch gets the sale" rollup). Formulated without IGNORE NULLS
+    * so both engines replay it identically: per-user row_number, the
+    * touch = max(rn where non-purchase) over the preceding frame, one
+    * join back to fetch the touch's type. Purchases with no prior touch
+    * credit "(none)". One (user) exchange serves the window; the
+    * join-back is purchases × events on (user, rn) — purchase-row sized.
+    */
+  val q131_attribution: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = t(s, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("touch_rn",
+        max(when(col("event_type") =!= "purchase", col("rn")))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("touch_rn"), col("value"))
+    val touches = ev.select(col("user_id"), col("rn").as("touch_rn"),
+      col("event_type").as("touch_type"))
+    purchases.join(touches, Seq("user_id", "touch_rn"), "left_outer")
+      .select(coalesce(col("touch_type"), lit("(none)")).as("touch_type"),
+        col("value"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(col("value").cast("decimal(18,2)")).as("revenue"))
+  }
+
   val BASKET_MIN_PAIR = 2L
   val BASKET_TOPN = 20
 
@@ -260,7 +290,8 @@ object AnalyticsQueries {
     "q111_retention" -> q111_retention,
     "q112_psi_drift" -> q112_psi_drift,
     "q116_hybrid_rrf" -> q116_hybrid_rrf,
-    "q120_funnel" -> q120_funnel)
+    "q120_funnel" -> q120_funnel,
+    "q131_attribution" -> q131_attribution)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -289,6 +320,24 @@ object AnalyticsQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q131_attribution" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ev AS (
+        |  SELECT *,
+        |    max(CASE WHEN event_type <> 'purchase' THEN rn END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_rn
+        |  FROM base)
+        |SELECT coalesce(t.event_type, '(none)') AS touch_type,
+        |  count(*)::BIGINT AS purchases,
+        |  sum(CAST(p.value AS DECIMAL(18,2))) AS revenue
+        |FROM (SELECT user_id, touch_rn, value FROM ev
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN ev t ON t.user_id = p.user_id AND t.rn = p.touch_rn
+        |GROUP BY 1""".stripMargin,
     "q110_bm25" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, bm25, n_terms, rank FROM lexr
