@@ -45,6 +45,10 @@ object ScaleBench {
     * re-key join), q73 (vocab agg → broadcast LM → per-doc re-agg), q80
     * (bloom build + pruned join).
     */
+  private val sixthSessionAdds = Seq(
+    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops", "q129_minplus",
+    "q130_triangle_sample")
+
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
     "q28_lsh_neardup", "q10_join_left", "q49_minhash_estimate",
@@ -84,15 +88,16 @@ object ScaleBench {
     // vocab-bound); q122's wedge join fan-out is Σ deg(mid)² on the
     // co-purchase graph, the real scaling question of triangle counting
     "q121_basket_rules", "q122_triangles",
-    // fifth-session adds: q125's candidate fan-out is Σ df² over prefix
-    // elements (replica-suffixed shingles keep df flat, so the candidate
-    // table should grow ~linearly — the prefix-filter scaling claim);
-    // q126 is the copy-on-write merge, whose cost is the rewrite volume
-    // (linear in the affected partitions' rows by design); q127's BFS
-    // frontier joins ride the same densifying co-purchase graph as q122
-    // (fixed part vocabulary, Σ deg² edge growth)
-    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops", "q129_minplus",
-    "q130_triangle_sample")
+    // sixth-session adds (ONE definition — decade2 reuses it, so a new
+    // entry can't silently drop from one of the two reports): q125's
+    // candidate fan-out is Σ df² over prefix elements (replica-suffixed
+    // shingles keep df flat, so the candidate table should grow ~linearly
+    // — the prefix-filter scaling claim); q126 is the copy-on-write
+    // merge, whose cost is the rewrite volume (linear in the affected
+    // partitions' rows by design); q127/q129 ride the densifying
+    // co-purchase graph (fixed part vocabulary, Σ deg² edge growth);
+    // q130 is the sampled-triangle contrast to q122
+  ) ++ sixthSessionAdds
 
   /** planes-scaled LSH variants: planesFor(sf0.1)=4 (the benched default),
     * planesFor(10×)=8, planesFor(100×)=11 — +log2(factor) rounded up,
@@ -261,9 +266,7 @@ object ScaleBench {
     // pair COUNTS over a fixed part vocabulary — the aggregate stays
     // vocab-bound); q122's wedge join fan-out is Σ deg(mid)² on the
     // co-purchase graph, the real scaling question of triangle counting
-    "q121_basket_rules", "q122_triangles",
-    "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops", "q129_minplus",
-    "q130_triangle_sample")
+    "q121_basket_rules", "q122_triangles") ++ sixthSessionAdds
     val rows: Seq[(String, String, String, Option[String])] =
       scaleSet.map { n =>
         (n, cell(s"$n|01", SparkEntry.queries(n), sf01),

@@ -159,7 +159,7 @@ object ScaleQueries {
 
   /** Copy-on-write MERGE upsert ([[graft.operators.Merge]]): write orders
     * as a partitioned table, upsert updates (+1000 on every 97th key) and
-    * inserts (same rows re-keyed +10M), then aggregate the merged table.
+    * inserts (same rows re-keyed +1e9 — above any ScaleData dir's dense keyspace, so the insert never collides with a real base key; +10M collided at the 100x dir, silently turning ~51k inserts into replacements), then aggregate the merged table.
     * The partition-pruned rewrite contract — untouched partitions'
     * files stay byte-identical — is pinned in MergeSpec; here the oracle
     * checks the MERGE SEMANTICS end-to-end through real parquet rewrites.
@@ -171,7 +171,7 @@ object ScaleQueries {
     orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
     val touched = orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
     val updates = touched.withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      .unionByName(touched.withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      .unionByName(touched.withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
     Merge.into(s, root, updates, "o_orderkey", "o_orderpriority")
     s.read.parquet(root)
       .groupBy(col("o_orderpriority"))
@@ -197,8 +197,8 @@ object ScaleQueries {
 
   def oracles: Map[String, String] = Map(
     // MERGE semantics replayed relationally: survivors (keys not updated)
-    // ∪ updates ∪ inserts, then the same aggregate. Base keys are < 10M so
-    // the +10M re-key never collides with a survivor.
+    // ∪ updates ∪ inserts, then the same aggregate. Base keys stay far
+    // below 1e9 at every scale dir, so the re-key never collides.
     "q126_merge_upsert" ->
       """WITH touched AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice
@@ -207,7 +207,7 @@ object ScaleQueries {
         |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
         |  FROM touched
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+        |  SELECT o_orderkey + 1000000000, o_orderpriority, o_totalprice
         |  FROM touched),
         |merged AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice

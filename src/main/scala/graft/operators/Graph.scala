@@ -185,28 +185,6 @@ object Graph {
     r.select(col("node"), round(col("r"), 6).as("ppr"))
   }
 
-  /** Multi-source BFS: min hop distance from a seed set, bounded at
-    * `maxHops` — the reachability companion to the rank family (blast
-    * radius of a poisoned domain, "within K citation hops of a trusted
-    * corpus", supply-chain exposure). Directed over the DISTINCT edge set;
-    * symmetrize (union of both directions) for undirected graphs.
-    *
-    * Frontier form, not dense re-propagation: round k joins only the
-    * nodes FIRST discovered in round k−1 against the edge table and
-    * anti-joins the known set, so each node is expanded exactly once and
-    * total join work is O(E) across ALL rounds — the property that makes
-    * BFS affordable where the dense min-plus form (every node re-expanded
-    * every round, O(E·hops)) is not. Per-round frontier/known tables are
-    * localCheckpointed: like [[Dedup.duplicateClusters]], rounds are
-    * driver-synchronous, and the checkpoint keeps round k's plan O(1)
-    * deep instead of O(k).
-    *
-    * Returns (node, dist) for every node within `maxHops`, dist = exact
-    * BFS level (deterministic: a node's level is the unique first round
-    * that reaches it — no tie-break needed). Seeds not present in the
-    * graph still report dist 0: reachability of a seed is a fact about
-    * the QUERY, not the edge table.
-    */
   /** Triangle count over an undirected edge list given as canonical
     * (x < y) pairs, using DEGREE-ORDERED orientation — the standard fix
     * for the wedge-join blowup: orient every edge from its lower-(deg,
@@ -311,6 +289,29 @@ object Graph {
     d
   }
 
+  /** Multi-source BFS: min hop distance from a seed set, bounded at
+    * `maxHops` — the reachability companion to the rank family (blast
+    * radius of a poisoned domain, "within K citation hops of a trusted
+    * corpus", supply-chain exposure). Directed over the DISTINCT edge set;
+    * symmetrize (union of both directions) for undirected graphs.
+    *
+    * Frontier form, not dense re-propagation: round k joins only the
+    * nodes FIRST discovered in round k−1 against the edge table and
+    * anti-joins the known set, so each node is expanded exactly once and
+    * total join work is O(E) across ALL rounds — the property that makes
+    * BFS affordable where the dense min-plus form ([[minPlus]]: every
+    * node re-expanded every round, O(E·rounds)) is not. Per-round
+    * frontier/known tables are localCheckpointed: like
+    * [[Dedup.duplicateClusters]], rounds are driver-synchronous, and the
+    * checkpoint keeps round k's plan O(1) deep instead of O(k); an empty
+    * frontier ENDS the loop (no per-remaining-hop no-op jobs).
+    *
+    * Returns (node, dist) for every node within `maxHops`, dist = exact
+    * BFS level (deterministic: a node's level is the unique first round
+    * that reaches it — no tie-break needed). Seeds not present in the
+    * graph still report dist 0: reachability of a seed is a fact about
+    * the QUERY, not the edge table.
+    */
   def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: Seq[Long], maxHops: Int): DataFrame = {
     require(maxHops >= 0 && seeds.nonEmpty,
@@ -324,7 +325,8 @@ object Graph {
       .select(col("node").cast("long").as("node"), lit(0).as("dist"))
       .localCheckpoint()
     var frontier = known
-    for (k <- 1 to maxHops if !frontier.isEmpty) {
+    var k = 1
+    while (k <= maxHops && !frontier.isEmpty) {
       val discovered = frontier.join(e, col("node") === col("e_src"))
         .select(col("e_dst").as("node")).distinct()
         .join(known, Seq("node"), "left_anti")
@@ -332,6 +334,7 @@ object Graph {
         .localCheckpoint()
       known = known.union(discovered).localCheckpoint()
       frontier = discovered
+      k += 1
     }
     known
   }

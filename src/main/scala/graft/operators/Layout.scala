@@ -135,11 +135,13 @@ object Layout {
 
   /** Column form: bucket index of `c` under `splits` — the count of
     * splits ≤ value (so bucket i holds splits(i−1) ≤ v < splits(i)).
-    * Codegen'd filter over a literal array; NULLs reject at write time
-    * via [[zOrderWrite]]'s range check.
+    * Codegen'd filter over a literal array. A NULL coordinate maps to −1
+    * (a NULL predicate would otherwise FILTER to the empty array and
+    * silently land in bucket 0), which [[zOrderWrite]]'s range check then
+    * rejects loudly — same write-time NULL contract as the raw path.
     */
   def bucketCol(c: Column, splits: Array[Double]): Column =
-    size(filter(lit(splits), s => s <= c))
+    when(c.isNull, lit(-1)).otherwise(size(filter(lit(splits), s => s <= c)))
 
   /** Driver-side twin of [[bucketCol]] for mapping query bounds. */
   def bucketOf(v: Double, splits: Array[Double]): Long =
@@ -152,8 +154,15 @@ object Layout {
   def zOrderWriteQuantile(df: DataFrame, xCol: String, yCol: String,
                           bits: Int, prefixBits: Int, path: String,
                           relErr: Double = 0.001): (Array[Double], Array[Double]) = {
-    val sx = quantileSplits(df, xCol, bits, relErr)
-    val sy = quantileSplits(df, yCol, bits, relErr)
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    // one pass for both columns' sketches (the multi-column overload),
+    // then the write itself — two scans total, not three
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val Array(sxRaw, syRaw) =
+      df.stat.approxQuantile(Array(xCol, yCol), probs, relErr)
+    val sx = sxRaw.distinct.sorted
+    val sy = syRaw.distinct.sorted
     val mapped = df
       .withColumn("__qx", bucketCol(col(xCol), sx))
       .withColumn("__qy", bucketCol(col(yCol), sy))

@@ -61,8 +61,14 @@ object Merge {
   def applyChanges(spark: SparkSession, path: String,
                    upserts: DataFrame, deletes: DataFrame,
                    keyCol: String, partCol: String): Int = {
+    // Materialized once: the key/partition pairs drive FOUR actions (dup
+    // check, affected collect, survivor anti-join, emptied-partition
+    // check) — without the checkpoint each re-executes the full change
+    // lineage, which on the streaming path (mergeSink) means re-running
+    // the micro-batch's latest-by-key window per action.
     val changedKeys = upserts.select(col(keyCol), col(partCol))
       .unionByName(deletes.select(col(keyCol), col(partCol)))
+      .localCheckpoint(true)
     val dupKeys = changedKeys.groupBy(col(keyCol)).count().filter(col("count") > 1)
     require(dupKeys.isEmpty,
       s"change set carries duplicate keys (e.g. ${dupKeys.select(keyCol).take(3).mkString(", ")}) — " +
@@ -125,6 +131,7 @@ object Merge {
       fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
     }
     merged.unpersist()
+    changedKeys.unpersist()
     affected.length
   }
 

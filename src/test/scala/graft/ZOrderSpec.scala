@@ -77,6 +77,20 @@ class ZOrderSpec extends AnyFunSuite {
       s"equi-depth buckets must spread skewed mass, got max=${counts.max}")
   }
 
+  test("quantile layout rejects NULL coordinates at write time, like the raw path") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder-null").toString
+    val df = Seq((1L, Some(10.0), 1.0), (2L, None, 2.0))
+      .toDF("id", "price", "qty")
+      .select($"id", $"price".cast("double"), $"qty")
+    val e = intercept[Exception](
+      Layout.zOrderWriteQuantile(df, "price", "qty", 4, 4, dir))
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("out of ["),
+      s"NULL must hit the range check's loud failure, got: ${rootMsg(e)}")
+  }
+
   test("zValue column matches the driver-side interleave on every row") {
     val rows = Tables.load(spark, TestSession.sf, "customer")
       .select(
