@@ -187,6 +187,54 @@ object Layout {
         col(yCol) >= y0 && col(yCol) <= y1)
       .drop("__qx", "__qy")
 
+  /** Per-file column-stats manifest — FILE-level data skipping, the rung
+    * below directory-partition pruning (what Delta/Iceberg keep in their
+    * metadata logs, here as a `_stats` JSON sidecar the parquet reader
+    * ignores): after any write, one scan groups rows by
+    * `input_file_name()` and records min/max per requested column. A
+    * range read then opens ONLY the files whose [min, max] overlaps the
+    * predicate — within a partition directory of hundreds of files, a
+    * sorted or clustered layout makes most files skippable without any
+    * directory structure.
+    *
+    * Stats rows are O(files × cols) — the manifest is a table-metadata
+    * artifact, tiny by construction. Files whose stats are NULL (all-null
+    * column) are kept conservatively; skipping is a superset pre-filter,
+    * the exact predicate re-applies on read ([[statsPrunedRead]]).
+    */
+  def writeStats(spark: SparkSession, path: String,
+                 statCols: Seq[String]): Unit = {
+    require(statCols.nonEmpty, "writeStats: need at least one column")
+    val df = spark.read.parquet(path)
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").json(s"$path/_stats")
+  }
+
+  /** Range read over a stats-manifested table: keep files whose [min, max]
+    * for `colName` overlaps [lo, hi] (NULL stats keep the file), read only
+    * those, re-apply the exact predicate. Driver state is the O(files)
+    * kept-file list — the same bound every manifest-based reader carries.
+    * Returns (pruned DataFrame, files read, files total).
+    */
+  def statsPrunedRead(spark: SparkSession, path: String, colName: String,
+                      lo: Double, hi: Double): (DataFrame, Int, Int) = {
+    val stats = spark.read.json(s"$path/_stats")
+    val total = stats.count().toInt
+    val kept = stats.filter(!(
+        coalesce(col(s"max_$colName") < lo, lit(false)) ||
+        coalesce(col(s"min_$colName") > hi, lit(false))))
+      .select(col("file")).collect().map(_.getString(0))
+    val pruned =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    (pruned.filter(col(colName) >= lo && col(colName) <= hi),
+      kept.length, total)
+  }
+
   /** Small-file compaction — the table-maintenance pass every long-running
     * ingest needs: streaming sinks and incremental appends leave thousands
     * of KB-sized part files, and at 100 TB the resulting task-per-file

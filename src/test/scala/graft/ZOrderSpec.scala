@@ -77,6 +77,23 @@ class ZOrderSpec extends AnyFunSuite {
       s"equi-depth buckets must spread skewed mass, got max=${counts.max}")
   }
 
+  test("file-level stats skipping: range read opens only overlapping files, results exact") {
+    val dir = java.nio.file.Files.createTempDirectory("stats-skip").toString
+    // range-partitioned write: each of the 8 files covers a disjoint v range
+    spark.range(0, 10000).toDF("id").withColumn("v", $"id".cast("double"))
+      .repartitionByRange(8, $"v")
+      .write.mode("overwrite").parquet(dir)
+    Layout.writeStats(spark, dir, Seq("v"))
+    val (got, kept, total) = Layout.statsPrunedRead(spark, dir, "v", 100.0, 300.0)
+    assert(total == 8 && kept < total,
+      s"narrow range must skip files: kept=$kept of $total")
+    val ids = got.select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == (100L to 300L), s"exactness: got ${ids.take(5)}...")
+    // a range overlapping nothing reads zero files and returns empty
+    val (none, k2, _) = Layout.statsPrunedRead(spark, dir, "v", 1e9, 2e9)
+    assert(k2 == 0 && none.isEmpty)
+  }
+
   test("quantile layout rejects NULL coordinates at write time, like the raw path") {
     val dir = java.nio.file.Files.createTempDirectory("zorder-null").toString
     val df = Seq((1L, Some(10.0), 1.0), (2L, None, 2.0))
