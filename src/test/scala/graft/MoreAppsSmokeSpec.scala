@@ -343,4 +343,33 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
       .select($"id", $"name", $"tier").as[(String, String, String)].collect().toSet
     assert(after2 == Set(("u1", "anne", "plat")), s"got $after2")
   }
+
+  test("TableMaintainApp main: compaction + stats manifest, and the z-order variant") {
+    import org.apache.spark.sql.functions.col
+    val in = tmp("maintain-in"); val outC = tmp("maintain-outc") + "/t"
+    val outZ = tmp("maintain-outz") + "/t"
+    // fragmented ingest shape: 20 tiny files
+    spark.range(0, 4000).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .withColumn("w", (col("id") % 97).cast("double"))
+      .repartition(20).write.mode("overwrite").parquet(in)
+    graft.apps.TableMaintainApp.main(Array(
+      "--in", in, "--out", outC, "--target-bytes", "10000000",
+      "--stats", "v,w"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val nOut = new java.io.File(outC).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nOut < 20, s"compaction must shrink the file count, got $nOut")
+    val (pruned, kept, total) = graft.operators.Layout
+      .statsPrunedRead(spark, outC, "v", 10.0, 20.0)
+    assert(kept <= total && pruned.count() == 11)
+    // z-order branch: clustered rewrite + stats over the clustered output
+    graft.apps.TableMaintainApp.main(Array(
+      "--in", in, "--out", outZ, "--zorder", "v,w",
+      "--zbits", "5", "--zprefix", "5", "--stats", "v"))
+    spark.sparkContext.setLogLevel("ERROR")
+    assert(new java.io.File(outZ).listFiles().exists(_.getName.startsWith("z_bucket=")),
+      "z-order branch must write bucket directories")
+    assert(new java.io.File(outZ, "_stats").exists, "stats manifest must exist")
+  }
 }
