@@ -56,10 +56,14 @@ object GraphQueries {
   val q122_triangles: Q = (s, dir) => {
     val op = t(s, dir).lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // checkpointed: the co-occurrence self-join + distinct feeds the
+    // triangle pipeline AND the nodes/edges count aggregates — otherwise
+    // each reference re-runs the expensive pair-distinct
     val e = op.select(col("o"), col("p").as("x"))
       .join(op.select(col("o"), col("p").as("y")), Seq("o"))
       .filter(col("x") < col("y"))
       .select(col("x"), col("y")).distinct()
+      .localCheckpoint()
     val tri = Graph.triangleCount(e, "x", "y")
     val nodes = e.select(col("x").as("n")).union(e.select(col("y").as("n")))
       .distinct().agg(count(lit(1)).as("nodes"))
