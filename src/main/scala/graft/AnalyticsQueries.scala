@@ -246,6 +246,64 @@ object AnalyticsQueries {
         sum(col("value").cast("decimal(18,2)")).as("revenue"))
   }
 
+  /** Per-group OLS trend: closed-form slope/intercept of value over time
+    * (x = epoch day) per event_type — the monitoring question "is this
+    * metric drifting, and how fast" as one aggregate. Exactness recipe
+    * (q73's contract): per-point y rounds to 6 dp and joins the sums as
+    * DECIMAL (order-independent addition); x/x²/xy sums are integer/
+    * decimal-exact; only the final slope/intercept divisions run in
+    * IEEE double with a fixed operand order, then round to 6 dp.
+    */
+  val q132_trend: Q = (s, dir) => {
+    val x = floor(col("ts").cast("long") / 86400).cast("long")
+    val y6 = round(col("value"), 6).cast("decimal(18,6)")
+    val agg = t(s, dir).events
+      .select(col("event_type"), x.as("x"), y6.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum((col("y") * col("x")).cast("decimal(38,6)")).as("sxy"))
+    val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
+    val slope = round((nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD), 6)
+    agg.select(col("event_type"), col("n"),
+      slope.as("slope"),
+      round((syD - slope * sxD) / nD, 6).as("intercept"))
+  }
+
+  /** Trailing z-score anomaly detection: each (event_type, day)'s event
+    * count against the mean/std of the PRECEDING 7 days — the volume-
+    * anomaly monitor behind alerting. The window sums are INTEGER (count
+    * and count² of daily totals), so mean/variance inputs are exact and
+    * the z arithmetic is fixed-order IEEE double → cross-engine
+    * deterministic without trusting any engine's streaming stddev. Days
+    * with fewer than 3 trailing observations emit NULL z (variance
+    * undefined that early; the oracle filters identically).
+    */
+  val ZWIN = 7
+  val q133_volume_anomaly: Q = (s, dir) => {
+    val day = floor(col("ts").cast("long") / 86400).cast("long")
+    val daily = t(s, dir).events
+      .select(col("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-ZWIN, -1)
+    val st = daily
+      .withColumn("m", count(col("cnt")).over(w))
+      .withColumn("sc", sum(col("cnt")).over(w))
+      .withColumn("scc", sum(col("cnt") * col("cnt")).over(w))
+    val mD = col("m").cast("double"); val scD = col("sc").cast("double")
+    val sccD = col("scc").cast("double"); val cntD = col("cnt").cast("double")
+    val mean = scD / mD
+    val variance = (sccD - scD * scD / mD) / (mD - lit(1.0))
+    st.select(col("event_type"), col("day"), col("cnt"),
+      when(col("m") >= 3 && variance > 0,
+        round((cntD - mean) / sqrt(variance), 6)).as("z"))
+  }
+
   val BASKET_MIN_PAIR = 2L
   val BASKET_TOPN = 20
 
@@ -291,7 +349,9 @@ object AnalyticsQueries {
     "q112_psi_drift" -> q112_psi_drift,
     "q116_hybrid_rrf" -> q116_hybrid_rrf,
     "q120_funnel" -> q120_funnel,
-    "q131_attribution" -> q131_attribution)
+    "q131_attribution" -> q131_attribution,
+    "q132_trend" -> q132_trend,
+    "q133_volume_anomaly" -> q133_volume_anomaly)
 
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -320,6 +380,47 @@ object AnalyticsQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // Same exactness recipe as the Spark side: rounded-decimal y, integer
+    // x sums, one fixed-order double division per output, intercept reuses
+    // the ROUNDED slope.
+    "q132_trend" ->
+      """WITH pts AS (
+        |  SELECT event_type, (floor(epoch(ts) / 86400))::BIGINT AS x,
+        |    round(value, 6)::DECIMAL(18,6) AS y
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(x * x)::BIGINT AS sxx, sum(y) AS sy,
+        |    sum((y * x)::DECIMAL(38,6)) AS sxy
+        |  FROM pts GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+        |  round((sy::DOUBLE -
+        |    round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |    * sx::DOUBLE) / n::DOUBLE, 6) AS intercept
+        |FROM agg""".stripMargin,
+    "q133_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, (floor(epoch(ts) / 86400))::BIGINT AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, day, cnt,
+        |    count(cnt) OVER w AS m,
+        |    sum(cnt) OVER w AS sc,
+        |    sum(cnt * cnt) OVER w AS scc
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, cnt,
+        |  CASE WHEN m >= 3 AND
+        |    (scc::DOUBLE - sc::DOUBLE * sc::DOUBLE / m::DOUBLE) / (m::DOUBLE - 1.0) > 0
+        |  THEN round((cnt::DOUBLE - sc::DOUBLE / m::DOUBLE) /
+        |    sqrt((scc::DOUBLE - sc::DOUBLE * sc::DOUBLE / m::DOUBLE) / (m::DOUBLE - 1.0)), 6)
+        |  END AS z
+        |FROM st""".stripMargin,
     "q131_attribution" ->
       """WITH base AS (
         |  SELECT user_id, event_type, ts, event_id, value,

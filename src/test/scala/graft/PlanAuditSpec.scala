@@ -92,7 +92,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q125_ppjoin" -> 7,           // element-df agg + per-doc sort agg + the hinted shuffle_hash candidate self-join pair (reused at runtime) + (d1,d2) positional agg + the two verify joins — every one carries keys/positions or candidate rows, never full sets except the final verify attach
     "q126_merge_upsert" -> 1,     // the post-merge aggregate; the merge itself is write-bound (partition-pruned rewrite, pinned in MergeSpec). q127 is absent by design: its BFS rounds are driver-synchronous localCheckpoints, so the final plan is a lineage-truncated scan (0 exchanges) and a static count would pin nothing
     "q128_ppjoin_incremental" -> 4, // union-df agg + the two per-side sort aggs share partitioning; cross-side candidate join + positional agg + verify joins broadcast the small shard side at this SF (tok/key exchanges at scale)
-    "q131_attribution" -> 3)      // one (user) exchange serves both window passes; purchases⋈touches rides it (user in the key) + the touch_type rollup; the join-back is purchase-row sized
+    "q131_attribution" -> 3,      // one (user) exchange serves both window passes; purchases⋈touches rides it (user in the key) + the touch_type rollup; the join-back is purchase-row sized
+    "q132_trend" -> 1,            // ONE per-type aggregate — all five regression sums ride a single exchange with map-side partials
+    "q133_volume_anomaly" -> 2)   // (type, day) daily agg + the type-keyed trailing window; z arithmetic is scan-local after it
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
