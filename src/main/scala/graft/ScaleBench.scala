@@ -47,7 +47,11 @@ object ScaleBench {
     */
   private val sixthSessionAdds = Seq(
     "q125_ppjoin", "q126_merge_upsert", "q127_bfs_hops", "q129_minplus",
-    "q130_triangle_sample")
+    "q130_triangle_sample",
+    // the analytics monitoring passes a continuous ingest pays per batch:
+    // q131 rides one (user) window exchange over the growing event log,
+    // q132/q133 are narrow per-type aggregates (q111/q112's class)
+    "q131_attribution", "q132_trend", "q133_volume_anomaly")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
