@@ -267,20 +267,29 @@ object AnalyticsQueries {
     val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
     val sxxD = col("sxx").cast("double")
     val syD = col("sy").cast("double"); val sxyD = col("sxy").cast("double")
-    val slope = round((nD * sxyD - sxD * syD) / (nD * sxxD - sxD * sxD), 6)
+    // den = n·Σx² − (Σx)² ≥ 0, and 0 exactly when every point shares one
+    // x (a single day of data): slope is undefined — NULL, not 0/0 NaN
+    val den = nD * sxxD - sxD * sxD
+    val slope = round((nD * sxyD - sxD * syD) / den, 6)
     agg.select(col("event_type"), col("n"),
-      slope.as("slope"),
-      round((syD - slope * sxD) / nD, 6).as("intercept"))
+      when(den > 0, slope).as("slope"),
+      when(den > 0, round((syD - slope * sxD) / nD, 6)).as("intercept"))
   }
 
   /** Trailing z-score anomaly detection: each (event_type, day)'s event
-    * count against the mean/std of the PRECEDING 7 days — the volume-
-    * anomaly monitor behind alerting. The window sums are INTEGER (count
-    * and count² of daily totals), so mean/variance inputs are exact and
-    * the z arithmetic is fixed-order IEEE double → cross-engine
-    * deterministic without trusting any engine's streaming stddev. Days
-    * with fewer than 3 trailing observations emit NULL z (variance
-    * undefined that early; the oracle filters identically).
+    * count against the mean/std of the preceding 7 CALENDAR days (a
+    * RANGE frame on the day number — a ROWS frame would silently widen
+    * the baseline across gaps to the last 7 OBSERVED days). The window
+    * sums are INTEGER (count and count² of daily totals), so
+    * mean/variance inputs are exact and the z arithmetic is fixed-order
+    * IEEE double → cross-engine deterministic without trusting any
+    * engine's streaming stddev. Days with fewer than 3 in-range
+    * observations, or zero baseline variance, emit NULL z (the oracle
+    * guards identically). Known blind spot, by construction: a day with
+    * ZERO events produces no row at all, so a full outage never scores —
+    * outage detection needs a calendar scaffold (types × day range, cnt
+    * 0 filled) composed upstream; this query monitors volume SHIFTS on
+    * days that have volume.
     */
   val ZWIN = 7
   val q133_volume_anomaly: Q = (s, dir) => {
@@ -290,7 +299,7 @@ object AnalyticsQueries {
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-ZWIN, -1)
+      .rangeBetween(-ZWIN, -1)
     val st = daily
       .withColumn("m", count(col("cnt")).over(w))
       .withColumn("sc", sum(col("cnt")).over(w))
@@ -394,12 +403,16 @@ object AnalyticsQueries {
         |    sum((y * x)::DECIMAL(38,6)) AS sxy
         |  FROM pts GROUP BY 1)
         |SELECT event_type, n,
-        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
-        |  round((sy::DOUBLE -
+        |  CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0 THEN
         |    round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
         |      / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
-        |    * sx::DOUBLE) / n::DOUBLE, 6) AS intercept
+        |  END AS slope,
+        |  CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0 THEN
+        |    round((sy::DOUBLE -
+        |      round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+        |      * sx::DOUBLE) / n::DOUBLE, 6)
+        |  END AS intercept
         |FROM agg""".stripMargin,
     "q133_volume_anomaly" ->
       """WITH daily AS (
@@ -413,7 +426,7 @@ object AnalyticsQueries {
         |    sum(cnt * cnt) OVER w AS scc
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, day, cnt,
         |  CASE WHEN m >= 3 AND
         |    (scc::DOUBLE - sc::DOUBLE * sc::DOUBLE / m::DOUBLE) / (m::DOUBLE - 1.0) > 0

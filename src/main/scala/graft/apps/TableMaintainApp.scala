@@ -20,8 +20,8 @@ import graft.operators.Layout
 object TableMaintainApp {
 
   val usage = "graft.apps.TableMaintainApp --in <dir> --out <dir> " +
-    "--target-bytes <n> --stats <col,col,...> [--zorder xCol,yCol " +
-    "--zbits <n> --zprefix <n>]"
+    "--stats <col,col,...> and either --target-bytes <n> (compact mode) " +
+    "or --zorder xCol,yCol [--zbits <n> --zprefix <n>] (z-cluster mode)"
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
@@ -33,12 +33,15 @@ object TableMaintainApp {
 
     conf.get("zorder") match {
       case Some(xy) =>
-        val Array(x, y) = xy.split(",").map(_.trim)
+        val cols = xy.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.length == 2,
+          s"--zorder expects exactly xCol,yCol, got '$xy'\nusage: $usage")
         val bits = conf.getOrElse("zbits", "6").toInt
         val prefix = conf.getOrElse("zprefix", "6").toInt
-        Layout.zOrderWriteQuantile(spark.read.parquet(in), x, y,
+        Layout.zOrderWriteQuantile(spark.read.parquet(in), cols(0), cols(1),
           bits, prefix, out)
-        println(s"[maintain] z-clustered $in -> $out (bits=$bits prefix=$prefix)")
+        println(s"[maintain] z-clustered $in -> $out (bits=$bits prefix=$prefix; " +
+          "quantile splits persisted in _zsplits)")
       case None =>
         val target = AppEnv.get(conf, "target-bytes", usage).toLong
         val (nin, nout) = Layout.compact(spark, in, out, target)

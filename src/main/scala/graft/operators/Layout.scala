@@ -147,9 +147,38 @@ object Layout {
   def bucketOf(v: Double, splits: Array[Double]): Long =
     splits.count(_ <= v)
 
+  /** Persist / load the quantile split arrays next to the data (a
+    * `_zsplits` sidecar, underscore-prefixed so the parquet reader
+    * ignores it) — without them a z-clustered table cannot be box-queried
+    * (bounds must map through the SAME splits), so a deployed writer
+    * ([[graft.apps.TableMaintainApp]]) must not let them die with its
+    * JVM. Stored as one JSON object via the Hadoop FS API, so it lands on
+    * whatever filesystem holds the table.
+    */
+  def writeZSplits(spark: SparkSession, path: String,
+                   sx: Array[Double], sy: Array[Double],
+                   bits: Int, prefixBits: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_zsplits/splits.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"bits":$bits,"prefixBits":$prefixBits,""" +
+      s""""sx":[${sx.mkString(",")}],"sy":[${sy.mkString(",")}]}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (sx, sy, bits, prefixBits) from the `_zsplits` sidecar. */
+  def readZSplits(spark: SparkSession, path: String): (Array[Double], Array[Double], Int, Int) = {
+    val row = spark.read.json(s"$path/_zsplits/splits.json")
+      .select(col("sx"), col("sy"), col("bits"), col("prefixBits"))
+      .collect()(0)
+    (row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray,
+      row.getLong(2).toInt, row.getLong(3).toInt)
+  }
+
   /** [[zOrderWrite]] over quantile-bucketed coordinates: computes splits
-    * for both columns, writes the bucketized layout, and returns the two
-    * split arrays for [[boxQueryQuantile]].
+    * for both columns, writes the bucketized layout, persists them as the
+    * `_zsplits` sidecar, and returns the two split arrays for
+    * [[boxQueryQuantile]].
     */
   def zOrderWriteQuantile(df: DataFrame, xCol: String, yCol: String,
                           bits: Int, prefixBits: Int, path: String,
@@ -167,6 +196,7 @@ object Layout {
       .withColumn("__qx", bucketCol(col(xCol), sx))
       .withColumn("__qy", bucketCol(col(yCol), sy))
     zOrderWrite(mapped, "__qx", "__qy", bits, prefixBits, path)
+    writeZSplits(df.sparkSession, path, sx, sy, bits, prefixBits)
     (sx, sy)
   }
 
@@ -224,15 +254,26 @@ object Layout {
                       lo: Double, hi: Double): (DataFrame, Int, Int) = {
     val stats = spark.read.json(s"$path/_stats")
     val total = stats.count().toInt
+    val exact = col(colName) >= lo && col(colName) <= hi
+    // Conservative fallback, not a crash: a manifest written for other
+    // columns — or one whose stats are all-NULL (the JSON writer omits
+    // null fields entirely, so the column doesn't even exist in the
+    // inferred schema) — keeps EVERY file; the exact predicate still
+    // applies.
+    if (!stats.columns.contains(s"min_$colName") ||
+        !stats.columns.contains(s"max_$colName"))
+      return (spark.read.parquet(path).filter(exact), total, total)
     val kept = stats.filter(!(
         coalesce(col(s"max_$colName") < lo, lit(false)) ||
         coalesce(col(s"min_$colName") > hi, lit(false))))
       .select(col("file")).collect().map(_.getString(0))
     val pruned =
       if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
-      else spark.read.parquet(kept.toIndexedSeq: _*)
-    (pruned.filter(col(colName) >= lo && col(colName) <= hi),
-      kept.length, total)
+      // basePath keeps partition discovery on: an explicit leaf-file list
+      // would otherwise DROP directory-partition columns and the two
+      // branches of this function would disagree on schema
+      else spark.read.option("basePath", path).parquet(kept.toIndexedSeq: _*)
+    (pruned.filter(exact), kept.length, total)
   }
 
   /** Small-file compaction — the table-maintenance pass every long-running
@@ -255,6 +296,13 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // A directory-PARTITIONED table has no top-level data files; silently
+    // proceeding would compute totalBytes = 0 → parts = 1 and funnel the
+    // whole table through one task into one file, destroying the layout.
+    require(files.nonEmpty,
+      s"compact: no top-level .parquet files under $inDir — partitioned " +
+        "tables must be compacted per partition directory (or re-clustered " +
+        "via zOrderWrite), not flattened")
     val totalBytes = files.map(_.getLen).sum
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)

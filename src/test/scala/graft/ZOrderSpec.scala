@@ -94,6 +94,43 @@ class ZOrderSpec extends AnyFunSuite {
     assert(k2 == 0 && none.isEmpty)
   }
 
+  test("statsPrunedRead falls back to a full conservative read when the manifest lacks the column") {
+    val dir = java.nio.file.Files.createTempDirectory("stats-fallback").toString
+    spark.range(0, 100).toDF("id").withColumn("v", $"id".cast("double"))
+      .write.mode("overwrite").parquet(dir)
+    Layout.writeStats(spark, dir, Seq("id")) // stats for id, NOT v
+    val (got, kept, total) = Layout.statsPrunedRead(spark, dir, "v", 10.0, 20.0)
+    assert(kept == total, "unknown column must keep every file, not crash")
+    assert(got.count() == 11)
+  }
+
+  test("zsplits sidecar round-trips and drives a correct box query in a fresh reader") {
+    val dir = java.nio.file.Files.createTempDirectory("zsplits").toString
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("price", ($"id" * 3).cast("double"))
+      .withColumn("qty", ($"id" % 50).cast("double"))
+    Layout.zOrderWriteQuantile(df, "price", "qty", 5, 5, dir)
+    // a later process knows only the path: splits come from the sidecar
+    val (sx, sy, bits, prefix) = Layout.readZSplits(spark, dir)
+    assert(bits == 5 && prefix == 5 && sx.nonEmpty && sy.nonEmpty)
+    val got = Layout.boxQueryQuantile(spark, dir, "price", "qty", bits, prefix,
+        sx, sy, 300.0, 900.0, 0.0, 10.0)
+      .select($"id").as[Long].collect().sorted.toSeq
+    val expected = df.filter($"price" >= 300.0 && $"price" <= 900.0 &&
+        $"qty" >= 0.0 && $"qty" <= 10.0)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("compact refuses a partitioned table instead of flattening it to one file") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-part").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      Layout.compact(spark, dir, dir + "-out", 1000000))
+    assert(e.getMessage.contains("no top-level"))
+  }
+
   test("quantile layout rejects NULL coordinates at write time, like the raw path") {
     val dir = java.nio.file.Files.createTempDirectory("zorder-null").toString
     val df = Seq((1L, Some(10.0), 1.0), (2L, None, 2.0))
