@@ -67,6 +67,20 @@ object DedupQueries {
       "doc_id", "hs", PPJ_NUM, PPJ_DEN)
   }
 
+  /** Fuzzy record linkage: all part-name pairs within edit distance 2
+    * ([[graft.operators.SetSim.editDistanceSelfJoin]] — q-gram count
+    * filtering with a constant rare-gram prefix, native levenshtein
+    * verify). The p_partkey ≤ 500 subset bounds the ORACLE's all-pairs
+    * replay; the operator itself is the scale path (SetSimSpec pins
+    * recall 1.0 against brute force, including the short-string dense
+    * route and k=0 exact duplicates).
+    */
+  val ED_K = 2
+  val q134_edjoin: Q = (s, dir) =>
+    graft.operators.SetSim.editDistanceSelfJoin(
+      t(s, dir).part.filter(col("p_partkey") <= 500),
+      "p_partkey", "p_name", ED_K)
+
   val q27_minhash_sig: Q = (s, dir) =>
     Dedup.minhashSignatures(t(s, dir).documents, "doc_id", "text", SHINGLE_N, MINHASH_K)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "sig")))
@@ -241,6 +255,7 @@ object DedupQueries {
     "q26_dedup_exact" -> q26_dedup_exact,
     "q125_ppjoin" -> q125_ppjoin,
     "q128_ppjoin_incremental" -> q128_ppjoin_incremental,
+    "q134_edjoin" -> q134_edjoin,
     "q27_minhash_sig" -> q27_minhash_sig,
     "q28_lsh_neardup" -> q28_lsh_neardup,
     "q85_lsh_salted" -> q85_lsh_salted,
@@ -287,6 +302,14 @@ object DedupQueries {
        |  FROM th)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Exact all-pairs levenshtein over the bounded subset — the blocked
+    // join's DEFINITION.
+    "q134_edjoin" ->
+      s"""SELECT a.p_partkey AS d1, b.p_partkey AS d2,
+         |  levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+         |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+         |WHERE a.p_partkey <= 500 AND b.p_partkey <= 500
+         |  AND levenshtein(a.p_name, b.p_name) <= $ED_K""".stripMargin,
     // Exact all-pairs replay of the prefix-filtered join's DEFINITION over
     // the same distinct 3-shingle hash sets: shared-element pairs +
     // integer cross-multiplied Jaccard threshold.

@@ -136,6 +136,87 @@ object SetSim {
     verify(cand, l, r, idCol, tNum, tDen)
   }
 
+  /** Edit-distance self-join (the Ed-Join family — Xiao et al. VLDB'08):
+    * all pairs (d1 < d2) with levenshtein(s1, s2) ≤ k, as (d1, d2, dist).
+    * Exact. The blocked route rests on the q-gram count filter: one edit
+    * disturbs at most q of a string's positional q-grams, so ed ≤ k
+    * forces a BAG overlap of ≥ max(g1, g2) − k·q gram occurrences
+    * (g = len − q + 1). Bag semantics are made joinable by numbering each
+    * gram's occurrences — the element is (gram, occurrence-index), so an
+    * equi-join counts true bag intersection. The same prefix argument as
+    * [[jaccardSelfJoinSets]] then applies with a CONSTANT prefix of
+    * k·q + 1 rarest elements: a qualifying pair missing from x's prefix
+    * could share at most g_x − k·q − 1 < g_max − k·q elements —
+    * contradiction — and alignment puts the first shared element in both
+    * prefixes. Candidates verify with one native `levenshtein` call.
+    *
+    * Strings too short for the gram evidence to bind (len ≤ k·q + q − 1,
+    * where the required overlap is ≤ 0 — including len < q with no grams
+    * at all) cannot be pruned by ANY gram filter: they take a dense
+    * broadcast route against every length-compatible string. That set is
+    * small by construction for real entity columns and sane k; a corpus
+    * OF short strings should use plain all-pairs levenshtein instead.
+    *
+    * Scale shape: the prefix join shuffles (rare-gram, id, len) rows —
+    * k·q + 1 per string; the verify join carries strings only for
+    * candidate pairs; rarest-first ordering keeps gram buckets small
+    * exactly as in the Jaccard form.
+    */
+  def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                           k: Int, q: Int = 2): DataFrame = {
+    require(k >= 0 && q >= 1, s"need k >= 0 and q >= 1, got k=$k q=$q")
+    val strs = df.select(col(idCol), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+    val shortLen = k * q + q - 1
+
+    // positional q-gram bag, each occurrence numbered per (id, gram) in
+    // position order → unique (gram#occ) elements per string
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("g")).orderBy(col("pos"))
+    val grams = strs.filter(col("len") > shortLen)
+      .select(col(idCol), col("len"),
+        posexplode(transform(sequence(lit(1), col("len") - q + 1),
+          i => col("s").substr(i, lit(q)))))
+      .select(col(idCol), col("len"), col("pos"), col("col").as("g"))
+      .withColumn("tok", concat(col("g"), lit("#"),
+        row_number().over(wOcc).cast("string")))
+      .select(col(idCol), col("len"), col("tok"))
+
+    // rarest-first global order; constant prefix of k·q + 1 elements
+    val dfreq = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pref = grams.join(dfreq, "tok")
+      .groupBy(col(idCol), col("len"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col(idCol), col("len"),
+        explode(slice(col("ord"), 1, k * q + 1)).as("p"))
+      .select(col(idCol), col("len"), col("p.tok").as("tok"))
+
+    val a = pref.select(col("tok"), col(idCol).as("d1"), col("len").as("l1"))
+    val b = pref.select(col("tok"), col(idCol).as("d2"), col("len").as("l2"))
+    val longCand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("tok"))
+      .filter(col("d1") < col("d2") && abs(col("l1") - col("l2")) <= k)
+      .select(col("d1"), col("d2"))
+
+    // dense route for gram-starved strings: broadcast them against every
+    // length-compatible string (both orientations, normalized to d1 < d2)
+    val shorts = strs.filter(col("len") <= shortLen)
+      .select(col(idCol).as("sid"), col("len").as("sl"))
+    val shortCand = strs.select(col(idCol).as("oid"), col("len").as("ol"))
+      .join(broadcast(shorts),
+        abs(col("ol") - col("sl")) <= k && col("oid") =!= col("sid"))
+      .select(least(col("sid"), col("oid")).as("d1"),
+        greatest(col("sid"), col("oid")).as("d2"))
+
+    val s1 = strs.select(col(idCol).as("d1"), col("s").as("s1"))
+    val s2 = strs.select(col(idCol).as("d2"), col("s").as("s2"))
+    longCand.unionAll(shortCand).distinct()
+      .join(s1, "d1").join(s2, "d2")
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("d1"), col("d2"), col("dist"))
+  }
+
   /** Normalize to (id, tk, n≥1) — see [[jaccardSelfJoinSets]]'s contract. */
   private def prepare(sets0: DataFrame, idCol: String, setCol: String): DataFrame =
     sets0.select(col(idCol), col(setCol).as("tk"))

@@ -117,6 +117,52 @@ class SetSimSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 3L, 3L)), s"got $got")
   }
 
+  private def edBrute(df: DataFrame, k: Int): Set[(Long, Long, Long)] = {
+    val a = df.select(col("doc_id").as("d1"), col("text").as("s1"))
+    val b = df.select(col("doc_id").as("d2"), col("text").as("s2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("d1"), col("d2"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  private def edRun(df: DataFrame, k: Int, q: Int = 2): Set[(Long, Long, Long)] =
+    SetSim.editDistanceSelfJoin(df, "doc_id", "text", k, q)
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("editDistanceSelfJoin: recall 1.0 vs brute force on real part names") {
+    val parts = Tables.load(spark, TestSession.sf, "part")
+      .select(col("p_partkey").as("doc_id"), col("p_name").as("text"))
+    for (k <- Seq(0, 1, 2)) {
+      val got = edRun(parts, k)
+      val want = edBrute(parts, k)
+      assert(got == want,
+        s"k=$k: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"part names must yield pairs at k=$k")
+    }
+  }
+
+  test("editDistanceSelfJoin: short strings route densely, mixed lengths cross the boundary") {
+    // shortLen for k=2,q=2 is 5: "bolt"/"bol" are gram-starved, the long
+    // names carry grams — pairs must surface across the route boundary too
+    val df = Seq(
+      (1L, "bolt"), (2L, "bol"), (3L, "b"),
+      (4L, "bolted"), (5L, "bolter"), (6L, "completely different")
+    ).toDF("doc_id", "text")
+    for (k <- Seq(1, 2)) {
+      val got = edRun(df, k)
+      assert(got == edBrute(df, k), s"k=$k mismatch: $got")
+    }
+    assert(edRun(df, 2).contains((1L, 4L, 2L)),
+      "short 'bolt' must pair with long 'bolted' across the route split")
+  }
+
+  test("editDistanceSelfJoin: k=0 is an exact-duplicate finder") {
+    val df = Seq((1L, "same name"), (2L, "same name"), (3L, "other")).toDF("doc_id", "text")
+    assert(edRun(df, 0) == Set((1L, 2L, 0L)))
+  }
+
   test("rejects degenerate thresholds") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](SetSim.jaccardSelfJoin(df, "doc_id", "text", 0, 5))
