@@ -184,16 +184,14 @@ object SetSim {
       .select(col(idCol), col("len"), col("tok"))
 
     // rarest-first global order; constant prefix of k·q + 1 elements
+    // (orderedPrefix — the same order definition as the Jaccard joins)
     val dfreq = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val pref = grams.join(dfreq, "tok")
-      .groupBy(col(idCol), col("len"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col(idCol), col("len"),
-        explode(slice(col("ord"), 1, k * q + 1)).as("p"))
-      .select(col(idCol), col("len"), col("p.tok").as("tok"))
+    val pref = orderedPrefix(
+      grams.select(col(idCol), col("len").as("n"), col("tok")),
+      idCol, dfreq, lit(k * q + 1))
 
-    val a = pref.select(col("tok"), col(idCol).as("d1"), col("len").as("l1"))
-    val b = pref.select(col("tok"), col(idCol).as("d2"), col("len").as("l2"))
+    val a = pref.select(col("tok"), col(idCol).as("d1"), col("n").as("l1"))
+    val b = pref.select(col("tok"), col(idCol).as("d2"), col("n").as("l2"))
     val longCand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("tok"))
       .filter(col("d1") < col("d2") && abs(col("l1") - col("l2")) <= k)
       .select(col("d1"), col("d2"))
@@ -223,26 +221,33 @@ object SetSim {
       .withColumn("n", size(col("tk")))
       .filter(col("n") >= 1)
 
-  /** (id, n, pos, tok) for the first n − ⌈t·n⌉ + 1 elements of each set
-    * under the global order: ascending element frequency, ties by
-    * element. No global rank/window is needed — (df, elem) pairs compare
-    * lexicographically, so sorting each doc's struct array yields the
-    * same order every engine would. `pos` is the element's 1-based
-    * position (for the positional filter).
+  /** Shared order-and-slice core — ONE definition of the global element
+    * order for every prefix-filtered join in this file (Jaccard and
+    * edit-distance): ascending element frequency, ties by element. No
+    * global rank/window is needed — (df, elem) pairs compare
+    * lexicographically, so sorting each row's struct array yields the
+    * same order every engine would. `elems` rows are (idCol, n, tok)
+    * with n the full bag/set size (functionally dependent on the id, so
+    * it rides the groupBy key); `prefLen` is the caller's prefix-length
+    * expression over `n`. Returns (idCol, n, pos, tok) with `pos` the
+    * element's 1-based position (for positional filters).
     */
-  private def prefixes(sets: DataFrame, idCol: String, dfreq: DataFrame,
-                       tNum: Int, tDen: Int): DataFrame = {
-    val ordered = sets.select(col(idCol), explode(col("tk")).as("tok"))
-      .join(dfreq, "tok")
-      .groupBy(col(idCol))
+  private def orderedPrefix(elems: DataFrame, idCol: String,
+                            dfreq: DataFrame, prefLen: Column): DataFrame =
+    elems.join(dfreq, "tok")
+      .groupBy(col(idCol), col("n"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .join(sets.select(col(idCol), col("n")), idCol)
-    val prefLen = (col("n") - ceilMul(col("n"), tNum, tDen) + 1)
-    ordered.select(col(idCol), col("n"),
+      .select(col(idCol), col("n"),
         posexplode(slice(col("ord"), lit(1), prefLen)))
       .select(col(idCol), col("n"), (col("pos") + 1).as("pos"),
         col("col.tok").as("tok"))
-  }
+
+  /** Jaccard prefix: the first n − ⌈t·n⌉ + 1 elements of each set. */
+  private def prefixes(sets: DataFrame, idCol: String, dfreq: DataFrame,
+                       tNum: Int, tDen: Int): DataFrame =
+    orderedPrefix(
+      sets.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
+      idCol, dfreq, col("n") - ceilMul(col("n"), tNum, tDen) + 1)
 
   /** Candidate pairs: share a prefix element, length-compatible, and
     * POSITION-compatible (PPJoin's positional filter). Both sets are

@@ -150,12 +150,20 @@ class SetSimSpec extends AnyFunSuite {
       (1L, "bolt"), (2L, "bol"), (3L, "b"),
       (4L, "bolted"), (5L, "bolter"), (6L, "completely different")
     ).toDF("doc_id", "text")
-    for (k <- Seq(1, 2)) {
-      val got = edRun(df, k)
-      assert(got == edBrute(df, k), s"k=$k mismatch: $got")
+    for (k <- Seq(1, 2); q <- Seq(1, 2, 3)) {
+      val got = edRun(df, k, q)
+      assert(got == edBrute(df, k), s"k=$k q=$q mismatch: $got")
     }
     assert(edRun(df, 2).contains((1L, 4L, 2L)),
       "short 'bolt' must pair with long 'bolted' across the route split")
+  }
+
+  test("editDistanceSelfJoin: q=1 and q=3 parity on real names (the q-sensitive arithmetic)") {
+    val parts = Tables.load(spark, TestSession.sf, "part")
+      .select(col("p_partkey").as("doc_id"), col("p_name").as("text"))
+    val want = edBrute(parts, 2)
+    assert(edRun(parts, 2, q = 1) == want, "q=1")
+    assert(edRun(parts, 2, q = 3) == want, "q=3")
   }
 
   test("editDistanceSelfJoin: k=0 is an exact-duplicate finder") {
