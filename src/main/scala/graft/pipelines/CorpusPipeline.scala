@@ -261,4 +261,63 @@ object CorpusPipeline {
       Dedup.minhashSignatures(batch.limit(0), idCol, textCol,
         cfg.shingleN, cfg.minhashK)
     }
+
+  /** [[streamingNearDedup]] at recall 1.0: the EXACT prefix-filtered
+    * Jaccard join ([[graft.operators.SetSim]]) replaces MinHash-LSH in
+    * both legs — the batch's own pair graph and the probe against the
+    * persisted shingle-SET index. Same keep rule (first-arrival-wins,
+    * min-id within a batch), same replay safety (the probe anti-joins
+    * the current batch's ids out of the index; duplicate index appends
+    * only duplicate candidates), same index discipline (ALL batch docs'
+    * sets append, admitted or not, so dropped-middle chains still block
+    * their tails).
+    *
+    * The exactness price, paid per micro-batch: the join's global
+    * element order is element frequency over index ∪ batch, so every
+    * batch re-counts the index's element frequencies — one extra
+    * index-sized aggregate per trigger (SetSim.jaccardJoinSets documents
+    * the fixed-hash-order alternative that drops the recount at some
+    * bucket-size cost). Use the LSH form when that aggregate dominates;
+    * use this one where a miss is unacceptable.
+    */
+  def streamingExactNearDedup(docs: DataFrame, indexDir: String,
+                              outDir: String, checkpoint: String,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              shingleN: Int = 3, tNum: Int = 3, tDen: Int = 5,
+                              trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : StreamingQuery =
+    Sinks.foreachBatchSink(docs, checkpoint, trigger, outputMode = "append") {
+      (batch, _) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val bSets = b.select(col(idCol),
+            array_distinct(shingleHashes(col(textCol), shingleN)).as("hs"))
+          val inPairs = graft.operators.SetSim
+            .jaccardSelfJoinSets(bSets, idCol, "hs", tNum, tDen)
+            .select(col("d1"), col("d2"))
+          val inKept = b.join(
+            dropSet(inPairs).withColumnRenamed("doc_id", idCol),
+            Seq(idCol), "left_anti")
+          val index = (
+            try spark.read.parquet(indexDir)
+            catch { case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND") ||
+                   e.getMessage.contains("Path does not exist") ||
+                   e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+              bSets.limit(0)
+            })
+            .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
+          val matched = graft.operators.SetSim.jaccardJoinSets(
+              bSets.join(inKept.select(col(idCol)), Seq(idCol), "left_semi"),
+              index, idCol, "hs", tNum, tDen)
+            .select(col("d1").as(idCol)).distinct()
+          val admitted = inKept.join(matched, Seq(idCol), "left_anti")
+          // admitted FIRST: it reads the index snapshot, which must not
+          // see this batch's own set append
+          admitted.write.mode("append").parquet(outDir)
+          bSets.write.mode("append").parquet(indexDir)
+        } finally { b.unpersist(); () }
+    }
 }

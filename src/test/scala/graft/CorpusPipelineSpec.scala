@@ -384,4 +384,69 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // index holds every seen doc (admitted or dropped), once per doc
     assert(spark.read.parquet(s"$dir/index").count() == all.count())
   }
+
+  test("streamingExactNearDedup: the recall-1.0 twin matches its exact batch recap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Dedup, SetSim}
+    import graft.functions.TextFunctions.shingleHashes
+    implicit val sqlCtx = spark.sqlContext
+
+    def edit(base: String, repl: (Int, String)*): String = {
+      val w = base.split(' ')
+      repl.foreach { case (i, s) => w(i) = s }
+      w.mkString(" ")
+    }
+    val PAIR_B = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey"
+    val CHAIN_B = "anchor bridge canyon delta engine furnace glacier " +
+      "hammer ingot journey keystone ladder mortar needle oxide piston " +
+      "quarry rudder spindle turbine valve winch zephyr"
+    val b1 = Seq(
+      (1L, PAIR_B), (2L, edit(PAIR_B, 11 -> "limon")),   // in-batch pair
+      (30L, CHAIN_B),                                    // chain head
+      (40L, "completely unrelated text about volcanic geology and minerals"))
+    val b2 = Seq(
+      (31L, edit(CHAIN_B, 0 -> "qq", 1 -> "rr", 2 -> "ss", 3 -> "tt")),
+      (41L, "another unrelated document on deep sea hydrothermal vents"))
+    val b3 = Seq(
+      // near 31 (same head edit, new tail edit) but too far from 30:
+      // only the all-seen index can block it after 31 was dropped
+      (32L, edit(CHAIN_B, 0 -> "qq", 1 -> "rr", 2 -> "ss", 3 -> "tt",
+        19 -> "ww", 20 -> "xx", 21 -> "yy", 22 -> "vv")),
+      (42L, "a third standalone text concerning manuscript preservation"))
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+
+    // exact recap: SetSim pair graph at 3/5 → components → keep min
+    val sets = all.select($"doc_id",
+      org.apache.spark.sql.functions.array_distinct(
+        shingleHashes($"text", 3)).as("hs"))
+    val pairs = SetSim.jaccardSelfJoinSets(sets, "doc_id", "hs", 3, 5)
+      .select($"d1", $"d2")
+    val pairSet = pairs.as[(Long, Long)].collect().toSet
+    assert(pairSet.contains((30L, 31L)) && pairSet.contains((31L, 32L)) &&
+      !pairSet.contains((30L, 32L)), s"chain shape wrong: $pairSet")
+    val drop = Dedup.duplicateClustersStar(pairs)
+      .filter($"doc_id" =!= $"cluster").select($"doc_id")
+    val recap = all.join(drop, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("exactneardedup").toString
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.streamingExactNearDedup(
+      in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/cp")
+    try {
+      Seq(b1, b2, b3).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == recap,
+      s"streaming diverged: missing=${recap -- streamed} extra=${streamed -- recap}")
+    assert(Set(1L, 30L, 40L, 41L, 42L).subsetOf(streamed))
+    assert(Set(2L, 31L, 32L).intersect(streamed).isEmpty,
+      "dropped-middle chain tail must be blocked by the index")
+    assert(spark.read.parquet(s"$dir/index").count() == all.count())
+  }
 }
