@@ -75,6 +75,18 @@ object DedupQueries {
     * recall 1.0 against brute force, including the short-string dense
     * route and k=0 exact duplicates).
     */
+  /** Overlap join: document pairs sharing ≥ 30 distinct 3-shingles —
+    * the absolute-count linkage ("quotes ≥ C of the same passages")
+    * next to q125's ratio form ([[graft.operators.SetSim.overlapSelfJoin]]).
+    */
+  val OVJ_C = 30
+  val q135_overlap_join: Q = (s, dir) => {
+    val sets = t(s, dir).documents.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingleHashes(
+        col("text"), SHINGLE_N)).as("hs"))
+    graft.operators.SetSim.overlapSelfJoin(sets, "doc_id", "hs", OVJ_C)
+  }
+
   val ED_K = 2
   val q134_edjoin: Q = (s, dir) =>
     graft.operators.SetSim.editDistanceSelfJoin(
@@ -256,6 +268,7 @@ object DedupQueries {
     "q125_ppjoin" -> q125_ppjoin,
     "q128_ppjoin_incremental" -> q128_ppjoin_incremental,
     "q134_edjoin" -> q134_edjoin,
+    "q135_overlap_join" -> q135_overlap_join,
     "q27_minhash_sig" -> q27_minhash_sig,
     "q28_lsh_neardup" -> q28_lsh_neardup,
     "q85_lsh_salted" -> q85_lsh_salted,
@@ -310,6 +323,14 @@ object DedupQueries {
          |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
          |WHERE a.p_partkey <= 500 AND b.p_partkey <= 500
          |  AND levenshtein(a.p_name, b.p_name) <= $ED_K""".stripMargin,
+    // All-pairs shared-shingle counts at the absolute threshold.
+    "q135_overlap_join" ->
+      s"""WITH $shingleCtes,
+         |el AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE len(hs) >= $OVJ_C)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS overlap_cnt
+         |FROM el a JOIN el b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $OVJ_C""".stripMargin,
     // Exact all-pairs replay of the prefix-filtered join's DEFINITION over
     // the same distinct 3-shingle hash sets: shared-element pairs +
     // integer cross-multiplied Jaccard threshold.

@@ -136,6 +136,47 @@ object SetSim {
     verify(cand, l, r, idCol, tNum, tDen)
   }
 
+  /** Overlap (T-overlap) self-join: all pairs (d1 < d2) sharing at least
+    * `minOverlap` set elements, as (d1, d2, overlap_cnt) — the
+    * absolute-count sibling of the Jaccard form (co-citation networks,
+    * shared-feature linkage, "documents quoting ≥ C of the same
+    * passages"). Same machinery, simpler bound: a set's prefix is its
+    * first n − C + 1 rarest elements (missing all of them caps shared
+    * elements at C − 1), sets with n < C drop (they can never reach C),
+    * and the first-collision positional bound 1 + min(n1−p1, n2−p2)
+    * must itself reach C. Exact — recall 1.0 by the same alignment
+    * argument as [[jaccardSelfJoinSets]] (SetSimSpec pins brute parity
+    * including the exactly-at-C boundary).
+    */
+  def overlapSelfJoin(sets0: DataFrame, idCol: String, setCol: String,
+                      minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val sets = prepare(sets0, idCol, setCol).filter(col("n") >= minOverlap)
+    val dfreq = sets.select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pref = orderedPrefix(
+      sets.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
+      idCol, dfreq, col("n") - minOverlap + 1)
+    val a = pref.select(col("tok"), col(idCol).as("d1"),
+      col("n").as("n1"), col("pos").as("p1"))
+    val b = pref.select(col("tok"), col(idCol).as("d2"),
+      col("n").as("n2"), col("pos").as("p2"))
+    val cand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("tok"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
+      .filter(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
+        >= minOverlap)
+      .select(col("d1"), col("d2"))
+    val s1 = sets.select(col(idCol).as("d1"), col("tk").as("tk1"))
+    val s2 = sets.select(col(idCol).as("d2"), col("tk").as("tk2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("overlap_cnt",
+        size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .filter(col("overlap_cnt") >= minOverlap)
+      .select(col("d1"), col("d2"), col("overlap_cnt"))
+  }
+
   /** Edit-distance self-join (the Ed-Join family — Xiao et al. VLDB'08):
     * all pairs (d1 < d2) with levenshtein(s1, s2) ≤ k, as (d1, d2, dist).
     * Exact. The blocked route rests on the q-gram count filter: one edit

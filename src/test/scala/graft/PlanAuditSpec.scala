@@ -95,7 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q131_attribution" -> 3,      // one (user) exchange serves both window passes; purchases⋈touches rides it (user in the key) + the touch_type rollup; the join-back is purchase-row sized
     "q132_trend" -> 1,            // ONE per-type aggregate — all five regression sums ride a single exchange with map-side partials
     "q133_volume_anomaly" -> 2,   // (type, day) daily agg + the type-keyed trailing window; z arithmetic is scan-local after it
-    "q134_edjoin" -> 11)          // q125's family shape + the occurrence-numbering window + the short-route broadcast pair + candidate distinct — every exchange carries gram keys, ids, or candidate rows
+    "q134_edjoin" -> 11,          // q125's family shape + the occurrence-numbering window + the short-route broadcast pair + candidate distinct — every exchange carries gram keys, ids, or candidate rows
+    "q135_overlap_join" -> 7)     // q125's exact shape with the absolute-count bound — element-df agg + ordered-prefix agg + hinted self-join pair + positional agg + verify joins
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {

@@ -117,6 +117,36 @@ class SetSimSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 3L, 3L)), s"got $got")
   }
 
+  test("overlapSelfJoin: exactly-at-C kept, C-1 dropped, brute parity on the real corpus") {
+    // sets engineered around C=3: (1,2) share exactly 3, (1,3) share 2,
+    // (4,5) share 4; 6 is too small to ever reach C and must drop early
+    val fix = Seq(
+      (1L, Seq(10L, 11L, 12L, 13L)), (2L, Seq(10L, 11L, 12L, 99L)),
+      (3L, Seq(10L, 11L, 98L, 97L)),
+      (4L, Seq(50L, 51L, 52L, 53L)), (5L, Seq(50L, 51L, 52L, 53L, 54L)),
+      (6L, Seq(10L, 11L))).toDF("doc_id", "hs")
+    val got = SetSim.overlapSelfJoin(fix, "doc_id", "hs", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L), (4L, 5L, 4L)), s"got $got")
+    // real corpus: brute all-pairs intersect counts at the q135 threshold
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+    val sets = docs.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingleHashes(col("text"), 3)).as("hs"))
+    val c = 30
+    val a = sets.select(col("doc_id").as("d1"), col("hs").as("h1"))
+    val b = sets.select(col("doc_id").as("d2"), col("hs").as("h2"))
+    val want = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("overlap_cnt", size(array_intersect(col("h1"), col("h2"))).cast("long"))
+      .filter(col("overlap_cnt") >= c)
+      .select(col("d1"), col("d2"), col("overlap_cnt"))
+      .as[(Long, Long, Long)].collect().toSet
+    val real = SetSim.overlapSelfJoin(sets, "doc_id", "hs", c)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(real == want,
+      s"missing=${(want -- real).take(5)} extra=${(real -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   private def edBrute(df: DataFrame, k: Int): Set[(Long, Long, Long)] = {
     val a = df.select(col("doc_id").as("d1"), col("text").as("s1"))
     val b = df.select(col("doc_id").as("d2"), col("text").as("s2"))
