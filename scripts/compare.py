@@ -15,7 +15,7 @@ driver FAIL even when every value is numerically equal. We reproduce that
 here: int-family vs float-family dtype mismatch on a column = FAIL, so local
 green predicts driver green.
 """
-import json, sys, glob, os
+import json, sys, glob, os, decimal
 import duckdb
 import pandas as pd
 import numpy as np
@@ -57,6 +57,21 @@ def main():
             w_float = np.issubdtype(want[c].dtype, np.floating)
             g_int = np.issubdtype(got[c].dtype, np.integer)
             w_int = np.issubdtype(want[c].dtype, np.integer)
+            # Decimal columns land as object dtype holding decimal.Decimal.
+            # The driver hashes typed values, so decimal-vs-float (the exact
+            # q126_r4 failure: Spark DECIMAL(28,2) vs DuckDB sum -> float64)
+            # is a driver FAIL even when every value agrees to the cent.
+            g_dec = got[c].dtype == object and any(
+                isinstance(x, decimal.Decimal) for x in got[c].dropna().head(3))
+            w_dec = want[c].dtype == object and any(
+                isinstance(x, decimal.Decimal) for x in want[c].dropna().head(3))
+            if (g_dec and (w_float or w_int)) or (w_dec and (g_float or g_int)):
+                print(f"FAIL {name}: col {c} decimal-vs-numeric dtype mismatch "
+                      f"spark={'decimal' if g_dec else got[c].dtype} "
+                      f"duck={'decimal' if w_dec else want[c].dtype} "
+                      f"(driver hash is typed — use the dsum pattern: "
+                      f"round(sum(...),2)::DOUBLE on both sides)")
+                ok = False; break
             if (g_float and w_int) or (g_int and w_float):
                 print(f"FAIL {name}: col {c} dtype mismatch spark={got[c].dtype} duck={want[c].dtype} "
                       f"(driver hash compares typed values — cast the oracle, e.g. ::BIGINT on integer sums)")

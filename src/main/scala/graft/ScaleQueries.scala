@@ -166,8 +166,12 @@ object ScaleQueries {
     */
   val q126_merge_upsert: Q = (s, dir) => {
     val orders = t(s, dir).orders
+    // Scratch root keyed on the FULL sanitized dir path plus this JVM's pid:
+    // a 32-bit hashCode can collide across data dirs, and two concurrent
+    // bench/verify processes on the same dir must not share one mutable
+    // table root mid-overwrite.
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      dir.replaceAll("[^A-Za-z0-9]+", "_") + "_" + ProcessHandle.current().pid()
     orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
     val touched = orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
     val updates = touched.withColumn("o_totalprice", col("o_totalprice") + 1000.0)
@@ -176,7 +180,11 @@ object ScaleQueries {
     s.read.parquet(root)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        // dsum pattern (Queries.dsum): exact decimal aggregation, one final
+        // cast to double — Spark's sum(decimal(18,2)) widens to
+        // DECIMAL(28,2) while DuckDB widens differently, so a raw decimal
+        // output type can never hash-match the oracle's.
+        Queries.dsum(col("o_totalprice")).as("total"))
   }
 
   def all: Map[String, Q] = Map(
@@ -215,7 +223,7 @@ object ScaleQueries {
         |  UNION ALL
         |  SELECT * FROM upd)
         |SELECT o_orderpriority, count(*)::BIGINT AS cnt,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  (round(sum((o_totalprice)::DECIMAL(18,6)), 2))::DOUBLE AS total
         |FROM merged GROUP BY 1""".stripMargin,
     "q103_postings" ->
       """WITH p AS (
