@@ -195,7 +195,11 @@ object StreamOps extends Serializable {
                 (bestNew._2, bestNew._3, evs.map(_._2).min + flushDelayMs)
             }
             state.update(best)
-            state.setTimeoutTimestamp(best._3)
+            // flushAt is PERSISTED from the key's first batch; by the time
+            // new data arrives the watermark may already have passed it
+            // (the timeout fires on the NEXT batch, not before the data
+            // path) — an unclamped set would throw and kill the query.
+            setEvictionAt(state, best._3)
             Iterator.empty
           }
       }
@@ -486,7 +490,9 @@ object StreamOps extends Serializable {
             if (st1.step == steps.length && st1.buf.isEmpty) state.remove()
             else {
               state.update(st1.copy(flushAt = flushAt))
-              state.setTimeoutTimestamp(flushAt)
+              // clamped: flushAt persists across batches and can be behind
+              // an already-advanced watermark when new data arrives first
+              setEvictionAt(state, flushAt)
             }
             out.iterator
           }
@@ -569,7 +575,8 @@ object StreamOps extends Serializable {
               (st0.buf ++ incoming).partition(_._1 <= wm)
             val (st1, closed) = advance(key, st0.copy(buf = pending), matured)
             state.update(st1.copy(flushAt = flushAt))
-            state.setTimeoutTimestamp(flushAt)
+            // clamped: same persisted-flushAt hazard as funnelStream
+            setEvictionAt(state, flushAt)
             closed.iterator
           }
       }
