@@ -47,6 +47,23 @@ import org.apache.spark.sql.functions._
   */
 object SetSim {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Internal working columns of the prefix machinery. A caller id column
+    * shadowing one of these would silently corrupt the groupBy keys in
+    * [[prepare]]/[[orderedPrefix]] (e.g. an idCol literally named "n" or
+    * "tok") — fail loudly at the entry points instead.
+    */
+  private val Reserved = Set("tk", "n", "tok", "pos", "df", "d1", "d2",
+    "n1", "n2", "p1", "p2", "s", "len", "g", "l1", "l2",
+    "sid", "sl", "oid", "ol", "dist", "tk1", "tk2", "s1", "s2",
+    "inter_cnt", "union_cnt", "overlap_cnt", "ord", "col")
+
+  private def checkIdCol(idCol: String): Unit =
+    require(!Reserved.contains(idCol),
+      s"idCol '$idCol' collides with an internal working column; " +
+        s"rename it before the join (reserved: ${Reserved.toSeq.sorted.mkString(", ")})")
+
   /** Per-doc distinct token sets: (id, tk: array<string>, n). Docs with
     * empty token sets are dropped — Jaccard is undefined on empty sets and
     * they can match nothing.
@@ -193,19 +210,33 @@ object SetSim {
     *
     * Strings too short for the gram evidence to bind (len ≤ k·q + q − 1,
     * where the required overlap is ≤ 0 — including len < q with no grams
-    * at all) cannot be pruned by ANY gram filter: they take a dense
-    * broadcast route against every length-compatible string. That set is
-    * small by construction for real entity columns and sane k; a corpus
-    * OF short strings should use plain all-pairs levenshtein instead.
+    * at all) cannot be pruned by ANY gram filter: they take a dense route
+    * against every length-compatible string. Length compatibility caps the
+    * other side too (|l1 − l2| ≤ k ⇒ len ≤ k·q + q − 1 + k), so the dense
+    * route is a short-strings-only subproblem on BOTH sides. Its size is
+    * MEASURED, not assumed (one count at construction — the q80
+    * keysCeiling pattern): up to `shortsCeiling` gram-starved strings the
+    * (id, len) build broadcasts; above it, a broadcast would OOM the
+    * executors, so the route degrades loudly to a shuffle-replicate
+    * nested-loop all-pairs join — the honest O(n²) cost the gram filter
+    * provably cannot beat for these strings, paid distributed instead of
+    * through a driver broadcast. Zero gram-starved strings skip the dense
+    * route entirely.
     *
     * Scale shape: the prefix join shuffles (rare-gram, id, len) rows —
     * k·q + 1 per string; the verify join carries strings only for
     * candidate pairs; rarest-first ordering keeps gram buckets small
     * exactly as in the Jaccard form.
+    *
+    * EAGER: the gram-starved count runs one Spark job at CONSTRUCTION
+    * time (like [[RuntimeFilter.bloomPrunedJoinAuto]]'s sizing pass), not
+    * when the returned DataFrame is acted on.
     */
   def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
-                           k: Int, q: Int = 2): DataFrame = {
+                           k: Int, q: Int = 2,
+                           shortsCeiling: Long = 1L << 17): DataFrame = {
     require(k >= 0 && q >= 1, s"need k >= 0 and q >= 1, got k=$k q=$q")
+    checkIdCol(idCol)
     val strs = df.select(col(idCol), col(strCol).as("s"))
       .filter(col("s").isNotNull)
       .withColumn("len", length(col("s")))
@@ -237,19 +268,38 @@ object SetSim {
       .filter(col("d1") < col("d2") && abs(col("l1") - col("l2")) <= k)
       .select(col("d1"), col("d2"))
 
-    // dense route for gram-starved strings: broadcast them against every
-    // length-compatible string (both orientations, normalized to d1 < d2)
+    // dense route for gram-starved strings against every length-compatible
+    // string (itself length-bounded: |ol − sl| ≤ k ⇒ ol ≤ shortLen + k, a
+    // scan-local prune), both orientations normalized to d1 < d2
     val shorts = strs.filter(col("len") <= shortLen)
       .select(col(idCol).as("sid"), col("len").as("sl"))
-    val shortCand = strs.select(col(idCol).as("oid"), col("len").as("ol"))
-      .join(broadcast(shorts),
-        abs(col("ol") - col("sl")) <= k && col("oid") =!= col("sid"))
-      .select(least(col("sid"), col("oid")).as("d1"),
-        greatest(col("sid"), col("oid")).as("d2"))
+    val others = strs.filter(col("len") <= shortLen + k)
+      .select(col(idCol).as("oid"), col("len").as("ol"))
+    val denseCond = abs(col("ol") - col("sl")) <= k && col("oid") =!= col("sid")
+    val nShorts = shorts.count() // eager sizing pass — see the doc comment
+    val shortCand =
+      if (nShorts == 0) None
+      else if (nShorts <= shortsCeiling)
+        Some(others.join(broadcast(shorts), denseCond))
+      else {
+        log.warn(s"editDistanceSelfJoin: $nShorts gram-starved strings " +
+          s"(len <= $shortLen) exceed shortsCeiling=$shortsCeiling — dense " +
+          "route degrades from broadcast to a shuffle-replicate nested-loop " +
+          "all-pairs join (honest O(n^2) over the short subset, no driver " +
+          "broadcast); a corpus OF short strings should use plain all-pairs " +
+          "levenshtein instead")
+        Some(others.hint("shuffle_replicate_nl")
+          .join(shorts.hint("shuffle_replicate_nl"), denseCond))
+      }
+    val cand = shortCand.fold(longCand) { sc =>
+      longCand.unionAll(sc
+        .select(least(col("sid"), col("oid")).as("d1"),
+          greatest(col("sid"), col("oid")).as("d2")))
+    }
 
     val s1 = strs.select(col(idCol).as("d1"), col("s").as("s1"))
     val s2 = strs.select(col(idCol).as("d2"), col("s").as("s2"))
-    longCand.unionAll(shortCand).distinct()
+    cand.distinct()
       .join(s1, "d1").join(s2, "d2")
       .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
       .filter(col("dist") <= k)
@@ -257,10 +307,12 @@ object SetSim {
   }
 
   /** Normalize to (id, tk, n≥1) — see [[jaccardSelfJoinSets]]'s contract. */
-  private def prepare(sets0: DataFrame, idCol: String, setCol: String): DataFrame =
+  private def prepare(sets0: DataFrame, idCol: String, setCol: String): DataFrame = {
+    checkIdCol(idCol)
     sets0.select(col(idCol), col(setCol).as("tk"))
       .withColumn("n", size(col("tk")))
       .filter(col("n") >= 1)
+  }
 
   /** Shared order-and-slice core — ONE definition of the global element
     * order for every prefix-filtered join in this file (Jaccard and

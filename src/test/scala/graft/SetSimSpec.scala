@@ -206,4 +206,35 @@ class SetSimSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SetSim.jaccardSelfJoin(df, "doc_id", "text", 0, 5))
     intercept[IllegalArgumentException](SetSim.jaccardSelfJoin(df, "doc_id", "text", 5, 5))
   }
+
+  test("editDistanceSelfJoin: adversarial short-string corpus degrades past the ceiling, output unchanged") {
+    // every string gram-starved at k=2,q=2 (len <= 5) — the exact corpus
+    // shape where the old unbounded broadcast would OOM at scale
+    val df = Seq(
+      (1L, "bolt"), (2L, "bol"), (3L, "bots"), (4L, "colt"),
+      (5L, "cols"), (6L, "b"), (7L, "belt"), (8L, "melt")
+    ).toDF("doc_id", "text")
+    val want = edBrute(df, 2)
+    assert(want.nonEmpty)
+    // below the ceiling: broadcast route
+    assert(edRun(df, 2) == want, "broadcast route")
+    // ceiling of 1 < 8 shorts: degraded shuffle-replicate-NL route must
+    // produce the identical pair set
+    val degraded = SetSim.editDistanceSelfJoin(df, "doc_id", "text", 2, 2,
+        shortsCeiling = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(degraded == want, "degraded route")
+  }
+
+  test("idCol colliding with an internal working column is rejected loudly") {
+    val setsN = Seq((1L, Seq("a", "b"))).toDF("n", "tk0")
+    intercept[IllegalArgumentException](
+      SetSim.jaccardSelfJoinSets(setsN, "n", "tk0", 1, 2))
+    val setsTok = Seq((1L, Seq("a", "b"))).toDF("tok", "tk0")
+    intercept[IllegalArgumentException](
+      SetSim.overlapSelfJoin(setsTok, "tok", "tk0", 1))
+    val strsDf = Seq((1L, "abc")).toDF("df", "text")
+    intercept[IllegalArgumentException](
+      SetSim.editDistanceSelfJoin(strsDf, "df", "text", 1))
+  }
 }
