@@ -118,17 +118,28 @@ object Merge {
       .parquet(path)
     // Dynamic overwrite only rewrites partitions PRESENT in the output —
     // an affected partition whose rows were ALL deleted produces no output
-    // rows, so its stale directory is cleared explicitly (escaped the same
-    // way the writer escapes partition values, so the paths match; NULL
-    // partition values are excluded by the stable-partition contract).
+    // rows, so its stale directory is cleared explicitly. The directory
+    // names are derived from the ON-DISK layout (the stale files are still
+    // there, so a pruned scan names them via input_file_name) instead of
+    // re-rendering partition values: a re-render must byte-match the
+    // writer's encoding for every partition type (dates, timestamps,
+    // escaped strings), which String.valueOf-style formatting does not
+    // guarantee and which an internal catalyst API should not be trusted
+    // across Spark upgrades to do. The pruned scan reads only rows of the
+    // emptied partitions — rows the survivor scan just read anyway.
     val present = merged.select(col(partCol)).distinct().collect()
       .map(_.get(0)).toSet
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    affected.filterNot(present).foreach { v =>
-      val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partCol, String.valueOf(v))
-      fs.delete(new org.apache.hadoop.fs.Path(path, dir), true)
+    val emptied = affected.filterNot(present)
+    if (emptied.nonEmpty) {
+      spark.read.parquet(path)
+        .filter(col(partCol).isInCollection(emptied))
+        .select(input_file_name().as("f")).distinct().collect()
+        .map(r => new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0))).getParent)
+        .toSet[org.apache.hadoop.fs.Path]
+        .foreach(dir => fs.delete(dir, true))
     }
     merged.unpersist()
     changedKeys.unpersist()
@@ -159,16 +170,29 @@ object Merge {
     }
   }
 
+  /** Split a changelog frame into (upserts, deletes) under `deleteWhen`,
+    * NULL-safe: a row where the predicate evaluates to NULL (e.g. a null
+    * op marker) is NOT a delete, so it upserts — the naive
+    * filter(c)/filter(!c) split would silently drop it from the merge
+    * (NULL passes neither leg).
+    */
+  private[graft] def splitChanges(updates: DataFrame,
+                                  deleteWhen: Option[Column]): (DataFrame, DataFrame) =
+    deleteWhen match {
+      case None => (updates, updates.limit(0))
+      case Some(c) => (updates.filter(coalesce(!c, lit(true))),
+        updates.filter(coalesce(c, lit(false))))
+    }
+
   /** Changelog form: one `updates` frame where rows matching `deleteWhen`
     * are DELETE markers (the CDC `op = delete` leg) and the rest are
-    * upserts. With no predicate, everything upserts.
+    * upserts (a NULL predicate row upserts — [[splitChanges]]). With no
+    * predicate, everything upserts.
     */
   def into(spark: SparkSession, path: String, updates: DataFrame,
            keyCol: String, partCol: String,
            deleteWhen: Option[Column] = None): Int = {
-    val dels = deleteWhen.map(updates.filter(_))
-      .getOrElse(updates.limit(0))
-    val ups = deleteWhen.fold(updates)(c => updates.filter(!c))
+    val (ups, dels) = splitChanges(updates, deleteWhen)
     applyChanges(spark, path, ups, dels, keyCol, partCol)
   }
 
@@ -182,8 +206,7 @@ object Merge {
   def intoOrCreate(spark: SparkSession, path: String, updates: DataFrame,
                    keyCol: String, partCol: String,
                    deleteWhen: Option[Column] = None): Int = {
-    val dels = deleteWhen.map(updates.filter(_)).getOrElse(updates.limit(0))
-    val ups = deleteWhen.fold(updates)(c => updates.filter(!c))
+    val (ups, dels) = splitChanges(updates, deleteWhen)
     applyChangesOrCreate(spark, path, ups, dels, keyCol, partCol)
   }
 }

@@ -121,11 +121,12 @@ object Sinks {
     foreachBatchSink(df, checkpoint, trigger) { (batch, _) =>
       if (!batch.isEmpty) {
         val resolved = Relational.latestByKey(batch.toDF(), Seq(keyCol), orderCols)
-        val dels = deleteWhen.map(resolved.filter(_))
-          .getOrElse(resolved.limit(0))
-          .select(col(keyCol), col(partCol))
-        val ups = deleteWhen.fold(resolved)(c => resolved.filter(!c))
-          .drop(transientCols: _*)
+        // NULL-safe split (Merge.splitChanges): a row whose deleteWhen
+        // evaluates to NULL (null op marker) upserts instead of silently
+        // vanishing from the merge
+        val (ups0, dels0) = graft.operators.Merge.splitChanges(resolved, deleteWhen)
+        val dels = dels0.select(col(keyCol), col(partCol))
+        val ups = ups0.drop(transientCols: _*)
         graft.operators.Merge.applyChangesOrCreate(
           batch.sparkSession, path, ups, dels, keyCol, partCol)
       }

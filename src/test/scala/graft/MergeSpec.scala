@@ -128,6 +128,37 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 3L, 4L))
   }
 
+  test("a NULL deleteWhen row upserts instead of silently vanishing") {
+    val root = freshTable("nullop")
+    // key 3's op marker is NULL (e.g. a source that only stamps deletes):
+    // filter(c)/filter(!c) would drop it from BOTH legs of the merge
+    val updates = Seq((3L, "b", 99.0, null.asInstanceOf[String]),
+      (5L, "c", 0.0, "d")).toDF("id", "part", "v", "op")
+    Merge.into(spark, root, updates, "id", "part", Some(col("op") === "d"))
+    val got = spark.read.parquet(root)
+      .select($"id", $"part", $"v").as[(Long, String, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10.0), (2L, "a", 20.0),
+      (3L, "b", 99.0), (4L, "b", 40.0)), s"got $got")
+  }
+
+  test("emptied-partition cleanup works for non-string partition types (date)") {
+    val root = Files.createTempDirectory("graft-merge-date").toString
+    val d1 = java.sql.Date.valueOf("2024-01-15")
+    val d2 = java.sql.Date.valueOf("2024-01-16")
+    Seq((1L, d1, 10.0), (2L, d1, 20.0), (3L, d2, 30.0))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(root)
+    // delete every row of 2024-01-16: its directory must be derived from
+    // the on-disk layout and removed, not left stale by a re-rendered name
+    val dels = Seq((3L, d2, 0.0, "d")).toDF("id", "day", "v", "op")
+    Merge.into(spark, root, dels, "id", "day", Some(col("op") === "d"))
+    assert(!Files.exists(Paths.get(root, "day=2024-01-16")),
+      "the all-deleted date partition's directory must be removed")
+    val got = spark.read.parquet(root).select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("mergeSink: continuous upsert bootstraps, resolves within-batch dups, upserts across batches") {
     val root = Files.createTempDirectory("graft-merge-stream").toString + "/table"
     val ckpt = Files.createTempDirectory("graft-merge-ckpt").toString
