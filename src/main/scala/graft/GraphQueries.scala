@@ -37,6 +37,15 @@ object GraphQueries {
     Graph.personalizedPageRank(edges(s, dir), "src", "dst",
       PPR_SEEDS, PR_ITERS, PR_DAMPING)
 
+  /** Sink-mass-conserving PageRank: every supplier node is dangling on
+    * this bipartite graph (dst-only, no out-edges), so the conserving and
+    * leak forms differ on EVERY node — the oracle replays the dm_k
+    * redistribution recurrence exactly.
+    */
+  val q136_pagerank_conserve: Q = (s, dir) =>
+    Graph.pageRank(edges(s, dir), "src", "dst", PR_ITERS, PR_DAMPING,
+      conserveDanglingMass = true)
+
   /** Triangle count over the co-purchase part graph (parts co-occurring in
     * an order are linked). Triangle density separates organic neighborhoods
     * from link-farm/spam cliques in web graphs — the standard graph-quality
@@ -139,6 +148,7 @@ object GraphQueries {
   def all: Map[String, Q] = Map(
     "q114_pagerank" -> q114_pagerank,
     "q115_ppr" -> q115_ppr,
+    "q136_pagerank_conserve" -> q136_pagerank_conserve,
     "q122_triangles" -> q122_triangles,
     "q123_hits" -> q123_hits,
     "q127_bfs_hops" -> q127_bfs_hops,
@@ -170,6 +180,38 @@ object GraphQueries {
     val chain = (1 to PR_ITERS).map { k =>
       iterCtes(k, if (k == 1) "r0" else s"r${k - 1}",
         s"(${1.0 - PR_DAMPING})::DOUBLE / (SELECT count(*) FROM nodes)")
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |r0 AS (SELECT node,
+       |  round(1.0::DOUBLE / (SELECT count(*) FROM nodes), 12) AS r FROM nodes),
+       |$chain
+       |SELECT node, round(r, 6) AS pr FROM r$PR_ITERS""".stripMargin
+  }
+
+  /** One conserving-PageRank iteration: the (dm, contrib, rank) CTE
+    * triple. dm_k sums the dangling nodes' 12-dp-rounded ranks as exact
+    * decimals (the LEFT JOIN … IS NULL anti form — portable SQL); the
+    * rank row adds its uniform share inside the damped term, operand
+    * order matching the Spark expression exactly.
+    */
+  private def iterCtesConserve(k: Int, rankRel: String): String =
+    s"""dm$k AS (SELECT coalesce(sum(round(r.r, 12)::DECIMAL(26,12)),
+       |    0::DECIMAL(26,12)) AS dm
+       |  FROM $rankRel r LEFT JOIN deg ON r.node = deg.src
+       |  WHERE deg.src IS NULL),
+       |c$k AS (SELECT e.dst AS node,
+       |  sum(round(r.r / deg.deg, 12)::DECIMAL(26,12)) AS s
+       |  FROM $rankRel r JOIN e ON r.node = e.src JOIN deg ON e.src = deg.src
+       |  GROUP BY 1),
+       |r$k AS (SELECT n.node,
+       |  round((${1.0 - PR_DAMPING})::DOUBLE / (SELECT count(*) FROM nodes) +
+       |    ($PR_DAMPING)::DOUBLE * (coalesce(c$k.s::DOUBLE, 0) +
+       |      (SELECT dm FROM dm$k)::DOUBLE / (SELECT count(*) FROM nodes)), 12) AS r
+       |  FROM nodes n LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
+
+  private def prConserveSql: String = {
+    val chain = (1 to PR_ITERS).map { k =>
+      iterCtesConserve(k, if (k == 1) "r0" else s"r${k - 1}")
     }.mkString(",\n")
     s"""WITH $edgeCtes,
        |r0 AS (SELECT node,
@@ -221,6 +263,7 @@ object GraphQueries {
   def oracles: Map[String, String] = Map(
     "q114_pagerank" -> prSql,
     "q115_ppr" -> pprSql,
+    "q136_pagerank_conserve" -> prConserveSql,
     "q123_hits" -> hitsSql,
     "q122_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -33,16 +33,27 @@ object Graph {
     *
     * Semantics: r0(v) = 1/N; r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u)/deg(u)
     * over the DISTINCT edge set. Dangling nodes (no out-edges) leak their
-    * mass — the classic simplification; the redistribution variant adds a
-    * per-iteration scalar aggregate, which a caller can layer on when
-    * sink-mass conservation matters. Nodes are the union of both endpoint
-    * sets; a node with no in-edges holds the teleport floor (1-d)/N.
+    * mass by default — the classic simplification. With
+    * `conserveDanglingMass = true` each iteration redistributes the
+    * dangling nodes' aggregate rank uniformly:
+    * r_{k+1}(v) = (1-d)/N + d * (Σ contributions + dm_k/N), where
+    * dm_k = Σ_{deg(u)=0} r_k(u) — the standard sink-mass-conserving form
+    * for web-graph authority (total mass stays ≈ 1 up to 12-dp rounding;
+    * GraphSpec pins both that and the no-dangling equivalence of the two
+    * forms). Cost: one extra scalar aggregate per iteration, attached as
+    * a broadcast scalar so each superstep remains one lazy plan — plus a
+    * per-iteration rank localCheckpoint, because the rank table is
+    * referenced TWICE per superstep (contributions and dm) and an
+    * unchecked lineage would double per iteration. Nodes are the union of
+    * both endpoint sets; a node with no in-edges holds the teleport floor
+    * (plus its dm share in the conserving form).
     *
     * Returns (node, pr) with pr rounded to 6 dp.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, damping: Double = 0.85,
-               checkpointRanks: Boolean = false): DataFrame = {
+               checkpointRanks: Boolean = false,
+               conserveDanglingMass: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst")).distinct()
@@ -68,6 +79,13 @@ object Graph {
     // self-contained 2-exchange plan
     val nn = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
       .localCheckpoint()
+    // dangling nodes (no out-edges) — materialized once, only when the
+    // conserving form needs them per iteration
+    val dangling: Option[DataFrame] =
+      if (conserveDanglingMass)
+        Some(nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+          .localCheckpoint())
+      else None
     var r = nn.select(col("node"), col("n"),
       round(lit(1.0) / col("n"), 12).as("r"))
     for (k <- 1 to iters) {
@@ -81,11 +99,29 @@ object Graph {
         .select(col("e_dst").as("node"),
           round(col("r") / col("e_deg"), 12).cast("decimal(26,12)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      val next = nn.join(contrib, Seq("node"), "left")
-        .select(col("node"), col("n"),
-          round(lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
-      r = if (checkpointRanks && k < iters) next.localCheckpoint() else next
+      val next = dangling match {
+        case None =>
+          nn.join(contrib, Seq("node"), "left")
+            .select(col("node"), col("n"),
+              round(lit(1.0 - damping) / col("n") +
+                lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+        case Some(dang) =>
+          // dm_k as an exact decimal sum (the same 12-dp-round-then-
+          // decimal idiom as the contributions), riding the superstep as
+          // a broadcast scalar — no driver action per iteration
+          val dm = r.join(dang, Seq("node"))
+            .agg(coalesce(sum(round(col("r"), 12).cast("decimal(26,12)")),
+              lit(0).cast("decimal(26,12)")).as("dm"))
+          nn.join(contrib, Seq("node"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"), col("n"),
+              round(lit(1.0 - damping) / col("n") +
+                lit(damping) * (coalesce(col("s").cast("double"), lit(0.0)) +
+                  col("dm").cast("double") / col("n")), 12).as("r"))
+      }
+      r = if ((checkpointRanks || conserveDanglingMass) && k < iters)
+        next.localCheckpoint()
+      else next
     }
     r.select(col("node"), round(col("r"), 6).as("pr"))
   }

@@ -42,6 +42,42 @@ class GraphSpec extends AnyFunSuite {
     assert(total1 < 1.0 + 1e-9 && total5 < total1, s"$total1 -> $total5")
   }
 
+  private def ranksConserve(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Double] = {
+    val df = edges.toDF("src", "dst")
+    Graph.pageRank(df, "src", "dst", iters, conserveDanglingMass = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("conserving form: dangling mass is redistributed — total stays 1, forms provably differ") {
+    val e = Seq((1L, 2L), (2L, 3L)) // 3 is dangling
+    val leak = ranks(e, 5)
+    val cons = ranksConserve(e, 5)
+    // total mass conserved up to 12-dp/6-dp rounding
+    assert(math.abs(cons.values.sum - 1.0) < 1e-5, s"got $cons")
+    // the leak form demonstrably loses what the conserving form keeps
+    assert(leak.values.sum < cons.values.sum - 0.1, s"leak=$leak cons=$cons")
+    // every node gains its share of the redistributed sink mass
+    e.flatMap(p => Seq(p._1, p._2)).distinct.foreach(v =>
+      assert(cons(v) > leak(v), s"node $v: leak=${leak(v)} cons=${cons(v)}"))
+  }
+
+  test("conserving form: hand-computed one-iteration fixture on the 2-chain") {
+    // nodes {1,2,3}, edges 1→2, 2→3; r0 = 1/3 each, dm0 = 1/3 (node 3)
+    // r1(v) = 0.05 + 0.85*(contrib + (1/3)/3)
+    //   r1(1) = 0.05 + 0.85*(1/9)        ≈ 0.144444
+    //   r1(2) = 0.05 + 0.85*(1/3 + 1/9)  ≈ 0.427778
+    //   r1(3) = r1(2)
+    val got = ranksConserve(Seq((1L, 2L), (2L, 3L)), 1)
+    assert(math.abs(got(1L) - (0.05 + 0.85 * (1.0 / 9))) < 1e-6, s"got $got")
+    assert(math.abs(got(2L) - (0.05 + 0.85 * (1.0 / 3 + 1.0 / 9))) < 1e-6, s"got $got")
+    assert(math.abs(got(3L) - got(2L)) < 1e-9, s"got $got")
+  }
+
+  test("conserving form: no dangling nodes ⇒ identical to the leak form") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)) // every node has out-edges
+    assert(ranksConserve(e, 5) == ranks(e, 5))
+  }
+
   test("rank order follows in-link weight: the doubly-linked node beats singles") {
     val r = ranks(Seq((1L, 9L), (2L, 9L), (3L, 8L), (9L, 3L), (8L, 1L)))
     assert(r(9L) == r.values.max, s"got $r")
