@@ -112,10 +112,16 @@ object Bench {
     // on its own.
     val slowest = results.sortBy(-_._2).take(5)
       .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
-      s""""n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}"""
+    println(compact)
     println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
       s""""queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"sf":"$sfDir"}""")
+    // …and the compact line AGAIN as the very last line: the driver keeps
+    // only a TAIL of the output, which truncates the full per-query line
+    // mid-JSON (BENCH_r04 "parsed": null) — a tail capture must END on a
+    // complete parseable total line.
+    println(compact)
     spark.stop()
   }
 }

@@ -124,6 +124,46 @@ class PlanAuditSpec extends AnyFunSuite {
       "q113 must pre-cut per-query candidates map-side before the rank shuffle")
   }
 
+  /** The physical plan as a tree, descending into AQE wrappers (the
+    * adaptive root is a leaf node, so a plain `collect` would stop at it).
+    */
+  private def tree(q: String): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case other => other +: other.children.flatMap(expand)
+    }
+    expand(SparkEntry.queries(q)(spark, TestSession.sf)
+      .queryExecution.executedPlan)
+  }
+
+  test("global (unpartitioned) windows run on collapsed row sets, never the corpus") {
+    // q110's rank window input must be the TakeOrdered top-N; q99's
+    // normalization windows' input must be the one-row-per-source
+    // aggregate. Without this pin, a future edit that reorders the limit/
+    // aggregate under the window would silently single-partition-sort the
+    // whole corpus — invisible in the WindowExec warnings every run prints.
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q110_bm25", "q99_temperature_mix")) {
+      val globals = tree(q).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.nonEmpty, s"$q: expected a global window in the plan")
+      globals.foreach { w =>
+        val collapsed = w.collect {
+          case t: TakeOrderedAndProjectExec => t: Any
+          case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a: Any
+        }
+        assert(collapsed.nonEmpty,
+          s"$q: a SinglePartition window's input is no longer a TakeOrdered/" +
+            "grouped-aggregate row set — the corpus would flow into one partition")
+      }
+    }
+  }
+
   test("q95's bloom probe is scan-local (xxhash64 filter in the plan, not a join)") {
     assert(plan("q95_incremental_bloomed").contains("xxhash64"),
       "the novelty fast path must probe the bitset in the scan stage — " +
