@@ -243,7 +243,10 @@ object AnalyticsQueries {
         col("value"))
       .groupBy(col("touch_type"))
       .agg(count(lit(1)).as("purchases"),
-        sum(col("value").cast("decimal(18,2)")).as("revenue"))
+        // dsum pattern: the last raw-decimal output column in the repo —
+        // a decimal output type can never hash-match a DuckDB oracle
+        // whose sum widens differently (the q126_r4 failure class)
+        Queries.dsum(col("value")).as("revenue"))
   }
 
   /** Per-group OLS trend: closed-form slope/intercept of value over time
@@ -447,7 +450,7 @@ object AnalyticsQueries {
         |  FROM base)
         |SELECT coalesce(t.event_type, '(none)') AS touch_type,
         |  count(*)::BIGINT AS purchases,
-        |  sum(CAST(p.value AS DECIMAL(18,2))) AS revenue
+        |  (round(sum((p.value)::DECIMAL(18,6)), 2))::DOUBLE AS revenue
         |FROM (SELECT user_id, touch_rn, value FROM ev
         |      WHERE event_type = 'purchase') p
         |LEFT JOIN ev t ON t.user_id = p.user_id AND t.rn = p.touch_rn

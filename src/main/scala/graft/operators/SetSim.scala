@@ -64,6 +64,22 @@ object SetSim {
       s"idCol '$idCol' collides with an internal working column; " +
         s"rename it before the join (reserved: ${Reserved.toSeq.sorted.mkString(", ")})")
 
+  /** Candidate-join strategy for the SELF-join forms: shuffle_hash by
+    * default, with `-Dgraft.setsim.shuffleHash=false` handing strategy to
+    * AQE (the [[Graph]] superstep decision). The asymmetry with Graph is
+    * deliberate and MEASURED (BASELINE.md "SetSim SHJ vs Graph" note):
+    * the SHJ build here is the PREFIX table — each doc's few rarest
+    * elements, whose per-partition row count stays orders of magnitude
+    * under the edge table that killed SHJ on q114 — but any corpus where
+    * the prefix buckets do go hot (docs drawn from a tiny common-element
+    * pool) can flip the flag without a code change. The R×S form never
+    * hints (sides differ wildly; AQE broadcasts the small one).
+    */
+  private def maybeShj(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.setsim.shuffleHash").forall(_.toBoolean))
+      df.hint("shuffle_hash")
+    else df
+
   /** Per-doc distinct token sets: (id, tk: array<string>, n). Docs with
     * empty token sets are dropped — Jaccard is undefined on empty sets and
     * they can match nothing.
@@ -116,7 +132,7 @@ object SetSim {
     // with the corpus) and recomputes the whole prefix pipeline for the
     // build side; the shuffled form keys both sides on `tok` so AQE can
     // reuse one exchange for both (and no sort, unlike merge).
-    val cand = candidates(pref.hint("shuffle_hash"), pref.hint("shuffle_hash"),
+    val cand = candidates(maybeShj(pref), maybeShj(pref),
       idCol, tNum, tDen, selfPairs = true)
     verify(cand, sets, sets, idCol, tNum, tDen)
   }
@@ -178,7 +194,7 @@ object SetSim {
       col("n").as("n1"), col("pos").as("p1"))
     val b = pref.select(col("tok"), col(idCol).as("d2"),
       col("n").as("n2"), col("pos").as("p2"))
-    val cand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("tok"))
+    val cand = maybeShj(a).join(maybeShj(b), Seq("tok"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
@@ -264,7 +280,7 @@ object SetSim {
 
     val a = pref.select(col("tok"), col(idCol).as("d1"), col("n").as("l1"))
     val b = pref.select(col("tok"), col(idCol).as("d2"), col("n").as("l2"))
-    val longCand = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("tok"))
+    val longCand = maybeShj(a).join(maybeShj(b), Seq("tok"))
       .filter(col("d1") < col("d2") && abs(col("l1") - col("l2")) <= k)
       .select(col("d1"), col("d2"))
 
