@@ -67,6 +67,25 @@ object DedupQueries {
       "doc_id", "hs", PPJ_NUM, PPJ_DEN)
   }
 
+  /** Eval-leakage containment probe: which "training" docs (doc_id ≥ 50)
+    * cover at least half of an "eval" doc's (doc_id < 50) 3-shingle set
+    * ([[graft.operators.SetSim.containmentJoin]] — asymmetric coverage,
+    * so a long doc embedding a short eval doc is flagged even where the
+    * pair's Jaccard is tiny and q128's symmetric join would miss it).
+    * The probe side ships rare-element prefixes; the corpus side builds
+    * the full inverted index once.
+    */
+  val CONT_NUM = 1
+  val CONT_DEN = 2
+  val q137_containment: Q = (s, dir) => {
+    val sets = t(s, dir).documents.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingleHashes(
+        col("text"), SHINGLE_N)).as("hs"))
+    graft.operators.SetSim.containmentJoin(
+      sets.filter(col("doc_id") < 50), sets.filter(col("doc_id") >= 50),
+      "doc_id", "hs", CONT_NUM, CONT_DEN)
+  }
+
   /** Fuzzy record linkage: all part-name pairs within edit distance 2
     * ([[graft.operators.SetSim.editDistanceSelfJoin]] — q-gram count
     * filtering with a constant rare-gram prefix, native levenshtein
@@ -267,6 +286,7 @@ object DedupQueries {
     "q26_dedup_exact" -> q26_dedup_exact,
     "q125_ppjoin" -> q125_ppjoin,
     "q128_ppjoin_incremental" -> q128_ppjoin_incremental,
+    "q137_containment" -> q137_containment,
     "q134_edjoin" -> q134_edjoin,
     "q135_overlap_join" -> q135_overlap_join,
     "q27_minhash_sig" -> q27_minhash_sig,
@@ -348,6 +368,21 @@ object DedupQueries {
          |JOIN sz s1 ON p.d1 = s1.doc_id
          |JOIN sz s2 ON p.d2 = s2.doc_id
          |WHERE p.inter_cnt * $PPJ_DEN >= (s1.n + s2.n - p.inter_cnt) * $PPJ_NUM""".stripMargin,
+    // Containment replay: shared-element pairs across the eval/corpus
+    // split + the integer coverage threshold on the PROBE side's size.
+    "q137_containment" ->
+      s"""WITH $shingleCtes,
+         |sz AS (SELECT doc_id, len(hs) AS n FROM sh WHERE len(hs) >= 1),
+         |el AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE len(hs) >= 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter_cnt
+         |  FROM el a JOIN el b ON a.h = b.h
+         |  WHERE a.doc_id < 50 AND b.doc_id >= 50
+         |  GROUP BY 1, 2)
+         |SELECT p.d1, p.d2, p.inter_cnt, s1.n::BIGINT AS n1
+         |FROM pairs p
+         |JOIN sz s1 ON p.d1 = s1.doc_id
+         |WHERE p.inter_cnt * $CONT_DEN >= s1.n * $CONT_NUM""".stripMargin,
     // Same replay across the shard/corpus split: d1 from the arriving
     // shard, d2 from the admitted corpus.
     "q128_ppjoin_incremental" ->

@@ -169,6 +169,67 @@ object SetSim {
     verify(cand, l, r, idCol, tNum, tDen)
   }
 
+  /** Containment join: all (x ∈ probe, y ∈ index) pairs with
+    * |x ∩ y| ≥ ⌈t·|x|⌉ — coverage of the PROBE side's set, as
+    * (d1 ∈ probe, d2 ∈ index, inter_cnt, n1). The decontamination
+    * primitive: x = an eval/benchmark doc's shingle set, y = a training
+    * doc; containment flags y even when y is 100× larger and the pair's
+    * JACCARD sits near 0 — which is exactly why eval-leakage audits need
+    * asymmetric coverage, not symmetric similarity
+    * ([[jaccardJoinSets]] would miss a verbatim eval question embedded
+    * in a long document).
+    *
+    * Exact, recall 1.0: if x ∩ y misses ALL of x's prefix (its
+    * n − ⌈t·n⌉ + 1 rarest elements under the shared union-df order),
+    * the overlap is at most ⌈t·n⌉ − 1 < required — so every qualifying
+    * pair collides on a probe-prefix element. The index side has no
+    * symmetric bound (y may be any size, there is no length filter in a
+    * containment join), so it emits ALL its elements: an inverted-index
+    * build, O(Σ|y|) rows, built once per corpus in production and probed
+    * by eval sets whose prefixes are tiny — per-probe cost is
+    * Σ df(prefix element), small because prefixes are each set's RAREST
+    * elements. The positional filter carries over verbatim: both sides
+    * are sorted by the same global order, so the first collision at
+    * (p1, p2) bounds overlap ≤ 1 + min(n1−p1, n2−p2). No join hint: the
+    * sides differ wildly by design (AQE broadcasts the small prefix
+    * side). Ids may repeat across sides and are reported as given (a
+    * corpus probed against itself reports its self-pairs — filter
+    * `d1 =!= d2` downstream if unwanted), the [[jaccardJoinSets]]
+    * convention.
+    */
+  def containmentJoin(probe: DataFrame, index: DataFrame,
+                      idCol: String, setCol: String,
+                      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0,1], got $tNum/$tDen")
+    val l = prepare(probe, idCol, setCol)
+    val r = prepare(index, idCol, setCol)
+    val dfreq = l.select(explode(col("tk")).as("tok"))
+      .unionAll(r.select(explode(col("tk")).as("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefL = prefixes(l, idCol, dfreq, tNum, tDen)
+    val full = orderedPrefix(
+      r.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
+      idCol, dfreq, col("n"))
+    val a = prefL.select(col("tok"), col(idCol).as("d1"),
+      col("n").as("n1"), col("pos").as("p1"))
+    val b = full.select(col("tok"), col(idCol).as("d2"),
+      col("n").as("n2"), col("pos").as("p2"))
+    val cand = a.join(b, Seq("tok"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
+      .filter(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
+        >= ceilMul(col("n1"), tNum, tDen))
+      .select(col("d1"), col("d2"))
+    val s1 = l.select(col(idCol).as("d1"), col("tk").as("tk1"), col("n").as("n1"))
+    val s2 = r.select(col(idCol).as("d2"), col("tk").as("tk2"))
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("inter_cnt",
+        size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .filter(col("inter_cnt") * tDen >= col("n1") * tNum)
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("n1").cast("long").as("n1"))
+  }
+
   /** Overlap (T-overlap) self-join: all pairs (d1 < d2) sharing at least
     * `minOverlap` set elements, as (d1, d2, overlap_cnt) — the
     * absolute-count sibling of the Jaccard form (co-citation networks,

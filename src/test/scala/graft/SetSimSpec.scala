@@ -226,6 +226,71 @@ class SetSimSpec extends AnyFunSuite {
     assert(degraded == want, "degraded route")
   }
 
+  /** Brute containment truth: cross join + |x∩y|·tDen ≥ |x|·tNum. */
+  private def contBrute(sets: DataFrame, probeIds: Long => Boolean,
+                        tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] = {
+    val withN = sets.withColumn("n", size(col("tk"))).filter(col("n") >= 1)
+    val l = withN.select(col("doc_id").as("d1"), col("tk").as("tk1"),
+      col("n").cast("long").as("n1"))
+    val r = withN.select(col("doc_id").as("d2"), col("tk").as("tk2"))
+    l.crossJoin(r)
+      .withColumn("inter_cnt",
+        size(array_intersect(col("tk1"), col("tk2"))).cast("long"))
+      .filter(col("inter_cnt") * tDen >= col("n1") * tNum)
+      .select(col("d1"), col("d2"), col("inter_cnt"), col("n1"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+      .filter(p => probeIds(p._1) && !probeIds(p._2))
+  }
+
+  test("containmentJoin: recall 1.0 vs brute force across the eval/corpus split (q137 shape)") {
+    val sets = SetSim.tokenSets(
+      Tables.load(spark, TestSession.sf, "documents")
+        .select(col("doc_id"), col("text")), "doc_id", "text")
+    for ((tn, td) <- Seq((1, 2), (4, 5))) {
+      val got = SetSim.containmentJoin(
+          sets.filter(col("doc_id") < 50), sets.filter(col("doc_id") >= 50),
+          "doc_id", "tk", tn, td)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = contBrute(sets, _ < 50, tn, td)
+      assert(got == want,
+        s"t=$tn/$td: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"corpus must yield containment pairs at t=$tn/$td")
+    }
+  }
+
+  test("containmentJoin: asymmetric coverage finds what symmetric Jaccard cannot") {
+    // doc 1 is verbatim CONTAINED in doc 2 (jaccard 3/23 ≈ 0.13):
+    // the leakage case a symmetric join misses at any useful threshold
+    val extra = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, "alpha beta gamma"),
+      (2L, s"alpha beta gamma $extra")).toDF("doc_id", "text")
+    val sets = SetSim.tokenSets(df, "doc_id", "text")
+    val cont = SetSim.containmentJoin(
+        sets.filter(col("doc_id") === 1), sets.filter(col("doc_id") === 2),
+        "doc_id", "tk", 1, 1) // t = 1: full coverage
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L, 3L, 3L)))
+    val jac = SetSim.jaccardJoinSets(
+        sets.filter(col("doc_id") === 1), sets.filter(col("doc_id") === 2),
+        "doc_id", "tk", 1, 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(jac.isEmpty, "jaccard 0.13 must not pass t=0.5 — that asymmetry is the point")
+  }
+
+  test("containmentJoin: exactly-at-threshold kept, one-element-short dropped") {
+    // probe has 4 tokens; t=3/4 requires inter >= 3
+    val df = Seq((1L, "a b c d"),
+      (10L, "a b c x y"),  // inter 3 = exactly ⌈3/4·4⌉ — kept
+      (11L, "a b x y z")   // inter 2 — dropped
+    ).toDF("doc_id", "text")
+    val sets = SetSim.tokenSets(df, "doc_id", "text")
+    val got = SetSim.containmentJoin(
+        sets.filter(col("doc_id") === 1), sets.filter(col("doc_id") >= 10),
+        "doc_id", "tk", 3, 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 3L, 4L)))
+  }
+
   test("idCol colliding with an internal working column is rejected loudly") {
     val setsN = Seq((1L, Seq("a", "b"))).toDF("n", "tk0")
     intercept[IllegalArgumentException](
