@@ -51,7 +51,7 @@ object Bench {
     // q136 = q114's supersteps + forced per-iteration checkpoint (the
     // conserving form's double rank reference) — even more round-latency
     // bound; same exclusion class, measured in BASELINE.md round-5 note
-    "q136_pagerank_conserve",
+    "q136_pagerank_conserve", "q138_pagerank_weighted",
     // BFS frontier rounds are driver-synchronous localCheckpoints — the
     // same round-latency physics (measured in ScaleBench across both
     // decades instead: 6.8 s at sf0.1 is ~4 rounds of job latency, and

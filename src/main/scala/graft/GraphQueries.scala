@@ -37,6 +37,16 @@ object GraphQueries {
     Graph.personalizedPageRank(edges(s, dir), "src", "dst",
       PPR_SEEDS, PR_ITERS, PR_DAMPING)
 
+  /** Multiplicity-weighted PageRank: the part→supplier graph WITHOUT the
+    * distinct — each lineitem row contributes weight 1, so a supplier
+    * shipping a part 50× draws 50× the rank mass of a one-off. The
+    * frequency-weighted form q114's distinct-edge reading ignores.
+    */
+  val q138_pagerank_weighted: Q = (s, dir) =>
+    Graph.pageRankWeighted(
+      edges(s, dir).withColumn("w", lit(1L)),
+      "src", "dst", "w", PR_ITERS, PR_DAMPING)
+
   /** Sink-mass-conserving PageRank: every supplier node is dangling on
     * this bipartite graph (dst-only, no out-edges), so the conserving and
     * leak forms differ on EVERY node — the oracle replays the dm_k
@@ -149,6 +159,7 @@ object GraphQueries {
     "q114_pagerank" -> q114_pagerank,
     "q115_ppr" -> q115_ppr,
     "q136_pagerank_conserve" -> q136_pagerank_conserve,
+    "q138_pagerank_weighted" -> q138_pagerank_weighted,
     "q122_triangles" -> q122_triangles,
     "q123_hits" -> q123_hits,
     "q127_bfs_hops" -> q127_bfs_hops,
@@ -209,6 +220,35 @@ object GraphQueries {
        |      (SELECT dm FROM dm$k)::DOUBLE / (SELECT count(*) FROM nodes)), 12) AS r
        |  FROM nodes n LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
 
+  /** Weighted-PageRank oracle: multiplicity-weighted edges (no distinct),
+    * integer W(u), one r·w/W division per edge — operand order matching
+    * the Spark expression.
+    */
+  private def prWeightedSql: String = {
+    val chain = (1 to PR_ITERS).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""c$k AS (SELECT e.dst AS node,
+         |  sum(round(r.r * e.w / ws.wsum, 12)::DECIMAL(26,12)) AS s
+         |  FROM $prev r JOIN e ON r.node = e.src JOIN ws ON e.src = ws.src
+         |  GROUP BY 1),
+         |r$k AS (SELECT n.node,
+         |  round((${1.0 - PR_DAMPING})::DOUBLE / (SELECT count(*) FROM nodes) +
+         |    ($PR_DAMPING)::DOUBLE * coalesce(c$k.s::DOUBLE, 0), 12) AS r
+         |  FROM nodes n LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT l_partkey::BIGINT AS src,
+       |       (l_suppkey + $PR_SUPP_OFFSET)::BIGINT AS dst,
+       |       count(*)::BIGINT AS w
+       |     FROM lineitem GROUP BY 1, 2),
+       |ws AS (SELECT src, sum(w)::BIGINT AS wsum FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT node,
+       |  round(1.0::DOUBLE / (SELECT count(*) FROM nodes), 12) AS r FROM nodes),
+       |$chain
+       |SELECT node, round(r, 6) AS pr FROM r$PR_ITERS""".stripMargin
+  }
+
   private def prConserveSql: String = {
     val chain = (1 to PR_ITERS).map { k =>
       iterCtesConserve(k, if (k == 1) "r0" else s"r${k - 1}")
@@ -264,6 +304,7 @@ object GraphQueries {
     "q114_pagerank" -> prSql,
     "q115_ppr" -> pprSql,
     "q136_pagerank_conserve" -> prConserveSql,
+    "q138_pagerank_weighted" -> prWeightedSql,
     "q123_hits" -> hitsSql,
     "q122_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -51,7 +51,13 @@ object ScaleBench {
     // the analytics monitoring passes a continuous ingest pays per batch:
     // q131 rides one (user) window exchange over the growing event log,
     // q132/q133 are narrow per-type aggregates (q111/q112's class)
-    "q131_attribution", "q132_trend", "q133_volume_anomaly")
+    "q131_attribution", "q132_trend", "q133_volume_anomaly",
+    // round-5: containment probe — ScaleData shifts doc_ids per replica,
+    // so doc_id<50 stays the ORIGINAL 50 probe docs while the indexed
+    // corpus grows: the real decontamination geometry (q96's class). The
+    // scaling question is the index side's full element emission (O(Σ|y|)
+    // rows) + per-probe Σ df(rare prefix element) — both should be ~linear
+    "q137_containment")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",

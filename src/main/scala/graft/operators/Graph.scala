@@ -126,6 +126,62 @@ object Graph {
     r.select(col("node"), round(col("r"), 6).as("pr"))
   }
 
+  /** Weighted PageRank: contributions proportional to edge weight —
+    * r_{k+1}(v) = (1-d)/N + d · Σ_{(u,v)} r_k(u) · w(u,v)/W(u), with
+    * W(u) the source's total out-weight. The natural crawl/co-purchase
+    * form where edge STRENGTH matters (link frequency, interaction
+    * count): a domain linked 100× from one page outranks a domain linked
+    * once, which the distinct-edge [[pageRank]] deliberately ignores.
+    *
+    * Weights are INTEGRAL (cast to long) and parallel edges SUM into one
+    * weighted edge — so W(u) is an exact integer aggregate and the one
+    * per-edge division r·w/W replays bit-identically cross-engine (the
+    * q129 integer-weight discipline). Pass `lit(1)` per raw edge row to
+    * get multiplicity weighting. Uniform weights with no parallel edges
+    * reproduce [[pageRank]] exactly (GraphSpec pins the equivalence).
+    * Dangling nodes leak mass as in the default [[pageRank]] form.
+    * Non-positive total out-weight (all-zero weights on a source) is
+    * rejected by contract: w ≥ 0 and W(u) > 0.
+    *
+    * Same plan shape and determinism contract as [[pageRank]]: weighted
+    * edge table built and checkpointed once, per-superstep one narrow
+    * (dst, contribution) shuffle, decimal contribution sums.
+    * Returns (node, pr) rounded to 6 dp.
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int, damping: Double = 0.85,
+                       checkpointRanks: Boolean = false): DataFrame = {
+    require(iters >= 1, s"pageRankWeighted: iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"),
+                         col(wCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val ed = e.join(wsum, Seq("src"))
+      .select(col("src").as("e_src"), col("dst").as("e_dst"),
+        col("w").as("e_w"), col("wsum").as("e_wsum"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nn = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+      .localCheckpoint()
+    var r = nn.select(col("node"), col("n"),
+      round(lit(1.0) / col("n"), 12).as("r"))
+    for (k <- 1 to iters) {
+      val contrib = r.join(ed, col("node") === col("e_src"))
+        .select(col("e_dst").as("node"),
+          round(col("r") * col("e_w") / col("e_wsum"), 12)
+            .cast("decimal(26,12)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val next = nn.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("n"),
+          round(lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
+      r = if (checkpointRanks && k < iters) next.localCheckpoint() else next
+    }
+    r.select(col("node"), round(col("r"), 6).as("pr"))
+  }
+
   /** HITS (Kleinberg): mutually-recursive hub/authority scores with L1
     * normalization per half-step — a_k(v) = Σ_{u→v} h_{k-1}(u) then
     * a_k /= Σa; h_k(u) = Σ_{u→v} a_k(v) then h_k /= Σh. On a bipartite

@@ -78,6 +78,33 @@ class GraphSpec extends AnyFunSuite {
     assert(ranksConserve(e, 5) == ranks(e, 5))
   }
 
+  private def ranksWeighted(edges: Seq[(Long, Long, Long)], iters: Int = 5): Map[Long, Double] = {
+    val df = edges.toDF("src", "dst", "w")
+    Graph.pageRankWeighted(df, "src", "dst", "w", iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("weighted form: uniform unit weights reproduce the unweighted recurrence exactly") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    assert(ranksWeighted(e.map(p => (p._1, p._2, 1L)), 5) == ranks(e, 5))
+  }
+
+  test("weighted form: hand-computed one-iteration fixture — the heavy edge pulls rank") {
+    // 1 → 2 (w=3), 1 → 3 (w=1): W(1)=4, r0=1/3
+    //   r1(2) = 0.05 + 0.85·(1/3·3/4) = 0.2625
+    //   r1(3) = 0.05 + 0.85·(1/3·1/4) ≈ 0.120833
+    val got = ranksWeighted(Seq((1L, 2L, 3L), (1L, 3L, 1L)), 1)
+    assert(math.abs(got(2L) - 0.2625) < 1e-6, s"got $got")
+    assert(math.abs(got(3L) - (0.05 + 0.85 / 12)) < 1e-6, s"got $got")
+    assert(got(2L) > got(3L), "the heavier edge must pull more rank")
+  }
+
+  test("weighted form: parallel edges sum into multiplicity weights") {
+    val viaDups = ranksWeighted(Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 1L)), 3)
+    val explicit = ranksWeighted(Seq((1L, 2L, 2L), (1L, 3L, 1L)), 3)
+    assert(viaDups == explicit)
+  }
+
   test("rank order follows in-link weight: the doubly-linked node beats singles") {
     val r = ranks(Seq((1L, 9L), (2L, 9L), (3L, 8L), (9L, 3L), (8L, 1L)))
     assert(r(9L) == r.values.max, s"got $r")
