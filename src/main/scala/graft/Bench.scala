@@ -52,6 +52,10 @@ object Bench {
     // conserving form's double rank reference) — even more round-latency
     // bound; same exclusion class, measured in BASELINE.md round-5 note
     "q136_pagerank_conserve", "q138_pagerank_weighted",
+    // LPA rounds are localCheckpoint-materialized (label table referenced
+    // twice per round) — the q66 driver-synchronous class; ScaleBench
+    // carries its decade rows
+    "q139_label_prop",
     // BFS frontier rounds are driver-synchronous localCheckpoints — the
     // same round-latency physics (measured in ScaleBench across both
     // decades instead: 6.8 s at sf0.1 is ~4 rounds of job latency, and

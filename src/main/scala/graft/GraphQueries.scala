@@ -118,6 +118,24 @@ object GraphQueries {
     Graph.shortestHops(e, "src", "dst", PPR_SEEDS, BFS_HOPS)
   }
 
+  /** Community detection over the symmetric co-purchase part graph:
+    * synchronous LPA, [[LPA_ITERS]] fixed rounds, min-label ties —
+    * deterministic, so the oracle replays every round as CTEs. The
+    * corpus-curation reading: co-purchase communities are the graph twin
+    * of the embedding clusters (q87's SemDeDup cells), from structure
+    * instead of geometry.
+    */
+  val LPA_ITERS = 3
+  val q139_label_prop: Q = (s, dir) => {
+    val op = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.select(col("o"), col("p").as("src"))
+      .join(op.select(col("o"), col("p").as("dst")), Seq("o"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    Graph.labelPropagation(e, "src", "dst", LPA_ITERS)
+  }
+
   /** Bounded Bellman-Ford over the same co-purchase graph with a
     * key-derived integer edge weight (1 + (src+dst) mod 5 — deterministic
     * and identically computable in SQL): min route cost from the seed
@@ -160,6 +178,7 @@ object GraphQueries {
     "q115_ppr" -> q115_ppr,
     "q136_pagerank_conserve" -> q136_pagerank_conserve,
     "q138_pagerank_weighted" -> q138_pagerank_weighted,
+    "q139_label_prop" -> q139_label_prop,
     "q122_triangles" -> q122_triangles,
     "q123_hits" -> q123_hits,
     "q127_bfs_hops" -> q127_bfs_hops,
@@ -260,6 +279,32 @@ object GraphQueries {
        |SELECT node, round(r, 6) AS pr FROM r$PR_ITERS""".stripMargin
   }
 
+  /** LPA oracle: each round = count in-neighbor labels, top-1 by
+    * (count desc, label asc), keep-own-label fallback.
+    */
+  private def lpaSql: String = {
+    val chain = (1 to LPA_ITERS).map { k =>
+      val prev = s"l${k - 1}"
+      s"""c$k AS (SELECT e.dst AS nd, l.lbl, count(*) AS c
+         |  FROM $prev l JOIN e ON e.src = l.node GROUP BY 1, 2),
+         |t$k AS (SELECT nd AS node, lbl FROM (
+         |  SELECT nd, lbl,
+         |    row_number() OVER (PARTITION BY nd ORDER BY c DESC, lbl ASC) AS rn
+         |  FROM c$k) WHERE rn = 1),
+         |l$k AS (SELECT n.node, coalesce(t$k.lbl, $prev.lbl) AS lbl
+         |  FROM nodes n JOIN $prev ON n.node = $prev.node
+         |  LEFT JOIN t$k ON n.node = t$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p::BIGINT AS src, b.p::BIGINT AS dst
+       |      FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |l0 AS (SELECT node, node AS lbl FROM nodes),
+       |$chain
+       |SELECT node, lbl AS community FROM l$LPA_ITERS""".stripMargin
+  }
+
   private def pprSql: String = {
     val seedList = PPR_SEEDS.mkString("(", ", ", ")")
     val tele = s"(CASE WHEN n.node IN $seedList THEN (${1.0 - PR_DAMPING})::DOUBLE / ${PPR_SEEDS.size} ELSE 0 END)"
@@ -305,6 +350,7 @@ object GraphQueries {
     "q115_ppr" -> pprSql,
     "q136_pagerank_conserve" -> prConserveSql,
     "q138_pagerank_weighted" -> prWeightedSql,
+    "q139_label_prop" -> lpaSql,
     "q123_hits" -> hitsSql,
     "q122_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

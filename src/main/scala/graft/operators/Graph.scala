@@ -238,6 +238,58 @@ object Graph {
         round(coalesce(col("a"), lit(0.0)), 6).as("auth"))
   }
 
+  /** Synchronous label propagation (LPA, Raghavan et al. 2007) with a
+    * DETERMINISTIC tie-break — community detection as fixed-point label
+    * spreading: label_0(v) = v; each round every node adopts the most
+    * frequent label among its in-neighbors, ties broken by the SMALLEST
+    * label (the randomized-order original is irreproducible; synchronous
+    * + total tie order makes every round an exact relational statement
+    * the oracle replays as chained CTEs). A node with no in-edges keeps
+    * its current label. Labels flow along edge direction — callers
+    * wanting undirected communities symmetrize the edge list first.
+    *
+    * Fixed iteration budget like [[pageRank]] (synchronous LPA can
+    * 2-cycle on bipartite structure, so a convergence loop may never
+    * terminate — a fixed budget is the production form). Communities come
+    * out labeled by one member's id; the min-id of a converged community
+    * wins ties everywhere, so labels are stable across replays.
+    *
+    * Scale shape: per round one (label ⋈ edges) shuffle of E narrow rows,
+    * one (node, label) count aggregate, one per-node top-1 window
+    * (rank-1 filter compiles to WindowGroupLimit — map-side cut). The
+    * label table is referenced twice per round (count + keep-own-label
+    * fallback), so rounds are localCheckpoint-materialized like the
+    * conserving PageRank — O(V) state per round.
+    *
+    * Returns (node, community).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("e_src"),
+                         col(dstCol).cast("long").as("e_dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("e_src").as("node"))
+      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint()
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+    for (k <- 1 to iters) {
+      val cnt = lbl.join(e, col("node") === col("e_src"))
+        .groupBy(col("e_dst").as("nd"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nd")).orderBy(col("c").desc, col("lbl").asc)
+      val top = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("nd").as("node"), col("lbl").as("newLbl"))
+      lbl = nodes
+        .join(lbl, Seq("node"))
+        .join(top, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Personalized PageRank: same recurrence, but the teleport mass lands
     * only on the seed set S — r0 = 1/|S| on S else 0; teleport term
     * (1-d)/|S| on S else 0. The "related domains" / "expand from a trusted

@@ -105,6 +105,34 @@ class GraphSpec extends AnyFunSuite {
     assert(viaDups == explicit)
   }
 
+  private def communities(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] = {
+    // symmetrize: LPA labels flow along edge direction
+    val sym = (edges ++ edges.map(_.swap)).distinct.toDF("src", "dst")
+    Graph.labelPropagation(sym, "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: two disjoint triangles converge to their min-id labels") {
+    val got = communities(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $got")
+  }
+
+  test("labelPropagation: a node with no in-edges keeps its own label") {
+    val got = Graph.labelPropagation(
+        Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L), s"got $got")
+  }
+
+  test("labelPropagation: majority wins over the min-label tie-break") {
+    // node 5's neighbors: 1,2 (both relabeled to community 1 by round 2)
+    // vs 9 — the 2-vote label beats the singleton even though 9 < ∞
+    val got = communities(Seq((1L, 2L), (1L, 5L), (2L, 5L), (9L, 5L)), 4)
+    assert(got(5L) == 1L, s"got $got")
+  }
+
   test("rank order follows in-link weight: the doubly-linked node beats singles") {
     val r = ranks(Seq((1L, 9L), (2L, 9L), (3L, 8L), (9L, 3L), (8L, 1L)))
     assert(r(9L) == r.values.max, s"got $r")
