@@ -57,7 +57,11 @@ object ScaleBench {
     // corpus grows: the real decontamination geometry (q96's class). The
     // scaling question is the index side's full element emission (O(Σ|y|)
     // rows) + per-probe Σ df(rare prefix element) — both should be ~linear
-    "q137_containment")
+    "q137_containment",
+    // round-5: LPA rides the densifying co-purchase graph (q127's class:
+    // 3 driver-synchronous rounds of one E-row join + narrow agg + per-
+    // node WindowGroupLimit; growth should track E like BFS)
+    "q139_label_prop")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
