@@ -185,6 +185,31 @@ object CorpusPipeline {
       shingleHashes(col(textCol), n),
       lit(evalHashes)))
 
+  /** Containment-threshold decontamination — the graded form of
+    * [[decontaminate]]: drop a training doc only when it COVERS at least
+    * tNum/tDen of some eval doc's shingle set
+    * ([[graft.operators.SetSim.containmentJoin]] with the eval docs as
+    * the probe side), instead of on ANY single shared shingle. The
+    * any-overlap form is the conservative recall-first pass (one
+    * broadcast literal, scan-local); this one tolerates incidental
+    * shared phrases and fires only on substantive coverage — the audit
+    * setting where the any-overlap form deletes too much. Plan shape:
+    * the eval side ships rare-shingle prefixes, the corpus side pays one
+    * inverted-index emission (q137's geometry — measured SUB-linear
+    * across two decades because eval sets don't grow with the corpus).
+    */
+  def decontaminateByContainment(docs: DataFrame, evalDocs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 tNum: Int, tDen: Int,
+                                 n: Int = 5): DataFrame = {
+    val shingled = (df: DataFrame) => df.select(col(idCol),
+      array_distinct(shingleHashes(col(textCol), n)).as("hs"))
+    val contaminated = graft.operators.SetSim.containmentJoin(
+        shingled(evalDocs), shingled(docs), idCol, "hs", tNum, tDen)
+      .select(col("d2").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Streaming incremental NEAR dedup — the continuous-ingest completion of
     * the dedup lambda ([[streamingIngest]] covers the exact path; this is
     * the fuzzy one). Each micro-batch:

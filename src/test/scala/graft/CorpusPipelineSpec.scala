@@ -26,6 +26,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(removed >= 10 && removed <= 25)
   }
 
+  test("containment decontamination is graded: substantive coverage drops, incidental overlap survives") {
+    // 5-shingles: doc 101 embeds the FULL eval text (coverage 1);
+    // doc 102 shares exactly one 5-gram phrase (tiny coverage of a
+    // 2-shingle eval set? — use a longer eval text so one shared shingle
+    // sits far under t=1/2); doc 103 shares nothing
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val evalDocs = Seq((1L, evalText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (101L, s"intro words then $evalText and a closing remark"),
+      (102L, "alpha beta gamma delta epsilon completely different tail words here now"),
+      (103L, "nothing shared with the benchmark at all in this one")
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline.decontaminateByContainment(
+        docs, evalDocs, "doc_id", "text", 1, 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L, 103L), s"got $kept")
+    // the any-overlap form is stricter: 102's single shared shingle kills it
+    val evalHashes = evalDocs.select(explode(
+        graft.functions.TextFunctions.shingleHashes(col("text"), 5)).as("h"))
+      .distinct().as[Long].collect()
+    val keptStrict = CorpusPipeline.decontaminate(docs, evalHashes)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptStrict == Set(103L), s"got $keptStrict")
+  }
+
   test("cleaned corpus has no remaining near-dup pairs above threshold") {
     val docs = Tables.load(spark, TestSession.sf, "documents")
     val (cleaned, _) = CorpusPipeline(docs)
