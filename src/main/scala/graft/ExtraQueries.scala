@@ -140,6 +140,26 @@ object ExtraQueries {
       .select(col("user_id"), col("p_event"), col("v_event"))
   }
 
+  /** KEYLESS banded range join ([[Relational.bandedIntervalJoin]]):
+    * purchases within 15 min after ANY click, across users — the
+    * cross-entity temporal-correlation shape (bot-burst / flash-sale
+    * detection) where no equi-key exists and a plain range predicate
+    * would go cartesian. The banding turns it into a shuffle equi-join
+    * on a time bucket; output is the exact pair set with the integer
+    * microsecond lag.
+    */
+  val q140_banded_range: Q = (s, dir) => {
+    val ev = t(s, dir).events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("ts").as("cts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("ts").as("pts"))
+    Relational.bandedIntervalJoin(clicks, buys, "cts", "pts",
+        0L, 900000000L)
+      .select(col("c_event"), col("p_event"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
+  }
+
   /** SCD Type-2 dimension history: each user's event_type stream collapsed
     * into versioned validity intervals (a new version only when the value
     * changes — the reference's DIM layer keeps only the latest row; SCD2 is
@@ -157,6 +177,7 @@ object ExtraQueries {
   def all: Map[String, Q] = Map(
     "q118_scd2" -> q118_scd2,
     "q56_asof_join" -> q56_asof_join,
+    "q140_banded_range" -> q140_banded_range,
     "q48_grouping_sets" -> q48_grouping_sets,
     "q50_interval_join" -> q50_interval_join,
     "q51_unpivot" -> q51_unpivot,
@@ -169,6 +190,16 @@ object ExtraQueries {
     "q42_argmax" -> q42_argmax)
 
   def oracles: Map[String, String] = Map(
+    // the oracle IS the naive range join the banding replaces
+    "q140_banded_range" ->
+      """WITH c AS (SELECT event_id AS c_event, ts AS cts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event, ts AS pts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT c_event, p_event,
+        |  (epoch_us(pts) - epoch_us(cts))::BIGINT AS lag_us
+        |FROM c JOIN p ON epoch_us(pts) - epoch_us(cts) >= 0
+        |             AND epoch_us(pts) - epoch_us(cts) <= 900000000""".stripMargin,
     "q118_scd2" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ord, event_type FROM events),
         |ch AS (SELECT user_id, ord, event_type FROM (

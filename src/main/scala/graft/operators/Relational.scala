@@ -138,6 +138,43 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Banded (bucketed) interval join — the KEYLESS time-range scale path.
+    * All (l, r) pairs with `lowerUs ≤ rightTs − leftTs ≤ upperUs` in
+    * microseconds, as an EQUI-join: without a key conjunct, a plain range
+    * predicate forces Spark into a nested-loop/cartesian plan — O(|L|·|R|)
+    * at any scale. Banding makes it shuffle-partitionable: with band
+    * width w = upper − lower, every qualifying right timestamp lies in
+    * exactly the band of leftTs+lower or the one after it, so the left
+    * side emits TWO (band, row) keys, the right side one, and an
+    * equi-join on the band + the exact residual filter reproduces the
+    * range join exactly (spec-pinned against the naive form). Shuffle
+    * carries 2|L| + |R| narrow-keyed rows; per-band row count is the
+    * stream's rate × w — the knob that bounds task size (a band hotter
+    * than a task fits falls back to [[saltedJoin]] on the band key).
+    *
+    * Integer-exact: all arithmetic on `unix_micros` longs (epoch-positive
+    * timestamps by contract — SQL `div` truncates toward zero, which
+    * equals floor only for non-negative operands). Column names must be
+    * disjoint across the two sides (same contract as [[asOfJoin]]).
+    * Returns left.* ++ right.* for qualifying pairs (inner).
+    */
+  def bandedIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftTsCol: String, rightTsCol: String,
+                         lowerUs: Long, upperUs: Long): DataFrame = {
+    require(upperUs >= lowerUs,
+      s"bandedIntervalJoin: need upperUs >= lowerUs, got [$lowerUs, $upperUs]")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "bandedIntervalJoin: column names must be disjoint across sides")
+    val w = math.max(1L, upperUs - lowerUs)
+    val b0 = expr(s"(unix_micros($leftTsCol) + ($lowerUs)) div $w")
+    val l = left.withColumn("__band", explode(array(b0, b0 + 1)))
+    val r = right.withColumn("__band", expr(s"unix_micros($rightTsCol) div $w"))
+    val lag = expr(s"unix_micros($rightTsCol) - unix_micros($leftTsCol)")
+    l.join(r, Seq("__band"))
+      .filter(lag >= lowerUs && lag <= upperUs)
+      .drop("__band")
+  }
+
   /** Status-transition detection (SURVEY §2.3 P7: `old['order_status'] is not
     * null and order_status='1003'` — here generalized to (prev, next) pairs
     * via `lag` since the batch tables carry no CDC `old` map).

@@ -87,6 +87,41 @@ class RelationalSpec extends AnyFunSuite {
       Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("bandedIntervalJoin equals the naive range join on the events fixture") {
+    import spark.implicits._
+    val ev = graft.core.Tables.load(spark, TestSession.sf, "events")
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("lid"), col("ts").as("lts"))
+    val r = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("rid"), col("ts").as("rts"))
+    for ((lo, up) <- Seq((0L, 30000000L), (-5000000L, 5000000L), (1L, 1L))) {
+      val got = Relational.bandedIntervalJoin(l, r, "lts", "rts", lo, up)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val lag = unix_micros(col("rts")) - unix_micros(col("lts"))
+      val want = l.crossJoin(r)
+        .filter(lag >= lo && lag <= up)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      assert(got == want, s"[$lo,$up]: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("bandedIntervalJoin: boundary lags are microsecond-exact; plan has no cartesian") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixtures
+    val l = Seq((1L, t(1000000))).toDF("lid", "lts")
+    val r = Seq(
+      (10L, t(1000000 + 60000000)),  // lag exactly upper — kept
+      (11L, t(1000000 + 60001000)),  // 1 ms past — dropped
+      (12L, t(1000000)),             // lag 0 = lower — kept
+      (13L, t(0))                    // negative lag — dropped
+    ).toDF("rid", "rts")
+    val j = Relational.bandedIntervalJoin(l, r, "lts", "rts", 0L, 60000000L)
+    assert(j.select($"rid").as[Long].collect().toSet == Set(10L, 12L))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "the banding must keep the range join an equi-join:\n" + plan.take(800))
+  }
+
   test("transitions emits (prev,next) pairs skipping first event per key") {
     val df = Seq((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "b"), (2, 4L, "c"))
       .toDF("k", "seq", "st")
