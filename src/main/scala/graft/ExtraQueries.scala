@@ -147,6 +147,12 @@ object ExtraQueries {
     * would go cartesian. The banding turns it into a shuffle equi-join
     * on a time bucket; output is the exact pair set with the integer
     * microsecond lag.
+    *
+    * Scale note: ScaleData grows event RATE, not time span, so the pair
+    * OUTPUT grows quadratically with the replica factor by construction
+    * (rate² per fixed window) — runtime tracks output size, which is the
+    * correct cost for an output-bound join; on a real deployment the
+    * window (band width) is the knob that bounds per-band rows.
     */
   val q140_banded_range: Q = (s, dir) => {
     val ev = t(s, dir).events

@@ -96,6 +96,25 @@ object ScaleQueries {
       shiftright(Layout.zValue(x, y, ZBits), ZBits).as("z_bucket"))
   }
 
+  private val ZBits3 = 6 // 6 bits × 3 dims -> 18-bit z-values
+
+  /** 3-D Morton values ([[Layout.zValueN]]) over (custkey, nationkey,
+    * custkey-block): the multi-column layout key a 100 TB table clusters
+    * on (date × tenant × region in production). Same portable-arithmetic
+    * oracle contract as q81; `z_bucket` (top 6 z bits) is the directory
+    * key.
+    */
+  val q141_zvalue3: Q = (s, dir) => {
+    val x = pmod(col("c_custkey"), lit(64L))
+    val y = pmod(col("c_nationkey").cast("long"), lit(64L))
+    val z = pmod(expr("c_custkey div 64"), lit(64L))
+    t(s, dir).customer.select(
+      col("c_custkey"),
+      x.as("zx"), y.as("zy"), z.as("zz"),
+      Layout.zValueN(Seq(x, y, z), ZBits3).as("zv"),
+      shiftright(Layout.zValueN(Seq(x, y, z), ZBits3), 2 * ZBits3).as("z_bucket"))
+  }
+
   /** Equi-depth histogram per event type: ntile(8) over a TOTAL order
     * (value, event_id — ties on value alone would make tile assignment
     * engine-dependent), then per-tile count/lo/hi. This is the exact,
@@ -194,6 +213,7 @@ object ScaleQueries {
     "q79_domain_cap" -> q79_domain_cap,
     "q80_bloom_prune" -> q80_bloom_prune,
     "q81_zvalue" -> q81_zvalue,
+    "q141_zvalue3" -> q141_zvalue3,
     "q82_equidepth" -> q82_equidepth,
     "q83_frequent_ngrams" -> q83_frequent_ngrams)
 
@@ -203,7 +223,22 @@ object ScaleQueries {
       s"(((c_nationkey % 256) >> $i) & 1) * ${1L << (2 * i + 1)}"
   }.mkString(" + ")
 
+  /** 3-D z arithmetic as portable SQL (matches Layout.zValueN). */
+  private val zTerms3: String = (0 until ZBits3).map { i =>
+    s"(((c_custkey % 64) >> $i) & 1) * ${1L << (3 * i)} + " +
+      s"(((c_nationkey % 64) >> $i) & 1) * ${1L << (3 * i + 1)} + " +
+      s"((((c_custkey // 64) % 64) >> $i) & 1) * ${1L << (3 * i + 2)}"
+  }.mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    "q141_zvalue3" ->
+      s"""SELECT c_custkey,
+         |  (c_custkey % 64)::BIGINT AS zx,
+         |  (c_nationkey % 64)::BIGINT AS zy,
+         |  ((c_custkey // 64) % 64)::BIGINT AS zz,
+         |  ($zTerms3)::BIGINT AS zv,
+         |  (($zTerms3)::BIGINT >> ${2 * ZBits3})::BIGINT AS z_bucket
+         |FROM customer""".stripMargin,
     // MERGE semantics replayed relationally: survivors (keys not updated)
     // ∪ updates ∪ inserts, then the same aggregate. Base keys stay far
     // below 1e9 at every scale dir, so the re-key never collides.

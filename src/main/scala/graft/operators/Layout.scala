@@ -31,15 +31,26 @@ object Layout {
     * or quantile bucketing). Pure bit arithmetic: codegen'd, no UDF, and
     * reproducible in any engine (q81's oracle recomputes it in SQL).
     */
-  def zValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xs = x.cast("long")
-    val ys = y.cast("long")
-    (0 until bits)
-      .map { i =>
-        shiftleft(shiftright(xs, i).bitwiseAND(1L), 2 * i) +
-          shiftleft(shiftright(ys, i).bitwiseAND(1L), 2 * i + 1)
-      }
+  def zValue(x: Column, y: Column, bits: Int): Column = zValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave: bit i of dimension j lands at
+    * position i·k + j (k = dims) — the 2-D [[zValue]] generalized to the
+    * multi-column layouts a 100 TB table actually clusters on
+    * (date × tenant × region). Same arithmetic contract: pure bit
+    * shifts/adds on longs, replayable verbatim in any engine's SQL, and
+    * the same range caveat — only the low `bits` bits of each coordinate
+    * participate, so map values into [0, 2^bits) first ([[zOrderWrite]]'s
+    * rangeChecked is the enforced form). k·bits ≤ 62 keeps the z-value a
+    * non-negative long.
+    */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size >= 2, s"zValueN: need >= 2 dimensions, got ${dims.size}")
+    require(bits >= 1 && dims.size * bits <= 62,
+      s"zValueN: need bits >= 1 and dims*bits <= 62, got ${dims.size} * $bits")
+    val k = dims.size
+    val longs = dims.map(_.cast("long"))
+    (for (i <- 0 until bits; (d, j) <- longs.zipWithIndex)
+      yield shiftleft(shiftright(d, i).bitwiseAND(1L), i * k + j))
       .reduce(_ + _)
   }
 

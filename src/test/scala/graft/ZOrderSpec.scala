@@ -158,6 +158,31 @@ class ZOrderSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("zValueN: hand-computed interleaves; 2-D form is the N-D special case") {
+    import org.apache.spark.sql.functions.lit
+    def zN(vals: Long*)(bits: Int): Long =
+      spark.range(1).select(
+        Layout.zValueN(vals.map(lit), bits).as("z")).head().getLong(0)
+    // 3-D, 2 bits: x=1(01) y=2(10) z=3(11):
+    //   i=0 -> x:pos0=1, y:pos1=0, z:pos2=4; i=1 -> x:0, y:pos4=16, z:pos5=32
+    assert(zN(1L, 2L, 3L)(2) == 53L)
+    // 2-D: x=5(101) y=3(011) -> 1+2 + 8 + 16 = 27
+    assert(zN(5L, 3L)(3) == 27L)
+    // the 2-D entry point IS zValueN(Seq(x, y)) — same value on real data
+    val rows = Tables.load(spark, TestSession.sf, "customer")
+      .select(
+        pmod($"c_custkey", lit(64L)).as("x"),
+        pmod($"c_nationkey".cast("long"), lit(64L)).as("y"))
+      .withColumn("a", Layout.zValue($"x", $"y", 6))
+      .withColumn("b", Layout.zValueN(Seq($"x", $"y"), 6))
+      .filter($"a" =!= $"b").count()
+    assert(rows == 0L)
+    // degenerate shapes rejected
+    intercept[IllegalArgumentException](Layout.zValueN(Seq(lit(1L)), 4))
+    intercept[IllegalArgumentException](
+      Layout.zValueN(Seq(lit(1L), lit(2L), lit(3L)), 21)) // 63 bits > 62
+  }
+
   test("out-of-range coordinates fail the write instead of mis-bucketing") {
     val dir = java.nio.file.Files.createTempDirectory("zorder-bad").toString
     val bad = Seq((300L, 5L)).toDF("zx", "zy") // 300 >= 2^8
