@@ -15,12 +15,26 @@ object CorpusCurateApp {
 
   val usage = "graft.apps.CorpusCurateApp --input <documents parquet> " +
     "--out <dir> [--embeddings <parquet>] [--stats <dir>] " +
-    "[--min-quality 0.35] [--jaccard 0.5] [--cos-threshold 0.35]"
+    "[--min-quality 0.35] [--jaccard 0.5] [--cos-threshold 0.35] " +
+    "[--eval <parquet> [--containment 1/2]]"
 
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
     val spark: SparkSession = AppEnv.session("graft-corpus-curate", conf)
-    val docs = spark.read.parquet(AppEnv.get(conf, "input", usage))
+    val docs0 = spark.read.parquet(AppEnv.get(conf, "input", usage))
+    // --eval: containment-threshold decontamination BEFORE the pipeline —
+    // drop training docs covering >= --containment (a rational num/den,
+    // default 1/2) of any eval doc's shingle set
+    // (CorpusPipeline.decontaminateByContainment; the graded form of the
+    // any-overlap pass CorpusIngestApp applies in-stream)
+    val docs = conf.get("eval") match {
+      case None => docs0
+      case Some(evalPath) =>
+        val Array(tn, td) = conf.getOrElse("containment", "1/2").split("/")
+          .map(_.trim.toInt)
+        CorpusPipeline.decontaminateByContainment(
+          docs0, spark.read.parquet(evalPath), "doc_id", "text", tn, td)
+    }
     val embeddings = conf.get("embeddings").map(spark.read.parquet(_))
     val cfg = CorpusPipeline.Config(
       minQuality = conf.getOrElse("min-quality", "0.35").toDouble,

@@ -332,6 +332,19 @@ class AppsSmokeSpec extends AnyFunSuite {
       s"expected exact dup 2, low-quality 3, near-dup 4 dropped; got $survivors")
     val stages = spark.read.parquet(statsDir).select($"stage").as[String].collect().toSet
     assert(stages.nonEmpty, "the funnel stats must record per-stage counts")
+
+    // --eval: the containment pre-filter drops every doc covering the
+    // eval text's shingles (1, 2, and the embedding 4); 3 still dies to
+    // quality, leaving only 5
+    val evalDir = tmp("appcurate-eval"); val out2 = tmp("appcurate-out2")
+    Seq((100L, base)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(evalDir)
+    CorpusCurateApp.main(Array("--input", in, "--out", out2,
+      "--eval", evalDir, "--containment", "1/2"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val decon = spark.read.parquet(out2).select($"doc_id").as[Long].collect().toSet
+    assert(decon == Set(5L),
+      s"expected 1/2/4 decontaminated away and 3 quality-dropped; got $decon")
   }
 
   test("CorpusReportApp main: the four-diagnostic bundle lands under --out") {
