@@ -55,7 +55,7 @@ object Bench {
     // LPA rounds are localCheckpoint-materialized (label table referenced
     // twice per round) — the q66 driver-synchronous class; ScaleBench
     // carries its decade rows
-    "q139_label_prop",
+    "q139_label_prop", "q142_kcore",
     // BFS frontier rounds are driver-synchronous localCheckpoints — the
     // same round-latency physics (measured in ScaleBench across both
     // decades instead: 6.8 s at sf0.1 is ~4 rounds of job latency, and

@@ -136,6 +136,24 @@ object GraphQueries {
     Graph.labelPropagation(e, "src", "dst", LPA_ITERS)
   }
 
+  /** Bounded k-core peel over the symmetric co-purchase graph
+    * ([[Graph.kCoreBounded]]): [[KCORE_ROUNDS]] rounds at k =
+    * [[KCORE_K]] — the dense-core extraction that separates the heavily
+    * co-purchased assortment from long-tail items (on a web graph: the
+    * link-farm-resistant core).
+    */
+  val KCORE_K = 60
+  val KCORE_ROUNDS = 3
+  val q142_kcore: Q = (s, dir) => {
+    val op = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.select(col("o"), col("p").as("src"))
+      .join(op.select(col("o"), col("p").as("dst")), Seq("o"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    Graph.kCoreBounded(e, "src", "dst", KCORE_K, KCORE_ROUNDS)
+  }
+
   /** Bounded Bellman-Ford over the same co-purchase graph with a
     * key-derived integer edge weight (1 + (src+dst) mod 5 — deterministic
     * and identically computable in SQL): min route cost from the seed
@@ -179,6 +197,7 @@ object GraphQueries {
     "q136_pagerank_conserve" -> q136_pagerank_conserve,
     "q138_pagerank_weighted" -> q138_pagerank_weighted,
     "q139_label_prop" -> q139_label_prop,
+    "q142_kcore" -> q142_kcore,
     "q122_triangles" -> q122_triangles,
     "q123_hits" -> q123_hits,
     "q127_bfs_hops" -> q127_bfs_hops,
@@ -279,6 +298,30 @@ object GraphQueries {
        |SELECT node, round(r, 6) AS pr FROM r$PR_ITERS""".stripMargin
   }
 
+  /** k-core oracle: each round = induced-subgraph degrees, keep ≥ k;
+    * final degrees over the last survivor set.
+    */
+  private def kcoreSql: String = {
+    def degCte(name: String, aliveRel: String) =
+      s"""$name AS (SELECT e.src AS node, count(*) AS c
+         |  FROM e
+         |  JOIN $aliveRel s ON e.src = s.node
+         |  JOIN $aliveRel t ON e.dst = t.node
+         |  GROUP BY 1)""".stripMargin
+    val chain = (1 to KCORE_ROUNDS).map { r =>
+      s"""${degCte(s"d$r", s"a${r - 1}")},
+         |a$r AS (SELECT node FROM d$r WHERE c >= $KCORE_K)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p::BIGINT AS src, b.p::BIGINT AS dst
+       |      FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+       |a0 AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |$chain,
+       |${degCte("df", s"a$KCORE_ROUNDS")}
+       |SELECT node, c::BIGINT AS degree FROM df""".stripMargin
+  }
+
   /** LPA oracle: each round = count in-neighbor labels, top-1 by
     * (count desc, label asc), keep-own-label fallback.
     */
@@ -351,6 +394,7 @@ object GraphQueries {
     "q136_pagerank_conserve" -> prConserveSql,
     "q138_pagerank_weighted" -> prWeightedSql,
     "q139_label_prop" -> lpaSql,
+    "q142_kcore" -> kcoreSql,
     "q123_hits" -> hitsSql,
     "q122_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -61,7 +61,10 @@ object ScaleBench {
     // round-5: LPA rides the densifying co-purchase graph (q127's class:
     // 3 driver-synchronous rounds of one E-row join + narrow agg + per-
     // node WindowGroupLimit; growth should track E like BFS)
-    "q139_label_prop")
+    "q139_label_prop",
+    // round-5: k-core peel — per round two semi-joins of E against the
+    // alive set + one degree agg; same bounded-fixpoint class
+    "q142_kcore")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",

@@ -290,6 +290,51 @@ object Graph {
     lbl.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Bounded k-core peel — `rounds` synchronous rounds of removing every
+    * node whose degree in the SURVIVING subgraph is < k (the spam-core /
+    * dense-community extraction companion to [[labelPropagation]]: a
+    * web-graph k-core isolates the densely-interlinked region that
+    * degree alone overstates). Run to convergence the survivor set IS the
+    * k-core; the fixed budget keeps each round an exact relational
+    * statement the oracle replays as chained CTEs (the bounded-fixpoint
+    * discipline of [[shortestHops]]/[[minPlus]] — convergence-loop
+    * stopping needs a driver action per round either way, so production
+    * picks the budget from the graph's known peel depth).
+    *
+    * Edges are treated as DIRECTED as given; symmetrize first for the
+    * undirected reading (degree = out-degree in the induced subgraph).
+    * Returns the survivors after `rounds` peels as (node, degree) with
+    * degree measured in the FINAL induced subgraph — a node whose degree
+    * fell below k on the last round is still present (the budget ended),
+    * exactly as the oracle computes it; a survivor whose every neighbor
+    * peeled (degree 0 in the final subgraph) is absent from the output,
+    * the join-based degree convention on both sides.
+    *
+    * Scale shape: per round two semi-joins of the edge list against the
+    * alive set plus one degree aggregate — all keyed on node ids, the
+    * frontier-free O(E) per-round cost; alive sets localCheckpoint per
+    * round (referenced twice: both endpoints).
+    */
+  def kCoreBounded(edges: DataFrame, srcCol: String, dstCol: String,
+                   k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1,
+      s"kCoreBounded: need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    val e = edges.select(col(srcCol).cast("long").as("e_src"),
+                         col(dstCol).cast("long").as("e_dst"))
+      .distinct().localCheckpoint()
+    var alive = e.select(col("e_src").as("node"))
+      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint()
+    def degrees(a: DataFrame): DataFrame =
+      e.join(a.select(col("node").as("e_src")), Seq("e_src"), "left_semi")
+        .join(a.select(col("node").as("e_dst")), Seq("e_dst"), "left_semi")
+        .groupBy(col("e_src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds)
+      alive = degrees(alive).filter(col("degree") >= k)
+        .select(col("node")).localCheckpoint()
+    degrees(alive)
+  }
+
   /** Personalized PageRank: same recurrence, but the teleport mass lands
     * only on the seed set S — r0 = 1/|S| on S else 0; teleport term
     * (1-d)/|S| on S else 0. The "related domains" / "expand from a trusted

@@ -126,6 +126,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L), s"got $got")
   }
 
+  private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(_.swap)).distinct.toDF("src", "dst")
+    Graph.kCoreBounded(sym, "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCoreBounded: the pendant peels, the clique stays with its induced degrees") {
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = kcore(clique :+ (1L, 5L), k = 3, rounds = 2)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("kCoreBounded: a chain cascades to empty; the bounded budget stops mid-cascade") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(kcore(chain, k = 2, rounds = 3).isEmpty)
+    // budget of 1: endpoints peeled, the middle keeps its sub-k survivors
+    // with FINAL induced degrees (2 and 4 sit at degree 1 < k — present,
+    // because the budget ended before their round)
+    val oneRound = kcore(chain, k = 2, rounds = 1)
+    assert(oneRound == Map(2L -> 1L, 3L -> 2L, 4L -> 1L), s"got $oneRound")
+  }
+
   test("labelPropagation: majority wins over the min-label tie-break") {
     // node 5's neighbors: 1,2 (both relabeled to community 1 by round 2)
     // vs 9 — the 2-vote label beats the singleton even though 9 < ∞
