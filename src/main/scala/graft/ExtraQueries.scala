@@ -180,8 +180,30 @@ object ExtraQueries {
     Relational.scd2(e, "user_id", "ord", "event_type")
   }
 
+  /** Point-in-time lookup against the q118 SCD2 history
+    * ([[Relational.temporalJoin]]): for each purchase, the user's state
+    * ONE MICROSECOND BEFORE it — "what was the user doing when they
+    * decided to buy". The -1 µs probe makes the answer non-trivial (a
+    * purchase's own version always contains its exact timestamp) and
+    * exercises the no-containing-version leg: a user whose first-ever
+    * event is a purchase has no prior state, so attr/version are NULL.
+    */
+  val q143_temporal_join: Q = (s, dir) => {
+    val ev = t(s, dir).events
+    val hist = Relational.scd2(
+      ev.select(col("user_id"), unix_micros(col("ts")).as("ord"), col("event_type")),
+      "user_id", "ord", "event_type")
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"),
+        (unix_micros(col("ts")) - 1).as("p_ord"))
+    Relational.temporalJoin(facts, hist, Seq("user_id"), "p_ord",
+        "valid_from", "valid_to", Seq("attr", "version"))
+      .select(col("user_id"), col("p_event"), col("attr"), col("version"))
+  }
+
   def all: Map[String, Q] = Map(
     "q118_scd2" -> q118_scd2,
+    "q143_temporal_join" -> q143_temporal_join,
     "q56_asof_join" -> q56_asof_join,
     "q140_banded_range" -> q140_banded_range,
     "q48_grouping_sets" -> q48_grouping_sets,
@@ -206,6 +228,22 @@ object ExtraQueries {
         |  (epoch_us(pts) - epoch_us(cts))::BIGINT AS lag_us
         |FROM c JOIN p ON epoch_us(pts) - epoch_us(cts) >= 0
         |             AND epoch_us(pts) - epoch_us(cts) <= 900000000""".stripMargin,
+    "q143_temporal_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ord, event_type FROM events),
+        |ch AS (SELECT user_id, ord, event_type FROM (
+        |  SELECT user_id, ord, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ord) AS prev
+        |  FROM e) WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type AS attr, ord AS valid_from,
+        |        lead(ord) OVER w AS valid_to,
+        |        row_number() OVER w AS version
+        |      FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ord)),
+        |p AS (SELECT user_id, event_id AS p_event, epoch_us(ts) - 1 AS p_ord
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.p_event, v.attr, v.version
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.valid_from <= p.p_ord
+        |  AND (v.valid_to IS NULL OR p.p_ord < v.valid_to)""".stripMargin,
     "q118_scd2" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ord, event_type FROM events),
         |ch AS (SELECT user_id, ord, event_type FROM (

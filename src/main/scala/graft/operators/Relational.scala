@@ -200,6 +200,30 @@ object Relational {
     * Returns the input keys plus (attr, valid_from, valid_to, version,
     * is_current) with version numbered from 1 per key.
     */
+  /** Point-in-time (temporal) dimension join: each fact row picks the
+    * [[scd2]] version whose validity interval CONTAINS the fact
+    * timestamp — valid_from ≤ factTs < valid_to, NULL valid_to = open.
+    * "What was this dimension worth at order time" — the query SCD2
+    * histories exist to answer. Composition of [[asOfJoin]] (latest
+    * valid_from ≤ ts per key — for a well-formed tiling history the
+    * as-of version IS the containing one) plus the valid_to guard, which
+    * bites exactly when a key's history has gaps (retired keys with a
+    * closed last version): facts falling in a gap, before the first
+    * version, or on unknown keys carry NULL payloads (left semantics).
+    * `factTs` and `validFrom`/`validTo` must be mutually comparable
+    * (same numeric/timestamp type); carried column names must not
+    * collide with fact columns (the [[asOfJoin]] contract).
+    */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                   factTs: String, validFrom: String, validTo: String,
+                   carried: Seq[String]): DataFrame = {
+    val joined = asOfJoin(facts, dim, keys, factTs, validFrom, carried :+ validTo)
+    val contained = col(validTo).isNull || col(factTs) < col(validTo)
+    carried.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(contained, col(c)))
+    }.drop(validTo)
+  }
+
   def scd2(df: DataFrame, keyCol: String, orderCol: String, attrCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
     val changes = df

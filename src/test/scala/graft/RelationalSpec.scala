@@ -87,6 +87,35 @@ class RelationalSpec extends AnyFunSuite {
       Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
   }
 
+  test("temporalJoin: containing version wins; gaps, pre-history, unknown keys, open versions") {
+    import spark.implicits._
+    val dim = Seq(
+      ("a", 10L, Some(20L), "s1", 1L),
+      ("a", 20L, Some(30L), "s2", 2L), // closed — then a GAP until 40
+      ("a", 40L, None, "s3", 3L))      // open
+      .toDF("k", "valid_from", "valid_to", "attr", "version")
+    val facts = Seq(
+      ("a", 1L, 15L),  // inside v1
+      ("a", 2L, 20L),  // boundary: valid_from inclusive -> v2
+      ("a", 3L, 35L),  // in the gap -> NULL payload
+      ("a", 4L, 5L),   // before any history -> NULL
+      ("a", 5L, 100L), // open version
+      ("b", 6L, 50L))  // unknown key -> NULL
+      .toDF("k", "fid", "fts")
+    val got = Relational.temporalJoin(facts, dim, Seq("k"), "fts",
+        "valid_from", "valid_to", Seq("attr", "version"))
+      .select($"fid", $"attr", $"version")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(got == Set(
+      (1L, Some("s1"), Some(1L)),
+      (2L, Some("s2"), Some(2L)),
+      (3L, None, None),
+      (4L, None, None),
+      (5L, Some("s3"), Some(3L)),
+      (6L, None, None)), s"got $got")
+  }
+
   test("bandedIntervalJoin equals the naive range join on the events fixture") {
     import spark.implicits._
     val ev = graft.core.Tables.load(spark, TestSession.sf, "events")
