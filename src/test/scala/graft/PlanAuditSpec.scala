@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q63_multimodal_resize" -> 0,
     "q65_dedup_exact_wide" -> 1,  // md5 fingerprint groupBy — same shape as q26
     "q67_repetition" -> 0,        // per-row HOFs only
+    "q140_banded_range" -> 2,     // at most the two __band exchanges (broadcasts at small SF); the no-cartesian pin is in RelationalSpec
     "q68_tfidf" -> 2,             // tf agg, then df as a count window on the term
     "q69_contamination" -> 1,     // broadcast eval probe; one exchange for the pair count
     "q70_stratified_sample" -> 1, // per-row hash keep-rule, one source groupBy
