@@ -197,4 +197,57 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got == expected, s"mismatch for '$text'")
     }
   }
+
+  test("containmentJoin == brute-force coverage on random set corpora and thresholds") {
+    import graft.operators.SetSim
+    val corpus = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 25).map(i => s"e$i")).map(_.distinct))
+    val drawn = cases(corpus, 12)
+    for ((sets0, ci) <- drawn.zipWithIndex; (tn, td) <- Seq((1, 2), (2, 3), (1, 1))) {
+      val df = sets0.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "tk")
+      // probe = even ids, index = odd ids: exercises the R×S asymmetry
+      val probe = df.filter($"doc_id" % 2 === 0)
+      val index = df.filter($"doc_id" % 2 === 1)
+      val got = SetSim.containmentJoin(probe, index, "doc_id", "tk", tn, td)
+        .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+      // Seq, not Map: a for-comprehension whose outer generator is a Map
+      // would YIELD a Map and silently collapse same-d1 pairs
+      val lookup = sets0.map(_.toSet).zipWithIndex.map(_.swap)
+      val want = (for {
+        (i, x) <- lookup if i % 2 == 0
+        (j, y) <- lookup if j % 2 == 1
+        if (x & y).size * td >= x.size * tn
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want, s"case $ci t=$tn/$td: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("bandedIntervalJoin == naive range join on random timestamp sets and bounds") {
+    val tsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 10000L))
+    val boundsGen = for {
+      lo <- Gen.chooseNum(-500L, 500L)
+      span <- Gen.chooseNum(0L, 1000L)
+    } yield (lo, lo + span)
+    val lefts = cases(tsGen, 8)
+    val rights = cases(tsGen, 8)
+    val bounds = cases(boundsGen, 8)
+    for (((ls, rs), (loMs, upMs)) <- lefts.zip(rights).zip(bounds)) {
+      // timestamps at millisecond grain; bounds scaled to µs for the join
+      val (lo, up) = (loMs * 1000, upMs * 1000)
+      val l = ls.distinct.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new java.sql.Timestamp(t)) }.toDF("lid", "lts")
+      val r = rs.distinct.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new java.sql.Timestamp(t)) }.toDF("rid", "rts")
+      val got = Relational.bandedIntervalJoin(l, r, "lts", "rts", lo, up)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (lt, li) <- ls.distinct.zipWithIndex
+        (rt, ri) <- rs.distinct.zipWithIndex
+        lag = (rt - lt) * 1000
+        if lag >= lo && lag <= up
+      } yield (li.toLong, ri.toLong)).toSet
+      assert(got == want, s"[$lo,$up]: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
 }
