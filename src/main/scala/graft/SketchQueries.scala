@@ -73,9 +73,34 @@ object SketchQueries {
           .cast("long"))
   }
 
+  /** HyperLogLog distinct-token estimate per source, exact count alongside
+    * ([[graft.operators.Sketch.hllRegisters]]): the vocabulary-size
+    * question every corpus dashboard asks, answered in m=256 longs per
+    * source instead of one counter per distinct token (Heaps'-law state —
+    * the same blowup q101's grid dodges for frequencies). Shuffle shape:
+    * register maxes fold map-side, so the sketch exchange is
+    * ≤ |sources|·256 rows at any corpus size; the EXACT count alongside is
+    * the verification baseline (it shuffles distinct (source, token) pairs
+    * — the thing you can't afford at 100 TB, which is the point).
+    * Registers and estimate replay bit-for-bit in the oracle; the spec
+    * additionally pins the m-register merge identity and the error bound.
+    */
+  val q145_hll: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val tk = t(s, dir).documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(tk, Seq("source"), "tok"), Seq("source"))
+    val exact = tk.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("exact"))
+    est.join(exact, "source")
+      .select(col("source"), col("filled"), col("est"), col("exact"))
+  }
+
   def all: Map[String, Q] = Map(
     "q101_countmin" -> q101_countmin,
-    "q102_kmv_sample" -> q102_kmv_sample)
+    "q102_kmv_sample" -> q102_kmv_sample,
+    "q145_hll" -> q145_hll)
 
   /** The engine poly-hash over an arbitrary SQL string expression. */
   private def polyHashSql(expr: String): String =
@@ -115,5 +140,35 @@ object SketchQueries {
          |s AS (SELECT doc_id, hk FROM h ORDER BY hk ASC, doc_id ASC LIMIT 100)
          |SELECT doc_id, hk,
          |  floor(99.0 * 1000000007.0 / max(hk) OVER ())::BIGINT AS est_distinct
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin,
+    "q145_hll" ->
+      s"""WITH tk AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |hx AS (SELECT source, tok, ${polyHashSql("tok")} AS h FROM tk),
+         |rr AS (
+         |  SELECT source, h % 256 AS reg,
+         |    CASE WHEN h // 256 = 0 THEN 23
+         |         ELSE 23 - length(bin(h // 256)) END AS rho
+         |  FROM hx),
+         |regs AS (SELECT source, reg, max(rho) AS mr FROM rr GROUP BY 1, 2),
+         |-- order-free: every term is an exact power of two >= 2^-23, so
+         |-- all partial sums fit 31 mantissa bits and add EXACTLY
+         |agg AS (
+         |  SELECT source, count(*) AS filled,
+         |    sum(1.0 / power(2, mr)) AS s
+         |  FROM regs GROUP BY 1),
+         |e AS (
+         |  SELECT source, filled,
+         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |      / (s + (256 - filled)::DOUBLE) AS raw
+         |  FROM agg),
+         |ex AS (SELECT source, count(DISTINCT tok) AS exact FROM tk GROUP BY 1)
+         |SELECT e.source, filled::BIGINT AS filled,
+         |  round(CASE WHEN raw <= 640.0 AND (256 - filled) > 0
+         |    THEN 256.0 * ln(256.0 / (256 - filled)::DOUBLE)
+         |    ELSE raw END, 4) AS est,
+         |  exact::BIGINT AS exact
+         |FROM e JOIN ex ON e.source = ex.source""".stripMargin)
 }

@@ -58,4 +58,65 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(col("c")).as("est"))
   }
+
+  /** HyperLogLog register count (m = 2^8). Standard error ≈ 1.04/√m ≈ 6.5%
+    * — the cardinality-sketch sibling of the CMS grid above and q102's KMV:
+    * CMS answers "how often", KMV draws a sample, HLL answers "how many
+    * distinct" in O(m) state per group at ANY input size.
+    */
+  val HllM = 256
+
+  /** Bit width of the rho word `h div m`: polyHash < HashMod (1e9+7), so
+    * `h div 256 < 2^22`. rho = leading-zero count within that word + 1,
+    * i.e. `23 - bitlength(w)` (w = 0 → 23).
+    */
+  private val HllRhoMax = 23
+
+  /** (group..., reg, mr): the HLL registers of `keyCol` per group — the
+    * MERGEABLE sketch state. `max` folds map-side, so the exchange carries
+    * ≤ |groups|·m narrow rows regardless of input size; union two shards'
+    * registers and re-`max` to merge, or run the same aggregate on a
+    * stream in update mode and the running registers ARE the sketch of
+    * everything seen (the CMS contract, max instead of sum).
+    *
+    * Register index and rho both derive from the engine's portable
+    * poly-hash, so the DuckDB oracle replays every register bit-for-bit:
+    * reg = h mod m, rho from the bit length of h div m (`bin()` has
+    * identical no-leading-zeros semantics in Spark and DuckDB).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
+    val h = polyHash(col(keyCol))
+    val w = floor(h / lit(HllM.toDouble)).cast("long") // h < 2^30: exact in double
+    val rho = when(w === 0, lit(HllRhoMax))
+      .otherwise(lit(HllRhoMax) - length(bin(w)))
+    df.select((groupCols.map(col) :+ pmod(h, lit(HllM.toLong)).as("reg")
+      :+ rho.as("rho")): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max(col("rho")).as("mr"))
+  }
+
+  /** Per-group cardinality estimate from [[hllRegisters]] output — the
+    * original Flajolet et al. estimator with the small-range linear
+    * counting correction.
+    *
+    * Determinism (why this hash-matches a DuckDB replay despite double
+    * arithmetic): every register term is an exact power of two ≥ 2^-23,
+    * so each partial sum is a binary fraction needing ≤ 8+23 mantissa
+    * bits < 53 — ALL additions are exact, and the harmonic sum is
+    * order-independent. The only libm call (`ln`) sits on the small-range
+    * branch and is rounded away at 4 decimals.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = HllM.toDouble
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val zeros = lit(HllM.toLong) - col("filled")
+    val raw = lit(alphaM2) / (col("s") + zeros.cast("double"))
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("filled"),
+        sum(lit(1.0) / pow(lit(2.0), col("mr"))).as("s"))
+      .withColumn("est",
+        round(when(raw <= lit(2.5 * m) && zeros > 0,
+          lit(m) * log(lit(m) / zeros.cast("double"))).otherwise(raw), 4))
+      .select((groupCols.map(col) :+ col("filled") :+ col("est")): _*)
+  }
 }
