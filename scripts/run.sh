@@ -4,6 +4,11 @@
 #   scripts/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
 #   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 scripts/run.sh graft.Bench
 #
+# graft.Bench under THIS launcher (plain java, no sbt "[info]" stdout
+# decoration) is the canonical bench entry point; it also writes the full
+# summary JSON to bench_summary.json (override: SPARK_GRAFT_BENCH_SUMMARY)
+# so no stdout capture can lose the totals.
+#
 # Deployable warehouse jobs (graft.apps.*; --source kafka needs a broker,
 # --source file drains a directory of JSON lines; add --state-store rocksdb
 # to any app when keyed streaming state outgrows executor heaps):

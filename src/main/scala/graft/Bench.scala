@@ -123,13 +123,28 @@ object Bench {
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
       s""""n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}"""
     println(compact)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
-      s""""queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+      s""""queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"sf":"$sfDir"}"""
+    println(full)
     // …and the compact line AGAIN as the very last line: the driver keeps
     // only a TAIL of the output, which truncates the full per-query line
     // mid-JSON (BENCH_r04 "parsed": null) — a tail capture must END on a
     // complete parseable total line.
     println(compact)
+    // Stdout is decorated by whatever launcher runs this (sbt prefixes
+    // every line with "[info] " and appends its own trailer), so a
+    // last-line stdout parser can still miss the JSON no matter how it is
+    // printed (BENCH_r05 "parsed": null). The FILE is the capture-proof
+    // channel: the full summary, one JSON object, overwritten per run,
+    // next to wherever the bench was launched from.
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+      "bench_summary.json")
+    try {
+      val w = new java.io.PrintWriter(summaryPath, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $summaryPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

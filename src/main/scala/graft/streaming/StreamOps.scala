@@ -411,7 +411,15 @@ object StreamOps extends Serializable {
             buffered match {
               case Some(b) =>
                 state.update(b)
-                state.setTimeoutTimestamp(b.ts.getTime + gapMs)
+                // clamped like every other timeout site: Spark filters late
+                // rows against the PREVIOUS batch's watermark but validates
+                // timeouts against the CURRENT one (late-events vs eviction
+                // split), so an entry arriving in the batch right after a
+                // large watermark jump passes the filter while ts + gap sits
+                // behind the eviction watermark — a raw set threw "timeout
+                // cannot be earlier than watermark" and killed the query
+                // (TimeoutClampSpec's jumpDetect case reproduces it)
+                setEvictionAt(state, b.ts.getTime + gapMs)
               case None => if (state.exists) state.remove()
             }
             out.iterator

@@ -4,6 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
+import graft.streaming.StreamOps.PageView
 
 /** The persisted-flushAt crash window: a stateful op that stores its flush
   * timestamp in state and re-sets it on every data invocation MUST clamp it
@@ -91,6 +92,44 @@ class TimeoutClampSpec extends AnyFunSuite {
           .map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSet
         // both steps still advance in order despite the stale horizon
         assert(a == Set((1, "view", 1000L), (2, "purchase", 999990L)))
+      } finally q.stop()
+    }
+  }
+
+  test("jumpDetect survives a behind-eviction-watermark entry (late-filter lag window)") {
+    withoutNoDataBatches {
+      // jumpDetect's crash window differs from the persisted-flushAt ops:
+      // its timeout always derives from a CURRENT-batch event, but Spark
+      // filters late rows against the PREVIOUS batch's watermark while
+      // validating timeouts against the CURRENT one (SPARK-40925's
+      // late-events vs eviction split). A batch-1 event at t=1_000_000
+      // makes batch 2's eviction watermark 999_975 while its late filter
+      // still sits at 0 — so a batch-2 entry at t=1000 passes the filter,
+      // and the raw `setTimeoutTimestamp(1000 + gap)` with gap ≪ the jump
+      // threw "Timeout timestamp cannot be earlier than the current
+      // watermark" and killed the query. setEvictionAt clamps to
+      // watermark + 1, which only delays the bounce emission.
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[PageView]
+      val q = StreamOps.jumpDetect(spark, in.toDS(), Delay, gapMs = 10000)
+        .toDF("mid", "last_page_id", "ts")
+        .writeStream.format("memory").queryName("clamp_jump")
+        .outputMode("append").start()
+      try {
+        in.addData(PageView("wm", None, new java.sql.Timestamp(1000000L)))
+        q.processAllAvailable()
+        // lag window: late filter at 0, eviction watermark at 999_975 —
+        // the entry passes the filter with 1000 + 10000 ≪ 999_975
+        in.addData(PageView("a", None, new java.sql.Timestamp(1000L)))
+        q.processAllAvailable()
+        in.addData(PageView("n1", Some("p"), new java.sql.Timestamp(2000000L)))
+        q.processAllAvailable()
+        in.addData(PageView("n2", Some("p"), new java.sql.Timestamp(2000001L)))
+        q.processAllAvailable() // nudge: clamped timeouts fire
+        val a = spark.table("clamp_jump").collect()
+          .filter(_.getString(0) == "a").map(_.getTimestamp(2).getTime).toSet
+        assert(a == Set(1000L),
+          s"the lagged-in entry must survive and bounce via timeout; got $a")
       } finally q.stop()
     }
   }
