@@ -161,7 +161,10 @@ object SketchQueries {
          |  FROM regs GROUP BY 1),
          |e AS (
          |  SELECT source, filled,
-         |    (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+         |    -- trailing factor = HashMod / 2^30: the engine's hash-range
+         |    -- bias correction (Sketch.hllEstimate), operand order exact
+         |    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+         |      * (1000000007.0 / 1073741824.0)
          |      / (s + (256 - filled)::DOUBLE) AS raw
          |  FROM agg),
          |ex AS (SELECT source, count(DISTINCT tok) AS exact FROM tk GROUP BY 1)

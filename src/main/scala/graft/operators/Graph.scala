@@ -140,8 +140,13 @@ object Graph {
     * get multiplicity weighting. Uniform weights with no parallel edges
     * reproduce [[pageRank]] exactly (GraphSpec pins the equivalence).
     * Dangling nodes leak mass as in the default [[pageRank]] form.
-    * Non-positive total out-weight (all-zero weights on a source) is
-    * rejected by contract: w ≥ 0 and W(u) > 0.
+    * Non-positive total out-weight is rejected LOUDLY at construction
+    * (w ≥ 0 per summed edge and W(u) > 0 per source — the fail-loud
+    * `require` contract style): a silent violation would NULL the r·w/W
+    * division (the source degrades to dangling) or flip contribution
+    * signs. The check folds into the W(u) aggregate the algorithm
+    * already computes, so it costs one extra construction-time action
+    * over that narrow (src, w) frame, no extra plan work per superstep.
     *
     * Same plan shape and determinism contract as [[pageRank]]: weighted
     * edge table built and checkpointed once, per-superstep one narrow
@@ -156,7 +161,17 @@ object Graph {
                          col(dstCol).cast("long").as("dst"),
                          col(wCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val wsum0 = e.groupBy(col("src"))
+      .agg(sum(col("w")).as("wsum"), min(col("w")).as("__minw"))
+    val bad = wsum0.filter(col("__minw") < 0 || col("wsum") <= 0)
+      .select(col("src"), col("__minw"), col("wsum")).limit(1).collect()
+    require(bad.isEmpty, {
+      val r = bad.head
+      s"pageRankWeighted: contract w >= 0 and W(u) > 0 violated at " +
+        s"src=${r.getLong(0)} (min summed edge weight ${r.getLong(1)}, " +
+        s"total out-weight ${r.getLong(2)})"
+    })
+    val wsum = wsum0.drop("__minw")
     val ed = e.join(wsum, Seq("src"))
       .select(col("src").as("e_src"), col("dst").as("e_dst"),
         col("w").as("e_w"), col("wsum").as("e_wsum"))

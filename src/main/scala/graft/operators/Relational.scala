@@ -138,6 +138,9 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Working column names [[bandedIntervalJoin]] claims on both sides. */
+  private val BandReserved = Seq("__band", "__salt", "__graft_bus")
+
   /** Banded (bucketed) interval join — the KEYLESS time-range scale path.
     * All (l, r) pairs with `lowerUs ≤ rightTs − leftTs ≤ upperUs` in
     * microseconds, as an EQUI-join: without a key conjunct, a plain range
@@ -149,30 +152,126 @@ object Relational {
     * equi-join on the band + the exact residual filter reproduces the
     * range join exactly (spec-pinned against the naive form). Shuffle
     * carries 2|L| + |R| narrow-keyed rows; per-band row count is the
-    * stream's rate × w — the knob that bounds task size (a band hotter
-    * than a task fits falls back to [[saltedJoin]] on the band key).
+    * stream's rate × w — the knob that bounds task size. A band hotter
+    * than a task fits needs the salted form: [[bandedIntervalJoinAuto]]
+    * measures occupancy once and engages it.
     *
     * Integer-exact: all arithmetic on `unix_micros` longs (epoch-positive
     * timestamps by contract — SQL `div` truncates toward zero, which
-    * equals floor only for non-negative operands). Column names must be
-    * disjoint across the two sides (same contract as [[asOfJoin]]).
+    * equals floor only for non-negative operands; the one `expr` runs
+    * over the engine's own working column, so caller column names never
+    * reach SQL text unquoted). Column names must be disjoint across the
+    * two sides (same contract as [[asOfJoin]]) and may not include the
+    * reserved working names (`__band`, `__salt`, `__graft_bus`).
     * Returns left.* ++ right.* for qualifying pairs (inner).
     */
   def bandedIntervalJoin(left: DataFrame, right: DataFrame,
                          leftTsCol: String, rightTsCol: String,
-                         lowerUs: Long, upperUs: Long): DataFrame = {
+                         lowerUs: Long, upperUs: Long): DataFrame =
+    bandedJoin(left, right, leftTsCol, rightTsCol, lowerUs, upperUs,
+      saltBuckets = 1, saltLeft = false)
+
+  /** [[bandedIntervalJoin]] with the hot-band fallback EXECUTABLE — the
+    * q80 `keysCeiling` / Ed-Join `shortsCeiling` discipline: measure once
+    * at construction, degrade deliberately instead of letting one giant
+    * band partition straggle or OOM a task. One construction-time job
+    * counts per-band occupancy of BOTH sides (a narrow ts-column scan);
+    * if the hottest band fits `bandRowsCeiling` the plan is exactly
+    * [[bandedIntervalJoin]]'s, otherwise the HOTTER side's rows are
+    * salted across ⌈hottest / ceiling⌉ buckets (≤ `maxSaltBuckets`) and
+    * the other side's band keys replicate buckets× — the [[saltedJoin]]
+    * trade applied to the band key, same output (RelationalSpec pins a
+    * bursty fixture with the fallback engaged against the plain form).
+    *
+    * When BOTH sides run hot in the same band, salting the hotter side
+    * still leaves each task holding the cooler side's full band — that
+    * residual is the problem's irreducible pair volume (output rows ~
+    * |L_band|·|R_band|), not a partitioning artifact.
+    *
+    * EAGER: the occupancy measurement runs when this method returns (the
+    * q80 eager-construction caveat) and snapshots the inputs as of now —
+    * construct it once, at execution time, not in plan-only paths.
+    */
+  def bandedIntervalJoinAuto(left: DataFrame, right: DataFrame,
+                             leftTsCol: String, rightTsCol: String,
+                             lowerUs: Long, upperUs: Long,
+                             bandRowsCeiling: Long = 1L << 20,
+                             maxSaltBuckets: Int = 256): DataFrame = {
+    require(bandRowsCeiling >= 1 && maxSaltBuckets >= 1,
+      s"bandedIntervalJoinAuto: ceilings must be >= 1, got " +
+        s"bandRowsCeiling=$bandRowsCeiling maxSaltBuckets=$maxSaltBuckets")
+    checkBandArgs(left, right, lowerUs, upperUs)
+    val w = math.max(1L, upperUs - lowerUs)
+    // one job: both sides' band occupancy in a single union-aggregate
+    // (narrow: one long key + one tag per row)
+    val occ = bandOf(left, leftTsCol, lowerUs, w).select(col("__band"),
+        lit(0).as("__side"))
+      .unionAll(bandOf(right, rightTsCol, 0L, w).select(col("__band"),
+        lit(1).as("__side")))
+      .groupBy(col("__side"), col("__band")).count()
+      .groupBy(col("__side")).agg(max(col("count")).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (maxL, maxR) = (occ.getOrElse(0, 0L), occ.getOrElse(1, 0L))
+    val hottest = math.max(maxL, maxR)
+    if (hottest <= bandRowsCeiling)
+      bandedJoin(left, right, leftTsCol, rightTsCol, lowerUs, upperUs, 1, saltLeft = false)
+    else {
+      val buckets = math.min(maxSaltBuckets.toLong,
+        (hottest + bandRowsCeiling - 1) / bandRowsCeiling).toInt
+      bandedJoin(left, right, leftTsCol, rightTsCol, lowerUs, upperUs,
+        buckets, saltLeft = maxL >= maxR)
+    }
+  }
+
+  private def checkBandArgs(left: DataFrame, right: DataFrame,
+                            lowerUs: Long, upperUs: Long): Unit = {
     require(upperUs >= lowerUs,
       s"bandedIntervalJoin: need upperUs >= lowerUs, got [$lowerUs, $upperUs]")
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "bandedIntervalJoin: column names must be disjoint across sides")
+    for (c <- BandReserved; side <- Seq(left, right))
+      require(!side.columns.contains(c),
+        s"bandedIntervalJoin: column name '$c' is reserved by the operator")
+  }
+
+  /** (input.* , __band) — the shifted microsecond band index of `tsCol`.
+    * The `div` runs over the engine's own `__graft_bus` column (exact
+    * long floor-division for the contract's non-negative operands); the
+    * caller's column resolves through `col(...)`, never SQL splicing.
+    */
+  private def bandOf(df: DataFrame, tsCol: String, shiftUs: Long,
+                     w: Long): DataFrame =
+    df.withColumn("__graft_bus", unix_micros(col(tsCol)) + lit(shiftUs))
+      .withColumn("__band", expr(s"__graft_bus div ${w}L"))
+      .drop("__graft_bus")
+
+  private def bandedJoin(left: DataFrame, right: DataFrame,
+                         leftTsCol: String, rightTsCol: String,
+                         lowerUs: Long, upperUs: Long,
+                         saltBuckets: Int, saltLeft: Boolean): DataFrame = {
+    checkBandArgs(left, right, lowerUs, upperUs)
     val w = math.max(1L, upperUs - lowerUs)
-    val b0 = expr(s"(unix_micros($leftTsCol) + ($lowerUs)) div $w")
-    val l = left.withColumn("__band", explode(array(b0, b0 + 1)))
-    val r = right.withColumn("__band", expr(s"unix_micros($rightTsCol) div $w"))
-    val lag = expr(s"unix_micros($rightTsCol) - unix_micros($leftTsCol)")
-    l.join(r, Seq("__band"))
-      .filter(lag >= lowerUs && lag <= upperUs)
-      .drop("__band")
+    val l = bandOf(left, leftTsCol, lowerUs, w)
+      .withColumn("__band", explode(array(col("__band"), col("__band") + 1)))
+    val r = bandOf(right, rightTsCol, 0L, w)
+    val joined =
+      if (saltBuckets <= 1) l.join(r, Seq("__band"))
+      else {
+        // the salted side's rows split across buckets; the other side's
+        // band rows replicate buckets× (the saltedJoin trade on the band
+        // key) — join on (band, salt) keeps the result set identical
+        val range = sequence(lit(0L), lit(saltBuckets - 1L))
+        val salt = pmod(monotonically_increasing_id(), lit(saltBuckets.toLong))
+        val (ls, rs) =
+          if (saltLeft) (l.withColumn("__salt", salt),
+            r.withColumn("__salt", explode(range)))
+          else (l.withColumn("__salt", explode(range)),
+            r.withColumn("__salt", salt))
+        ls.join(rs, Seq("__band", "__salt"))
+      }
+    val lag = unix_micros(col(rightTsCol)) - unix_micros(col(leftTsCol))
+    joined.filter(lag >= lowerUs && lag <= upperUs)
+      .drop("__band", "__salt")
   }
 
   /** Status-transition detection (SURVEY §2.3 P7: `old['order_status'] is not
@@ -200,6 +299,19 @@ object Relational {
     * Returns the input keys plus (attr, valid_from, valid_to, version,
     * is_current) with version numbered from 1 per key.
     */
+  def scd2(df: DataFrame, keyCol: String, orderCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val changes = df
+      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attrCol))
+    changes
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        col(orderCol).as("valid_from"), col("valid_to"),
+        row_number().over(w).cast("long").as("version"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
   /** Point-in-time (temporal) dimension join: each fact row picks the
     * [[scd2]] version whose validity interval CONTAINS the fact
     * timestamp — valid_from ≤ factTs < valid_to, NULL valid_to = open.
@@ -222,18 +334,5 @@ object Relational {
     carried.foldLeft(joined) { (df, c) =>
       df.withColumn(c, when(contained, col(c)))
     }.drop(validTo)
-  }
-
-  def scd2(df: DataFrame, keyCol: String, orderCol: String, attrCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-    val changes = df
-      .withColumn("prev_attr", lag(col(attrCol), 1).over(w))
-      .filter(col("prev_attr").isNull || col("prev_attr") =!= col(attrCol))
-    changes
-      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
-      .select(col(keyCol), col(attrCol).as("attr"),
-        col(orderCol).as("valid_from"), col("valid_to"),
-        row_number().over(w).cast("long").as("version"),
-        col("valid_to").isNull.cast("int").as("is_current"))
   }
 }

@@ -99,6 +99,16 @@ object Sketch {
     * original Flajolet et al. estimator with the small-range linear
     * counting correction.
     *
+    * Hash-range bias correction: the Flajolet constants assume rho is
+    * geometric over a power-of-two word, but the portable poly-hash is
+    * uniform over [0, 1e9+7) — not [0, 2^30) — so every register's rho
+    * is inflated by log2(2^30 / HashMod) bits on average, a systematic
+    * ≈ +7.4% overestimate the 6.5% standard error does not cover (the
+    * oracle replays the same arithmetic, so hash verification alone
+    * cannot see it). `alphaM2` therefore carries the first-order
+    * correction factor HashMod / 2^30 ≈ 0.9313; the residual bias from
+    * the non-power-of-two range is second-order (≪ the standard error).
+    *
     * Determinism (why this hash-matches a DuckDB replay despite double
     * arithmetic): every register term is an exact power of two ≥ 2^-23,
     * so each partial sum is a binary fraction needing ≤ 8+23 mantissa
@@ -108,7 +118,10 @@ object Sketch {
     */
   def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
     val m = HllM.toDouble
-    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    // trailing factor = HashMod / 2^30 (hash-range bias, see scaladoc);
+    // operand order must match the oracle's expression exactly
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m *
+      (1000000007.0 / 1073741824.0)
     val zeros = lit(HllM.toLong) - col("filled")
     val raw = lit(alphaM2) / (col("s") + zeros.cast("double"))
     regs.groupBy(groupCols.map(col): _*)

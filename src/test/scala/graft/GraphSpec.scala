@@ -105,6 +105,23 @@ class GraphSpec extends AnyFunSuite {
     assert(viaDups == explicit)
   }
 
+  test("weighted form: negative weights and zero total out-weight are rejected loudly") {
+    // a negative summed edge would flip contribution signs silently
+    val neg = intercept[IllegalArgumentException] {
+      ranksWeighted(Seq((1L, 2L, -1L), (1L, 3L, 2L)), 1)
+    }
+    assert(neg.getMessage.contains("w >= 0"), neg.getMessage)
+    // an all-zero source would NULL the r·w/W division (silent dangling)
+    val zero = intercept[IllegalArgumentException] {
+      ranksWeighted(Seq((1L, 2L, 0L), (1L, 3L, 0L), (3L, 1L, 1L)), 1)
+    }
+    assert(zero.getMessage.contains("W(u) > 0"), zero.getMessage)
+    // ...and cancelling parallel edges (net zero) are caught the same way
+    intercept[IllegalArgumentException] {
+      ranksWeighted(Seq((1L, 2L, 5L), (1L, 2L, -5L), (2L, 1L, 1L)), 1)
+    }
+  }
+
   private def communities(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] = {
     // symmetrize: LPA labels flow along edge direction
     val sym = (edges ++ edges.map(_.swap)).distinct.toDF("src", "dst")

@@ -151,6 +151,39 @@ class RelationalSpec extends AnyFunSuite {
       "the banding must keep the range join an equi-join:\n" + plan.take(800))
   }
 
+  test("bandedIntervalJoinAuto: bursty hot band engages the salted fallback with identical output") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // whole-ms fixtures
+    // band width = 1 s; one band carries a 500-row burst on each side
+    // (the rate × width blowout the prose fallback described), the rest
+    // is sparse — ceiling 100 forces salting of the hotter side
+    val lo = 0L; val up = 1000000L
+    val burstL = (0 until 500).map(i => (i.toLong, t(5000000L + i * 1000)))
+    val sparseL = (0 until 20).map(i => (1000L + i, t(20000000L + i * 3000000L)))
+    val burstR = (0 until 500).map(i => (i.toLong, t(5200000L + i * 1000)))
+    val sparseR = (0 until 20).map(i => (2000L + i, t(21000000L + i * 3000000L)))
+    val l = (burstL ++ sparseL).toDF("lid", "lts")
+    val r = (burstR ++ sparseR).toDF("rid", "rts")
+    val auto = Relational.bandedIntervalJoinAuto(l, r, "lts", "rts", lo, up,
+      bandRowsCeiling = 100, maxSaltBuckets = 8)
+    // fallback actually engaged: the salted plan joins on (band, salt)
+    val plan = auto.queryExecution.analyzed.toString
+    assert(plan.contains("__salt"),
+      "hot-band fixture must route through the salted fallback:\n" + plan.take(600))
+    val got = auto.select($"lid", $"rid").as[(Long, Long)].collect()
+    val gotSet = got.toSet
+    assert(got.length == gotSet.size, "salting must not duplicate pairs")
+    val want = Relational.bandedIntervalJoin(l, r, "lts", "rts", lo, up)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(gotSet == want,
+      s"missing=${(want -- gotSet).take(5)} extra=${(gotSet -- want).take(5)}")
+    // cool inputs take the plain plan (no salt columns anywhere)
+    val cool = Relational.bandedIntervalJoinAuto(
+      sparseL.toDF("lid", "lts"), sparseR.toDF("rid", "rts"),
+      "lts", "rts", lo, up, bandRowsCeiling = 100)
+    assert(!cool.queryExecution.analyzed.toString.contains("__salt"))
+  }
+
   test("transitions emits (prev,next) pairs skipping first event per key") {
     val df = Seq((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "b"), (2, 4L, "c"))
       .toDF("k", "seq", "st")

@@ -51,4 +51,20 @@ class SketchQueriesSpec extends AnyFunSuite {
     val trueN = Tables.load(spark, TestSession.sf, "documents").count()
     assert(est > trueN / 2 && est < trueN * 2)
   }
+
+  test("q145: bias-corrected HLL estimate lands within ~3 sigma of exact per source") {
+    // m=256 -> standard error ~6.5%; the hash-range correction factor
+    // (HashMod / 2^30, Sketch.hllEstimate) removes the systematic +7.4%
+    // the truncated hash word adds — without it, estimates sat biased-high
+    // by about the same magnitude as the noise band itself
+    val rows = run("q145_hll")
+      .select($"source", $"est", $"exact")
+      .as[(String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, est, exact) =>
+      val rel = math.abs(est - exact) / exact.toDouble
+      assert(rel < 0.20,
+        f"HLL estimate for '$src' off by ${rel * 100}%.1f%% (est $est, exact $exact)")
+    }
+  }
 }
