@@ -192,6 +192,68 @@ class FlagEvictionSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("loginFlags: idle-past-retention eviction, back-flow re-primed via lastSeen bootstrap, batch twin agrees") {
+    import spark.implicits._
+    import graft.pipelines.UserWindows
+    import graft.pipelines.UserWindows.Login
+    implicit val sqlCtx = spark.sqlContext
+    val retention = java.time.Duration.ofDays(10)
+
+    // run 1, no bootstrap: first login flags (uu=1, back=0); after the
+    // user idles past retention the state evicts, so the day-20 return
+    // reads first-ever (uu=1, back=0) instead of back-flow — the
+    // documented O(active users) trade
+    val in = MemoryStream[Login]
+    val q = UserWindows.loginFlags(spark, in.toDS(), retention = retention)
+      .writeStream.format("memory").queryName("login_evict")
+      .outputMode("append").start()
+    try {
+      in.addData(Login("u1", ts(100)))            // day 1: uu=1 back=0
+      q.processAllAvailable()
+      in.addData(Login("z", ts(15 * day)))        // watermark past day1+10d
+      q.processAllAvailable()
+      in.addData(Login("z", ts(15 * day + 10)))   // nudge: u1 evicted
+      q.processAllAvailable()
+      in.addData(Login("u1", ts(20 * day)))       // 20-day gap after eviction
+      q.processAllAvailable()
+      val got = spark.table("login_evict").filter($"uid" === "u1")
+        .select($"uu", $"back").as[(Int, Int)].collect().toSeq
+      assert(got == Seq((1, 0), (1, 0)),
+        s"evicted history must read the return as first-ever without a bootstrap; got $got")
+    } finally q.stop()
+
+    // run 2 models the RESTART path: primed from the compacted
+    // (uid, lastLoginDate) table, the same day-20 return correctly
+    // flags back-flow — exactly what un-evicted state would conclude
+    val in2 = MemoryStream[Login]
+    val q2 = UserWindows.loginFlags(spark, in2.toDS(), retention = retention,
+        lastSeen = Some(Seq(("u1", "1970-01-01")).toDS()))
+      .writeStream.format("memory").queryName("login_boot")
+      .outputMode("append").start()
+    try {
+      in2.addData(Login("u1", ts(20 * day)))
+      q2.processAllAvailable()
+      val got = spark.table("login_boot")
+        .select($"uu", $"back").as[(Int, Int)].collect().toSeq
+      assert(got == Seq((1, 1)),
+        s"bootstrap-primed return after >7 idle days must flag back-flow; got $got")
+    } finally q2.stop()
+
+    // batch twin on the full history agrees with the bootstrap-primed
+    // streaming conclusion for the return login
+    val batch = UserWindows.loginFlags(spark,
+        Seq(Login("u1", ts(100)), Login("u1", ts(20 * day))).toDS(),
+        retention = retention)
+      .select($"uu", $"back").as[(Int, Int)].collect().toSeq
+    assert(batch == Seq((1, 0), (1, 1)), s"batch twin; got $batch")
+
+    // retention at or under the back-flow horizon is a contract error
+    intercept[IllegalArgumentException] {
+      UserWindows.loginFlags(spark, Seq(Login("u1", ts(100))).toDS(),
+        retention = java.time.Duration.ofDays(7))
+    }
+  }
+
   test("cross-batch late-day arrival rewinds last-date state: next new-day event double-flags uu (reference ValueState semantics)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
