@@ -27,7 +27,8 @@ object CorpusIngestApp {
   val usage = "graft.apps.CorpusIngestApp --source file|kafka --input <dir> " +
     "[--brokers <csv> --topics <csv>] --index <dir> --out <dir> " +
     "--checkpoint <dir> [--min-quality 0.35] [--delay '10 seconds'] " +
-    "[--eval <parquet of eval docs>] [--trigger available-now|'<interval>']"
+    "[--eval <parquet of eval docs>] [--eval-containment <tNum/tDen>] " +
+    "[--trigger available-now|'<interval>']"
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -42,21 +43,44 @@ object CorpusIngestApp {
       .filter(col("j").isNotNull && col("j.doc_id").isNotNull && col("j.text").isNotNull)
       .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
         timestamp_seconds(col("j.ts")).as("ts"))
-    // eval-set decontamination: hashes computed once batch-side (bounded
-    // set — q69's premise), probed scan-locally in the stream
-    val evalHashes: Array[Long] = conf.get("eval").map { p =>
-      import graft.functions.TextFunctions.shingleHashes
-      spark.read.parquet(p)
-        .select(explode(shingleHashes(col("text"), 5)).as("h"))
-        .distinct().collect().map(_.getLong(0))
-    }.getOrElse(Array.empty)
+    // eval-set decontamination — two modes sharing --eval:
+    //  * default: ANY-overlap, recall-first — hashes computed once
+    //    batch-side (bounded set, q69's premise), probed scan-locally as
+    //    a stateless stream stage;
+    //  * --eval-containment tNum/tDen: the graded form — drop only docs
+    //    COVERING >= t of some eval doc's shingle set, probed per
+    //    micro-batch inside the dedup foreachBatch (the batch
+    //    containment stage lifted into the ingest path). Containment is
+    //    a pure per-(eval, doc) predicate, so streamed survivors equal
+    //    the batch pass on any arrival order.
+    val containment = conf.get("eval-containment").map { t =>
+      val parts = t.split("/")
+      require(parts.length == 2,
+        s"--eval-containment expects tNum/tDen (e.g. 3/5), got '$t'")
+      (parts(0).trim.toInt, parts(1).trim.toInt)
+    }
+    require(containment.isEmpty || conf.contains("eval"),
+      "--eval-containment requires --eval <parquet of eval docs>")
+    val evalHashes: Array[Long] = conf.get("eval").filter(_ => containment.isEmpty)
+      .map { p =>
+        import graft.functions.TextFunctions.shingleHashes
+        spark.read.parquet(p)
+          .select(explode(shingleHashes(col("text"), 5)).as("h"))
+          .distinct().collect().map(_.getLong(0))
+      }.getOrElse(Array.empty)
+    // cached: the containment stage re-reads the eval side every trigger
+    val evalContainment = containment.map { case (tn, td) =>
+      (spark.read.parquet(conf("eval")).select(col("doc_id"), col("text")).cache(),
+        tn, td)
+    }
     val ingested = CorpusPipeline.streamingIngest(docs, "ts",
       conf.getOrElse("delay", "10 seconds"),
       minQuality = conf.getOrElse("min-quality", "0.35").toDouble,
       evalHashes = evalHashes)
     val q = CorpusPipeline.streamingNearDedup(ingested,
       AppEnv.get(conf, "index", usage), AppEnv.get(conf, "out", usage),
-      AppEnv.get(conf, "checkpoint", usage), trigger = AppEnv.trigger(conf))
+      AppEnv.get(conf, "checkpoint", usage), trigger = AppEnv.trigger(conf),
+      evalContainment = evalContainment)
     AppEnv.await(spark, conf, Seq(q))
   }
 }

@@ -243,16 +243,33 @@ object CorpusPipeline {
     * Index size is O(docs seen), fingerprint-width rows (id + k longs +
     * hashes) — the price of fuzzy matching against history; prune or
     * re-shard it at the periodic recap.
+    *
+    * `evalContainment`: optional (evalDocs, tNum, tDen) — when set, each
+    * micro-batch FIRST drops docs covering ≥ tNum/tDen of some eval
+    * doc's shingle set ([[decontaminateByContainment]]), the streaming
+    * lift of the batch containment stage. Containment is a pure
+    * per-(eval, doc) predicate — no cross-batch state — so streamed
+    * survivors equal the batch containment pass regardless of arrival
+    * order (spec-pinned). Per-trigger cost: the eval side re-ships its
+    * rare-shingle prefixes and the batch side one micro-batch-sized
+    * inverted-index emission (q137's geometry at micro-batch scale);
+    * cache the eval frame — it is re-read every trigger.
     */
   def streamingNearDedup(docs: DataFrame, indexDir: String, outDir: String,
                          checkpoint: String, idCol: String = "doc_id",
                          textCol: String = "text", cfg: Config = Config(),
-                         trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+                         trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+                         evalContainment: Option[(DataFrame, Int, Int)] = None)
       : StreamingQuery =
     Sinks.foreachBatchSink(docs, checkpoint, trigger, outputMode = "append") {
       (batch, _) =>
         val spark = batch.sparkSession
-        val b = batch.persist()
+        val decon = evalContainment match {
+          case Some((evalDocs, tNum, tDen)) =>
+            decontaminateByContainment(batch, evalDocs, idCol, textCol, tNum, tDen)
+          case None => batch
+        }
+        val b = decon.persist()
         try {
           val inPairs = Dedup.nearDupPairs(b, idCol, textCol, cfg.shingleN,
             cfg.minhashK, cfg.lshBands, cfg.jaccardThreshold)

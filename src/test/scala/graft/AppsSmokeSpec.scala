@@ -310,6 +310,33 @@ class AppsSmokeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("CorpusIngestApp --eval-containment: graded decontamination in the ingest path, via the real main") {
+    val in = tmp("appcont-in"); val out = tmp("appcont-out")
+    val idx = tmp("appcont-idx"); val cp = tmp("appcont-cp")
+    val evalDir = tmp("appcont-eval")
+    val evalText = "the quick brown fox jumps over the lazy dog near " +
+      "the river bank at dawn while the birds sing softly"
+    Seq((100L, evalText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(evalDir)
+    def doc(id: Long, text: String, ts: Long) =
+      s"""{"doc_id":$id,"text":"$text","ts":$ts}"""
+    writeLines(in, "00_docs.jsonl", Seq(
+      // covers the whole eval shingle set -> dropped by containment
+      doc(1, evalText + " with a few extra trailing words appended today", 10),
+      // shares one phrase (2 shingles < 3/5) -> SURVIVES the graded mode
+      // (the any-overlap --eval mode would delete it)
+      doc(2, "the quick brown fox jumps over many unrelated stories " +
+        "about harbor logistics and heavy shipping cranes downtown", 11),
+      doc(3, "entirely different words concerning glacier weather and mountain climbing routes", 12)))
+    CorpusIngestApp.main(Array(
+      "--source", "file", "--input", in, "--index", idx, "--out", out,
+      "--checkpoint", cp, "--eval", evalDir, "--eval-containment", "3/5"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val admitted = spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L, 3L),
+      s"expected the covering doc dropped, the one-phrase doc kept; got $admitted")
+  }
+
   test("CorpusCurateApp main: batch quality -> exact -> near-dedup funnel, from CLI over parquet") {
     val in = tmp("appcurate-in"); val out = tmp("appcurate-out")
     val statsDir = tmp("appcurate-stats")

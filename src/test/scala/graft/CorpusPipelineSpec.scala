@@ -410,6 +410,56 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/index").count() == all.count())
   }
 
+  test("streamingNearDedup evalContainment: streamed survivors == batch containment pass on out-of-order arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val evalText = "the quick brown fox jumps over the lazy dog near " +
+      "the river bank at dawn while the birds sing softly"
+    val eval = Seq((100L, evalText)).toDF("doc_id", "text")
+    val covering = evalText + " with a few extra trailing words appended today"
+    val onePhrase = "the quick brown fox jumps over many unrelated stories " +
+      "about harbor logistics and heavy shipping cranes downtown"
+    val docs = Seq(
+      (1L, covering),   // covers 100% of the eval shingle set -> dropped
+      (2L, onePhrase),  // shares 2 shingles (< 3/5) -> survives (the
+                        //   one-shared-phrase case any-overlap deletes)
+      (3L, "entirely different words concerning glacier weather and mountain climbing routes"),
+      (4L, "another standalone text about medieval manuscripts and careful preservation work"))
+
+    // the batch containment pass — order-free by construction
+    val batchKept = CorpusPipeline.decontaminateByContainment(
+        docs.toDF("doc_id", "text"), eval, "doc_id", "text", 3, 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(2L, 3L, 4L), s"fixture sanity; got $batchKept")
+
+    // stream the SAME docs out of order: the contaminated doc arrives
+    // LAST — containment has no cross-batch state, so arrival order
+    // cannot change the survivor set
+    val dir = java.nio.file.Files.createTempDirectory("streamdecon").toString
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.streamingNearDedup(in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/cp",
+      evalContainment = Some((eval, 3, 5)))
+    try {
+      Seq(Seq(docs(1), docs(2)), Seq(docs(3), docs(0))).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == batchKept,
+      s"streamed containment diverged: missing=${batchKept -- streamed} " +
+        s"extra=${streamed -- batchKept}")
+    // decontamination runs BEFORE the index append: a contaminated doc
+    // never existed for the corpus, so its signatures must not block
+    // future near-dups of its (legitimately unseen) text
+    val indexed = spark.read.parquet(s"$dir/index")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(indexed == Set(2L, 3L, 4L), s"index must exclude contaminated docs; got $indexed")
+  }
+
   test("streamingExactNearDedup: the recall-1.0 twin matches its exact batch recap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{Dedup, SetSim}
