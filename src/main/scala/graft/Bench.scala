@@ -60,7 +60,11 @@ object Bench {
     // same round-latency physics (measured in ScaleBench across both
     // decades instead: 6.8 s at sf0.1 is ~4 rounds of job latency, and
     // the second decade's 8× is edge growth, not per-round cost)
-    "q127_bfs_hops", "q129_minplus")
+    "q127_bfs_hops", "q129_minplus",
+    // BPE training is a driver-synchronous bounded merge loop (one
+    // TakeOrdered top-1 + localCheckpoint per round) — the q66/q142
+    // fixpoint-round-latency class; its decade rows live in ScaleBench
+    "q146_bpe_encode")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

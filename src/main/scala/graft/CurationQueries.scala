@@ -386,6 +386,30 @@ object CurationQueries {
         round(col("key"), 9).as("key"), col("rk"))
   }
 
+  /** BPE train + ENCODE (q104's loop completed,
+    * [[graft.operators.Bpe]]): train [[BPE_ROUNDS]] merges on the corpus
+    * word dictionary, apply them round-for-round, and report the
+    * corpus-weighted frequency of the top [[BPE_TOPK]] resulting subword
+    * symbols — the token-id distribution the q71/q107 packing stages
+    * would consume. Every round's merge choice is (cnt desc, pair asc)
+    * over exact longs, so the oracle replays the whole loop as chained
+    * CTEs (the q142 discipline) through an INDEPENDENT island-parity
+    * formulation of the merge semantics — a real cross-check of the
+    * engine's left-to-right fold, not an echo of it.
+    */
+  val BPE_ROUNDS = 6
+  val BPE_TOPK = 50
+  val q146_bpe_encode: Q = (s, dir) => {
+    val vocab = t(s, dir).documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val (_, encoded) = graft.operators.Bpe.train(vocab, "word", "freq", BPE_ROUNDS)
+    encoded.select(col("freq"), explode(col("syms")).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(BPE_TOPK)
+  }
+
   def all: Map[String, Q] = Map(
     "q119_weighted_sample" -> q119_weighted_sample,
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
@@ -398,7 +422,49 @@ object CurationQueries {
     "q106_winnow_pairs" -> q106_winnow_pairs,
     "q107_block_pack" -> q107_block_pack,
     "q108_zipf" -> q108_zipf,
-    "q109_curated_pack" -> q109_curated_pack)
+    "q109_curated_pack" -> q109_curated_pack,
+    "q146_bpe_encode" -> q146_bpe_encode)
+
+  /** One BPE round as chained CTEs (the q142 fixpoint-replay
+    * discipline): pair counts over v{k-1}, the (cnt desc, pair asc)
+    * top-1, then the merge applied through the ISLAND-PARITY rule — a
+    * candidate position merges iff its offset from its candidate-run
+    * start is even — which equals the engine's left-to-right fold
+    * (adjacent candidates only occur for a = b, where both formulations
+    * merge the 1st, 3rd, … of each run; for a ≠ b every candidate is an
+    * island of one). An independent formulation, so the oracle checks
+    * the fold rather than echoing it.
+    */
+  private def bpeRoundSql(k: Int): String =
+    s"""p$k AS (
+       |  SELECT syms[i] AS a, syms[i+1] AS b, sum(freq)::BIGINT AS cnt
+       |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM v${k - 1})
+       |  GROUP BY 1, 2),
+       |t$k AS MATERIALIZED (
+       |  SELECT a, b FROM p$k ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+       |x$k AS (
+       |  SELECT word, freq, i, syms[i] AS s,
+       |    (i < len(syms) AND syms[i] = (SELECT a FROM t$k)
+       |       AND syms[i+1] = (SELECT b FROM t$k)) AS cand
+       |  FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS i
+       |        FROM v${k - 1})),
+       |y$k AS (
+       |  SELECT *, i - row_number() OVER (PARTITION BY word, cand ORDER BY i) AS isl
+       |  FROM x$k),
+       |z$k AS (
+       |  SELECT word, freq, i, s,
+       |    (cand AND (i - min(i) OVER (PARTITION BY word, cand, isl)) % 2 = 0) AS m
+       |  FROM y$k),
+       |w$k AS (
+       |  SELECT word, freq, i, s, m,
+       |    lag(m) OVER (PARTITION BY word ORDER BY i) AS pm
+       |  FROM z$k),
+       |v$k AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    list(CASE WHEN m THEN (SELECT a FROM t$k) || (SELECT b FROM t$k)
+       |         ELSE s END ORDER BY i) AS syms
+       |  FROM w$k WHERE NOT coalesce(pm, false)
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
@@ -496,6 +562,18 @@ object CurationQueries {
          |  FROM h, unnest(range(len(hs) - 3)) AS t(i)
          |  WHERE len(hs) >= 4)
          |SELECT doc_id, pos, h FROM wnd""".stripMargin,
+    "q146_bpe_encode" ->
+      s"""WITH w0 AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+         |  FROM documents),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, count(*)::BIGINT AS freq,
+         |    list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+         |  FROM w0 GROUP BY 1),
+         |${(1 to BPE_ROUNDS).map(bpeRoundSql).mkString(",\n")}
+         |SELECT tok, sum(freq)::BIGINT AS cnt
+         |FROM (SELECT freq, unnest(syms) AS tok FROM v$BPE_ROUNDS)
+         |GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT $BPE_TOPK""".stripMargin,
     "q104_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
