@@ -71,6 +71,21 @@ object SimilarityQueries {
     Similarity.lshNearDupPairs(t(s, dir).embeddings, "vec_id", "embedding",
       PLANES, DIMS, 0.35)
 
+  /** OR-amplified near-dup pairs
+    * ([[graft.operators.Similarity.lshNearDupPairsBanded]]): q64's task
+    * with the recall dial engaged — BANDS independent PLANES-bit
+    * bucketings, all derived from ONE native bucket evaluation
+    * (shift/mask per band), pair recall 1 − (1 − p^planes)^bands vs the
+    * single band's p^planes (measured 0.47 vs 0.18 at sf0.1 — the
+    * BASELINE.md recall rows). The oracle replays the full
+    * PLANES·BANDS-bit schedule and re-derives each band's sub-bucket by
+    * integer division of the plane index.
+    */
+  val BANDS = 4
+  val q147_banded_neardup: Q = (s, dir) =>
+    Similarity.lshNearDupPairsBanded(t(s, dir).embeddings, "vec_id",
+      "embedding", PLANES, BANDS, DIMS, 0.35)
+
   /** Semantic-dedup threshold. As with q64, the synthetic embeddings carry
     * no true duplicates, so a low threshold exercises the drop path; a
     * production pass runs ~0.95.
@@ -159,6 +174,7 @@ object SimilarityQueries {
     "q33_lsh_ann" -> q33_lsh_ann,
     "q61_ivf_ann" -> q61_ivf_ann,
     "q64_embedding_neardup" -> q64_embedding_neardup,
+    "q147_banded_neardup" -> q147_banded_neardup,
     "q87_semantic_dedup" -> q87_semantic_dedup,
     "q89_incremental_semdedup" -> q89_incremental_semdedup,
     "q92_prototypes" -> q92_prototypes,
@@ -378,6 +394,26 @@ object SimilarityQueries {
          |  FROM pr GROUP BY vec_id),
          |vb AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk ON v.vec_id = bk.vec_id)
          |SELECT a.vec_id AS d1, b.vec_id AS d2, ${cosSql("a.v", "b.v")} AS cos
+         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin,
+    "q147_banded_neardup" ->
+      s"""WITH $vCte,
+         |pr AS (
+         |  SELECT vec_id, j,
+         |    ${foldSum(s"""list_transform(range($DIMS), d ->
+         |      v[d+1] * (((((j*$DIMS + d + 1) * 2654435761) % 1000000007) % 2001 - 1000) / 1000.0))""")} AS proj
+         |  FROM v, (SELECT unnest(range(${PLANES * BANDS})) AS j)),
+         |-- band = j // PLANES; each band's sub-bucket packs its own
+         |-- PLANES sign bits — the same bits the engine takes from one
+         |-- lsh_bucket(vec, PLANES*BANDS) call by shift/mask
+         |bk AS (
+         |  SELECT vec_id, j // $PLANES AS band,
+         |    (j // $PLANES) * ${1L << PLANES} +
+         |      sum(CASE WHEN proj >= 0 THEN (1::BIGINT << (j % $PLANES))
+         |          ELSE 0 END)::BIGINT AS bucket
+         |  FROM pr GROUP BY 1, 2),
+         |vb AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk ON v.vec_id = bk.vec_id)
+         |SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2, ${cosSql("a.v", "b.v")} AS cos
          |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.35""".stripMargin)
 }

@@ -79,6 +79,12 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int, dims: Int): Column =
     call_function("lsh_bucket", vec, lit(planes), lit(dims))
 
+  /** [[lshBucket]] over flat planes firstPlane .. firstPlane+planes−1 —
+    * the chunking primitive for banded schemes past one long's 62 bits.
+    */
+  def lshBucketFrom(vec: Column, planes: Int, dims: Int, firstPlane: Int): Column =
+    call_function("lsh_bucket_from", vec, lit(planes), lit(dims), lit(firstPlane))
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):
     * uniform in [-1, 1] with step 1e-3, derived from the portable integer
     * hash so any engine reproduces it. HOF reference path only.
@@ -116,14 +122,73 @@ object Similarity {
     * every same-bucket pair with cosine >= threshold. No global sort or
     * limit — the output is the edge set for `Dedup.duplicateClusters`'
     * keep-one-per-component rule, completing the dedup family (exact,
-    * MinHash-Jaccard, SimHash-Hamming, embedding-cosine). Recall follows
-    * the bucketing (cross-bucket near-dups are missed; more planes/bands
-    * trade shuffle for recall), same as every LSH path here.
+    * MinHash-Jaccard, SimHash-Hamming, embedding-cosine). SINGLE-band:
+    * recall for a pair at angle θ is (1 − θ/π)^planes — measured 0.18 at
+    * 4 planes / cos 0.35 (BASELINE.md recall rows), falling as the
+    * planes-≈-log2(n) occupancy rule raises planes. The cheap low-recall
+    * screen; for dial-able recall use [[lshNearDupPairsBanded]], and for
+    * high recall at scale the cluster-based [[semanticDedup]] (measured
+    * 0.92–0.98).
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       planes: Int, dims: Int, threshold: Double): DataFrame =
     bucketedScoredPairs(df, idCol, vecCol, planes, dims)
       .filter(col("cos") >= threshold)
+
+  /** OR-amplified (banded) hyperplane near-dup pairs — the same
+    * AND-then-OR construction MinHash-LSH uses for text (q27/q28),
+    * applied to the hyperplane family: `bands` independent bucketings of
+    * `planes` sign bits each; a pair is a candidate if it collides in
+    * ANY band. Pair recall at angle θ rises from p^planes to
+    * 1 − (1 − p^planes)^bands with p = 1 − θ/π — `planes` holds
+    * per-band bucket occupancy (set it ≈ log2 n), `bands` dials recall
+    * independently (bands ≈ ln(1−r)/ln(1−p^planes) for target r).
+    *
+    * O(1) native bucket evaluations per row: the coefficient schedule is
+    * FLAT-plane-indexed, so all bands' sign bits come from
+    * `lsh_bucket_from` calls over consecutive plane ranges (one long
+    * holds ≤ 62 sign bits; bands chunk across calls transparently) and
+    * each band's sub-bucket is a shift/mask — no per-band hashing, and
+    * the oracle replays the identical flat-j bits (q147), oblivious to
+    * the chunking. Shuffle carries `bands` narrow keyed rows per vector;
+    * a pair colliding in several bands is reported once
+    * (`dropDuplicates` AFTER the threshold filter, so the dedup exchange
+    * carries only qualifying pairs).
+    */
+  def lshNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, bands: Int, dims: Int,
+                            threshold: Double): DataFrame = {
+    require(planes >= 1 && planes <= 62 && bands >= 1,
+      s"lshNearDupPairsBanded: need 1 <= planes <= 62 and bands >= 1, " +
+        s"got planes=$planes bands=$bands")
+    val bandsPerChunk = math.max(1, 62 / planes)
+    val nChunks = (bands + bandsPerChunk - 1) / bandsPerChunk
+    val bitCols = (0 until nChunks).map { c =>
+      val nb = math.min(bandsPerChunk, bands - c * bandsPerChunk)
+      lshBucketFrom(col("v"), nb * planes, dims, c * bandsPerChunk * planes)
+    }
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("__bits", array(bitCols: _*))
+      .withColumn("nrm", norm(col("v")))
+    val banded = v
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket",
+        col("__band").cast("long") * lit(1L << planes) +
+          call_function("shiftright",
+            element_at(col("__bits"),
+              (expr(s"__band div $bandsPerChunk") + 1).cast("int")),
+            (pmod(col("__band"), lit(bandsPerChunk)) * planes).cast("int"))
+            .bitwiseAND(lit((1L << planes) - 1)))
+    val a = banded.select(col("bucket"), col(idCol).as("d1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = banded.select(col("bucket"), col(idCol).as("d2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("d1", "d2")
+  }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means-cluster the embeddings, then within each cluster drop every

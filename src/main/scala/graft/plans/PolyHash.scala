@@ -89,7 +89,8 @@ object GraftFunctions {
   private[plans] val descriptors = Seq(
     PolyHash.descriptor, ShingleHashes.descriptor,
     MinHashSig.descriptor, SimHashOf.descriptor, WinnowFps.descriptor,
-    VecDot.descriptor, LshBucket.descriptor, NearestCentroid.descriptor,
+    VecDot.descriptor, LshBucket.descriptor, LshBucketFrom.descriptor,
+    NearestCentroid.descriptor,
     PqCodes.descriptor, PqAdc.descriptor)
 
   /** Register all engine functions on a live session (idempotent overwrite). */

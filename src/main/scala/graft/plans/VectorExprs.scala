@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -110,23 +110,31 @@ case class LshBucket(first: Expression, second: Expression, third: Expression)
 
 object LshBucket {
   private val coefCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]
 
-  /** coef(j, d) for plane j, dim d — flat per-plane arrays, computed once
-    * per (planes, dims) per JVM.
+  /** coef(j, d) for FLAT plane `first + j`, dim d — per-plane arrays,
+    * computed once per (first, planes, dims) per JVM. The schedule is a
+    * single flat plane-index sequence: callers needing more sign bits
+    * than one long holds chunk across calls with `first` offsets and the
+    * coefficients line up exactly (the oracle replays flat j, oblivious
+    * to chunking).
     */
-  private def coefs(planes: Int, dims: Int): Array[Array[Double]] =
-    coefCache.computeIfAbsent((planes, dims), { case (p, dm) =>
+  private def coefs(first: Int, planes: Int, dims: Int): Array[Array[Double]] =
+    coefCache.computeIfAbsent((first, planes, dims), { case (f, p, dm) =>
       Array.tabulate(p, dm) { (j, d) =>
-        ((((j.toLong * dm + d + 1) * 2654435761L) % 1000000007L % 2001L) - 1000L) / 1000.0
+        (((((f + j).toLong * dm + d + 1) * 2654435761L) % 1000000007L % 2001L) - 1000L) / 1000.0
       }
     })
 
   /** Vectors are expected to carry exactly `dims` elements; shorter arrays
     * project over their own length (same sign result as padding with 0).
     */
-  def bucket(vec: ArrayData, planes: Int, dims: Int): Long = {
-    val cs = coefs(planes, dims)
+  def bucket(vec: ArrayData, planes: Int, dims: Int): Long =
+    bucketFrom(vec, planes, dims, 0)
+
+  /** [[bucket]] over flat planes `first .. first + planes - 1`. */
+  def bucketFrom(vec: ArrayData, planes: Int, dims: Int, first: Int): Long = {
+    val cs = coefs(first, planes, dims)
     val n = math.min(dims, vec.numElements())
     var bits = 0L
     var j = 0
@@ -148,6 +156,48 @@ object LshBucket {
     FunctionIdentifier("lsh_bucket"),
     new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
     (c: Seq[Expression]) => LshBucket(c.head, c(1), c(2)))
+}
+
+/** lsh_bucket_from(vec, planes, dims, firstPlane): [[LshBucket]] with the
+  * coefficient schedule starting at flat plane `firstPlane`. One long
+  * carries at most 62 sign bits; OR-amplified banding past that chunks
+  * its bands across several calls with increasing offsets, and because
+  * the schedule is flat-plane-indexed the bits are identical to a
+  * hypothetical single wide call — `lsh_bucket_from(v, p, d, 0)` equals
+  * `lsh_bucket(v, p, d)` bit for bit (NativeExprsSpec pins both).
+  */
+case class LshBucketFrom(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket_from"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "lsh_bucket_from(vec: array<double>, planes: int, dims: int, firstPlane: int)")
+    }
+
+  protected override def nullSafeEval(v: Any, p: Any, d: Any, f: Any): Any =
+    LshBucket.bucketFrom(v.asInstanceOf[ArrayData], p.asInstanceOf[Int],
+      d.asInstanceOf[Int], f.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p, d, f) =>
+      s"graft.plans.LshBucket$$.MODULE$$.bucketFrom($v, $p, $d, $f)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, fo: Expression): LshBucketFrom =
+    copy(first = f, second = s, third = t, fourth = fo)
+}
+
+object LshBucketFrom {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lsh_bucket_from"),
+    new ExpressionInfo(classOf[LshBucketFrom].getName, "lsh_bucket_from"),
+    (c: Seq[Expression]) => LshBucketFrom(c.head, c(1), c(2), c(3)))
 }
 
 /** nearest_centroid(vec, centroids, dims): index of the L2-nearest centroid

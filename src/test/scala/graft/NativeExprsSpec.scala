@@ -99,4 +99,22 @@ class NativeExprsSpec extends AnyFunSuite {
       .distinct().count()
     assert(nb > 1)
   }
+
+  test("lsh_bucket_from: offset 0 == lsh_bucket; offset bits align with the flat schedule") {
+    val v = emb.select(Similarity.asDouble($"embedding").as("v"))
+    // seed 0 is bit-identical to the 3-arg form
+    val z = v.select(
+      Similarity.lshBucket($"v", 8, 64).as("plain"),
+      Similarity.lshBucketFrom($"v", 8, 64, 0).as("seeded"))
+      .filter(not($"plain" <=> $"seeded"))
+    assert(z.count() == 0)
+    // planes [16, 24) via offset == bits 16..23 of one wide 24-plane call:
+    // the flat coefficient schedule is oblivious to chunk boundaries
+    val a = v.select(
+      Similarity.lshBucketFrom($"v", 8, 64, 16).as("chunk"),
+      (shiftright(Similarity.lshBucket($"v", 24, 64), 16)
+        .bitwiseAND(lit(0xFFL))).as("wide"))
+      .filter(not($"chunk" <=> $"wide"))
+    assert(a.count() == 0)
+  }
 }

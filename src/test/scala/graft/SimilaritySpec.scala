@@ -80,4 +80,35 @@ class SimilaritySpec extends AnyFunSuite {
     // every edge's endpoints share a cluster label
     assert(rows.forall(r => labels(r._1) == labels(r._2)))
   }
+
+  test("lshNearDupPairsBanded: bands=1 equals the single-band form; more bands only add recall") {
+    val emb = graft.core.Tables.load(spark, TestSession.sf, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val single = pairSet(
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 4, 64, 0.35))
+    // bands=1: band 0's sub-bucket is exactly lsh_bucket(v, 4)'s bits
+    val banded1 = pairSet(
+      Similarity.lshNearDupPairsBanded(emb, "vec_id", "embedding", 4, 1, 64, 0.35))
+    assert(banded1 == single, "bands=1 must reproduce the single-band pair set")
+    // OR-amplification is monotone: band 0 alone already yields `single`
+    val banded4 = Similarity.lshNearDupPairsBanded(
+      emb, "vec_id", "embedding", 4, 4, 64, 0.35)
+    val b4 = pairSet(banded4)
+    assert(single.subsetOf(b4), "adding bands must never lose a pair")
+    assert(b4.size > single.size, "the fixture must demonstrate recall gain")
+    // reported once per pair despite multi-band collisions
+    val all = banded4.select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(all.length == all.toSet.size, "pairs must be reported once")
+    // every reported pair is above threshold
+    assert(banded4.filter($"cos" < 0.35).isEmpty)
+    // bands past one long's 62 sign bits chunk across lsh_bucket_from
+    // calls: with planes=8 the first 7 bands fill chunk 0, so a 13-band
+    // run must contain the 7-band run — the chunk seam loses nothing
+    val b7 = pairSet(Similarity.lshNearDupPairsBanded(
+      emb, "vec_id", "embedding", 8, 7, 64, 0.35))
+    val b13 = pairSet(Similarity.lshNearDupPairsBanded(
+      emb, "vec_id", "embedding", 8, 13, 64, 0.35))
+    assert(b7.subsetOf(b13), "bands crossing the chunk boundary must only add pairs")
+  }
 }
