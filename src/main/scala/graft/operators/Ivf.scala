@@ -57,6 +57,14 @@ object Ivf {
     * as O(k·dims) doubles: at n=10^10, listSize=4096 → k≈2.4M, which is
     * why production IVF shards the coarse quantizer; this rule covers the
     * single-model range (k ≤ ~10^5, n ≤ ~10^8·listSize/4096).
+    *
+    * RECALL caveat (measured, BASELINE.md round-6 recall rows): growing
+    * k with nprobe FIXED shrinks the probed fraction of the space and
+    * recall falls with it (0.50 → 0.22 a decade up at nprobe=2). nprobe
+    * is the recall/cost dial: scaling it with k (constant fraction,
+    * e.g. k/4) restored recall to 0.74 at linear — not constant —
+    * per-query cost. Pick nprobe from a measured recall target, not
+    * from the sf0.1 default.
     */
   def kFor(n: Long, targetListSize: Int = 4096): Int = {
     require(targetListSize > 0, s"targetListSize must be positive, got $targetListSize")
