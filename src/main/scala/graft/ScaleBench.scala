@@ -188,26 +188,9 @@ object ScaleBench {
           Pq.trainOnSample(emb, fraction = 0.1, seed = 42L, "vec_id",
             "embedding", m = 8, subDims = 8, k = 16, iters = 2)
         else Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
-      val queries = emb.filter(col("vec_id") < 10)
-      val cand = Pq.adcTopK(Pq.assignCodes(emb, "embedding", cents, 8),
-        queries, "vec_id", "embedding", cents, 50)
-        .select(col("query_id"), col("neighbor_id"))
-      val q = org.apache.spark.sql.functions.broadcast(
-        queries.select(col("vec_id").as("query_id"),
-          Similarity.asDouble(col("embedding")).as("qv")))
-      val c = emb.select(col("vec_id").as("neighbor_id"),
-        Similarity.asDouble(col("embedding")).as("cv"))
-      val d2 = Similarity.dot(col("qv"), col("qv")) -
-        Similarity.dot(col("qv"), col("cv")) * 2 +
-        Similarity.dot(col("cv"), col("cv"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id"))
-        .orderBy(col("l2").asc, col("neighbor_id").asc)
-      cand.join(c, "neighbor_id").join(q, "query_id")
-        .select(col("query_id"), col("neighbor_id"),
-          org.apache.spark.sql.functions.round(d2, 6).as("l2"))
-        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("rank") <= 5)
+      Pq.adcRerankTopK(Pq.assignCodes(emb, "embedding", cents, 8), emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", cents,
+        fetch = 50, kNeighbors = 5)
     }
 
   /** SemDeDup variants: same cluster-occupancy physics as IVF — fixed k

@@ -168,6 +168,26 @@ object SimilarityQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** PQ as production runs it ([[graft.operators.Pq.adcRerankTopK]]):
+    * the codes-only ADC scan over-fetches [[PQ_RERANK_FETCH]] candidates
+    * per query, exact squared-L2 on just those rows decides the top-5.
+    * Raw ADC@5 with these toy codebooks measured 0.12 recall; the rerank
+    * form 3× that (BASELINE.md round-6 recall rows) — this query makes
+    * the production shape oracle-checked, not just recall-measured.
+    */
+  val PQ_RERANK_FETCH = 50
+  val q148_pq_rerank: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val cents = graft.operators.Pq.trainCached(emb, pqKey(dir), "vec_id",
+      "embedding", m = PQ_M, subDims = PQ_SUBD, k = PQ_K, iters = PQ_ITERS)
+    lastPqKey = Some(pqKey(dir))
+    val corpus = graft.operators.Pq.assignCodes(emb, "embedding", cents, PQ_SUBD)
+    graft.operators.Pq.adcRerankTopK(corpus, emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", cents, fetch = PQ_RERANK_FETCH, kNeighbors = 5)
+      .select(col("query_id"), col("neighbor_id"), col("l2"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
@@ -178,7 +198,8 @@ object SimilarityQueries {
     "q87_semantic_dedup" -> q87_semantic_dedup,
     "q89_incremental_semdedup" -> q89_incremental_semdedup,
     "q92_prototypes" -> q92_prototypes,
-    "q113_pq_adc" -> q113_pq_adc)
+    "q113_pq_adc" -> q113_pq_adc,
+    "q148_pq_rerank" -> q148_pq_rerank)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private[graft] def foldSum(terms: String) =
@@ -308,35 +329,68 @@ object SimilarityQueries {
     * list aggregate (so the ADC fold runs in the same subspace-major dim
     * order as the codegen'd loop), squared-L2 + per-query top-k.
     */
+  /** The shared q113/q148 CTE prefix through `scored` (per-query ADC
+    * distances over the whole corpus) from the cached codebook literal.
+    */
+  private def pqAdcCtes(cents: Array[Double]): String = {
+    val cbRows = (for (j <- 0 until PQ_M; c <- 0 until PQ_K) yield {
+      val off = (j * PQ_K + c) * PQ_SUBD
+      val vs = (0 until PQ_SUBD).map(t => cents(off + t)).mkString("[", ", ", "]")
+      s"($j, $c, $vs::DOUBLE[])"
+    }).mkString(", ")
+    val subL2 = foldSum(
+      s"list_transform(range($PQ_SUBD), t -> " +
+        s"(v.v[cb.j*$PQ_SUBD + t + 1] - cb.cvec[t+1]) * (v.v[cb.j*$PQ_SUBD + t + 1] - cb.cvec[t+1]))")
+    s"""$vCte,
+       |cb AS (SELECT * FROM (VALUES $cbRows) t(j, c, cvec)),
+       |asg AS (
+       |  SELECT vec_id, j, cvec FROM (
+       |    SELECT v.vec_id, cb.j, cb.cvec,
+       |      row_number() OVER (PARTITION BY v.vec_id, cb.j
+       |        ORDER BY $subL2 ASC, cb.c ASC) AS rn
+       |    FROM v CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cvec ORDER BY j)) AS rv
+       |  FROM asg GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+       |    round(${foldSum(s"list_transform(range(${PQ_M * PQ_SUBD}), i -> (q.v[i+1] - r.rv[i+1]) * (q.v[i+1] - r.rv[i+1]))")}, 6) AS adc
+       |  FROM v q JOIN recon r ON q.vec_id < 10 AND q.vec_id <> r.vec_id)""".stripMargin
+  }
+
   private def q113Oracle: Option[String] =
     lastPqKey.flatMap(graft.operators.Pq.cachedModel).map { cents =>
-      val cbRows = (for (j <- 0 until PQ_M; c <- 0 until PQ_K) yield {
-        val off = (j * PQ_K + c) * PQ_SUBD
-        val vs = (0 until PQ_SUBD).map(t => cents(off + t)).mkString("[", ", ", "]")
-        s"($j, $c, $vs::DOUBLE[])"
-      }).mkString(", ")
-      val subL2 = foldSum(
-        s"list_transform(range($PQ_SUBD), t -> " +
-          s"(v.v[cb.j*$PQ_SUBD + t + 1] - cb.cvec[t+1]) * (v.v[cb.j*$PQ_SUBD + t + 1] - cb.cvec[t+1]))")
-      s"""WITH $vCte,
-         |cb AS (SELECT * FROM (VALUES $cbRows) t(j, c, cvec)),
-         |asg AS (
-         |  SELECT vec_id, j, cvec FROM (
-         |    SELECT v.vec_id, cb.j, cb.cvec,
-         |      row_number() OVER (PARTITION BY v.vec_id, cb.j
-         |        ORDER BY $subL2 ASC, cb.c ASC) AS rn
-         |    FROM v CROSS JOIN cb)
-         |  WHERE rn = 1),
-         |recon AS (
-         |  SELECT vec_id, flatten(list(cvec ORDER BY j)) AS rv
-         |  FROM asg GROUP BY vec_id),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
-         |    round(${foldSum(s"list_transform(range(${PQ_M * PQ_SUBD}), i -> (q.v[i+1] - r.rv[i+1]) * (q.v[i+1] - r.rv[i+1]))")}, 6) AS adc
-         |  FROM v q JOIN recon r ON q.vec_id < 10 AND q.vec_id <> r.vec_id)
+      s"""WITH ${pqAdcCtes(cents)}
          |SELECT query_id, neighbor_id, adc, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    }
+
+  /** q148 oracle: q113's ADC CTEs cut at the over-fetch rank, then the
+    * exact squared-L2 rerank on just those candidates — same qq − 2qc +
+    * cc operand order as the engine's native-dot expression, rounded to
+    * 6 dp before the final rank.
+    */
+  private def q148Oracle: Option[String] =
+    lastPqKey.flatMap(graft.operators.Pq.cachedModel).map { cents =>
+      s"""WITH ${pqAdcCtes(cents)},
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc ASC, neighbor_id ASC) AS rk FROM scored)
+         |  WHERE rk <= $PQ_RERANK_FETCH),
+         |ex AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    round(${dotSql("q.v", "q.v")} - ${dotSql("q.v", "n.v")} * 2
+         |      + ${dotSql("n.v", "n.v")}, 6) AS l2
+         |  FROM cand c
+         |  JOIN v q ON q.vec_id = c.query_id
+         |  JOIN v n ON n.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, l2, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY l2 ASC, neighbor_id ASC) AS rank FROM ex)
          |WHERE rank <= 5""".stripMargin
     }
 
@@ -345,7 +399,8 @@ object SimilarityQueries {
       "q61_ivf_ann" -> q61Oracle, "q87_semantic_dedup" -> q87Oracle,
       "q89_incremental_semdedup" -> q89Oracle,
       "q92_prototypes" -> q92Oracle,
-      "q113_pq_adc" -> q113Oracle)
+      "q113_pq_adc" -> q113Oracle,
+      "q148_pq_rerank" -> q148Oracle)
       .collect { case (k, Some(sql)) => k -> sql }
     staticOracles ++ dynamic
   }

@@ -250,4 +250,30 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got == want, s"[$lo,$up]: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     }
   }
+
+  test("bandedIntervalJoinAuto == naive range join on random inputs, salted and plain paths both drawn") {
+    val tsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 5000L))
+    val lefts = cases(tsGen, 6)
+    val rights = cases(tsGen, 6)
+    // a tiny ceiling forces the salted fallback on dense draws and the
+    // plain path on sparse ones — both plans must reproduce the naive join
+    for (((ls, rs), ci) <- lefts.zip(rights).zipWithIndex) {
+      val (lo, up) = (0L, 1000L * 1000)
+      val l = ls.distinct.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new java.sql.Timestamp(t)) }.toDF("lid", "lts")
+      val r = rs.distinct.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new java.sql.Timestamp(t)) }.toDF("rid", "rts")
+      val got = Relational.bandedIntervalJoinAuto(l, r, "lts", "rts", lo, up,
+          bandRowsCeiling = 3, maxSaltBuckets = 4)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (lt, li) <- ls.distinct.zipWithIndex
+        (rt, ri) <- rs.distinct.zipWithIndex
+        lag = (rt - lt) * 1000
+        if lag >= lo && lag <= up
+      } yield (li.toLong, ri.toLong)).toSet
+      assert(got == want,
+        s"case $ci: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
 }
