@@ -188,6 +188,33 @@ object SimilarityQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** The composed IVF-PQ serving shape
+    * ([[graft.operators.Pq.ivfPqTopK]]): coarse probe prunes to
+    * [[IVF_NPROBE]] posting lists, ADC ranks only their members from
+    * codes — per-query work bounded at nprobe × listSize code walks at
+    * any corpus size, 64:1 memory. Both models are the cached q61/q113
+    * trainings, and the oracle replays BOTH literals: coarse assignment
+    * + probe ranking (q61's CTEs) and codebook reconstruction ADC
+    * (q113's), joined on the probed lists.
+    */
+  val q149_ivf_pq: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val coarse = graft.operators.Ivf.trainCached(emb, ivfKey(dir), "vec_id",
+      "embedding", k = IVF_K, dims = DIMS, iters = IVF_ITERS)
+    lastIvfKey = Some(ivfKey(dir))
+    val pq = graft.operators.Pq.trainCached(emb, pqKey(dir), "vec_id",
+      "embedding", m = PQ_M, subDims = PQ_SUBD, k = PQ_K, iters = PQ_ITERS)
+    lastPqKey = Some(pqKey(dir))
+    val corpus = graft.operators.Pq.assignCodes(
+      graft.operators.Ivf.assign(emb, "embedding", coarse, DIMS),
+      "embedding", pq, PQ_SUBD)
+    graft.operators.Pq.ivfPqTopK(s, corpus, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", coarse, DIMS, pq,
+      nprobe = IVF_NPROBE, kNeighbors = 5)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
@@ -199,7 +226,8 @@ object SimilarityQueries {
     "q89_incremental_semdedup" -> q89_incremental_semdedup,
     "q92_prototypes" -> q92_prototypes,
     "q113_pq_adc" -> q113_pq_adc,
-    "q148_pq_rerank" -> q148_pq_rerank)
+    "q148_pq_rerank" -> q148_pq_rerank,
+    "q149_ivf_pq" -> q149_ivf_pq)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private[graft] def foldSum(terms: String) =
@@ -394,13 +422,75 @@ object SimilarityQueries {
          |WHERE rank <= 5""".stripMargin
     }
 
+  /** q149 oracle: BOTH model literals — q61's coarse assignment + probe
+    * ranking (CTEs renamed c*) and q113's codebook reconstruction (p*) —
+    * ADC over the probed lists' members only. Needs both models trained
+    * this JVM (Verify's order guarantees it: q61 and q113 run first).
+    */
+  private def q149Oracle: Option[String] =
+    for {
+      coarse <- lastIvfKey.flatMap(graft.operators.Ivf.cachedModel)
+      pq <- lastPqKey.flatMap(graft.operators.Pq.cachedModel)
+    } yield {
+      val centRows = coarse.grouped(DIMS).zipWithIndex.map { case (c, i) =>
+        s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+      }.mkString(", ")
+      val cbRows = (for (j <- 0 until PQ_M; c <- 0 until PQ_K) yield {
+        val off = (j * PQ_K + c) * PQ_SUBD
+        val vs = (0 until PQ_SUBD).map(t => pq(off + t)).mkString("[", ", ", "]")
+        s"($j, $c, $vs::DOUBLE[])"
+      }).mkString(", ")
+      val subL2 = foldSum(
+        s"list_transform(range($PQ_SUBD), t -> " +
+          s"(v.v[cb.j*$PQ_SUBD + t + 1] - cb.cvec[t+1]) * (v.v[cb.j*$PQ_SUBD + t + 1] - cb.cvec[t+1]))")
+      s"""WITH $vCte,
+         |ccents AS (SELECT * FROM (VALUES $centRows) t(centroid, cvec)),
+         |casg AS (
+         |  SELECT vec_id, centroid FROM (
+         |    SELECT v.vec_id, c.centroid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.v", "c.cvec")} ASC, c.centroid ASC) AS rn
+         |    FROM v CROSS JOIN ccents c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, centroid FROM (
+         |    SELECT q.vec_id AS query_id, q.v AS qv, c.centroid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ((-(${dotSql("q.v", "c.cvec")})) * 2 + ${dotSql("c.cvec", "c.cvec")}) ASC,
+         |                 c.centroid ASC) AS pr
+         |    FROM v q CROSS JOIN ccents c WHERE q.vec_id < 10)
+         |  WHERE pr <= $IVF_NPROBE),
+         |cb AS (SELECT * FROM (VALUES $cbRows) t(j, c, cvec)),
+         |pasg AS (
+         |  SELECT vec_id, j, cvec FROM (
+         |    SELECT v.vec_id, cb.j, cb.cvec,
+         |      row_number() OVER (PARTITION BY v.vec_id, cb.j
+         |        ORDER BY $subL2 ASC, cb.c ASC) AS rn
+         |    FROM v CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |recon AS (
+         |  SELECT vec_id, flatten(list(cvec ORDER BY j)) AS rv
+         |  FROM pasg GROUP BY vec_id),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${foldSum(s"list_transform(range(${PQ_M * PQ_SUBD}), i -> (p.qv[i+1] - r.rv[i+1]) * (p.qv[i+1] - r.rv[i+1]))")}, 6) AS adc
+         |  FROM probes p
+         |  JOIN casg a ON p.centroid = a.centroid AND p.query_id <> a.vec_id
+         |  JOIN recon r ON r.vec_id = a.vec_id)
+         |SELECT query_id, neighbor_id, adc, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc ASC, neighbor_id ASC) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    }
+
   def oracles: Map[String, String] = {
     val dynamic = Seq(
       "q61_ivf_ann" -> q61Oracle, "q87_semantic_dedup" -> q87Oracle,
       "q89_incremental_semdedup" -> q89Oracle,
       "q92_prototypes" -> q92Oracle,
       "q113_pq_adc" -> q113Oracle,
-      "q148_pq_rerank" -> q148Oracle)
+      "q148_pq_rerank" -> q148Oracle,
+      "q149_ivf_pq" -> q149Oracle)
       .collect { case (k, Some(sql)) => k -> sql }
     staticOracles ++ dynamic
   }

@@ -161,4 +161,48 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNeighbors)
   }
+
+  /** Composed IVF-PQ — the full 100 TB ANN shape (previously spec-only,
+    * PqSpec's last case; q149 makes it oracle-checked): the coarse
+    * quantizer prunes the scan to `nprobe` posting lists per query
+    * (Ivf.knn's probe plan), and ADC ranks ONLY those lists' members
+    * from their codes. Per query the work is nprobe × listSize code
+    * walks — with [[graft.operators.Ivf.kFor]] holding list size and
+    * nprobe scaled as the measured recall dial, per-query cost is a
+    * constant×nprobe regardless of corpus size, at 64:1 memory over the
+    * float vectors. Compose with [[adcRerankTopK]]'s exact rerank for
+    * the serving stack's final stage.
+    *
+    * `corpusCoded` must carry BOTH the `centroid` column
+    * ([[graft.operators.Ivf.assign]]) and the `codes` column
+    * ([[assignCodes]]). ADC distances round to 6 dp before ranking,
+    * ties toward the lower neighbor id — the oracle contract.
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession,
+                corpusCoded: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                coarse: Array[Double], dims: Int, pqCents: Array[Double],
+                nprobe: Int, kNeighbors: Int): DataFrame = {
+    val cf = Ivf.centroidFrame(spark, coarse, dims)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("centroid").asc)
+    val probes = q.crossJoin(broadcast(cf))
+      .withColumn("cdist",
+        -Similarity.dot(col("qv"), col("cvec")) * 2 +
+          Similarity.dot(col("cvec"), col("cvec")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid"))
+    val scored = corpusCoded
+      .select(col("centroid"), col(idCol).as("neighbor_id"), col("codes"))
+      .join(broadcast(probes), Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(call_function("pq_adc", col("qv"), col("codes"), lit(pqCents)), 6).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+  }
 }

@@ -95,39 +95,45 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"ADC recall@5 collapsed toward chance: $recall")
   }
 
-  test("composed IVF-PQ: probe nprobe coarse lists, ADC-rank inside them") {
+  test("composed IVF-PQ (Pq.ivfPqTopK): probe nprobe coarse lists, ADC-rank inside them") {
     val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
     val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
     val corpus = Pq.assignCodes(
       Ivf.assign(emb, "embedding", coarse, 64), "embedding", pq, 8)
     val queries = emb.filter($"vec_id" < 10)
-    // coarse probe: 2 nearest lists per query (Ivf.knn's probe plan)
+    val top = Pq.ivfPqTopK(spark, corpus, queries, "vec_id", "embedding",
+      coarse, 64, pq, nprobe = 2, kNeighbors = 5)
+    val rows = top.select($"query_id", $"neighbor_id").collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // every returned neighbor must live in one of its query's probed
+    // lists — recompute the probe plan independently (Ivf.knn's form)
     val cf = Ivf.centroidFrame(spark, coarse, 64)
     val q = queries.select($"vec_id".as("query_id"),
       graft.operators.Similarity.asDouble($"embedding").as("qv"))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy($"query_id").orderBy($"cdist".asc, $"centroid".asc)
-    val probes = q.crossJoin(broadcast(cf))
+    val probed = q.crossJoin(broadcast(cf))
       .withColumn("cdist",
         -graft.operators.Similarity.dot($"qv", $"cvec") * 2 +
           graft.operators.Similarity.dot($"cvec", $"cvec"))
       .withColumn("pr", row_number().over(probeW)).filter($"pr" <= 2)
-      .select($"query_id", $"qv", $"centroid")
-    // candidates = probed lists only; ADC-rank them (codes, not floats)
-    val scored = corpus.select($"centroid", $"vec_id".as("neighbor_id"), $"codes")
-      .join(broadcast(probes), Seq("centroid"))
-      .filter($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id", $"centroid",
-        call_function("pq_adc", $"qv", $"codes", lit(pq)).as("adc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"query_id").orderBy($"adc".asc, $"neighbor_id".asc)
-    val top = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
-    val rows = top.select($"query_id", $"neighbor_id", $"centroid").collect()
-    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 5))
-    // every returned neighbor must live in one of its query's probed lists
-    val probed = probes.select($"query_id", $"centroid")
+      .select($"query_id", $"centroid")
       .as[(Long, Int)].collect().groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._2).toSet }
-    assert(rows.forall(r => probed(r.getLong(0)).contains(r.getInt(2))))
+    val assigned = corpus.select($"vec_id", $"centroid")
+      .as[(Long, Int)].collect().toMap
+    assert(rows.forall(r => probed(r.getLong(0)).contains(assigned(r.getLong(1)))))
+    // composed result is ADC-consistent: inside probed lists, it ranks by
+    // the same codes the flat ADC (q113's operator) scores
+    val flat = Pq.adcTopK(corpus, queries, "vec_id", "embedding", pq, 5)
+      .select($"query_id", $"neighbor_id", $"adc")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(t => t._2 -> t._3).toMap }
+    val comp = top.select($"query_id", $"neighbor_id", $"adc")
+      .as[(Long, Long, Double)].collect()
+    comp.foreach { case (qid, nid, adc) =>
+      flat(qid).get(nid).foreach(fadc =>
+        assert(fadc == adc, s"ADC mismatch for ($qid,$nid): $adc vs flat $fadc"))
+    }
   }
 }
