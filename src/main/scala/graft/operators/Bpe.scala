@@ -55,6 +55,28 @@ object Bpe {
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (a, b)) => mergeOnce(c, lit(a), lit(b)) }
 
+  /** An ordered merges table as a DataFrame (rank, a, b) — the artifact
+    * a training job persists (`.write.parquet`) so later encode jobs
+    * apply the SAME subword vocabulary without retraining.
+    */
+  def mergesToDF(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "a", "b")
+  }
+
+  /** Load a persisted merges table back into apply order. The collect is
+    * bounded by contract: a merges table is the trained vocabulary
+    * budget (thousands of rows — it becomes plan literals in
+    * [[applyMerges]], which is only viable at that size anyway).
+    */
+  def mergesFromDF(df: DataFrame): Seq[(String, String)] =
+    df.select(col("rank").cast("long"), col("a"), col("b"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Train `rounds` merges on a (wordCol, freqCol) vocabulary. Returns
     * (merges in rank order, encoded vocab as (word, freq, syms)).
     *

@@ -153,7 +153,10 @@ object Similarity {
     * the chunking. Shuffle carries `bands` narrow keyed rows per vector;
     * a pair colliding in several bands is reported once
     * (`dropDuplicates` AFTER the threshold filter, so the dedup exchange
-    * carries only qualifying pairs).
+    * carries only qualifying pairs). A pathologically hot (band, bucket)
+    * key takes the same salted two-stage pair path as hot MinHash bands
+    * — `Dedup.lshCandidatePairsSalted` (q85/LshSkewSpec), applied with
+    * this operator's composite bucket as the band key.
     */
   def lshNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                             planes: Int, bands: Int, dims: Int,

@@ -380,6 +380,16 @@ object StreamOps extends Serializable {
     * unions the CEP match stream with the timeout side-output
     * (…/app/dwd/log/DwdTrafficUserJumpDetail.java:104-155); here one
     * state machine emits both cases.
+    *
+    * COMPOSITION constraint (measured, TimeoutClampSpec round 6): feed
+    * this from SOURCE-watermarked inputs, not from the output of a
+    * flush-style stateful op (latestByKeyStream etc.). Such upstream
+    * flushes only emit AFTER the global watermark passed their horizon,
+    * so every flushed row arrives behind this op's own late filter and
+    * is silently dropped — Spark's global-watermark correctness check
+    * flags exactly this topology. The BaseLog family splits the raw
+    * source and watermarks each branch independently, which is the
+    * supported shape.
     */
   def jumpDetect(spark: SparkSession, views: Dataset[PageView],
                  delay: String, gapMs: Long): Dataset[PageView] = {

@@ -95,6 +95,20 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.head._1.nonEmpty && merges.size == rounds)
   }
 
+  test("merges persist round-trip: train -> parquet -> reload -> identical encodings") {
+    val fixture = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val (merges, _) = Bpe.train(fixture.toDF("word", "freq"), "word", "freq", 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-merges").toString
+    Bpe.mergesToDF(spark, merges).write.mode("overwrite").parquet(dir)
+    val reloaded = Bpe.mergesFromDF(spark.read.parquet(dir))
+    assert(reloaded == merges, "rank order must survive the round-trip")
+    val words = Seq("lowest", "newest").toDF("word")
+    def enc(m: Seq[(String, String)]) = words
+      .select($"word", Bpe.applyMerges(Bpe.charSyms($"word"), m).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(enc(reloaded) == enc(merges))
+  }
+
   test("applyMerges encodes unseen words with the trained table, rank order respected") {
     val fixture = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
     val (merges, _) = Bpe.train(fixture.toDF("word", "freq"), "word", "freq", 8)
