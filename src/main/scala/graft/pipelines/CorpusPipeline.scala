@@ -32,6 +32,13 @@ import graft.sinks.Sinks
   */
 object CorpusPipeline {
 
+  /** `embedBands`: OR-amplification bands for the semantic stage
+    * ([[graft.operators.Similarity.lshNearDupPairsBanded]]). The default
+    * 1 is the single-band form (bit-identical, SimilaritySpec) whose
+    * near-dup recall measured 0.18 at 4 planes — raise it to dial
+    * recall at bands× candidate cost (4 bands measured 0.47; the
+    * cluster-based SemDeDup path reaches 0.92+ where recall dominates).
+    */
   final case class Config(
       minQuality: Double = 0.35,
       shingleN: Int = 3,
@@ -40,7 +47,8 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.5,
       embedPlanes: Int = 4,
       embedDims: Int = 64,
-      embedCosThreshold: Double = 0.35)
+      embedCosThreshold: Double = 0.35,
+      embedBands: Int = 1)
 
   /** `embeddings`: optional (vec_id, embedding array<float>) table keyed by
     * doc_id — when given, the semantic stage runs after text near-dedup.
@@ -66,8 +74,9 @@ object CorpusPipeline {
       case Some(emb) =>
         val survivorVecs = afterNear.select(col("doc_id"))
           .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
-        val semPairs = Similarity.lshNearDupPairs(survivorVecs, "doc_id",
-          "embedding", cfg.embedPlanes, cfg.embedDims, cfg.embedCosThreshold)
+        val semPairs = Similarity.lshNearDupPairsBanded(survivorVecs, "doc_id",
+          "embedding", cfg.embedPlanes, cfg.embedBands, cfg.embedDims,
+          cfg.embedCosThreshold)
         afterNear.join(dropSet(semPairs), Seq("doc_id"), "left_anti")
       case None => afterNear
     }
