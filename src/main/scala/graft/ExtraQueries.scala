@@ -166,6 +166,27 @@ object ExtraQueries {
         (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
   }
 
+  /** q140's join through the AUTO hot-band route
+    * ([[Relational.bandedIntervalJoinAuto]]) with a deliberately tiny
+    * occupancy ceiling, so the SALTED fallback is engaged at the
+    * driver's own verification scale: the oracle stays the naive range
+    * join, proving the salted (band, salt) plan reproduces the plain
+    * semantics under the real gate, not only in fixture/property specs.
+    * (Production ceilings are task-sized — 2^20 rows; 1 here is the
+    * harness choice that forces the fallback at every test SF.)
+    */
+  val q150_banded_salted: Q = (s, dir) => {
+    val ev = t(s, dir).events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event"), col("ts").as("cts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("ts").as("pts"))
+    Relational.bandedIntervalJoinAuto(clicks, buys, "cts", "pts",
+        0L, 900000000L, bandRowsCeiling = 1, maxSaltBuckets = 8)
+      .select(col("c_event"), col("p_event"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
+  }
+
   /** SCD Type-2 dimension history: each user's event_type stream collapsed
     * into versioned validity intervals (a new version only when the value
     * changes — the reference's DIM layer keeps only the latest row; SCD2 is
@@ -206,6 +227,7 @@ object ExtraQueries {
     "q143_temporal_join" -> q143_temporal_join,
     "q56_asof_join" -> q56_asof_join,
     "q140_banded_range" -> q140_banded_range,
+    "q150_banded_salted" -> q150_banded_salted,
     "q48_grouping_sets" -> q48_grouping_sets,
     "q50_interval_join" -> q50_interval_join,
     "q51_unpivot" -> q51_unpivot,
@@ -217,17 +239,23 @@ object ExtraQueries {
     "q41_collect_sorted" -> q41_collect_sorted,
     "q42_argmax" -> q42_argmax)
 
+  /** The naive range join both banded forms replace — q140 (plain) and
+    * q150 (salted fallback engaged) must both hash-match it.
+    */
+  private val nakedRangeJoinSql =
+    """WITH c AS (SELECT event_id AS c_event, ts AS cts FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS p_event, ts AS pts FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT c_event, p_event,
+      |  (epoch_us(pts) - epoch_us(cts))::BIGINT AS lag_us
+      |FROM c JOIN p ON epoch_us(pts) - epoch_us(cts) >= 0
+      |             AND epoch_us(pts) - epoch_us(cts) <= 900000000""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // the oracle IS the naive range join the banding replaces
-    "q140_banded_range" ->
-      """WITH c AS (SELECT event_id AS c_event, ts AS cts FROM events
-        |           WHERE event_type = 'click'),
-        |p AS (SELECT event_id AS p_event, ts AS pts FROM events
-        |      WHERE event_type = 'purchase')
-        |SELECT c_event, p_event,
-        |  (epoch_us(pts) - epoch_us(cts))::BIGINT AS lag_us
-        |FROM c JOIN p ON epoch_us(pts) - epoch_us(cts) >= 0
-        |             AND epoch_us(pts) - epoch_us(cts) <= 900000000""".stripMargin,
+    "q140_banded_range" -> nakedRangeJoinSql,
+    "q150_banded_salted" -> nakedRangeJoinSql,
     "q143_temporal_join" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ord, event_type FROM events),
         |ch AS (SELECT user_id, ord, event_type FROM (

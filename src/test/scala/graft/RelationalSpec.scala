@@ -184,6 +184,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(!cool.queryExecution.analyzed.toString.contains("__salt"))
   }
 
+  test("q150 actually engages the salted fallback on the events fixture (not a plain-path alias of q140)") {
+    // the oracle equality alone can't tell which path ran — pin that the
+    // harness ceiling (8) really is below this data's band occupancy, so
+    // the driver's q150 row exercises the salted plan
+    val df = SparkEntry.queries("q150_banded_salted")(spark, TestSession.sf)
+    assert(df.queryExecution.analyzed.toString.contains("__salt"),
+      "q150 must route through the salted fallback at the spec SF")
+  }
+
   test("transitions emits (prev,next) pairs skipping first event per key") {
     val df = Seq((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "b"), (2, 4L, "c"))
       .toDF("k", "seq", "st")
