@@ -64,7 +64,12 @@ object Bench {
     // BPE training is a driver-synchronous bounded merge loop (one
     // TakeOrdered top-1 + localCheckpoint per round) — the q66/q142
     // fixpoint-round-latency class; its decade rows live in ScaleBench
-    "q146_bpe_encode")
+    "q146_bpe_encode",
+    // q150 is q140's DELIBERATELY-PESSIMIZED verification twin (ceiling=1
+    // forces maximal salting + an eager occupancy job) — it exists to put
+    // the salted plan under the correctness gate, not to be representative;
+    // q140 is the benched form of the operator
+    "q150_banded_salted")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.
