@@ -150,18 +150,29 @@ object Similarity {
     * holds ≤ 62 sign bits; bands chunk across calls transparently) and
     * each band's sub-bucket is a shift/mask — no per-band hashing, and
     * the oracle replays the identical flat-j bits (q147), oblivious to
-    * the chunking.
-    *
-    * Shuffle discipline (the `Dedup.nearDupPairs` rule — payloads never
-    * shuffle): the banded self-join carries NARROW (bucket, id) rows —
-    * NOT the vectors, which `bands`× duplication would multiply through
-    * the exchange — candidate pairs dedup once across bands (`distinct`
-    * before any scoring, so a pair colliding in several bands is scored
-    * once), and only then do the two id-keyed joins attach vectors for
-    * the cosine verification. A pathologically hot (band, bucket) key
-    * takes the same salted two-stage pair path as hot MinHash bands —
-    * `Dedup.lshCandidatePairsSalted` (q85/LshSkewSpec), applied with
+    * the chunking. Shuffle carries `bands` narrow keyed rows per vector;
+    * a pair colliding in several bands is reported once
+    * (`dropDuplicates` AFTER the threshold filter, so the dedup exchange
+    * carries only qualifying pairs). A pathologically hot (band, bucket)
+    * key takes the same salted two-stage pair path as hot MinHash bands
+    * — `Dedup.lshCandidatePairsSalted` (q85/LshSkewSpec), applied with
     * this operator's composite bucket as the band key.
+    *
+    * Measured decision — vectors DO ride the band exchange here, unlike
+    * `Dedup.nearDupPairs` where payloads never shuffle. The narrow
+    * alternative (ship (bucket, id) only, `distinct` candidate pairs
+    * across bands, re-attach vectors by id-keyed joins) was built and
+    * measured at the decades: at dedup-grade thresholds candidate pairs
+    * collide in ~one band each, so the distinct dedups almost nothing
+    * while materializing the FULL candidate fan-out (~bands · Σ occ²/2
+    * rows — 2.6e8 at 100×) through an exchange plus two sort-merge
+    * attachment joins, where this form streams the fan-out through the
+    * codegen'd dot product without ever sorting it. Measured: 2.8×
+    * slower at sf0.1, equal at 10×, OOM-killed the 8 GiB-heap context at
+    * 100× (shuffle read-ahead during the candidate sort) vs 78.7 s for
+    * this form. The vector payload costs n·bands·dims through the bucket
+    * exchange (~2.7 GiB at 100×) — bounded by geometry, not by pair
+    * fan-out, which is the side that actually blows up.
     */
   def lshNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                             planes: Int, bands: Int, dims: Int,
@@ -175,28 +186,27 @@ object Similarity {
       val nb = math.min(bandsPerChunk, bands - c * bandsPerChunk)
       lshBucketFrom(col("v"), nb * planes, dims, c * bandsPerChunk * planes)
     }
-    val keyed = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("__bits", array(bitCols: _*))
+      .withColumn("nrm", norm(col("v")))
+    val banded = v
       .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
-      .select(col(idCol),
-        (col("__band").cast("long") * lit(1L << planes) +
+      .withColumn("bucket",
+        col("__band").cast("long") * lit(1L << planes) +
           call_function("shiftright",
             element_at(col("__bits"),
               (expr(s"__band div $bandsPerChunk") + 1).cast("int")),
             (pmod(col("__band"), lit(bandsPerChunk)) * planes).cast("int"))
-            .bitwiseAND(lit((1L << planes) - 1))).as("bucket"))
-    val cand = keyed.select(col("bucket"), col(idCol).as("d1"))
-      .join(keyed.select(col("bucket"), col(idCol).as("d2")), Seq("bucket"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-    val vv = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val s1 = vv.select(col(idCol).as("d1"), col("v").as("v1"), col("nrm").as("n1"))
-    val s2 = vv.select(col(idCol).as("d2"), col("v").as("v2"), col("nrm").as("n2"))
-    cand.join(s1, "d1").join(s2, "d2")
+            .bitwiseAND(lit((1L << planes) - 1)))
+    val a = banded.select(col("bucket"), col(idCol).as("d1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = banded.select(col("bucket"), col(idCol).as("d2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("d1", "d2")
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -99,7 +99,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q134_edjoin" -> 11,          // q125's family shape + the occurrence-numbering window + the short-route broadcast pair + candidate distinct — every exchange carries gram keys, ids, or candidate rows
     "q135_overlap_join" -> 7,     // q125's exact shape with the absolute-count bound — element-df agg + ordered-prefix agg + hinted self-join pair + positional agg + verify joins
     "q146_bpe_encode" -> 1,       // training rounds are driver-synchronous localCheckpoints (lineage-truncated, the q126/q127 note); the FINAL plan is one (tok) agg over the checkpointed vocab + TakeOrdered
-    "q147_banded_neardup" -> 1,   // narrow (bucket, id) self-join broadcasts at this SF (bucket-key shuffle pair at scale — ids only, vectors NEVER ride the bands× exchange); the one exchange is the cross-band candidate distinct; vector attachment joins broadcast at this SF (id-key joins at scale)
+    "q147_banded_neardup" -> 1,   // the banded bucket self-join broadcasts at this SF (bucket-key shuffle pair at scale, the q28 convention); the one exchange is the (d1,d2) pair dedup, which carries only above-threshold pairs — the narrow-candidate alternative OOM'd at 100× (see lshNearDupPairsBanded's measured-decision note)
     "q148_pq_rerank" -> 1,        // q113's budget holds: the ADC candidate cut is WindowGroupLimit'd map-side, the rerank joins broadcast the query set and candidate rows, and the one exchange is the final per-query rank
     "q149_ivf_pq" -> 2)           // probe rank over queries×k rows + the final per-query ADC rank; the coarse/codebook models are plan literals and the probes broadcast to the posting-list join
 
