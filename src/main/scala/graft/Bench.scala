@@ -69,7 +69,11 @@ object Bench {
     // forces maximal salting + an eager occupancy job) — it exists to put
     // the salted plan under the correctness gate, not to be representative;
     // q140 is the benched form of the operator
-    "q150_banded_salted")
+    "q150_banded_salted",
+    // q151 is q87's twin under the same convention (ceiling=1 forces the
+    // salted cell decomposition + an eager occupancy job); q87 is the
+    // benched form of the operator
+    "q151_semdedup_salted")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

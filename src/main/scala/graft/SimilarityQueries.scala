@@ -104,6 +104,25 @@ object SimilarityQueries {
     Similarity.semanticDedup(emb, "vec_id", "embedding", cents, DIMS, SEM_T)
   }
 
+  /** q87's dedup through the AUTO hot-cluster route
+    * ([[Similarity.semanticDedupAuto]]) with a deliberately tiny
+    * occupancy ceiling, so the SALTED cell-decomposition plan is what
+    * the driver gate hash-checks: the oracle stays q87's pairwise SQL,
+    * proving the salted (centroid, ci, cj) plan reproduces the plain
+    * semantics under the real gate, not only in fixture specs.
+    * (Production ceilings are task-sized — 2^20 rows; 1 here is the
+    * harness choice that forces the fallback at every test SF — the
+    * q150 convention.)
+    */
+  val q151_semdedup_salted: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val cents = graft.operators.Ivf.trainCached(emb, ivfKey(dir), "vec_id",
+      "embedding", k = IVF_K, dims = DIMS, iters = IVF_ITERS)
+    lastIvfKey = Some(ivfKey(dir))
+    Similarity.semanticDedupAuto(emb, "vec_id", "embedding", cents, DIMS,
+      SEM_T, clusterRowsCeiling = 1, maxSaltBuckets = 8)
+  }
+
   /** Incremental semantic dedup (continuous ingest): the shard
     * vec_id >= 250 probes the admitted corpus vec_id < 250 — the
     * embedding-space twin of q84 (exact) and q86 (MinHash near-dup),
@@ -223,6 +242,7 @@ object SimilarityQueries {
     "q64_embedding_neardup" -> q64_embedding_neardup,
     "q147_banded_neardup" -> q147_banded_neardup,
     "q87_semantic_dedup" -> q87_semantic_dedup,
+    "q151_semdedup_salted" -> q151_semdedup_salted,
     "q89_incremental_semdedup" -> q89_incremental_semdedup,
     "q92_prototypes" -> q92_prototypes,
     "q113_pq_adc" -> q113_pq_adc,
@@ -486,6 +506,8 @@ object SimilarityQueries {
   def oracles: Map[String, String] = {
     val dynamic = Seq(
       "q61_ivf_ann" -> q61Oracle, "q87_semantic_dedup" -> q87Oracle,
+      // q151 runs the salted plan; its output contract IS q87's
+      "q151_semdedup_salted" -> q87Oracle,
       "q89_incremental_semdedup" -> q89Oracle,
       "q92_prototypes" -> q92Oracle,
       "q113_pq_adc" -> q113Oracle,

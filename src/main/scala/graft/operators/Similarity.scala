@@ -251,6 +251,107 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** [[semanticDedup]] with the salted two-stage pair path engaged for
+    * hot clusters — the executable form of the hot-cluster note above
+    * (the q85 `Dedup.lshCandidatePairsSalted` cell decomposition, applied
+    * with centroid as the band key). Clusters at or above
+    * `hotClusterThreshold` members split into ns = ⌈cnt/threshold⌉ salt
+    * buckets; a member with salt s serves cells (s, j≥s) on one side and
+    * (i≤s, s) on the other, so every unordered pair meets in exactly one
+    * cell (same-salt pairs meet twice, in both orders — absorbed by the
+    * dropped-set distinct the plain path already has). Task pair work is
+    * bounded by hotClusterThreshold² for clusters of ANY size.
+    *
+    * Vectors RIDE the replicated cell exchange here (ns+1 cells per hot
+    * row, bounded by the ceiling) — deliberately, per the q147 measured
+    * decision: scoring must stream through the codegen'd dot product
+    * inside the join; generating id-only pairs and re-attaching vectors
+    * materializes the pair fan-out through an exchange plus sorts, which
+    * is the side that actually blows up. The hot-cluster list broadcasts
+    * at ≤ k rows (the model's own bound).
+    *
+    * Output is identical to [[semanticDedup]] (spec-pinned on skewed
+    * fixtures; q151 hash-checks the salted plan against the q87 oracle
+    * under the driver gate).
+    */
+  def semanticDedupSalted(df: DataFrame, idCol: String, vecCol: String,
+                          cents: Array[Double], dims: Int, threshold: Double,
+                          hotClusterThreshold: Int,
+                          maxSaltBuckets: Int = 256): DataFrame = {
+    require(hotClusterThreshold >= 1 && maxSaltBuckets >= 1,
+      s"semanticDedupSalted: ceilings must be >= 1, got " +
+        s"hotClusterThreshold=$hotClusterThreshold maxSaltBuckets=$maxSaltBuckets")
+    for (c <- Seq("__cnt", "__ns", "__salt", "__ci", "__cj"))
+      require(!df.columns.contains(c),
+        s"semanticDedupSalted: column name '$c' is reserved by the operator")
+    val assigned = graft.operators.Ivf.assign(df, vecCol, cents, dims)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"),
+        col("centroid").cast("long").as("centroid"))
+      .withColumn("nrm", norm(col("v")))
+    val hot = assigned.groupBy(col("centroid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= hotClusterThreshold)
+    val tagged = assigned.join(broadcast(hot), Seq("centroid"), "left_outer")
+
+    val cold = tagged.filter(col("__cnt").isNull)
+    val droppedCold = cold.select(col("centroid"), col(idCol).as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(cold.select(col("centroid"), col(idCol).as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("centroid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("id_b").as(idCol))
+
+    val hotKeyed = tagged.filter(col("__cnt").isNotNull)
+      .withColumn("__ns", least(
+        ceil(col("__cnt") / lit(hotClusterThreshold.toDouble)),
+        lit(maxSaltBuckets.toLong)).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__ns")).cast("int"))
+    val aSide = hotKeyed
+      .withColumn("__cj", explode(sequence(col("__salt"), col("__ns") - 1)))
+      .select(col("centroid"), col("__salt").as("__ci"), col("__cj"),
+        col(idCol).as("x"), col("v").as("vx"), col("nrm").as("nx"))
+    val bSide = hotKeyed
+      .withColumn("__ci", explode(sequence(lit(0), col("__salt"))))
+      .select(col("centroid"), col("__ci"), col("__salt").as("__cj"),
+        col(idCol).as("y"), col("v").as("vy"), col("nrm").as("ny"))
+    val droppedHot = aSide.join(bSide, Seq("centroid", "__ci", "__cj"))
+      .filter(col("x") =!= col("y"))
+      .filter(round(dot(col("vx"), col("vy")) / (col("nx") * col("ny")), 6)
+        >= threshold)
+      .select(greatest(col("x"), col("y")).as(idCol))
+
+    val dropped = droppedCold.unionAll(droppedHot).distinct()
+    assigned.select(col(idCol), col("centroid"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedup]] behind the construction-time occupancy gate — the
+    * `Relational.bandedIntervalJoinAuto` discipline: one k-row aggregate
+    * measures the hottest cluster; at or under `clusterRowsCeiling` the
+    * plain plan runs untouched, above it the salted cell path engages
+    * with the ceiling as the per-task bound. The measurement job costs
+    * one codegen'd assignment scan over narrow (centroid) rows.
+    */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        cents: Array[Double], dims: Int, threshold: Double,
+                        clusterRowsCeiling: Long = 1L << 20,
+                        maxSaltBuckets: Int = 256): DataFrame = {
+    require(clusterRowsCeiling >= 1 && maxSaltBuckets >= 1,
+      s"semanticDedupAuto: ceilings must be >= 1, got " +
+        s"clusterRowsCeiling=$clusterRowsCeiling maxSaltBuckets=$maxSaltBuckets")
+    val hottest = graft.operators.Ivf.assign(df, vecCol, cents, dims)
+      .groupBy(col("centroid")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    if (hottest <= clusterRowsCeiling)
+      semanticDedup(df, idCol, vecCol, cents, dims, threshold)
+    else
+      semanticDedupSalted(df, idCol, vecCol, cents, dims, threshold,
+        math.min(clusterRowsCeiling, Int.MaxValue.toLong).toInt,
+        maxSaltBuckets)
+  }
+
   /** Prototypicality filter — the D4 companion pass to [[semanticDedup]]
     * (Tirumala et al. 2023 run SemDeDup then prune low-density cluster
     * outliers): keep each cluster's `kKeep` most-central members by cosine

@@ -141,6 +141,45 @@ class IvfSpec extends AnyFunSuite {
     assert(strict == Set(1L, 2L, 3L, 4L), s"got $strict")
   }
 
+  test("semanticDedupSalted == semanticDedup on the chain fixture at every ceiling") {
+    val pts = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.98, 0.199)),
+      (3L, Seq(0.92, 0.392)),
+      (4L, Seq(-1.0, 0.05)),
+      (5L, Seq(-1.0, -0.05)))
+      .toDF("id", "v")
+    val cents = Array(1.0, 0.2, -1.0, 0.0)
+    for (t <- Seq(0.95, 0.99); ceiling <- Seq(1, 2, 100)) {
+      val plain = Similarity.semanticDedup(pts, "id", "v", cents, 2, t)
+        .select($"id").as[Long].collect().toSet
+      val salted = Similarity.semanticDedupSalted(pts, "id", "v", cents, 2, t,
+        hotClusterThreshold = ceiling)
+        .select($"id").as[Long].collect().toSet
+      assert(salted == plain, s"threshold=$t ceiling=$ceiling: $salted != $plain")
+    }
+    // the capped-buckets route (ns clamped below ⌈cnt/threshold⌉) stays exact
+    val capped = Similarity.semanticDedupSalted(pts, "id", "v", cents, 2, 0.95,
+      hotClusterThreshold = 1, maxSaltBuckets = 2)
+      .select($"id").as[Long].collect().toSet
+    assert(capped == Set(1L, 4L), s"got $capped")
+  }
+
+  test("semanticDedupAuto: cool clusters take the plain plan, hot ones the salted cells") {
+    val pts = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.98, 0.199)), (3L, Seq(0.92, 0.392)),
+      (4L, Seq(-1.0, 0.05)), (5L, Seq(-1.0, -0.05)))
+      .toDF("id", "v")
+    val cents = Array(1.0, 0.2, -1.0, 0.0)
+    val cool = Similarity.semanticDedupAuto(pts, "id", "v", cents, 2, 0.95,
+      clusterRowsCeiling = 100)
+    assert(!cool.queryExecution.analyzed.toString.contains("__salt"))
+    val hot = Similarity.semanticDedupAuto(pts, "id", "v", cents, 2, 0.95,
+      clusterRowsCeiling = 1)
+    assert(hot.queryExecution.analyzed.toString.contains("__salt"))
+    assert(hot.select($"id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
   test("incrementalSemanticDedup: index members drop new docs; in-shard dups survive the probe") {
     val cents = Array(1.0, 0.0, -1.0, 0.0) // c0 right, c1 left
     val index = Seq(

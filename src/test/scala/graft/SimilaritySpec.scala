@@ -111,4 +111,18 @@ class SimilaritySpec extends AnyFunSuite {
       emb, "vec_id", "embedding", 8, 13, 64, 0.35))
     assert(b7.subsetOf(b13), "bands crossing the chunk boundary must only add pairs")
   }
+
+  test("q151 runs the salted cell plan and reproduces q87's rows exactly") {
+    // the oracle equality alone can't tell which path ran — pin that the
+    // harness ceiling (1) engages the salted cells at the spec SF while
+    // q87's plain form stays salt-free, and that their outputs agree
+    val plain = SparkEntry.queries("q87_semantic_dedup")(spark, TestSession.sf)
+    val salted = SparkEntry.queries("q151_semdedup_salted")(spark, TestSession.sf)
+    assert(!plain.queryExecution.analyzed.toString.contains("__salt"))
+    assert(salted.queryExecution.analyzed.toString.contains("__salt"),
+      "q151 must route through the salted cells at the spec SF")
+    val p = plain.select($"vec_id", $"centroid").as[(Long, Long)].collect().toSet
+    val sTed = salted.select($"vec_id", $"centroid").as[(Long, Long)].collect().toSet
+    assert(sTed == p, s"salted admitted set diverged: ${sTed.diff(p)} / ${p.diff(sTed)}")
+  }
 }
