@@ -70,10 +70,10 @@ object Bench {
     // the salted plan under the correctness gate, not to be representative;
     // q140 is the benched form of the operator
     "q150_banded_salted",
-    // q151 is q87's twin under the same convention (ceiling=1 forces the
-    // salted cell decomposition + an eager occupancy job); q87 is the
-    // benched form of the operator
-    "q151_semdedup_salted")
+    // q151/q152 are q87's/q147's twins under the same convention
+    // (ceiling=1 forces the salted cell decomposition + an eager
+    // occupancy job); q87/q147 are the benched forms of the operators
+    "q151_semdedup_salted", "q152_banded_salted")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

@@ -86,6 +86,19 @@ object SimilarityQueries {
     Similarity.lshNearDupPairsBanded(t(s, dir).embeddings, "vec_id",
       "embedding", PLANES, BANDS, DIMS, 0.35)
 
+  /** q147's pairs through the AUTO hot-bucket route
+    * ([[Similarity.lshNearDupPairsBandedAuto]]) with a deliberately tiny
+    * occupancy ceiling, so the SALTED (bucket, ci, cj) cell plan is what
+    * the driver gate hash-checks: the oracle stays q147's flat-bit SQL,
+    * proving the salted cells reproduce the plain semantics under the
+    * real gate — the q150/q151 convention (production ceilings are
+    * task-sized; 1 forces the fallback at every test SF).
+    */
+  val q152_banded_salted: Q = (s, dir) =>
+    Similarity.lshNearDupPairsBandedAuto(t(s, dir).embeddings, "vec_id",
+      "embedding", PLANES, BANDS, DIMS, 0.35,
+      bucketRowsCeiling = 1, maxSaltBuckets = 8)
+
   /** Semantic-dedup threshold. As with q64, the synthetic embeddings carry
     * no true duplicates, so a low threshold exercises the drop path; a
     * production pass runs ~0.95.
@@ -241,6 +254,7 @@ object SimilarityQueries {
     "q61_ivf_ann" -> q61_ivf_ann,
     "q64_embedding_neardup" -> q64_embedding_neardup,
     "q147_banded_neardup" -> q147_banded_neardup,
+    "q152_banded_salted" -> q152_banded_salted,
     "q87_semantic_dedup" -> q87_semantic_dedup,
     "q151_semdedup_salted" -> q151_semdedup_salted,
     "q89_incremental_semdedup" -> q89_incremental_semdedup,
@@ -514,7 +528,9 @@ object SimilarityQueries {
       "q148_pq_rerank" -> q148Oracle,
       "q149_ivf_pq" -> q149Oracle)
       .collect { case (k, Some(sql)) => k -> sql }
-    staticOracles ++ dynamic
+    staticOracles ++ dynamic +
+      // q152 runs the salted plan; its output contract IS q147's
+      ("q152_banded_salted" -> staticOracles("q147_banded_neardup"))
   }
 
   private def staticOracles: Map[String, String] = Map(

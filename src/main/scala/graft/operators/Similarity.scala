@@ -154,9 +154,10 @@ object Similarity {
     * a pair colliding in several bands is reported once
     * (`dropDuplicates` AFTER the threshold filter, so the dedup exchange
     * carries only qualifying pairs). A pathologically hot (band, bucket)
-    * key takes the same salted two-stage pair path as hot MinHash bands
-    * — `Dedup.lshCandidatePairsSalted` (q85/LshSkewSpec), applied with
-    * this operator's composite bucket as the band key.
+    * key takes [[lshNearDupPairsBandedSalted]] — the q85 cell
+    * decomposition with this operator's composite bucket as the band key
+    * — via the [[lshNearDupPairsBandedAuto]] occupancy gate
+    * (driver-verified as q152).
     *
     * Measured decision — vectors DO ride the band exchange here, unlike
     * `Dedup.nearDupPairs` where payloads never shuffle. The narrow
@@ -177,27 +178,7 @@ object Similarity {
   def lshNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                             planes: Int, bands: Int, dims: Int,
                             threshold: Double): DataFrame = {
-    require(planes >= 1 && planes <= 62 && bands >= 1,
-      s"lshNearDupPairsBanded: need 1 <= planes <= 62 and bands >= 1, " +
-        s"got planes=$planes bands=$bands")
-    val bandsPerChunk = math.max(1, 62 / planes)
-    val nChunks = (bands + bandsPerChunk - 1) / bandsPerChunk
-    val bitCols = (0 until nChunks).map { c =>
-      val nb = math.min(bandsPerChunk, bands - c * bandsPerChunk)
-      lshBucketFrom(col("v"), nb * planes, dims, c * bandsPerChunk * planes)
-    }
-    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("__bits", array(bitCols: _*))
-      .withColumn("nrm", norm(col("v")))
-    val banded = v
-      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bucket",
-        col("__band").cast("long") * lit(1L << planes) +
-          call_function("shiftright",
-            element_at(col("__bits"),
-              (expr(s"__band div $bandsPerChunk") + 1).cast("int")),
-            (pmod(col("__band"), lit(bandsPerChunk)) * planes).cast("int"))
-            .bitwiseAND(lit((1L << planes) - 1)))
+    val banded = bandedBuckets(df, idCol, vecCol, planes, bands, dims)
     val a = banded.select(col("bucket"), col(idCol).as("d1"),
       col("v").as("v1"), col("nrm").as("n1"))
     val b = banded.select(col("bucket"), col(idCol).as("d2"),
@@ -224,10 +205,10 @@ object Similarity {
     * posting-list rule the IVF index already applies. This is the whole
     * point of SemDeDup: clustering turns O(n²) semantic dedup into
     * per-cluster blocks sized to taste. A pathologically hot cluster (a
-    * dense semantic mode k-means keeps merging) takes the same salted
-    * two-stage pair path as hot LSH bands — see
-    * `Dedup.lshCandidatePairsSalted` (q85/LshSkewSpec) for the measured
-    * technique; it applies unchanged with centroid as the band key.
+    * dense semantic mode k-means keeps merging) takes
+    * [[semanticDedupSalted]] — the q85 cell decomposition with centroid
+    * as the band key — via the [[semanticDedupAuto]] occupancy gate
+    * (driver-verified as q151).
     *
     * Returns the admitted (idCol, centroid) rows.
     */
@@ -249,6 +230,131 @@ object Similarity {
       .distinct()
     assigned.select(col(idCol), col("centroid"))
       .join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[lshNearDupPairsBanded]] with the salted cell path engaged for hot
+    * (band, bucket) keys — the executable form of the hot-bucket note
+    * above (the q85 `Dedup.lshCandidatePairsSalted` decomposition with
+    * this operator's composite bucket as the band key). Composite buckets
+    * at or above `hotBucketThreshold` occupants split into
+    * ns = ⌈cnt/threshold⌉ salt buckets; a row with salt s serves cells
+    * (s, j≥s) on one side and (i≤s, s) on the other, so every unordered
+    * pair meets in exactly one cell per colliding bucket (same-salt pairs
+    * twice, in both orders — absorbed by the terminal dropDuplicates that
+    * multi-band collisions need anyway). Task pair work is bounded by
+    * hotBucketThreshold² for buckets of ANY size; the hot list broadcasts
+    * at ≤ rows·bands/threshold entries. Vectors ride the bounded
+    * ns+1-cell replication so scoring streams through the join (the
+    * measured decision above — never materialize the pair fan-out).
+    *
+    * Output is identical to [[lshNearDupPairsBanded]] (spec-pinned; q152
+    * hash-checks the salted plan against q147's oracle under the driver
+    * gate).
+    */
+  def lshNearDupPairsBandedSalted(df: DataFrame, idCol: String, vecCol: String,
+                                  planes: Int, bands: Int, dims: Int,
+                                  threshold: Double, hotBucketThreshold: Int,
+                                  maxSaltBuckets: Int = 256): DataFrame = {
+    require(hotBucketThreshold >= 1 && maxSaltBuckets >= 1,
+      s"lshNearDupPairsBandedSalted: ceilings must be >= 1, got " +
+        s"hotBucketThreshold=$hotBucketThreshold maxSaltBuckets=$maxSaltBuckets")
+    for (c <- Seq("__cnt", "__ns", "__salt", "__ci", "__cj"))
+      require(!df.columns.contains(c),
+        s"lshNearDupPairsBandedSalted: column name '$c' is reserved by the operator")
+    val banded = bandedBuckets(df, idCol, vecCol, planes, bands, dims)
+    val hot = banded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= hotBucketThreshold)
+    val tagged = banded.join(broadcast(hot), Seq("bucket"), "left_outer")
+
+    val cold = tagged.filter(col("__cnt").isNull)
+    val coldPairs = cold.select(col("bucket"), col(idCol).as("d1"),
+        col("v").as("v1"), col("nrm").as("n1"))
+      .join(cold.select(col("bucket"), col(idCol).as("d2"),
+        col("v").as("v2"), col("nrm").as("n2")), Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+
+    val hotKeyed = tagged.filter(col("__cnt").isNotNull)
+      .withColumn("__ns", least(
+        ceil(col("__cnt") / lit(hotBucketThreshold.toDouble)),
+        lit(maxSaltBuckets.toLong)).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__ns")).cast("int"))
+    val aSide = hotKeyed
+      .withColumn("__cj", explode(sequence(col("__salt"), col("__ns") - 1)))
+      .select(col("bucket"), col("__salt").as("__ci"), col("__cj"),
+        col(idCol).as("x"), col("v").as("vx"), col("nrm").as("nx"))
+    val bSide = hotKeyed
+      .withColumn("__ci", explode(sequence(lit(0), col("__salt"))))
+      .select(col("bucket"), col("__ci"), col("__salt").as("__cj"),
+        col(idCol).as("y"), col("v").as("vy"), col("nrm").as("ny"))
+    val hotPairs = aSide.join(bSide, Seq("bucket", "__ci", "__cj"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("d1"),
+        greatest(col("x"), col("y")).as("d2"),
+        round(dot(col("vx"), col("vy")) / (col("nx") * col("ny")), 6).as("cos"))
+
+    coldPairs.unionAll(hotPairs)
+      .filter(col("cos") >= threshold)
+      .dropDuplicates("d1", "d2")
+  }
+
+  /** [[lshNearDupPairsBanded]] behind the construction-time occupancy
+    * gate (the `Relational.bandedIntervalJoinAuto` discipline): one
+    * narrow aggregate over (bucket) longs measures the hottest composite
+    * bucket; at or under `bucketRowsCeiling` the plain plan runs
+    * untouched, above it the salted cells engage with the ceiling as the
+    * per-task bound. The measurement job shuffles only map-side-combined
+    * (bucket, count) rows — vectors never leave the scan.
+    */
+  def lshNearDupPairsBandedAuto(df: DataFrame, idCol: String, vecCol: String,
+                                planes: Int, bands: Int, dims: Int,
+                                threshold: Double,
+                                bucketRowsCeiling: Long = 1L << 20,
+                                maxSaltBuckets: Int = 256): DataFrame = {
+    require(bucketRowsCeiling >= 1 && maxSaltBuckets >= 1,
+      s"lshNearDupPairsBandedAuto: ceilings must be >= 1, got " +
+        s"bucketRowsCeiling=$bucketRowsCeiling maxSaltBuckets=$maxSaltBuckets")
+    val hottest = bandedBuckets(df, idCol, vecCol, planes, bands, dims)
+      .groupBy(col("bucket")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    if (hottest <= bucketRowsCeiling)
+      lshNearDupPairsBanded(df, idCol, vecCol, planes, bands, dims, threshold)
+    else
+      lshNearDupPairsBandedSalted(df, idCol, vecCol, planes, bands, dims,
+        threshold, math.min(bucketRowsCeiling, Int.MaxValue.toLong).toInt,
+        maxSaltBuckets)
+  }
+
+  /** Shared banded-bucket construction for [[lshNearDupPairsBanded]] and
+    * its salted/auto forms: `bands` rows per vector, each carrying the
+    * composite (band << planes | sub-bucket) key derived by shift/mask
+    * from the flat-plane-indexed native bucket chunks.
+    */
+  private def bandedBuckets(df: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, bands: Int, dims: Int): DataFrame = {
+    require(planes >= 1 && planes <= 62 && bands >= 1,
+      s"banded LSH: need 1 <= planes <= 62 and bands >= 1, " +
+        s"got planes=$planes bands=$bands")
+    val bandsPerChunk = math.max(1, 62 / planes)
+    val nChunks = (bands + bandsPerChunk - 1) / bandsPerChunk
+    val bitCols = (0 until nChunks).map { c =>
+      val nb = math.min(bandsPerChunk, bands - c * bandsPerChunk)
+      lshBucketFrom(col("v"), nb * planes, dims, c * bandsPerChunk * planes)
+    }
+    df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("__bits", array(bitCols: _*))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket",
+        col("__band").cast("long") * lit(1L << planes) +
+          call_function("shiftright",
+            element_at(col("__bits"),
+              (expr(s"__band div $bandsPerChunk") + 1).cast("int")),
+            (pmod(col("__band"), lit(bandsPerChunk)) * planes).cast("int"))
+            .bitwiseAND(lit((1L << planes) - 1)))
+      .drop("__bits", "__band")
   }
 
   /** [[semanticDedup]] with the salted two-stage pair path engaged for

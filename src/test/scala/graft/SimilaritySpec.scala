@@ -112,6 +112,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b7.subsetOf(b13), "bands crossing the chunk boundary must only add pairs")
   }
 
+  test("lshNearDupPairsBandedSalted == lshNearDupPairsBanded at every ceiling") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d1", $"d2", $"cos").as[(Long, Long, Double)].collect().toSet
+    val plain = rows(Similarity.lshNearDupPairsBanded(
+      emb, "vec_id", "embedding", 4, 4, 64, 0.35))
+    assert(plain.nonEmpty)
+    for (ceiling <- Seq(1, 16, 1 << 20)) {
+      val salted = rows(Similarity.lshNearDupPairsBandedSalted(
+        emb, "vec_id", "embedding", 4, 4, 64, 0.35, ceiling))
+      assert(salted == plain, s"ceiling=$ceiling diverged: " +
+        s"${salted.diff(plain)} / ${plain.diff(salted)}")
+    }
+    // the capped-buckets route (ns clamped below ⌈cnt/threshold⌉) stays exact
+    val capped = rows(Similarity.lshNearDupPairsBandedSalted(
+      emb, "vec_id", "embedding", 4, 4, 64, 0.35, 1, maxSaltBuckets = 2))
+    assert(capped == plain)
+  }
+
+  test("q152 runs the salted cell plan and reproduces q147's rows exactly") {
+    val plain = SparkEntry.queries("q147_banded_neardup")(spark, TestSession.sf)
+    val salted = SparkEntry.queries("q152_banded_salted")(spark, TestSession.sf)
+    assert(!plain.queryExecution.analyzed.toString.contains("__salt"))
+    assert(salted.queryExecution.analyzed.toString.contains("__salt"),
+      "q152 must route through the salted cells at the spec SF")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d1", $"d2", $"cos").as[(Long, Long, Double)].collect().toSet
+    val (p, sTed) = (rows(plain), rows(salted))
+    assert(sTed == p, s"salted pair set diverged: ${sTed.diff(p)} / ${p.diff(sTed)}")
+  }
+
   test("q151 runs the salted cell plan and reproduces q87's rows exactly") {
     // the oracle equality alone can't tell which path ran — pin that the
     // harness ceiling (1) engages the salted cells at the spec SF while
