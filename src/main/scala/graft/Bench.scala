@@ -70,10 +70,10 @@ object Bench {
     // the salted plan under the correctness gate, not to be representative;
     // q140 is the benched form of the operator
     "q150_banded_salted",
-    // q151/q152 are q87's/q147's twins under the same convention
-    // (ceiling=1 forces the salted cell decomposition + an eager
-    // occupancy job); q87/q147 are the benched forms of the operators
-    "q151_semdedup_salted", "q152_banded_salted")
+    // q151/q152/q153 are q87's/q147's/q33's twins under the same
+    // convention (ceiling=1 forces the salted cell decomposition + an
+    // eager occupancy job); q87/q147/q33 are the benched forms
+    "q151_semdedup_salted", "q152_banded_salted", "q153_lsh_ann_salted")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.

@@ -31,6 +31,19 @@ object SimilarityQueries {
   val q33_lsh_ann: Q = (s, dir) =>
     Similarity.lshTopPairs(t(s, dir).embeddings, "vec_id", "embedding", PLANES, DIMS, 50)
 
+  /** q33's top-k through the AUTO hot-bucket route
+    * ([[Similarity.lshTopPairsAuto]]) with a deliberately tiny occupancy
+    * ceiling, so the SALTED exactly-once cell plan is what the driver
+    * gate hash-checks against q33's unchanged oracle — the
+    * q150/q151/q152 convention. The top-k form is the one where a
+    * duplicate pair row would CORRUPT the answer (displace a real pair
+    * inside the limit), so the driver hash is the strongest check of the
+    * once-only cell argument.
+    */
+  val q153_lsh_ann_salted: Q = (s, dir) =>
+    Similarity.lshTopPairsAuto(t(s, dir).embeddings, "vec_id", "embedding",
+      PLANES, DIMS, 50, bucketRowsCeiling = 1, maxSaltBuckets = 8)
+
   val IVF_K = 8
   val IVF_ITERS = 2
   val IVF_NPROBE = 2
@@ -251,6 +264,7 @@ object SimilarityQueries {
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
     "q33_lsh_ann" -> q33_lsh_ann,
+    "q153_lsh_ann_salted" -> q153_lsh_ann_salted,
     "q61_ivf_ann" -> q61_ivf_ann,
     "q64_embedding_neardup" -> q64_embedding_neardup,
     "q147_banded_neardup" -> q147_banded_neardup,
@@ -529,8 +543,10 @@ object SimilarityQueries {
       "q149_ivf_pq" -> q149Oracle)
       .collect { case (k, Some(sql)) => k -> sql }
     staticOracles ++ dynamic +
-      // q152 runs the salted plan; its output contract IS q147's
-      ("q152_banded_salted" -> staticOracles("q147_banded_neardup"))
+      // q152/q153 run the salted plans; their output contracts ARE
+      // q147's / q33's
+      ("q152_banded_salted" -> staticOracles("q147_banded_neardup")) +
+      ("q153_lsh_ann_salted" -> staticOracles("q33_lsh_ann"))
   }
 
   private def staticOracles: Map[String, String] = Map(

@@ -109,14 +109,114 @@ object Similarity {
   /** ANN scale path: score only pairs sharing an LSH bucket, keep the
     * globally best `limit`. Recall < 1 by construction (measured against
     * `topPairs` in the spec); cost drops from n² to sum over buckets of
-    * bucket_size². Skewed buckets (low-entropy corpora) would get a salted
-    * two-stage top-k; not needed at current selectivity.
+    * bucket_size². Skewed buckets (low-entropy corpora) take
+    * [[lshTopPairsSalted]] via the [[lshTopPairsAuto]] occupancy gate
+    * (driver-verified as q153).
     */
   def lshTopPairs(df: DataFrame, idCol: String, vecCol: String,
                   planes: Int, dims: Int, limit: Int): DataFrame =
     bucketedScoredPairs(df, idCol, vecCol, planes, dims)
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
       .limit(limit)
+
+  /** [[lshTopPairs]] with the salted cell path for hot buckets — the q85
+    * decomposition with the single-band bucket as the key. A top-k
+    * CANNOT absorb duplicate pair rows in a terminal dedup the way the
+    * threshold forms do (duplicates would displace real rows inside the
+    * limit), so the cells emit each unordered pair EXACTLY once with no
+    * dedup exchange: a cross-salt pair (salts a < b) meets only in cell
+    * (a, b) — the reverse orientation (b, a) matches no cell — and
+    * same-salt cells (a, a) carry both orders, cut to one by `x < y`.
+    * The sort+limit still compiles to TakeOrderedAndProject (map-side k
+    * per task); task pair work is bounded by hotBucketThreshold².
+    */
+  def lshTopPairsSalted(df: DataFrame, idCol: String, vecCol: String,
+                        planes: Int, dims: Int, limit: Int,
+                        hotBucketThreshold: Int,
+                        maxSaltBuckets: Int = 256): DataFrame =
+    saltedBucketScoredPairs(df, idCol, vecCol, planes, dims,
+      hotBucketThreshold, maxSaltBuckets)
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+      .limit(limit)
+
+  /** [[lshTopPairs]] behind the construction-time occupancy gate (the
+    * `Relational.bandedIntervalJoinAuto` discipline): one narrow
+    * (bucket, count) aggregate measures the hottest bucket; at or under
+    * `bucketRowsCeiling` the plain plan runs untouched, above it the
+    * salted cells engage with the ceiling as the per-task bound.
+    */
+  def lshTopPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                      planes: Int, dims: Int, limit: Int,
+                      bucketRowsCeiling: Long = 1L << 20,
+                      maxSaltBuckets: Int = 256): DataFrame = {
+    require(bucketRowsCeiling >= 1 && maxSaltBuckets >= 1,
+      s"lshTopPairsAuto: ceilings must be >= 1, got " +
+        s"bucketRowsCeiling=$bucketRowsCeiling maxSaltBuckets=$maxSaltBuckets")
+    val hottest = df
+      .select(lshBucket(asDouble(col(vecCol)), planes, dims).as("bucket"))
+      .groupBy(col("bucket")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    if (hottest <= bucketRowsCeiling)
+      lshTopPairs(df, idCol, vecCol, planes, dims, limit)
+    else
+      lshTopPairsSalted(df, idCol, vecCol, planes, dims, limit,
+        math.min(bucketRowsCeiling, Int.MaxValue.toLong).toInt,
+        maxSaltBuckets)
+  }
+
+  /** [[bucketedScoredPairs]] with hot buckets decomposed into salted
+    * cells, each unordered pair emitted exactly once (see
+    * [[lshTopPairsSalted]] for the once-only argument) — safe under a
+    * downstream limit, filter, or aggregate alike.
+    */
+  private def saltedBucketScoredPairs(df: DataFrame, idCol: String,
+                                      vecCol: String, planes: Int, dims: Int,
+                                      hotBucketThreshold: Int,
+                                      maxSaltBuckets: Int): DataFrame = {
+    require(hotBucketThreshold >= 1 && maxSaltBuckets >= 1,
+      s"saltedBucketScoredPairs: ceilings must be >= 1, got " +
+        s"hotBucketThreshold=$hotBucketThreshold maxSaltBuckets=$maxSaltBuckets")
+    for (c <- Seq("__cnt", "__ns", "__salt", "__ci", "__cj"))
+      require(!df.columns.contains(c),
+        s"saltedBucketScoredPairs: column name '$c' is reserved by the operator")
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes, dims))
+      .withColumn("nrm", norm(col("v")))
+    val hot = v.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= hotBucketThreshold)
+    val tagged = v.join(broadcast(hot), Seq("bucket"), "left_outer")
+
+    val cold = tagged.filter(col("__cnt").isNull)
+    val coldPairs = cold.select(col("bucket"), col(idCol).as("d1"),
+        col("v").as("v1"), col("nrm").as("n1"))
+      .join(cold.select(col("bucket"), col(idCol).as("d2"),
+        col("v").as("v2"), col("nrm").as("n2")), Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+
+    val hotKeyed = tagged.filter(col("__cnt").isNotNull)
+      .withColumn("__ns", least(
+        ceil(col("__cnt") / lit(hotBucketThreshold.toDouble)),
+        lit(maxSaltBuckets.toLong)).cast("int"))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__ns")).cast("int"))
+    val aSide = hotKeyed
+      .withColumn("__cj", explode(sequence(col("__salt"), col("__ns") - 1)))
+      .select(col("bucket"), col("__salt").as("__ci"), col("__cj"),
+        col(idCol).as("x"), col("v").as("vx"), col("nrm").as("nx"))
+    val bSide = hotKeyed
+      .withColumn("__ci", explode(sequence(lit(0), col("__salt"))))
+      .select(col("bucket"), col("__ci"), col("__salt").as("__cj"),
+        col(idCol).as("y"), col("v").as("vy"), col("nrm").as("ny"))
+    val hotPairs = aSide.join(bSide, Seq("bucket", "__ci", "__cj"))
+      .filter((col("__ci") =!= col("__cj")) || (col("x") < col("y")))
+      .select(least(col("x"), col("y")).as("d1"),
+        greatest(col("x"), col("y")).as("d2"),
+        round(dot(col("vx"), col("vy")) / (col("nx") * col("ny")), 6).as("cos"))
+
+    coldPairs.unionAll(hotPairs)
+  }
 
   /** Embedding-cosine near-duplicate pairs (dedup semantics, not search):
     * every same-bucket pair with cosine >= threshold. No global sort or

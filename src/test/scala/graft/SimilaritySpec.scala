@@ -130,6 +130,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped == plain)
   }
 
+  test("lshTopPairsSalted == lshTopPairs at every ceiling (exactly-once cells under a limit)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d1", $"d2", $"cos").as[(Long, Long, Double)].collect().toSeq
+    val plain = rows(Similarity.lshTopPairs(emb, "vec_id", "embedding", 4, 64, 50))
+    assert(plain.size == 50)
+    // a limit is ORDER-sensitive: duplicates or a lost pair would change
+    // the admitted set, so compare the full sequence, not a set
+    for (ceiling <- Seq(1, 16, 1 << 20)) {
+      val salted = rows(Similarity.lshTopPairsSalted(
+        emb, "vec_id", "embedding", 4, 64, 50, ceiling))
+      assert(salted == plain, s"ceiling=$ceiling diverged")
+    }
+    val capped = rows(Similarity.lshTopPairsSalted(
+      emb, "vec_id", "embedding", 4, 64, 50, 1, maxSaltBuckets = 2))
+    assert(capped == plain)
+  }
+
+  test("q153 runs the salted cell plan and reproduces q33's rows exactly") {
+    val plain = SparkEntry.queries("q33_lsh_ann")(spark, TestSession.sf)
+    val salted = SparkEntry.queries("q153_lsh_ann_salted")(spark, TestSession.sf)
+    assert(!plain.queryExecution.analyzed.toString.contains("__salt"))
+    assert(salted.queryExecution.analyzed.toString.contains("__salt"),
+      "q153 must route through the salted cells at the spec SF")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d1", $"d2", $"cos").as[(Long, Long, Double)].collect().toSeq
+    assert(rows(salted) == rows(plain))
+  }
+
   test("q152 runs the salted cell plan and reproduces q147's rows exactly") {
     val plain = SparkEntry.queries("q147_banded_neardup")(spark, TestSession.sf)
     val salted = SparkEntry.queries("q152_banded_salted")(spark, TestSession.sf)
