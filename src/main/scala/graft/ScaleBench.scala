@@ -68,7 +68,11 @@ object ScaleBench {
     // round-6: BPE train+encode — per round one pair aggregate over the
     // (word, freq) dictionary; the scaling claim is Heaps-law sublinear
     // dictionary growth (q104's premise, here paid 6× + checkpoints)
-    "q146_bpe_encode")
+    "q146_bpe_encode",
+    // sampled quantiles: the WindowGroupLimit sample cut forwards ≤ k
+    // rows per (source) group per map task, so the exchange is flat
+    // while the SCAN grows — the decade ratio should approach scan cost
+    "q154_sampled_quantiles")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",

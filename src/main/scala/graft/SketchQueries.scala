@@ -97,9 +97,29 @@ object SketchQueries {
       .select(col("source"), col("filled"), col("est"), col("exact"))
   }
 
+  /** Sampled per-group quantiles
+    * ([[graft.operators.Sketch.sampledQuantiles]]): document-length
+    * p50/p90/p99 per source over a k=64 bottom-hash sample per group —
+    * the percentile question q43/q82 answer exactly, answered at sketch
+    * cost (one WindowGroupLimit-bounded exchange of ≤ k rows per group)
+    * with a deterministic, bit-replayable sample. The fixture sources
+    * hold more than k docs each, so the driver row checks the SAMPLED
+    * path, not the exact small-group degenerate case (the spec covers
+    * that one).
+    */
+  val q154_sampled_quantiles: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val docs = t(s, dir).documents
+      .select(col("source"), col("doc_id"), col("text"))
+    Sketch.sampledQuantiles(docs, Seq("source"),
+      size(tokens(col("text"))).cast("long"), "doc_id",
+      k = 64, qs = Seq(0.5, 0.9, 0.99))
+  }
+
   def all: Map[String, Q] = Map(
     "q101_countmin" -> q101_countmin,
     "q102_kmv_sample" -> q102_kmv_sample,
+    "q154_sampled_quantiles" -> q154_sampled_quantiles,
     "q145_hll" -> q145_hll)
 
   /** The engine poly-hash over an arbitrary SQL string expression. */
@@ -132,6 +152,26 @@ object SketchQueries {
          |SELECT pr.tok, pr.exact, min(cells.c) AS est
          |FROM pr JOIN cells USING (i, bucket)
          |GROUP BY 1, 2""".stripMargin,
+    "q154_sampled_quantiles" ->
+      s"""WITH base AS (
+         |  SELECT source, doc_id,
+         |    length(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS val,
+         |    ${polyHashSql("'qtile|' || doc_id::VARCHAR")} AS hk
+         |  FROM documents),
+         |sample AS (
+         |  SELECT source, doc_id, val FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY hk ASC, doc_id ASC) AS sr FROM base)
+         |  WHERE sr <= 64),
+         |ranked AS (
+         |  SELECT source, val,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY val ASC, doc_id ASC) AS vr,
+         |    count(*) OVER (PARTITION BY source) AS m
+         |  FROM sample)
+         |SELECT source, q, val AS value, m AS sample_n
+         |FROM ranked, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q)
+         |WHERE vr = ceil(q * m)::BIGINT""".stripMargin,
     "q102_kmv_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.{polyHash, HashMod}
@@ -131,5 +132,64 @@ object Sketch {
         round(when(raw <= lit(2.5 * m) && zeros > 0,
           lit(m) * log(lit(m) / zeros.cast("double"))).otherwise(raw), 4))
       .select((groupCols.map(col) :+ col("filled") :+ col("est")): _*)
+  }
+
+  /** Sampled per-group quantiles: exact quantile-by-rank over a
+    * DETERMINISTIC bottom-k hash sample of each group's rows — the
+    * percentile answer at a scale where the exact forms (q43's
+    * percentile aggregate, q82's ntile histogram) would sort the full
+    * group. The sample is q102's KMV discipline applied per group: the
+    * k rows with the smallest portable poly-hash of a salted id are a
+    * uniform group sample on any engine, any partitioning, any day (no
+    * rand()), so the approximate answer is still bit-replayable — and
+    * the sample-quantile error is the classical |F(v̂) − q| ≲ 1/√k
+    * (spec-measured), with groups at or under k rows answered EXACTLY
+    * (the sample is the group).
+    *
+    * Per quantile q the reported value is the sample's
+    * ceil(q·m)-th smallest (percentile-disc convention, m = sample
+    * size; value ties broken by id so the picked ROW is well-defined on
+    * every engine).
+    *
+    * Plan shape (the 100 TB grade): the per-group bottom-k rank
+    * compiles to WindowGroupLimit — each map task forwards at most k
+    * rows per group, so the ONE group-key exchange carries ≤ k·|groups|
+    * narrow (group, val, hk, id) rows no matter the corpus size; the
+    * value-rank window and the sample-size count reuse the same
+    * partitioning (no further exchange), and the quantile list joins as
+    * a broadcast literal.
+    */
+  def sampledQuantiles(df: DataFrame, groupCols: Seq[String],
+                       valCol: Column, idCol: String,
+                       k: Int, qs: Seq[Double]): DataFrame = {
+    require(k >= 1, s"sampledQuantiles: k must be >= 1, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"sampledQuantiles: quantiles must lie in (0, 1], got $qs")
+    for (c <- Seq("__hk", "__srank", "__vrank", "__m"))
+      require(!df.columns.contains(c),
+        s"sampledQuantiles: column name '$c' is reserved by the operator")
+    val g = groupCols.map(col)
+    val keyed = df.select((g :+ col(idCol) :+ valCol.as("val")): _*)
+      .withColumn("__hk",
+        polyHash(concat(lit("qtile|"), col(idCol).cast("string"))))
+    val sampleW = Window.partitionBy(g: _*)
+      .orderBy(col("__hk").asc, col(idCol).asc)
+    val sample = keyed
+      .withColumn("__srank", row_number().over(sampleW))
+      .filter(col("__srank") <= k) // int rank: a cast would block the
+      // InferWindowGroupLimit rewrite (the q92 prototypes note)
+    val valueW = Window.partitionBy(g: _*)
+      .orderBy(col("val").asc, col(idCol).asc)
+    val countW = Window.partitionBy(g: _*)
+    val ranked = sample
+      .withColumn("__vrank", row_number().over(valueW))
+      .withColumn("__m", count(lit(1)).over(countW))
+    val qFrame = broadcast(
+      df.sparkSession.range(1).select(
+        explode(array(qs.map(lit): _*)).as("q")))
+    ranked.crossJoin(qFrame)
+      .filter(col("__vrank") === ceil(col("q") * col("__m")).cast("int"))
+      .select((g :+ col("q") :+ col("val").as("value") :+
+        col("__m").cast("long").as("sample_n")): _*)
   }
 }

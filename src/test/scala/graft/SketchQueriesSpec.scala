@@ -67,4 +67,58 @@ class SketchQueriesSpec extends AnyFunSuite {
         f"HLL estimate for '$src' off by ${rel * 100}%.1f%% (est $est, exact $exact)")
     }
   }
+
+  test("q154: groups at or under k are answered exactly; sampled rank error within the 1/sqrt(k) class") {
+    import graft.operators.Sketch
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select($"source", $"doc_id",
+        size(TextFunctions.tokens($"text")).cast("long").as("len"))
+    // exact twin: k larger than every group means the sample IS the group
+    val total = docs.count().toInt
+    val exact = Sketch.sampledQuantiles(docs, Seq("source"), $"len", "doc_id",
+      k = total + 1, qs = Seq(0.5, 0.9))
+      .select($"source", $"q", $"value")
+      .as[(String, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the exact form must agree with a hand rank-selection per group
+    val byGroup = docs.select($"source", $"len", $"doc_id")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> rs.sortBy(r => (r._2, r._3)).map(_._2).toIndexedSeq }
+    for ((s, vals) <- byGroup; q <- Seq(0.5, 0.9)) {
+      val want = vals(math.ceil(q * vals.size).toInt - 1)
+      assert(exact((s, q)) == want, s"exact-path quantile off for ($s, $q)")
+    }
+    // sampled path: the reported value's TRUE rank in the full group
+    // must sit near q — the 1/sqrt(k) sampling-error class, asserted at
+    // a loose 4/sqrt(k) so the pin is about the mechanism, not luck
+    val k = 64
+    val sampled = Sketch.sampledQuantiles(docs, Seq("source"), $"len", "doc_id",
+      k = k, qs = Seq(0.5, 0.9))
+      .select($"source", $"q", $"value", $"sample_n")
+      .as[(String, Double, Long, Long)].collect()
+    assert(sampled.nonEmpty)
+    val bound = 4.0 / math.sqrt(k)
+    for ((s, q, v, n) <- sampled if byGroup(s).size > k) {
+      assert(n == k, s"group $s must sample exactly k rows, got $n")
+      val vals = byGroup(s)
+      val trueRank = vals.count(_ <= v).toDouble / vals.size
+      assert(math.abs(trueRank - q) <= bound,
+        f"($s, $q): sampled value $v has true rank $trueRank%.3f, " +
+          f"|err| > $bound%.3f")
+    }
+    // determinism: a second run is row-identical (no rand() anywhere)
+    val again = Sketch.sampledQuantiles(docs, Seq("source"), $"len", "doc_id",
+      k = k, qs = Seq(0.5, 0.9))
+      .select($"source", $"q", $"value", $"sample_n")
+      .as[(String, Double, Long, Long)].collect()
+    assert(again.toSet == sampled.toSet)
+  }
+
+  test("q154 plan: the per-group sample cut compiles to WindowGroupLimit before the one exchange") {
+    val plan = SparkEntry.queries("q154_sampled_quantiles")(spark, TestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a map-side WindowGroupLimit sample cut in:\n$plan")
+  }
 }
