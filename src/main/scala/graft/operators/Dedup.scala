@@ -119,62 +119,22 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
-  /** [[lshCandidatePairs]] with hot buckets spread by salted two-stage
-    * pairing — identical pair output, bounded per-task pair work.
-    *
-    * One cheap pass counts bucket occupancy (the count aggregates the
-    * O(bands)-longs-per-doc key stream, not the docs); buckets with
-    * `cnt < hotBucketThreshold` take the plain self-join. A hot bucket of
-    * m docs is split into S = ceil(m/threshold) salt groups by id hash,
-    * and the self-join runs per CELL of the S×S upper-triangular grid:
-    * a doc with salt s serves cells (s, j≥s) on the left and (i≤s, s) on
-    * the right, so every unordered pair meets in exactly one cell (same-
-    * salt pairs meet twice, in both orders — collapsed by the terminal
-    * distinct that multi-band collisions need anyway). Each task now holds
-    * one (bucket, cell): ≤ ~threshold docs per side, ≤ ~threshold² pair
-    * work — the same bound the plain path already implies for its largest
-    * admitted bucket, restored for buckets of ANY size at the cost of
-    * replicating hot-bucket keys S+1 times (keys only: id + two salt ints;
-    * signatures and text never shuffle here).
-    *
-    * The hot-key list broadcasts at O(total_rows / threshold) entries —
-    * bounded by the same threshold that bounds task size.
+  /** [[lshCandidatePairs]] with hot buckets spread by the shared salted
+    * cell engine ([[SaltedCells.pairs]], (band, bk) as the key) —
+    * identical pair output, per-task pair work bounded by
+    * hotBucketThreshold² for buckets of ANY size. Only (band, bk, id)
+    * rows enter the engine, so signatures and text never shuffle here;
+    * the terminal distinct collapses pairs colliding in several bands
+    * (the engine is exactly-once PER BAND).
     */
   def lshCandidatePairsSalted(sigs: DataFrame, idCol: String, k: Int, bands: Int,
                               hotBucketThreshold: Int = 4096): DataFrame = {
     require(hotBucketThreshold > 1,
       s"hotBucketThreshold must exceed 1, got $hotBucketThreshold")
-    val keyed = bandKeyed(sigs, idCol, k, bands)
-
-    val hot = keyed.groupBy(col("band"), col("bk"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= hotBucketThreshold)
-    val tagged = keyed.join(broadcast(hot), Seq("band", "bk"), "left_outer")
-
-    val cold = tagged.filter(col("cnt").isNull)
-    val coldPairs = cold.select(col("band"), col("bk"), col(idCol).as("d1"))
-      .join(cold.select(col("band"), col("bk"), col(idCol).as("d2")),
-        Seq("band", "bk"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"))
-
-    val hotKeyed = tagged.filter(col("cnt").isNotNull)
-      .withColumn("ns", ceil(col("cnt") / lit(hotBucketThreshold.toDouble)).cast("int"))
-      .withColumn("salt", pmod(xxhash64(col(idCol)), col("ns")).cast("int"))
-    val aSide = hotKeyed
-      .withColumn("cj", explode(sequence(col("salt"), col("ns") - 1)))
-      .select(col("band"), col("bk"), col("salt").as("ci"), col("cj"),
-        col(idCol).as("x"))
-    val bSide = hotKeyed
-      .withColumn("ci", explode(sequence(lit(0), col("salt"))))
-      .select(col("band"), col("bk"), col("ci"), col("salt").as("cj"),
-        col(idCol).as("y"))
-    val hotPairs = aSide.join(bSide, Seq("band", "bk", "ci", "cj"))
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("d1"),
-        greatest(col("x"), col("y")).as("d2"))
-
-    coldPairs.union(hotPairs).distinct()
+    SaltedCells.pairs(bandKeyed(sigs, idCol, k, bands), Seq("band", "bk"),
+        idCol, hotBucketThreshold)
+      .select(col(s"${idCol}_1").as("d1"), col(s"${idCol}_2").as("d2"))
+      .distinct()
   }
 
   /** Full near-dup pipeline: LSH candidates verified with exact Jaccard

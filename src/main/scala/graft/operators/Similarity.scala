@@ -119,16 +119,13 @@ object Similarity {
       .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
       .limit(limit)
 
-  /** [[lshTopPairs]] with the salted cell path for hot buckets — the q85
-    * decomposition with the single-band bucket as the key. A top-k
-    * CANNOT absorb duplicate pair rows in a terminal dedup the way the
-    * threshold forms do (duplicates would displace real rows inside the
-    * limit), so the cells emit each unordered pair EXACTLY once with no
-    * dedup exchange: a cross-salt pair (salts a < b) meets only in cell
-    * (a, b) — the reverse orientation (b, a) matches no cell — and
-    * same-salt cells (a, a) carry both orders, cut to one by `x < y`.
-    * The sort+limit still compiles to TakeOrderedAndProject (map-side k
-    * per task); task pair work is bounded by hotBucketThreshold².
+  /** [[lshTopPairs]] with hot buckets spread by the shared salted cell
+    * engine ([[SaltedCells.pairs]], the single-band bucket as the key).
+    * A top-k CANNOT absorb duplicate pair rows in a terminal dedup the
+    * way the threshold forms do (duplicates would displace real rows
+    * inside the limit) — the engine's exactly-once contract is what
+    * makes it safe here with no dedup exchange. The sort+limit still
+    * compiles to TakeOrderedAndProject (map-side k per task).
     */
   def lshTopPairsSalted(df: DataFrame, idCol: String, vecCol: String,
                         planes: Int, dims: Int, limit: Int,
@@ -173,49 +170,14 @@ object Similarity {
                                       vecCol: String, planes: Int, dims: Int,
                                       hotBucketThreshold: Int,
                                       maxSaltBuckets: Int): DataFrame = {
-    require(hotBucketThreshold >= 1 && maxSaltBuckets >= 1,
-      s"saltedBucketScoredPairs: ceilings must be >= 1, got " +
-        s"hotBucketThreshold=$hotBucketThreshold maxSaltBuckets=$maxSaltBuckets")
-    for (c <- Seq("__cnt", "__ns", "__salt", "__ci", "__cj"))
-      require(!df.columns.contains(c),
-        s"saltedBucketScoredPairs: column name '$c' is reserved by the operator")
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dims))
       .withColumn("nrm", norm(col("v")))
-    val hot = v.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= hotBucketThreshold)
-    val tagged = v.join(broadcast(hot), Seq("bucket"), "left_outer")
-
-    val cold = tagged.filter(col("__cnt").isNull)
-    val coldPairs = cold.select(col("bucket"), col(idCol).as("d1"),
-        col("v").as("v1"), col("nrm").as("n1"))
-      .join(cold.select(col("bucket"), col(idCol).as("d2"),
-        col("v").as("v2"), col("nrm").as("n2")), Seq("bucket"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
-
-    val hotKeyed = tagged.filter(col("__cnt").isNotNull)
-      .withColumn("__ns", least(
-        ceil(col("__cnt") / lit(hotBucketThreshold.toDouble)),
-        lit(maxSaltBuckets.toLong)).cast("int"))
-      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__ns")).cast("int"))
-    val aSide = hotKeyed
-      .withColumn("__cj", explode(sequence(col("__salt"), col("__ns") - 1)))
-      .select(col("bucket"), col("__salt").as("__ci"), col("__cj"),
-        col(idCol).as("x"), col("v").as("vx"), col("nrm").as("nx"))
-    val bSide = hotKeyed
-      .withColumn("__ci", explode(sequence(lit(0), col("__salt"))))
-      .select(col("bucket"), col("__ci"), col("__salt").as("__cj"),
-        col(idCol).as("y"), col("v").as("vy"), col("nrm").as("ny"))
-    val hotPairs = aSide.join(bSide, Seq("bucket", "__ci", "__cj"))
-      .filter((col("__ci") =!= col("__cj")) || (col("x") < col("y")))
-      .select(least(col("x"), col("y")).as("d1"),
-        greatest(col("x"), col("y")).as("d2"),
-        round(dot(col("vx"), col("vy")) / (col("nx") * col("ny")), 6).as("cos"))
-
-    coldPairs.unionAll(hotPairs)
+    SaltedCells.pairs(v, Seq("bucket"), idCol, hotBucketThreshold,
+        maxSaltBuckets)
+      .select(col(s"${idCol}_1").as("d1"), col(s"${idCol}_2").as("d2"),
+        round(dot(col("v_1"), col("v_2")) / (col("nrm_1") * col("nrm_2")), 6)
+          .as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup semantics, not search):
@@ -332,20 +294,14 @@ object Similarity {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
-  /** [[lshNearDupPairsBanded]] with the salted cell path engaged for hot
-    * (band, bucket) keys — the executable form of the hot-bucket note
-    * above (the q85 `Dedup.lshCandidatePairsSalted` decomposition with
-    * this operator's composite bucket as the band key). Composite buckets
-    * at or above `hotBucketThreshold` occupants split into
-    * ns = ⌈cnt/threshold⌉ salt buckets; a row with salt s serves cells
-    * (s, j≥s) on one side and (i≤s, s) on the other, so every unordered
-    * pair meets in exactly one cell per colliding bucket (same-salt pairs
-    * twice, in both orders — absorbed by the terminal dropDuplicates that
-    * multi-band collisions need anyway). Task pair work is bounded by
-    * hotBucketThreshold² for buckets of ANY size; the hot list broadcasts
-    * at ≤ rows·bands/threshold entries. Vectors ride the bounded
-    * ns+1-cell replication so scoring streams through the join (the
-    * measured decision above — never materialize the pair fan-out).
+  /** [[lshNearDupPairsBanded]] with hot (band, bucket) keys spread by
+    * the shared salted cell engine ([[SaltedCells.pairs]], this
+    * operator's composite bucket as the key) — the executable form of
+    * the hot-bucket note above. The engine is exactly-once PER BUCKET;
+    * the terminal dropDuplicates collapses pairs colliding in several
+    * BANDS, exactly as the plain path's does. Vectors ride the bounded
+    * cell replication so scoring streams through the join (the measured
+    * decision above — never materialize the pair fan-out).
     *
     * Output is identical to [[lshNearDupPairsBanded]] (spec-pinned; q152
     * hash-checks the salted plan against q147's oracle under the driver
@@ -354,51 +310,14 @@ object Similarity {
   def lshNearDupPairsBandedSalted(df: DataFrame, idCol: String, vecCol: String,
                                   planes: Int, bands: Int, dims: Int,
                                   threshold: Double, hotBucketThreshold: Int,
-                                  maxSaltBuckets: Int = 256): DataFrame = {
-    require(hotBucketThreshold >= 1 && maxSaltBuckets >= 1,
-      s"lshNearDupPairsBandedSalted: ceilings must be >= 1, got " +
-        s"hotBucketThreshold=$hotBucketThreshold maxSaltBuckets=$maxSaltBuckets")
-    for (c <- Seq("__cnt", "__ns", "__salt", "__ci", "__cj"))
-      require(!df.columns.contains(c),
-        s"lshNearDupPairsBandedSalted: column name '$c' is reserved by the operator")
-    val banded = bandedBuckets(df, idCol, vecCol, planes, bands, dims)
-    val hot = banded.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= hotBucketThreshold)
-    val tagged = banded.join(broadcast(hot), Seq("bucket"), "left_outer")
-
-    val cold = tagged.filter(col("__cnt").isNull)
-    val coldPairs = cold.select(col("bucket"), col(idCol).as("d1"),
-        col("v").as("v1"), col("nrm").as("n1"))
-      .join(cold.select(col("bucket"), col(idCol).as("d2"),
-        col("v").as("v2"), col("nrm").as("n2")), Seq("bucket"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
-
-    val hotKeyed = tagged.filter(col("__cnt").isNotNull)
-      .withColumn("__ns", least(
-        ceil(col("__cnt") / lit(hotBucketThreshold.toDouble)),
-        lit(maxSaltBuckets.toLong)).cast("int"))
-      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__ns")).cast("int"))
-    val aSide = hotKeyed
-      .withColumn("__cj", explode(sequence(col("__salt"), col("__ns") - 1)))
-      .select(col("bucket"), col("__salt").as("__ci"), col("__cj"),
-        col(idCol).as("x"), col("v").as("vx"), col("nrm").as("nx"))
-    val bSide = hotKeyed
-      .withColumn("__ci", explode(sequence(lit(0), col("__salt"))))
-      .select(col("bucket"), col("__ci"), col("__salt").as("__cj"),
-        col(idCol).as("y"), col("v").as("vy"), col("nrm").as("ny"))
-    val hotPairs = aSide.join(bSide, Seq("bucket", "__ci", "__cj"))
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("d1"),
-        greatest(col("x"), col("y")).as("d2"),
-        round(dot(col("vx"), col("vy")) / (col("nx") * col("ny")), 6).as("cos"))
-
-    coldPairs.unionAll(hotPairs)
+                                  maxSaltBuckets: Int = 256): DataFrame =
+    SaltedCells.pairs(bandedBuckets(df, idCol, vecCol, planes, bands, dims),
+        Seq("bucket"), idCol, hotBucketThreshold, maxSaltBuckets)
+      .select(col(s"${idCol}_1").as("d1"), col(s"${idCol}_2").as("d2"),
+        round(dot(col("v_1"), col("v_2")) / (col("nrm_1") * col("nrm_2")), 6)
+          .as("cos"))
       .filter(col("cos") >= threshold)
       .dropDuplicates("d1", "d2")
-  }
 
   /** [[lshNearDupPairsBanded]] behind the construction-time occupancy
     * gate (the `Relational.bandedIntervalJoinAuto` discipline): one
@@ -457,24 +376,13 @@ object Similarity {
       .drop("__bits", "__band")
   }
 
-  /** [[semanticDedup]] with the salted two-stage pair path engaged for
-    * hot clusters — the executable form of the hot-cluster note above
-    * (the q85 `Dedup.lshCandidatePairsSalted` cell decomposition, applied
-    * with centroid as the band key). Clusters at or above
-    * `hotClusterThreshold` members split into ns = ⌈cnt/threshold⌉ salt
-    * buckets; a member with salt s serves cells (s, j≥s) on one side and
-    * (i≤s, s) on the other, so every unordered pair meets in exactly one
-    * cell (same-salt pairs meet twice, in both orders — absorbed by the
-    * dropped-set distinct the plain path already has). Task pair work is
-    * bounded by hotClusterThreshold² for clusters of ANY size.
-    *
-    * Vectors RIDE the replicated cell exchange here (ns+1 cells per hot
-    * row, bounded by the ceiling) — deliberately, per the q147 measured
-    * decision: scoring must stream through the codegen'd dot product
-    * inside the join; generating id-only pairs and re-attaching vectors
-    * materializes the pair fan-out through an exchange plus sorts, which
-    * is the side that actually blows up. The hot-cluster list broadcasts
-    * at ≤ k rows (the model's own bound).
+  /** [[semanticDedup]] with hot clusters spread by the shared salted
+    * cell engine ([[SaltedCells.pairs]], centroid as the key) — the
+    * executable form of the hot-cluster note above. Vectors ride the
+    * bounded cell replication so the cosine scoring streams through the
+    * join (the q147 measured decision — never materialize the pair
+    * fan-out); the hot-cluster list broadcasts at ≤ k rows (the model's
+    * own bound).
     *
     * Output is identical to [[semanticDedup]] (spec-pinned on skewed
     * fixtures; q151 hash-checks the salted plan against the q87 oracle
@@ -484,51 +392,18 @@ object Similarity {
                           cents: Array[Double], dims: Int, threshold: Double,
                           hotClusterThreshold: Int,
                           maxSaltBuckets: Int = 256): DataFrame = {
-    require(hotClusterThreshold >= 1 && maxSaltBuckets >= 1,
-      s"semanticDedupSalted: ceilings must be >= 1, got " +
-        s"hotClusterThreshold=$hotClusterThreshold maxSaltBuckets=$maxSaltBuckets")
-    for (c <- Seq("__cnt", "__ns", "__salt", "__ci", "__cj"))
-      require(!df.columns.contains(c),
-        s"semanticDedupSalted: column name '$c' is reserved by the operator")
     val assigned = graft.operators.Ivf.assign(df, vecCol, cents, dims)
       .select(col(idCol), asDouble(col(vecCol)).as("v"),
         col("centroid").cast("long").as("centroid"))
       .withColumn("nrm", norm(col("v")))
-    val hot = assigned.groupBy(col("centroid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= hotClusterThreshold)
-    val tagged = assigned.join(broadcast(hot), Seq("centroid"), "left_outer")
-
-    val cold = tagged.filter(col("__cnt").isNull)
-    val droppedCold = cold.select(col("centroid"), col(idCol).as("id_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      .join(cold.select(col("centroid"), col(idCol).as("id_b"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("centroid"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+    // pairs leave the engine oriented id_1 < id_2, so id_2 is the member
+    // the keep-lowest-id rule drops
+    val dropped = SaltedCells.pairs(assigned, Seq("centroid"), idCol,
+        hotClusterThreshold, maxSaltBuckets)
+      .filter(round(dot(col("v_1"), col("v_2")) / (col("nrm_1") * col("nrm_2")), 6)
         >= threshold)
-      .select(col("id_b").as(idCol))
-
-    val hotKeyed = tagged.filter(col("__cnt").isNotNull)
-      .withColumn("__ns", least(
-        ceil(col("__cnt") / lit(hotClusterThreshold.toDouble)),
-        lit(maxSaltBuckets.toLong)).cast("int"))
-      .withColumn("__salt", pmod(xxhash64(col(idCol)), col("__ns")).cast("int"))
-    val aSide = hotKeyed
-      .withColumn("__cj", explode(sequence(col("__salt"), col("__ns") - 1)))
-      .select(col("centroid"), col("__salt").as("__ci"), col("__cj"),
-        col(idCol).as("x"), col("v").as("vx"), col("nrm").as("nx"))
-    val bSide = hotKeyed
-      .withColumn("__ci", explode(sequence(lit(0), col("__salt"))))
-      .select(col("centroid"), col("__ci"), col("__salt").as("__cj"),
-        col(idCol).as("y"), col("v").as("vy"), col("nrm").as("ny"))
-    val droppedHot = aSide.join(bSide, Seq("centroid", "__ci", "__cj"))
-      .filter(col("x") =!= col("y"))
-      .filter(round(dot(col("vx"), col("vy")) / (col("nx") * col("ny")), 6)
-        >= threshold)
-      .select(greatest(col("x"), col("y")).as(idCol))
-
-    val dropped = droppedCold.unionAll(droppedHot).distinct()
+      .select(col(s"${idCol}_2").as(idCol))
+      .distinct()
     assigned.select(col(idCol), col("centroid"))
       .join(dropped, Seq(idCol), "left_anti")
   }
