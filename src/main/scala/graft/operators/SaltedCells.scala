@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   * The hot-key list broadcasts at O(total_rows / hotThreshold) entries —
   * bounded by the same ceiling that bounds task size.
   */
-private[operators] object SaltedCells {
+private[graft] object SaltedCells {
 
   /** Every unordered pair of distinct rows of `df` sharing `keyCols`,
     * exactly once per shared key, as suffixed columns: each non-key

@@ -276,4 +276,40 @@ class PropertiesSpec extends AnyFunSuite {
         s"case $ci: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     }
   }
+
+  test("SaltedCells.pairs == brute-force key pairs, exactly once, at random thresholds") {
+    // random (key, id, payload) tables with deliberately skewed keys so
+    // hot and cold routes are both drawn; every ceiling must yield the
+    // identical MULTISET of oriented pairs (exactly-once is the contract
+    // the top-k caller depends on, so duplicates are failures even when
+    // a set comparison would hide them)
+    val tableGen = for {
+      n <- Gen.chooseNum(2, 60)
+      keys <- Gen.listOfN(n, Gen.frequency(
+        (6, Gen.const(0L)), (3, Gen.chooseNum(1L, 3L)), (1, Gen.chooseNum(4L, 20L))))
+      payloads <- Gen.listOfN(n, Gen.chooseNum(-100L, 100L))
+    } yield keys.zip(payloads).zipWithIndex.map {
+      case ((k, p), i) => (k, i.toLong, p)
+    }
+    cases(tableGen, 12).zipWithIndex.foreach { case (rows, ci) =>
+      val df = rows.toDF("k", "id", "p")
+      val want = (for {
+        a <- rows; b <- rows
+        if a._1 == b._1 && a._2 < b._2
+      } yield (a._2, b._2, a._3, b._3))
+        .groupBy(identity).map { case (r, o) => r -> o.size }
+      for (ceiling <- Seq(1, 3, 64)) {
+        val got = graft.operators.SaltedCells
+          .pairs(df, Seq("k"), "id", ceiling, maxSaltBuckets = 4)
+          .select($"id_1", $"id_2", $"p_1", $"p_2")
+          .as[(Long, Long, Long, Long)].collect().toSeq
+          .groupBy(identity).map { case (r, o) => r -> o.size }
+        assert(got == want,
+          s"case $ci ceiling=$ceiling: " +
+            s"missing=${(want.keySet -- got.keySet).take(3)} " +
+            s"extra=${(got.keySet -- want.keySet).take(3)} " +
+            s"dups=${got.filter(_._2 > 1).take(3)}")
+      }
+    }
+  }
 }
