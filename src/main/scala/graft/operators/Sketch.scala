@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -191,5 +191,43 @@ object Sketch {
       .filter(col("__vrank") === ceil(col("q") * col("__m")).cast("int"))
       .select((g :+ col("q") :+ col("val").as("value") :+
         col("__m").cast("long").as("sample_n")): _*)
+  }
+
+  /** Streaming [[sampledQuantiles]]: the same bottom-k hash sample kept
+    * as O(k) MERGEABLE state per group (`functions.BottomKAgg` — bottom-k
+    * of a union is the bottom-k of the two bottom-ks, so partial
+    * aggregation and micro-batch accumulation both compose), run as a
+    * plain aggregate in complete/update mode. The per-quantile rows come
+    * from an explode over the finished sample (the batch form's
+    * broadcast-literal join is a join-after-aggregation, which streaming
+    * disallows — the explode is the same arithmetic as a stateless
+    * projection). Converges to the batch answer on the same rows
+    * (spec-pinned, shuffled arrival): identical (hash, id) admission and
+    * identical (value, id) rank order.
+    */
+  def sampledQuantilesStream(df: DataFrame, groupCols: Seq[String],
+                             valCol: Column, idCol: String,
+                             k: Int, qs: Seq[Double]): DataFrame = {
+    require(k >= 1, s"sampledQuantilesStream: k must be >= 1, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"sampledQuantilesStream: quantiles must lie in (0, 1], got $qs")
+    val bottomK = udaf(new graft.functions.BottomKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    val g = groupCols.map(col)
+    val agged = df
+      .select((g :+ col(idCol).cast("long").as("__id") :+
+        valCol.cast("long").as("__val")): _*)
+      .withColumn("__hk",
+        polyHash(concat(lit("qtile|"), col("__id").cast("string"))))
+      .groupBy(g: _*)
+      .agg(bottomK(col("__hk"), col("__id"), col("__val")).as("__vals"))
+    val m = size(col("__vals"))
+    agged
+      .select((g :+ m.cast("long").as("sample_n") :+
+        explode(array(qs.map(q => struct(lit(q).as("q"),
+          element_at(col("__vals"),
+            ceil(lit(q) * m).cast("int")).as("value"))): _*)).as("__qr")): _*)
+      .select((g :+ col("__qr.q").as("q") :+ col("__qr.value").as("value") :+
+        col("sample_n")): _*)
   }
 }

@@ -61,4 +61,38 @@ class SketchStreamSpec extends AnyFunSuite {
       assert(est("a") >= 3 && est("b") >= 3 && est("c") >= 1 && est("d") >= 1)
     } finally q.stop()
   }
+
+  test("streaming sampledQuantiles converges to the batch answer on shuffled arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two groups, enough rows that k=8 really samples one of them; rows
+    // arrive shuffled across three batches — admission is by (hash, id),
+    // so arrival order must not matter
+    val rows = (1L to 40L).map(i => ("big", i, i * 3 % 17)) ++
+      (101L to 106L).map(i => ("small", i, i))
+    val shuffled = new scala.util.Random(11).shuffle(rows)
+    val batches = shuffled.grouped(16).toSeq
+    val in = MemoryStream[(String, Long, Long)]
+    val q = Sketch.sampledQuantilesStream(
+        in.toDF().toDF("source", "doc_id", "len"),
+        Seq("source"), $"len", "doc_id", k = 8, qs = Seq(0.5, 0.9))
+      .writeStream.format("memory").queryName("qtile_stream")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("qtile_stream")
+        .select($"source", $"q", $"value", $"sample_n")
+        .as[(String, Double, Long, Long)].collect().toSet
+      val batch = Sketch.sampledQuantiles(
+          rows.toDF("source", "doc_id", "len"),
+          Seq("source"), $"len", "doc_id", k = 8, qs = Seq(0.5, 0.9))
+        .select($"source", $"q", $"value", $"sample_n")
+        .as[(String, Double, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed=$streamed\nbatch=$batch")
+      // the small group (6 rows < k) is answered exactly
+      assert(streamed.filter(_._1 == "small").forall(_._4 == 6))
+      assert(streamed.filter(_._1 == "big").forall(_._4 == 8))
+    } finally q.stop()
+  }
 }
