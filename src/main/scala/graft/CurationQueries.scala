@@ -56,6 +56,36 @@ object CurationQueries {
       .select(col("doc_id"), coalesce(col("flag"), lit(0)).as("contaminated"))
   }
 
+  /** Exact-substring canary decontamination — the third member of the
+    * decontamination trio (q69/q96 n-gram overlap, q137 set containment):
+    * drop/flag a training doc when it contains any CANARY STRING verbatim
+    * — the form used for held-out canaries and memorization probes, where
+    * tokenization must not blur the match. Canaries here are a
+    * deterministic 40-char span of each eval doc (doc_id < 20), so the
+    * fixture exercises both verdicts wherever the corpus carries
+    * exact/near duplicates of eval docs.
+    *
+    * Scale shape: the canary list is SMALL by definition (eval canaries,
+    * not benchmark n-grams — q96 is the scale form when the probe side
+    * is big), so it broadcasts and the match is a BroadcastNestedLoopJoin
+    * LEFT SEMI: per-task `contains` evaluations over the scan, text never
+    * shuffles, and the only exchange is the contaminated-id distinct
+    * (narrow doc_id longs). The verdict join-back mirrors q96's.
+    */
+  val q155_canary_decontaminate: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val canaries = docs.filter(col("doc_id") < 20)
+      .select(substring(col("text"), 11, 40).as("phrase"))
+      .filter(length(col("phrase")) === 40)
+      .distinct()
+    val contaminated = docs.filter(col("doc_id") >= 20)
+      .join(broadcast(canaries), col("text").contains(col("phrase")), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") >= 20)
+      .join(contaminated.withColumn("flag", lit(1)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("flag"), lit(0)).as("contaminated"))
+  }
+
   /** Reason-coded Gopher-style rule filter (Rae et al. table A1 family):
     * each doc carries one boolean PER RULE plus the conjunction, so the
     * funnel "which rule removed how much" is one groupBy away — the form
@@ -413,6 +443,7 @@ object CurationQueries {
   def all: Map[String, Q] = Map(
     "q119_weighted_sample" -> q119_weighted_sample,
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
+    "q155_canary_decontaminate" -> q155_canary_decontaminate,
     "q97_gopher_rules" -> q97_gopher_rules,
     "q98_token_entropy" -> q98_token_entropy,
     "q99_temperature_mix" -> q99_temperature_mix,
@@ -499,6 +530,17 @@ object CurationQueries {
          |SELECT d.doc_id, (CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS contaminated
          |FROM d LEFT JOIN c ON d.doc_id = c.doc_id
          |WHERE d.doc_id >= 20""".stripMargin,
+    "q155_canary_decontaminate" ->
+      """WITH c AS (
+        |  SELECT DISTINCT substring(text, 11, 40) AS phrase FROM documents
+        |  WHERE doc_id < 20 AND length(substring(text, 11, 40)) = 40),
+        |f AS (
+        |  SELECT DISTINCT d.doc_id FROM documents d, c
+        |  WHERE d.doc_id >= 20 AND contains(d.text, c.phrase))
+        |SELECT d.doc_id,
+        |  (CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END) AS contaminated
+        |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        |WHERE d.doc_id >= 20""".stripMargin,
     "q97_gopher_rules" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

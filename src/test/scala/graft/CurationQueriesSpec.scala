@@ -57,6 +57,29 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(Seq(30L, 31L, 32L, 40L, 41L).forall(flags(_) == 0))
   }
 
+  test("q155: verbatim canary span flags the doc; a one-char-off span does not") {
+    // own fixture: the shared one's texts are shorter than the 40-char
+    // canary window, and growing them would shift q99/q104's token counts
+    val d = Files.createTempDirectory("graft-canary-sf").toFile.getAbsolutePath
+    val canary = "THE-QUICK-BROWN-FOX-JUMPS-OVER-LAZY-DOGS" // exactly 40 chars
+    assert(canary.length == 40)
+    val docs = Seq(
+      (0L, s"0123456789$canary tail of the eval document", "en", "src_a", 0L),
+      (20L, s"training prefix $canary training suffix", "en", "src_a", 0L),
+      (21L, s"training prefix ${canary.dropRight(1)}X training suffix", "en", "src_a", 0L),
+      (22L, "wholly unrelated training text with no span", "en", "src_a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    val q = SparkEntry.queries("q155_canary_decontaminate")(spark, d)
+    val got = q.select($"doc_id", $"contaminated")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(20L -> 1, 21L -> 0, 22L -> 0), s"got $got")
+    // the match is a broadcast nested-loop SEMI join: text never shuffles
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftSemi"),
+      s"expected a BNLJ left-semi canary match in:\n$plan")
+  }
+
   test("q97: each rule trips on its own boundary, pass is the conjunction") {
     val rows = run("q97_gopher_rules")
       .select($"doc_id", $"n_tok", $"r_count", $"r_mean_len", $"r_stop", $"r_uniq", $"pass")

@@ -62,6 +62,38 @@ class SketchStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hllRegisters converges to the batch registers of the same tokens") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(("a", "x"), ("a", "y"), ("b", "x")),
+      Seq(("a", "x"), ("b", "z"), ("b", "w")),
+      Seq(("a", "z"), ("b", "x"), ("a", "y")))
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"source", $"reg", $"mr").as[(String, Long, Int)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val in = MemoryStream[(String, String)]
+    val q = Sketch.hllRegisters(in.toDF().toDF("source", "tok"),
+        Seq("source"), "tok")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = regMap(spark.table("hll_stream"))
+      val batch = regMap(Sketch.hllRegisters(
+        batches.flatten.toDF("source", "tok"), Seq("source"), "tok"))
+      assert(streamed == batch)
+      // and the streamed registers feed the estimator unchanged
+      val est = Sketch.hllEstimate(spark.table("hll_stream"), Seq("source"))
+        .select($"source", $"est").as[(String, Double)].collect().toMap
+      val bEst = Sketch.hllEstimate(Sketch.hllRegisters(
+          batches.flatten.toDF("source", "tok"), Seq("source"), "tok"),
+        Seq("source"))
+        .select($"source", $"est").as[(String, Double)].collect().toMap
+      assert(est == bEst)
+    } finally q.stop()
+  }
+
   test("streaming sampledQuantiles converges to the batch answer on shuffled arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
