@@ -72,7 +72,12 @@ object ScaleBench {
     // sampled quantiles: the WindowGroupLimit sample cut forwards ≤ k
     // rows per (source) group per map task, so the exchange is flat
     // while the SCAN grows — the decade ratio should approach scan cost
-    "q154_sampled_quantiles")
+    "q154_sampled_quantiles",
+    // canary decontamination: ScaleData shifts doc_ids per replica, so
+    // the canary side stays the ORIGINAL eval docs while the scanned
+    // corpus grows (q137's geometry) — the BNLJ contains() work is
+    // |train| × |canaries|, expected ~linear
+    "q155_canary_decontaminate")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
