@@ -28,6 +28,7 @@ object CorpusIngestApp {
     "[--brokers <csv> --topics <csv>] --index <dir> --out <dir> " +
     "--checkpoint <dir> [--min-quality 0.35] [--delay '10 seconds'] " +
     "[--eval <parquet of eval docs>] [--eval-containment <tNum/tDen>] " +
+    "[--canaries <text file, one verbatim canary string per line>] " +
     "[--trigger available-now|'<interval>']"
 
   val docSchema: StructType = StructType(Seq(
@@ -73,7 +74,14 @@ object CorpusIngestApp {
       (spark.read.parquet(conf("eval")).select(col("doc_id"), col("text")).cache(),
         tn, td)
     }
-    val ingested = CorpusPipeline.streamingIngest(docs, "ts",
+    // --canaries: exact-substring decontamination (q155's pipeline form)
+    // — a stateless scan-local filter, composable with either eval mode;
+    // read once batch-side (canary lists are small by definition)
+    val canaries: Array[String] = conf.get("canaries")
+      .map(p => spark.read.textFile(p).collect().map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Array.empty)
+    val ingested = CorpusPipeline.streamingIngest(
+      CorpusPipeline.decontaminateByCanary(docs, canaries), "ts",
       conf.getOrElse("delay", "10 seconds"),
       minQuality = conf.getOrElse("min-quality", "0.35").toDouble,
       evalHashes = evalHashes)

@@ -194,6 +194,22 @@ object CorpusPipeline {
       shingleHashes(col(textCol), n),
       lit(evalHashes)))
 
+  /** Exact-substring canary decontamination as a STATELESS stage — q155's
+    * pipeline form, the third decontamination granularity alongside
+    * [[decontaminate]] (any shared n-gram) and
+    * [[decontaminateByContainment]] (graded coverage): drop any doc
+    * containing one of `canaries` VERBATIM, the memorization-probe form
+    * where tokenization must not blur the match. The canary list is a
+    * literal array probed scan-locally (`exists` + `contains`) — no join,
+    * no state, so it composes into any batch or streaming stage and
+    * streamed survivors equal the batch filter on any arrival order
+    * (spec-pinned). An empty list is the identity.
+    */
+  def decontaminateByCanary(docs: DataFrame, canaries: Array[String],
+                            textCol: String = "text"): DataFrame =
+    if (canaries.isEmpty) docs
+    else docs.filter(!exists(lit(canaries), p => col(textCol).contains(p)))
+
   /** Containment-threshold decontamination — the graded form of
     * [[decontaminate]]: drop a training doc only when it COVERS at least
     * tNum/tDen of some eval doc's shingle set

@@ -258,27 +258,37 @@ class AppsSmokeSpec extends AnyFunSuite {
     writeLines(in, "01_docs.jsonl", Seq(
       doc(5, base + " appended", 20),         // near-dup of 1 -> dropped vs index
       doc(6, "another standalone text on deep sea hydrothermal vents and fauna", 21),
-      doc(7, "intro words then held out benchmark sequence five exactly closing", 22)))
+      doc(7, "intro words then held out benchmark sequence five exactly closing", 22),
+      // verbatim canary hit -> dropped by --canaries BEFORE any stage;
+      // a tokenization-blurred variant (extra space) survives the
+      // exact-substring check
+      doc(8, "leading text SECRET-CANARY-0042-ALPHA trailing text", 23),
+      doc(9, "leading text SECRET-CANARY-0042 ALPHA trailing text", 24)))
     val evalDir = tmp("appcorpus-eval")
     Seq("held out benchmark sequence five").toDF("text")
       .coalesce(1).write.mode("overwrite").parquet(evalDir)
+    val canaryFile = new java.io.File(tmp("appcorpus-canaries"), "c.txt")
+    java.nio.file.Files.write(canaryFile.toPath,
+      "SECRET-CANARY-0042-ALPHA\n".getBytes)
 
     val progressDir = tmp("appcorpus-progress")
     CorpusIngestApp.main(Array(
       "--source", "file", "--input", in, "--index", idx, "--out", out,
       "--checkpoint", cp, "--eval", evalDir, "--max-files-per-trigger", "1",
+      "--canaries", canaryFile.getAbsolutePath,
       "--progress", progressDir))
     spark.sparkContext.setLogLevel("ERROR")
 
     val admitted = spark.read.parquet(out).select($"doc_id")
       .as[Long].collect().toSet
-    assert(admitted == Set(1L, 4L, 6L),
-      s"expected exact dup 2, low-quality 3, near-dup 5, contaminated 7 dropped; got $admitted")
+    assert(admitted == Set(1L, 4L, 6L, 9L),
+      s"expected exact dup 2, low-quality 3, near-dup 5, contaminated 7, " +
+        s"canary 8 dropped (blurred 9 admitted); got $admitted")
     // the signature index holds every doc the near-dedup stage SAW (ingest
-    // survivors, admitted or not); decont drops doc 7 BEFORE ingest, so it
-    // never reaches the index
+    // survivors, admitted or not); decont drops docs 7/8 BEFORE ingest, so
+    // they never reach the index
     assert(spark.read.parquet(idx).select($"doc_id").as[Long].collect().toSet
-      == Set(1L, 4L, 5L, 6L))
+      == Set(1L, 4L, 5L, 6L, 9L))
     // --progress wrote one StreamingQueryProgress JSON line per trigger
     val progressFiles = new java.io.File(progressDir).listFiles()
     assert(progressFiles != null && progressFiles.nonEmpty,
