@@ -77,7 +77,10 @@ object ScaleBench {
     // the canary side stays the ORIGINAL eval docs while the scanned
     // corpus grows (q137's geometry) — the BNLJ contains() work is
     // |train| × |canaries|, expected ~linear
-    "q155_canary_decontaminate")
+    "q155_canary_decontaminate",
+    // weighted quantiles: q154's shape with the A-ES key — the same
+    // WindowGroupLimit-bounded exchange, expected ~flat
+    "q156_weighted_quantiles")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",

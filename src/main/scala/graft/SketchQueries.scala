@@ -116,10 +116,30 @@ object SketchQueries {
       k = 64, qs = Seq(0.5, 0.9, 0.99))
   }
 
+  /** Token-weighted doc-length quantiles per source
+    * ([[graft.operators.Sketch.weightedSampledQuantiles]]): "the length
+    * under which q of the TOKEN MASS lives" — the weighted companion of
+    * q154 (a long doc counts by its tokens, not once), over a k=64 A-ES
+    * sample per group (q119's race — inclusion ∝ weight,
+    * deterministic). Empty docs carry zero weight and are excluded
+    * up-front (the A-ES contract is w > 0, checked fail-loud).
+    */
+  val q156_weighted_quantiles: Q = (s, dir) => {
+    import graft.operators.Sketch
+    val docs = t(s, dir).documents
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+    Sketch.weightedSampledQuantiles(docs, Seq("source"),
+      col("n_chars"), col("ntok"), "doc_id",
+      k = 64, qs = Seq(0.5, 0.9, 0.99))
+  }
+
   def all: Map[String, Q] = Map(
     "q101_countmin" -> q101_countmin,
     "q102_kmv_sample" -> q102_kmv_sample,
     "q154_sampled_quantiles" -> q154_sampled_quantiles,
+    "q156_weighted_quantiles" -> q156_weighted_quantiles,
     "q145_hll" -> q145_hll)
 
   /** The engine poly-hash over an arbitrary SQL string expression. */
@@ -172,6 +192,32 @@ object SketchQueries {
          |SELECT source, q, val AS value, m AS sample_n
          |FROM ranked, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q)
          |WHERE vr = ceil(q * m)::BIGINT""".stripMargin,
+    "q156_weighted_quantiles" ->
+      s"""WITH base AS (
+         |  SELECT source, doc_id, n_chars,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS w
+         |  FROM documents),
+         |keyed AS (
+         |  SELECT *, -ln(((doc_id * 2654435761) % 1000000007 + 1)::DOUBLE
+         |    / 1000000008.0) / w::DOUBLE AS key
+         |  FROM base WHERE w > 0),
+         |sample AS (
+         |  SELECT source, doc_id, n_chars AS val, w FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY key ASC, doc_id ASC) AS sr FROM keyed)
+         |  WHERE sr <= 64),
+         |cum AS (
+         |  SELECT source, doc_id, val, w,
+         |    sum(w) OVER (PARTITION BY source ORDER BY val ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS c,
+         |    sum(w) OVER (PARTITION BY source) AS tot
+         |  FROM sample)
+         |SELECT source, q, val AS value, tot::BIGINT AS sample_w FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source, q
+         |    ORDER BY val ASC, doc_id ASC) AS pr
+         |  FROM cum, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q)
+         |  WHERE c::DOUBLE >= q * tot::DOUBLE)
+         |WHERE pr = 1""".stripMargin,
     "q102_kmv_sample" ->
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -193,6 +193,73 @@ object Sketch {
         col("__m").cast("long").as("sample_n")): _*)
   }
 
+  /** WEIGHTED per-group quantiles over a deterministic A-ES sample — the
+    * weighted companion of [[sampledQuantiles]]: "the value under which
+    * fraction q of the WEIGHT lives" (e.g. token-mass length percentiles,
+    * where a long doc counts by its tokens, not once). Two q119 races
+    * compose: the sample is Efraimidis–Spirakis without replacement
+    * (key = −ln(u)/w, u a pure integer-hash function of the id, k
+    * smallest keys win — inclusion ∝ weight, deterministic on any
+    * engine), and the answer is the weighted empirical quantile over the
+    * sample: the first value, in (value, id) order, whose running weight
+    * reaches q·(total sample weight).
+    *
+    * Weights must be > 0 (the A-ES contract — checked fail-loud at
+    * construction, the pageRankWeighted style: a silent w ≤ 0 would make
+    * −ln(u)/w reorder or NaN the race).
+    *
+    * Plan shape: the A-ES key is scan-local arithmetic; the per-group
+    * sample cut compiles to WindowGroupLimit (≤ k rows per group per map
+    * task into ONE group-key exchange); the running-weight window and
+    * total reuse that partitioning; the quantile list joins as a
+    * broadcast literal and the final per-(group, q) argmin is a
+    * min(struct) aggregate over ≤ k·|qs| rows per group.
+    */
+  def weightedSampledQuantiles(df: DataFrame, groupCols: Seq[String],
+                               valCol: Column, weightCol: Column,
+                               idCol: String, k: Int,
+                               qs: Seq[Double]): DataFrame = {
+    require(k >= 1, s"weightedSampledQuantiles: k must be >= 1, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"weightedSampledQuantiles: quantiles must lie in (0, 1], got $qs")
+    for (c <- Seq("__u", "__key", "__srank", "__w", "__cum", "__tot"))
+      require(!df.columns.contains(c),
+        s"weightedSampledQuantiles: column name '$c' is reserved by the operator")
+    val g = groupCols.map(col)
+    val keyed = df.select((g :+ col(idCol) :+ valCol.as("val") :+
+        weightCol.cast("long").as("__w")): _*)
+    val bad = keyed.filter(col("__w") <= 0).limit(1).collect()
+    require(bad.isEmpty,
+      s"weightedSampledQuantiles: contract weight > 0 violated at " +
+        s"$idCol=${bad.headOption.map(_.get(groupCols.size)).orNull}")
+    // q119's deterministic-uniform: u in (0, 1] from the id's
+    // multiplicative hash — the oracle replays the identical integers
+    val u = ((col(idCol).cast("long") * lit(2654435761L)) % lit(1000000007L)
+      + 1).cast("double") / 1000000008d
+    val sampleW = Window.partitionBy(g: _*)
+      .orderBy(col("__key").asc, col(idCol).asc)
+    val sample = keyed
+      .withColumn("__key", -log(u) / col("__w").cast("double"))
+      .withColumn("__srank", row_number().over(sampleW))
+      .filter(col("__srank") <= k)
+    val valueW = Window.partitionBy(g: _*)
+      .orderBy(col("val").asc, col(idCol).asc)
+    val groupW = Window.partitionBy(g: _*)
+    val cum = sample
+      .withColumn("__cum", sum(col("__w")).over(
+        valueW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(groupW))
+    val qFrame = broadcast(
+      df.sparkSession.range(1).select(
+        explode(array(qs.map(lit): _*)).as("q")))
+    cum.crossJoin(qFrame)
+      .filter(col("__cum").cast("double") >= col("q") * col("__tot").cast("double"))
+      .groupBy((g :+ col("q")): _*)
+      .agg(min(struct(col("val"), col(idCol), col("__tot"))).as("__pick"))
+      .select((g :+ col("q") :+ col("__pick.val").as("value") :+
+        col("__pick.__tot").cast("long").as("sample_w")): _*)
+  }
+
   /** Streaming [[sampledQuantiles]]: the same bottom-k hash sample kept
     * as O(k) MERGEABLE state per group (`functions.BottomKAgg` — bottom-k
     * of a union is the bottom-k of the two bottom-ks, so partial

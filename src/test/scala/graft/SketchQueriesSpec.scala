@@ -115,6 +115,56 @@ class SketchQueriesSpec extends AnyFunSuite {
     assert(again.toSet == sampled.toSet)
   }
 
+  test("q156: k >= n is the exact weighted quantile; sampled weighted rank stays near q; w <= 0 fails loud") {
+    import graft.operators.Sketch
+    val docs = Tables.load(spark, TestSession.sf, "documents")
+      .select($"source", $"doc_id", $"n_chars",
+        size(TextFunctions.tokens($"text")).cast("long").as("ntok"))
+      .filter($"ntok" > 0)
+    val byGroup = docs.select($"source", $"n_chars", $"ntok", $"doc_id")
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (s, rs) =>
+        s -> rs.sortBy(r => (r._2, r._4)).map(r => (r._2, r._3)).toIndexedSeq }
+    // exact weighted quantile by hand: first value whose running weight
+    // reaches q of the group's total
+    def exactWq(vals: IndexedSeq[(Long, Long)], q: Double): Long = {
+      val tot = vals.map(_._2).sum.toDouble
+      var c = 0L
+      vals.find { case (_, w) => c += w; c.toDouble >= q * tot }.get._1
+    }
+    val total = docs.count().toInt
+    val exact = Sketch.weightedSampledQuantiles(docs, Seq("source"),
+      $"n_chars", $"ntok", "doc_id", k = total + 1, qs = Seq(0.5, 0.9))
+      .select($"source", $"q", $"value")
+      .as[(String, Double, Long)].collect()
+    for ((s, q, v) <- exact)
+      assert(v == exactWq(byGroup(s), q), s"exact-path weighted quantile off for ($s, $q)")
+    // sampled path: the reported value's TRUE weighted rank in the full
+    // group sits near q (A-ES inclusion ∝ weight ⇒ the plain 1/sqrt(k)
+    // class applies to the weighted CDF; loose 4/sqrt(k) pin)
+    val k = 64
+    val sampled = Sketch.weightedSampledQuantiles(docs, Seq("source"),
+      $"n_chars", $"ntok", "doc_id", k = k, qs = Seq(0.5, 0.9))
+      .select($"source", $"q", $"value")
+      .as[(String, Double, Long)].collect()
+    assert(sampled.nonEmpty)
+    val bound = 4.0 / math.sqrt(k)
+    for ((s, q, v) <- sampled if byGroup(s).size > k) {
+      val vals = byGroup(s)
+      val tot = vals.map(_._2).sum.toDouble
+      val trueRank = vals.filter(_._1 <= v).map(_._2).sum.toDouble / tot
+      assert(math.abs(trueRank - q) <= bound,
+        f"($s, $q): value $v has true weighted rank $trueRank%.3f, |err| > $bound%.3f")
+    }
+    // the A-ES contract is enforced, not documented-only
+    val withZero = docs.unionByName(
+      Seq(("zz", 999999L, 10L, 0L)).toDF("source", "doc_id", "n_chars", "ntok"))
+    intercept[IllegalArgumentException] {
+      Sketch.weightedSampledQuantiles(withZero, Seq("source"),
+        $"n_chars", $"ntok", "doc_id", k = 8, qs = Seq(0.5))
+    }
+  }
+
   test("q154 plan: the per-group sample cut compiles to WindowGroupLimit before the one exchange") {
     val plan = SparkEntry.queries("q154_sampled_quantiles")(spark, TestSession.sf)
       .queryExecution.executedPlan.toString
