@@ -260,6 +260,63 @@ object Sketch {
         col("__pick.__tot").cast("long").as("sample_w")): _*)
   }
 
+  /** Streaming [[weightedSampledQuantiles]]: the A-ES bottom-k race kept
+    * as O(k) mergeable state per group (`functions.WeightedBottomKAgg` —
+    * the k smallest keys of a union are the k smallest of the two
+    * bottom-ks), run as a plain aggregate in complete/update mode. The
+    * weighted running-sum selection walks the finished sample with an
+    * `aggregate` HOF fold (a window after a streaming aggregation is
+    * disallowed; the fold is the same arithmetic as a stateless
+    * projection). The w > 0 contract is enforced per row with
+    * `assert_true` — a stream cannot run the batch form's eager check.
+    * Converges to the batch answer on the same rows (spec-pinned,
+    * shuffled arrival).
+    */
+  def weightedSampledQuantilesStream(df: DataFrame, groupCols: Seq[String],
+                                     valCol: Column, weightCol: Column,
+                                     idCol: String, k: Int,
+                                     qs: Seq[Double]): DataFrame = {
+    require(k >= 1, s"weightedSampledQuantilesStream: k must be >= 1, got $k")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"weightedSampledQuantilesStream: quantiles must lie in (0, 1], got $qs")
+    val race = udaf(new graft.functions.WeightedBottomKAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+    val g = groupCols.map(col)
+    val u = ((col("__id") * lit(2654435761L)) % lit(1000000007L) + 1)
+      .cast("double") / 1000000008d
+    val agged = df
+      .select((g :+ col(idCol).cast("long").as("__id") :+
+        valCol.cast("long").as("__val") :+
+        weightCol.cast("long").as("__w")): _*)
+      // a filter anchor: an unused assert_true column would be pruned
+      .filter(assert_true(col("__w") > 0,
+        concat(lit("weightedSampledQuantilesStream: contract weight > 0 " +
+          "violated at id "), col("__id"))).isNull)
+      .withColumn("__key", -log(u) / col("__w").cast("double"))
+      .groupBy(g: _*)
+      .agg(race(col("__key"), col("__id"), col("__val"), col("__w"))
+        .as("__vals"))
+    val tot = aggregate(col("__vals"), lit(0L),
+      (acc, x) => acc + x.getField("_2"))
+    def pick(q: Double) = aggregate(col("__vals"),
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (acc, x) => struct(
+        (acc.getField("cum") + x.getField("_2")).as("cum"),
+        coalesce(acc.getField("ans"),
+          when((acc.getField("cum") + x.getField("_2")).cast("double")
+            >= lit(q) * col("__tot").cast("double"), x.getField("_1")))
+          .as("ans")),
+      acc => acc.getField("ans"))
+    agged
+      .withColumn("__tot", tot)
+      .select((g :+ explode(array(qs.map(q => struct(lit(q).as("q"),
+        pick(q).as("value"))): _*)).as("__qr") :+
+        col("__tot").cast("long").as("sample_w")): _*)
+      .select((g :+ col("__qr.q").as("q") :+ col("__qr.value").as("value") :+
+        col("sample_w")): _*)
+  }
+
   /** Streaming [[sampledQuantiles]]: the same bottom-k hash sample kept
     * as O(k) MERGEABLE state per group (`functions.BottomKAgg` — bottom-k
     * of a union is the bottom-k of the two bottom-ks, so partial

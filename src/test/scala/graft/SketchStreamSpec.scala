@@ -94,6 +94,49 @@ class SketchStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming weightedSampledQuantiles converges to the batch answer; w <= 0 fails the stream loud") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i => ("big", i, i * 3 % 17 + 1, i % 5 + 1)) ++
+      (101L to 106L).map(i => ("small", i, i, 2L))
+    val shuffled = new scala.util.Random(13).shuffle(rows)
+    val in = MemoryStream[(String, Long, Long, Long)]
+    val q = Sketch.weightedSampledQuantilesStream(
+        in.toDF().toDF("source", "doc_id", "len", "w"),
+        Seq("source"), $"len", $"w", "doc_id", k = 8, qs = Seq(0.5, 0.9))
+      .writeStream.format("memory").queryName("wqtile_stream")
+      .outputMode("complete").start()
+    try {
+      shuffled.grouped(16).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("wqtile_stream")
+        .select($"source", $"q", $"value", $"sample_w")
+        .as[(String, Double, Long, Long)].collect().toSet
+      val batch = Sketch.weightedSampledQuantiles(
+          rows.toDF("source", "doc_id", "len", "w"),
+          Seq("source"), $"len", $"w", "doc_id", k = 8, qs = Seq(0.5, 0.9))
+        .select($"source", $"q", $"value", $"sample_w")
+        .as[(String, Double, Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    } finally q.stop()
+    // the per-row assert_true contract survives column pruning: a zero
+    // weight kills the batch that carries it
+    val in2 = MemoryStream[(String, Long, Long, Long)]
+    val q2 = Sketch.weightedSampledQuantilesStream(
+        in2.toDF().toDF("source", "doc_id", "len", "w"),
+        Seq("source"), $"len", $"w", "doc_id", k = 8, qs = Seq(0.5))
+      .writeStream.format("memory").queryName("wqtile_bad")
+      .outputMode("complete").start()
+    try {
+      in2.addData(("big", 1L, 5L, 0L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("contract weight > 0") ||
+        Option(e.getCause).exists(_.getMessage.contains("contract weight > 0")),
+        s"expected the weight contract in: ${e.getMessage}")
+    } finally q2.stop()
+  }
+
   test("streaming sampledQuantiles converges to the batch answer on shuffled arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
