@@ -165,8 +165,11 @@ object Sketch {
     require(k >= 1, s"sampledQuantiles: k must be >= 1, got $k")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"sampledQuantiles: quantiles must lie in (0, 1], got $qs")
-    for (c <- Seq("__hk", "__srank", "__vrank", "__m"))
-      require(!df.columns.contains(c),
+    // the select keeps only groupCols + idCol, so the collision surface
+    // is those names against the operator's working/output columns
+    for (c <- Seq("__hk", "__srank", "__vrank", "__m", "val", "q",
+                  "value", "sample_n"))
+      require(!groupCols.contains(c) && idCol != c,
         s"sampledQuantiles: column name '$c' is reserved by the operator")
     val g = groupCols.map(col)
     val keyed = df.select((g :+ col(idCol) :+ valCol.as("val")): _*)
@@ -222,8 +225,9 @@ object Sketch {
     require(k >= 1, s"weightedSampledQuantiles: k must be >= 1, got $k")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"weightedSampledQuantiles: quantiles must lie in (0, 1], got $qs")
-    for (c <- Seq("__u", "__key", "__srank", "__w", "__cum", "__tot"))
-      require(!df.columns.contains(c),
+    for (c <- Seq("__u", "__key", "__srank", "__w", "__cum", "__tot",
+                  "__pick", "val", "q", "value", "sample_w"))
+      require(!groupCols.contains(c) && idCol != c,
         s"weightedSampledQuantiles: column name '$c' is reserved by the operator")
     val g = groupCols.map(col)
     val keyed = df.select((g :+ col(idCol) :+ valCol.as("val") :+
@@ -279,6 +283,10 @@ object Sketch {
     require(k >= 1, s"weightedSampledQuantilesStream: k must be >= 1, got $k")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"weightedSampledQuantilesStream: quantiles must lie in (0, 1], got $qs")
+    for (c <- Seq("__id", "__val", "__w", "__key", "__vals", "__qr", "__tot",
+                  "q", "value", "sample_w"))
+      require(!groupCols.contains(c) && idCol != c,
+        s"weightedSampledQuantilesStream: column name '$c' is reserved by the operator")
     val race = udaf(new graft.functions.WeightedBottomKAgg(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong))
@@ -335,6 +343,10 @@ object Sketch {
     require(k >= 1, s"sampledQuantilesStream: k must be >= 1, got $k")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"sampledQuantilesStream: quantiles must lie in (0, 1], got $qs")
+    for (c <- Seq("__id", "__val", "__hk", "__vals", "__qr",
+                  "q", "value", "sample_n"))
+      require(!groupCols.contains(c) && idCol != c,
+        s"sampledQuantilesStream: column name '$c' is reserved by the operator")
     val bottomK = udaf(new graft.functions.BottomKAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
     val g = groupCols.map(col)
