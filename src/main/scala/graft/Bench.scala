@@ -42,6 +42,7 @@ object Bench {
   private val excluded = Set("q32_top_pairs", "q66_corpus_survivors",
     "q77_corpus_funnel", // q77 = q66's plan + count aggregates — same fixpoint-round latency
     "q94_canonical_dedup", // component fixpoint: driver-synchronous star rounds, same physics as q66
+    "q157_cluster_split", // min-label component fixpoint — q94's exclusion class
     // PageRank supersteps: 5 × (contribution shuffle + 2 broadcasts +
     // job scheduling) ≈ 10 s of ROUND latency at sf0.1 regardless of data
     // (ProbeAb: checkpointed vs pure-plan supersteps within 8%) — the q66

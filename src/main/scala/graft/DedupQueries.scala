@@ -261,6 +261,17 @@ object DedupQueries {
     Dedup.resolveClustersByQuality(pairs, scores, "doc_id", "quality")
   }
 
+  /** Leakage-free split ([[graft.operators.Dedup.clusterSafeSplit]]):
+    * every doc bucketed 0–9 by the hash of its near-dup CLUSTER label
+    * (q94's components), so cluster members never straddle splits — a
+    * near-duplicate of a validation doc cannot land in train. The oracle
+    * replays q94's recursive closure, fills singletons with their own
+    * id, and hashes the label through the portable poly-hash.
+    */
+  val q157_cluster_split: Q = (s, dir) =>
+    Dedup.clusterSafeSplit(t(s, dir).documents, "doc_id", "text",
+      SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5, buckets = 10)
+
   /** q84's split with the bloom fast path: the bitset over the admitted
     * index proves most shard fingerprints novel scan-locally, and only
     * bloom-positives consult the index. Output (and oracle) are exactly
@@ -280,6 +291,7 @@ object DedupQueries {
   def all: Map[String, Q] = Map(
     "q95_incremental_bloomed" -> q95_incremental_bloomed,
     "q94_canonical_dedup" -> q94_canonical_dedup,
+    "q157_cluster_split" -> q157_cluster_split,
     "q93_cdc_chunks" -> q93_cdc_chunks,
     "q77_corpus_funnel" -> q77_corpus_funnel,
     "q49_minhash_estimate" -> q49_minhash_estimate,
@@ -428,6 +440,29 @@ object DedupQueries {
          |SELECT doc_id, cluster, quality,
          |  CASE WHEN row_number() OVER (PARTITION BY cluster
          |    ORDER BY quality DESC, doc_id ASC) = 1 THEN 1 ELSE 0 END::BIGINT AS keep
+         |FROM m""".stripMargin,
+    "q157_cluster_split" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |bands AS (SELECT doc_id, b,
+         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |e1 AS (SELECT d1, d2 FROM cand
+         |  JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+         |  WHERE round(
+         |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
+         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+         |    6) >= 0.5),
+         |e1s AS (SELECT d1 AS a, d2 AS b FROM e1 UNION ALL SELECT d2, d1 FROM e1),
+         |r1 AS (SELECT a, b FROM e1s UNION SELECT r1.a, e.b FROM r1 JOIN e1s e ON r1.b = e.a),
+         |lbl AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster
+         |  FROM r1 GROUP BY a),
+         |m AS (SELECT d.doc_id, coalesce(lbl.cluster, d.doc_id) AS cluster
+         |  FROM d LEFT JOIN lbl ON d.doc_id = lbl.doc_id)
+         |SELECT doc_id, cluster,
+         |  ${polyHashSql("'split|' || cluster::VARCHAR")} % 10 AS split
          |FROM m""".stripMargin,
     "q93_cdc_chunks" ->
       s"""WITH d AS (

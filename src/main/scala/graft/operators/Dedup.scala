@@ -521,6 +521,41 @@ object Dedup {
       .select(col(idCol), col("cluster"), col(qualityCol), col("keep"))
   }
 
+  /** Leakage-free train/val/test split: assign every doc a split bucket
+    * by hashing its DUPLICATE-CLUSTER label, not its id — members of a
+    * near-dup cluster land in the same split BY CONSTRUCTION, so a
+    * near-duplicate of a validation doc can never sit in train (the
+    * split-leakage failure mode per-doc hashing has, and the reason
+    * dedup-then-split orderings still leak when dedup keeps one member
+    * per cluster but the split hashes survivors independently of their
+    * dropped twins' history). Unclustered docs are their own singleton
+    * cluster (label = id).
+    *
+    * Returns (idCol, cluster, split) with split in [0, buckets) — the
+    * caller maps buckets to splits (e.g. 0–7 train / 8 val / 9 test).
+    * Deterministic end-to-end: the near-dup edges, the min-label
+    * components, and the portable split hash all replay on any engine.
+    *
+    * Scale shape: edges from the LSH pipeline (narrow keys, text never
+    * shuffles); components cost the min-label fixpoint's O(diameter)
+    * rounds over (id, label) longs; the split is scan-local arithmetic
+    * on the label. The singleton fill is one id-key left join.
+    */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, k: Int, bands: Int, threshold: Double,
+                       buckets: Int): DataFrame = {
+    require(buckets >= 1, s"clusterSafeSplit: buckets must be >= 1, got $buckets")
+    val pairs = nearDupPairs(docs, idCol, textCol, n, k, bands, threshold)
+      .select(col("d1"), col("d2"))
+    val labeled = duplicateClusters(pairs).withColumnRenamed("doc_id", idCol)
+    docs.select(col(idCol))
+      .join(labeled, Seq(idCol), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("split",
+        pmod(polyHash(concat(lit("split|"), col("cluster").cast("string"))),
+          lit(buckets.toLong)))
+  }
+
   /** Content-defined chunking (FastCDC-style, at token granularity): a
     * chunk boundary falls BEFORE token i whenever the content hash of the
     * two-token window lands on the cut mask — poly_hash(prev‿'_'‿tok) ≡ 0

@@ -328,4 +328,47 @@ class DedupSpec extends AnyFunSuite {
     // tuner picks for its actual midpoint (1/4)^(1/4) = 0.707
     assert(graft.operators.Dedup.lshBandsFor(16, 0.7) == 4)
   }
+
+  test("clusterSafeSplit: cluster members share a split; per-doc hashing would leak the planted pair") {
+    // docs 1/2 share their full shingle set (jaccard 1.0 — every band
+    // collides, so candidacy is deterministic regardless of minhash
+    // seeds; an appended-word twin sat at 8/9 and missed all 4 bands),
+    // 3 is unrelated, 4 is a singleton sharing nothing
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "completely different words about volcanic rocks and minerals here"),
+      (4L, "another standalone document concerning maritime navigation techniques"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.clusterSafeSplit(
+        docs, "doc_id", "text", 3, 16, 4, 0.5, buckets = 10)
+      .select($"doc_id", $"cluster", $"split")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "every doc must be assigned")
+    // the near-dup pair shares cluster AND split
+    assert(got(1L) == got(2L), s"near-dups must share cluster+split: $got")
+    assert(got(1L)._1 == 1L, "cluster label is the component min id")
+    // singletons are their own cluster
+    assert(got(3L)._1 == 3L && got(4L)._1 == 4L)
+    assert(got.values.forall(v => v._2 >= 0 && v._2 < 10))
+    // the leak the operator prevents: doc 2's OWN-id hash differs from
+    // its cluster's split hash here, so per-doc hashing would separate
+    // the twins (fixture chosen so the contrast is real)
+    def splitOf(label: Long): Long = {
+      val s = s"split|$label"
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L) % 10
+    }
+    assert(got(2L)._2 == splitOf(1L), "split must hash the CLUSTER label")
+    assert(splitOf(2L) != splitOf(1L),
+      "fixture must demonstrate the per-doc-hash leak the operator prevents")
+    // invariant on the real corpus: one split per cluster, several buckets hit
+    val emb = graft.core.Tables.load(spark, TestSession.sf, "documents")
+    val real = graft.operators.Dedup.clusterSafeSplit(
+        emb, "doc_id", "text", 3, 16, 4, 0.5, buckets = 10)
+    val perCluster = real.groupBy($"cluster")
+      .agg(countDistinct($"split").as("ns"))
+    assert(perCluster.filter($"ns" > 1).isEmpty, "a cluster must map to ONE split")
+    assert(real.select($"split").distinct().count() > 3, "buckets must spread")
+  }
 }
