@@ -334,6 +334,28 @@ object DedupQueries {
        |       1000000007)) AS sig
        |  FROM sh)""".stripMargin
 
+  /** LSH-candidate → verified-edge → transitive-closure → min-label CTEs
+    * (bands/cand/e1/e1s/r1/lbl), shared by the q94 and q157 oracles; needs
+    * `$shingleCtes` bound first and a `WITH RECURSIVE` prelude (r1).
+    */
+  private val componentCtes =
+    s"""bands AS (SELECT doc_id, b,
+       |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+       |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+       |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |e1 AS (SELECT d1, d2 FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+       |  WHERE round(
+       |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
+       |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+       |    6) >= 0.5),
+       |e1s AS (SELECT d1 AS a, d2 AS b FROM e1 UNION ALL SELECT d2, d1 FROM e1),
+       |r1 AS (SELECT a, b FROM e1s UNION SELECT r1.a, e.b FROM r1 JOIN e1s e ON r1.b = e.a),
+       |lbl AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster
+       |  FROM r1 GROUP BY a)""".stripMargin
+
   private val simhashCtes =
     s"""d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |     FROM documents),
@@ -414,22 +436,7 @@ object DedupQueries {
          |WHERE p.inter_cnt * $PPJ_DEN >= (s1.n + s2.n - p.inter_cnt) * $PPJ_NUM""".stripMargin,
     "q94_canonical_dedup" ->
       s"""WITH RECURSIVE $shingleCtes,
-         |bands AS (SELECT doc_id, b,
-         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
-         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
-         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-         |e1 AS (SELECT d1, d2 FROM cand
-         |  JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
-         |  WHERE round(
-         |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
-         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
-         |    6) >= 0.5),
-         |e1s AS (SELECT d1 AS a, d2 AS b FROM e1 UNION ALL SELECT d2, d1 FROM e1),
-         |r1 AS (SELECT a, b FROM e1s UNION SELECT r1.a, e.b FROM r1 JOIN e1s e ON r1.b = e.a),
-         |lbl AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster
-         |  FROM r1 GROUP BY a),
+         |$componentCtes,
          |sc AS (SELECT doc_id,
          |    round((len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) *
          |          (1.0 - len(list_filter(toks, t -> t = 'a' OR t = 'the'))::DOUBLE
@@ -443,22 +450,7 @@ object DedupQueries {
          |FROM m""".stripMargin,
     "q157_cluster_split" ->
       s"""WITH RECURSIVE $shingleCtes,
-         |bands AS (SELECT doc_id, b,
-         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
-         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
-         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
-         |e1 AS (SELECT d1, d2 FROM cand
-         |  JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
-         |  WHERE round(
-         |    len(list_intersect(s1.hs, s2.hs))::DOUBLE
-         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
-         |    6) >= 0.5),
-         |e1s AS (SELECT d1 AS a, d2 AS b FROM e1 UNION ALL SELECT d2, d1 FROM e1),
-         |r1 AS (SELECT a, b FROM e1s UNION SELECT r1.a, e.b FROM r1 JOIN e1s e ON r1.b = e.a),
-         |lbl AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster
-         |  FROM r1 GROUP BY a),
+         |$componentCtes,
          |m AS (SELECT d.doc_id, coalesce(lbl.cluster, d.doc_id) AS cluster
          |  FROM d LEFT JOIN lbl ON d.doc_id = lbl.doc_id)
          |SELECT doc_id, cluster,
