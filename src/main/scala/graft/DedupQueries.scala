@@ -272,6 +272,30 @@ object DedupQueries {
     Dedup.clusterSafeSplit(t(s, dir).documents, "doc_id", "text",
       SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5, buckets = 10)
 
+  /** Incremental cluster-safe split
+    * ([[graft.operators.Dedup.incrementalClusterSplit]]): the arriving
+    * shard (doc_id ≥ 250) adopts splits from the admitted corpus
+    * (doc_id < 250) — each new doc probes the signature index for
+    * verified near-dup matches and inherits the MINIMUM matched cluster
+    * label (then its split hash); unmatched docs are self-labeled
+    * singletons; a doc bridging two existing clusters carries
+    * `bridged = 1` for the batch recap. The oracle replays the closure
+    * over the index side only, the shard-vs-index probe, and the
+    * adoption rule.
+    */
+  val q158_incremental_split: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val index = docs.filter(col("doc_id") < 250)
+    val indexSigs = Dedup.minhashSignatures(index, "doc_id", "text",
+      SHINGLE_N, MINHASH_K)
+    val labels = Dedup.clusterSafeSplit(index, "doc_id", "text",
+      SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5, buckets = 10)
+      .select(col("doc_id"), col("cluster"))
+    Dedup.incrementalClusterSplit(docs.filter(col("doc_id") >= 250),
+      indexSigs, labels, "doc_id", "text",
+      SHINGLE_N, MINHASH_K, LSH_BANDS, 0.5, buckets = 10)
+  }
+
   /** q84's split with the bloom fast path: the bitset over the admitted
     * index proves most shard fingerprints novel scan-locally, and only
     * bloom-positives consult the index. Output (and oracle) are exactly
@@ -292,6 +316,7 @@ object DedupQueries {
     "q95_incremental_bloomed" -> q95_incremental_bloomed,
     "q94_canonical_dedup" -> q94_canonical_dedup,
     "q157_cluster_split" -> q157_cluster_split,
+    "q158_incremental_split" -> q158_incremental_split,
     "q93_cdc_chunks" -> q93_cdc_chunks,
     "q77_corpus_funnel" -> q77_corpus_funnel,
     "q49_minhash_estimate" -> q49_minhash_estimate,
@@ -335,14 +360,16 @@ object DedupQueries {
        |  FROM sh)""".stripMargin
 
   /** LSH-candidate → verified-edge → transitive-closure → min-label CTEs
-    * (bands/cand/e1/e1s/r1/lbl), shared by the q94 and q157 oracles; needs
-    * `$shingleCtes` bound first and a `WITH RECURSIVE` prelude (r1).
+    * (bands/cand/e1/e1s/r1/lbl), shared by the q94/q157/q158 oracles;
+    * needs `$shingleCtes` bound first and a `WITH RECURSIVE` prelude (r1).
+    * `where` restricts the doc population (q158 closes over the index
+    * side only).
     */
-  private val componentCtes =
+  private def componentCtes(where: String = ""): String =
     s"""bands AS (SELECT doc_id, b,
        |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
        |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
-       |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)),
+       |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b)$where),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |e1 AS (SELECT d1, d2 FROM cand
@@ -436,7 +463,7 @@ object DedupQueries {
          |WHERE p.inter_cnt * $PPJ_DEN >= (s1.n + s2.n - p.inter_cnt) * $PPJ_NUM""".stripMargin,
     "q94_canonical_dedup" ->
       s"""WITH RECURSIVE $shingleCtes,
-         |$componentCtes,
+         |${componentCtes()},
          |sc AS (SELECT doc_id,
          |    round((len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) *
          |          (1.0 - len(list_filter(toks, t -> t = 'a' OR t = 'the'))::DOUBLE
@@ -450,7 +477,7 @@ object DedupQueries {
          |FROM m""".stripMargin,
     "q157_cluster_split" ->
       s"""WITH RECURSIVE $shingleCtes,
-         |$componentCtes,
+         |${componentCtes()},
          |m AS (SELECT d.doc_id, coalesce(lbl.cluster, d.doc_id) AS cluster
          |  FROM d LEFT JOIN lbl ON d.doc_id = lbl.doc_id)
          |SELECT doc_id, cluster,
@@ -526,6 +553,32 @@ object DedupQueries {
          |GROUP BY fp""".stripMargin,
     "q66_corpus_survivors" -> corpusSurvivorsOracle,
     "q77_corpus_funnel" -> corpusFunnelOracle,
+    "q158_incremental_split" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |${componentCtes(" WHERE doc_id < 250")},
+         |ilbl AS (SELECT d.doc_id, coalesce(lbl.cluster, d.doc_id) AS cluster
+         |  FROM d LEFT JOIN lbl ON d.doc_id = lbl.doc_id WHERE d.doc_id < 250),
+         |nbands AS (SELECT doc_id, b,
+         |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
+         |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
+         |  FROM sig, (SELECT unnest(range($LSH_BANDS)) AS b) WHERE doc_id >= 250),
+         |cand2 AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS xid
+         |  FROM nbands a JOIN bands b ON a.b = b.b AND a.bk = b.bk),
+         |m2 AS (SELECT nid, xid FROM cand2
+         |  JOIN sig s1 ON nid = s1.doc_id JOIN sig s2 ON xid = s2.doc_id
+         |  WHERE round(len(list_intersect(s1.hs, s2.hs))::DOUBLE
+         |    / (len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs)))::DOUBLE,
+         |    6) >= 0.5),
+         |ad AS (SELECT nid, min(il.cluster) AS adopt,
+         |    count(DISTINCT il.cluster) AS nc
+         |  FROM m2 JOIN ilbl il ON m2.xid = il.doc_id GROUP BY nid),
+         |res AS (SELECT d.doc_id, coalesce(ad.adopt, d.doc_id) AS cluster,
+         |    coalesce(ad.nc, 1) AS nc
+         |  FROM d LEFT JOIN ad ON d.doc_id = ad.nid WHERE d.doc_id >= 250)
+         |SELECT doc_id, cluster,
+         |  ${polyHashSql("'split|' || cluster::VARCHAR")} % 10 AS split,
+         |  (CASE WHEN nc > 1 THEN 1 ELSE 0 END)::BIGINT AS bridged
+         |FROM res""".stripMargin,
     "q86_incremental_neardup" ->
       s"""WITH $shingleCtes,
          |bands AS (SELECT doc_id, b,

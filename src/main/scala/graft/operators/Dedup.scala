@@ -220,14 +220,29 @@ object Dedup {
                          idCol: String, textCol: String,
                          n: Int, k: Int, bands: Int,
                          threshold: Double): DataFrame = {
+    val dropped = incrementalNearDupPairs(newDocs, indexSigs, idCol, textCol,
+        n, k, bands, threshold)
+      .select(col("nid").as(idCol)).distinct()
+    newDocs.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** Verified shard-vs-index near-dup MATCH PAIRS (nid, xid) — the shared
+    * probe behind [[incrementalNearDup]] (admission: any match drops nid)
+    * and [[incrementalClusterSplit]] (label adoption: nid inherits the
+    * minimum matched cluster). Band join carries IDS ONLY (O(bands) longs
+    * per doc, the module invariant); multi-band collisions collapse to
+    * distinct pairs BEFORE the shingle-hash arrays join back for
+    * verification — near-dup pairs are exactly the ones matching many
+    * bands, so verifying per band would multiply the most expensive
+    * Jaccards.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, indexSigs: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int, k: Int, bands: Int,
+                              threshold: Double): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands")
     val r = k / bands
-    // band join carries IDS ONLY (O(bands) longs per doc, the module
-    // invariant); multi-band collisions collapse to distinct pairs BEFORE
-    // the shingle-hash arrays join back for verification — near-dup pairs
-    // are exactly the ones matching many bands, so verifying per band
-    // would multiply the most expensive Jaccards
     def bandKeys(sigs: DataFrame, side: String) = {
       val bandStructs = array((0 until bands).map { b =>
         struct(lit(b).as("band"), bandKey(col("sig"), b, r).as("bk"))
@@ -241,12 +256,51 @@ object Dedup {
       .select(col("nid"), col("xid")).distinct()
     val inter = size(array_intersect(col("h_nid"), col("h_xid"))).cast("double")
     val union = (size(col("h_nid")) + size(col("h_xid"))).cast("double") - inter
-    val dropped = cand
+    cand
       .join(newSigs.select(col(idCol).as("nid"), col("hashes").as("h_nid")), "nid")
       .join(indexSigs.select(col(idCol).as("xid"), col("hashes").as("h_xid")), "xid")
       .filter(round(inter / union, 6) >= threshold)
-      .select(col("nid").as(idCol)).distinct()
-    newDocs.join(dropped, Seq(idCol), "left_anti")
+      .select(col("nid"), col("xid"))
+  }
+
+  /** Incremental [[clusterSafeSplit]] (continuous ingest): each new doc
+    * adopts the split of its near-dup cluster in the ADMITTED corpus —
+    * probe the persisted signature index for verified matches, inherit
+    * the MINIMUM matched label from the persisted `labels`
+    * (idCol, cluster) table, fall back to a self-labeled singleton.
+    *
+    * History is immutable by design: if a new doc BRIDGES two existing
+    * clusters, it adopts the smaller label and leaves `bridged = 1` —
+    * already-routed docs cannot move splits, so the merge is reconciled
+    * at the periodic batch recap (re-run [[clusterSafeSplit]] over the
+    * admitted corpus), the same lambda contract the streaming near-dedup
+    * documents. Until the recap, a bridged doc's own assignment is still
+    * leak-safe for ITS members (it sits with the adopted cluster); the
+    * recap decides the merged cluster's final home.
+    *
+    * Returns (idCol, cluster, split, bridged) for every new doc.
+    */
+  def incrementalClusterSplit(newDocs: DataFrame, indexSigs: DataFrame,
+                              labels: DataFrame, idCol: String, textCol: String,
+                              n: Int, k: Int, bands: Int, threshold: Double,
+                              buckets: Int): DataFrame = {
+    require(buckets >= 1,
+      s"incrementalClusterSplit: buckets must be >= 1, got $buckets")
+    val adopted = incrementalNearDupPairs(newDocs, indexSigs, idCol, textCol,
+        n, k, bands, threshold)
+      .join(labels.select(col(idCol).as("xid"), col("cluster")), "xid")
+      .groupBy(col("nid"))
+      .agg(min(col("cluster")).as("__adopt"),
+        countDistinct(col("cluster")).as("__nc"))
+      .withColumnRenamed("nid", idCol)
+    newDocs.select(col(idCol))
+      .join(adopted, Seq(idCol), "left_outer")
+      .withColumn("cluster", coalesce(col("__adopt"), col(idCol)))
+      .withColumn("split",
+        pmod(polyHash(concat(lit("split|"), col("cluster").cast("string"))),
+          lit(buckets.toLong)))
+      .withColumn("bridged", (coalesce(col("__nc"), lit(1L)) > 1).cast("long"))
+      .select(col(idCol), col("cluster"), col("split"), col("bridged"))
   }
 
   /** Duplicate-cluster resolution: connected components over the near-dup

@@ -329,6 +329,49 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.lshBandsFor(16, 0.7) == 4)
   }
 
+  test("incrementalClusterSplit: adoption, singleton, and bridge verdicts on a planted chain") {
+    // index: A (w1..w11) and B (w5..w15) carry hand-fed labels 1 and 2
+    // (the label table is an INPUT — index-side clustering is q157's
+    // job); A–B sit at 3-shingle jaccard 5/13 ≈ 0.38 (below threshold,
+    // so A's exact dup matches ONLY cluster 1), while the shard's C
+    // (w2..w14) reaches 8/12 ≈ 0.67 to BOTH — adopt-min + bridge
+    val w = (1 to 15).map(i => s"word$i")
+    val tA = w.slice(0, 11).mkString(" ")
+    val tB = w.slice(4, 15).mkString(" ")
+    val tC = w.slice(1, 14).mkString(" ")
+    val index = Seq((1L, tA), (2L, tB)).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, tC),                        // bridges clusters 1 and 2
+      (11L, tA),                        // exact dup of A -> adopts cluster 1
+      (12L, "entirely unrelated content about tidal energy systems today"))
+      .toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      index, "doc_id", "text", 3, 16)
+    // guard the fixture's LSH candidacy itself (deterministic hashing):
+    // C must verify against BOTH index docs
+    val pairs = graft.operators.Dedup.incrementalNearDupPairs(
+        shard, sigs, "doc_id", "text", 3, 16, 8, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 1L)) && pairs.contains((10L, 2L)),
+      s"fixture must band-collide C with both index docs, got $pairs")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "cluster")
+    val got = graft.operators.Dedup.incrementalClusterSplit(
+        shard, sigs, labels, "doc_id", "text", 3, 16, 8, 0.5, buckets = 10)
+      .select($"doc_id", $"cluster", $"split", $"bridged")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def splitOf(label: Long): Long = {
+      val s = s"split|$label"
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toInt) % 1000000007L) % 10
+    }
+    // C adopts the MINIMUM matched cluster and flags the bridge
+    assert(got(10L) == ((1L, splitOf(1L), 1L)), s"bridge verdict: ${got(10L)}")
+    // the exact dup adopts its one cluster, unbridged
+    assert(got(11L) == ((1L, splitOf(1L), 0L)), s"adoption verdict: ${got(11L)}")
+    // the fresh doc is its own singleton
+    assert(got(12L) == ((12L, splitOf(12L), 0L)), s"singleton verdict: ${got(12L)}")
+  }
+
   test("clusterSafeSplit: cluster members share a split; per-doc hashing would leak the planted pair") {
     // docs 1/2 share their full shingle set (jaccard 1.0 — every band
     // collides, so candidacy is deterministic regardless of minhash
