@@ -80,7 +80,13 @@ object ScaleBench {
     "q155_canary_decontaminate",
     // weighted quantiles: q154's shape with the A-ES key — the same
     // WindowGroupLimit-bounded exchange, expected ~flat
-    "q156_weighted_quantiles")
+    "q156_weighted_quantiles",
+    // cluster-safe splits: q28's LSH pipeline + the min-label fixpoint
+    // (round count ≈ cluster diameter, ~constant for near-dup clusters;
+    // per-round cost grows with the pair set) — bench-excluded like q94,
+    // decade-measured here; q158 adds the shard-vs-index probe on top of
+    // its label side's fixpoint
+    "q157_cluster_split", "q158_incremental_split")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
