@@ -103,7 +103,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q148_pq_rerank" -> 1,        // q113's budget holds: the ADC candidate cut is WindowGroupLimit'd map-side, the rerank joins broadcast the query set and candidate rows, and the one exchange is the final per-query rank
     "q149_ivf_pq" -> 2,           // probe rank over queries×k rows + the final per-query ADC rank; the coarse/codebook models are plan literals and the probes broadcast to the posting-list join
     "q154_sampled_quantiles" -> 1, // ONE (source) exchange serves the sample window, the value-rank window, and the size count (same partitioning); the WindowGroupLimit cut caps it at k rows per group per map task, and the quantile list joins as a broadcast literal
-    "q156_weighted_quantiles" -> 2) // q154's (source) exchange + the final per-(source, q) argmin aggregate over ≤ k·|qs| rows per group; the A-ES key is scan-local and the quantile list is a broadcast literal
+    "q156_weighted_quantiles" -> 2, // q154's (source) exchange + the final per-(source, q) argmin aggregate over ≤ k·|qs| rows per group; the A-ES key is scan-local and the quantile list is a broadcast literal
+    "q155_canary_decontaminate" -> 2) // the canary match itself is a BNLJ left-semi (zero exchange — text never shuffles); the two exchanges carry narrow doc_id longs: the contaminated-id distinct and the verdict join-back
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
