@@ -286,6 +286,9 @@ object Dedup {
                               buckets: Int): DataFrame = {
     require(buckets >= 1,
       s"incrementalClusterSplit: buckets must be >= 1, got $buckets")
+    for (c <- Seq("cluster", "split", "bridged", "__adopt", "__nc", "xid", "nid"))
+      require(idCol != c,
+        s"incrementalClusterSplit: column name '$c' is reserved by the operator")
     val adopted = incrementalNearDupPairs(newDocs, indexSigs, idCol, textCol,
         n, k, bands, threshold)
       .join(labels.select(col(idCol).as("xid"), col("cluster")), "xid")
@@ -599,6 +602,9 @@ object Dedup {
                        n: Int, k: Int, bands: Int, threshold: Double,
                        buckets: Int): DataFrame = {
     require(buckets >= 1, s"clusterSafeSplit: buckets must be >= 1, got $buckets")
+    for (c <- Seq("cluster", "split"))
+      require(idCol != c,
+        s"clusterSafeSplit: column name '$c' is reserved by the operator")
     val pairs = nearDupPairs(docs, idCol, textCol, n, k, bands, threshold)
       .select(col("d1"), col("d2"))
     val labeled = duplicateClusters(pairs).withColumnRenamed("doc_id", idCol)

@@ -147,6 +147,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped == plain)
   }
 
+  test("the LSH auto gates take the plain plan under task-sized ceilings") {
+    val cool1 = Similarity.lshTopPairsAuto(
+      emb, "vec_id", "embedding", 4, 64, 50, bucketRowsCeiling = 1L << 20)
+    assert(!cool1.queryExecution.analyzed.toString.contains("__salt"))
+    val cool2 = Similarity.lshNearDupPairsBandedAuto(
+      emb, "vec_id", "embedding", 4, 4, 64, 0.35, bucketRowsCeiling = 1L << 20)
+    assert(!cool2.queryExecution.analyzed.toString.contains("__salt"))
+  }
+
   test("q153 runs the salted cell plan and reproduces q33's rows exactly") {
     val plain = SparkEntry.queries("q33_lsh_ann")(spark, TestSession.sf)
     val salted = SparkEntry.queries("q153_lsh_ann_salted")(spark, TestSession.sf)
