@@ -23,7 +23,8 @@ import org.apache.spark.sql.SparkSession
   * three single-shot runs on a shared sandbox with *disjoint* slow-query
   * sets — single-shot numbers measure machine contention, not the plan.
   * Per-query minima ship alongside (`queries_min`) as the contention-free
-  * floor.
+  * floor, and their sum is the first-class `value_min` field on every
+  * line — the cross-round comparison number when medians get poisoned.
   *
   * q32_top_pairs is EXCLUDED from the headline set: it is the O(n²)
   * crossJoin verification baseline for the similarity family (oracle-checked
@@ -67,6 +68,9 @@ object Bench {
     // TakeOrdered top-1 + localCheckpoint per round) — the q66/q142
     // fixpoint-round-latency class; its decade rows live in ScaleBench
     "q146_bpe_encode",
+    // GD training is the same driver-synchronous round class (one
+    // F+2-number aggregate collect per round)
+    "q161_quality_train",
     // q150 is q140's DELIBERATELY-PESSIMIZED verification twin (ceiling=1
     // forces maximal salting + an eager occupancy job) — it exists to put
     // the salted plan under the correctness gate, not to be representative;
@@ -75,7 +79,13 @@ object Bench {
     // q151/q152/q153 are q87's/q147's/q33's twins under the same
     // convention (ceiling=1 forces the salted cell decomposition + an
     // eager occupancy job); q87/q147/q33 are the benched forms
-    "q151_semdedup_salted", "q152_banded_salted", "q153_lsh_ann_salted")
+    "q151_semdedup_salted", "q152_banded_salted", "q153_lsh_ann_salted",
+    // q159 is q155's forced-gate twin (ceiling=1 engages the gram
+    // prefilter on an eval-sized list); q155 is the benched form
+    "q159_canary_gated",
+    // q160 rebuilds + rewrites the whole persisted index at construction
+    // (the lifecycle under the hash gate); q149 is the benched probe form
+    "q160_persisted_ann")
 
   /** Round to 4 decimals (0.1 ms) — keeps the per-query JSON line compact
     * enough for line-truncating log captures.
@@ -128,6 +138,12 @@ object Bench {
     def jmap(f: ((String, Double, Double)) => Double) =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val total = r4(results.map(_._2).filter(_ >= 0).sum)
+    // the contention-free floor as a FIRST-CLASS field: the sum of per-query
+    // minima. On this shared host a minutes-long contention window can blow
+    // up several medians at once (BENCH_r06: 209.8 s median vs 104.7 s floor
+    // on unchanged plans); value_min is the number that survives that, so a
+    // cross-round comparison never needs to re-derive it from queries_min.
+    val totalMin = r4(results.map(_._3).filter(_ >= 0).sum)
     // compact headline FIRST: a tail capture that truncates the full
     // per-query line still gets a parseable total (BENCH_r02 "parsed": null).
     // Its "queries" key carries the 5 slowest, so the compact line is a
@@ -135,10 +151,12 @@ object Bench {
     // on its own.
     val slowest = results.sortBy(-_._2).take(5)
       .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+    val compact = s"""{"metric":"total","value":$total,"value_min":$totalMin,""" +
+      s""""unit":"sec","iters":$iters,""" +
       s""""n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}"""
     println(compact)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,""" +
+    val full = s"""{"metric":"total","value":$total,"value_min":$totalMin,""" +
+      s""""unit":"sec","iters":$iters,""" +
       s""""queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"sf":"$sfDir"}"""
     println(full)
     // …and the compact line AGAIN as the very last line: the driver keeps

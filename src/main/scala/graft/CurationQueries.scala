@@ -78,10 +78,32 @@ object CurationQueries {
       .select(substring(col("text"), 11, 40).as("phrase"))
       .filter(length(col("phrase")) === 40)
       .distinct()
-    val contaminated = docs.filter(col("doc_id") >= 20)
-      .join(broadcast(canaries), col("text").contains(col("phrase")), "left_semi")
-      .select(col("doc_id")).distinct()
-    docs.filter(col("doc_id") >= 20)
+    val train = docs.filter(col("doc_id") >= 20)
+    val contaminated = graft.operators.Canary.contaminatedIds(
+      train, "doc_id", "text", canaries, "phrase")
+    train
+      .join(contaminated.withColumn("flag", lit(1)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("flag"), lit(0)).as("contaminated"))
+  }
+
+  /** q155 under the FORCED gram-prefilter route (`canaryCountCeiling = 1`
+    * — the q150–q153 pessimized-twin convention): the large-canary-list
+    * scale path of [[graft.operators.Canary.contaminatedIds]] — distinct
+    * char-40-gram hashes emitted scan-locally, broadcast prefix-hash
+    * candidates, exact contains() verify — runs under the driver's hash
+    * gate pinned to q155's exact verdicts. Recall 1.0 by the prefix
+    * pigeonhole; the oracle is q155's.
+    */
+  val q159_canary_gated: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val canaries = docs.filter(col("doc_id") < 20)
+      .select(substring(col("text"), 11, 40).as("phrase"))
+      .filter(length(col("phrase")) === 40)
+      .distinct()
+    val train = docs.filter(col("doc_id") >= 20)
+    val contaminated = graft.operators.Canary.contaminatedIds(
+      train, "doc_id", "text", canaries, "phrase", canaryCountCeiling = 1)
+    train
       .join(contaminated.withColumn("flag", lit(1)), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("flag"), lit(0)).as("contaminated"))
   }
@@ -404,7 +426,10 @@ object CurationQueries {
     * end-to-end: u is a pure function of doc_id.
     */
   val q119_weighted_sample: Q = (s, dir) => {
-    val u = ((col("doc_id") * WS_MULT) % WS_MOD + 1).cast("double") / (WS_MOD + 1)
+    // doc_id reduced mod the prime BEFORE multiplying (floorMod): ids past
+    // ~3.47e9 must not wrap the long product (Sketch A-ES discipline)
+    val u = (pmod(col("doc_id"), lit(WS_MOD)) * WS_MULT % WS_MOD + 1)
+      .cast("double") / (WS_MOD + 1)
     val key = -log(u) / col("n_chars")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("key").asc, col("doc_id").asc)
@@ -440,10 +465,47 @@ object CurationQueries {
       .limit(BPE_TOPK)
   }
 
+  /** Trainable quality classifier
+    * ([[graft.operators.QualityModel.trainLogistic]]): fit a
+    * quasi-logistic model to predict q97's Gopher-pass verdict from
+    * [[QT_F]] hashed token-residue features, by [[QT_ROUNDS]] bounded
+    * GD rounds — the training half q90's fixed-weight scorer was
+    * missing. Output is the weight vector AFTER EVERY round (round, j,
+    * w), and the oracle replays the whole descent as chained
+    * MATERIALIZED CTEs (the q146 discipline): decimal-summed gradients
+    * make each round's sums exact and order-independent, the rational
+    * sigmoid keeps the per-doc arithmetic engine-exact, and the 12-dp
+    * weight rounding pins each round's model as a short literal.
+    */
+  val QT_F = 6
+  val QT_ROUNDS = 5
+  val QT_LR = 0.5
+  private def gopherLabel = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (acc, tk) => acc + length(tk))
+      .cast("double") / n
+    val nStop = size(filter(toks, tk => tk.isin("a", "the")))
+    val uniqRatio = size(array_distinct(toks)) / n
+    (size(toks) >= 10 && size(toks) <= 500 &&
+      meanLen >= 2.0 && meanLen <= 8.0 &&
+      nStop >= 1 && uniqRatio >= 0.3).cast("double")
+  }
+  val q161_quality_train: Q = (s, dir) => {
+    import s.implicits._
+    val ws = graft.operators.QualityModel.trainLogistic(
+      t(s, dir).documents, "text", gopherLabel,
+      f = QT_F, rounds = QT_ROUNDS, lr = QT_LR)
+    ws.zipWithIndex.flatMap { case (w, r) =>
+      w.zipWithIndex.map { case (v, j) => ((r + 1).toLong, j.toLong, v) }
+    }.toDF("round", "j", "w")
+  }
+
   def all: Map[String, Q] = Map(
     "q119_weighted_sample" -> q119_weighted_sample,
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
     "q155_canary_decontaminate" -> q155_canary_decontaminate,
+    "q159_canary_gated" -> q159_canary_gated,
     "q97_gopher_rules" -> q97_gopher_rules,
     "q98_token_entropy" -> q98_token_entropy,
     "q99_temperature_mix" -> q99_temperature_mix,
@@ -454,7 +516,8 @@ object CurationQueries {
     "q107_block_pack" -> q107_block_pack,
     "q108_zipf" -> q108_zipf,
     "q109_curated_pack" -> q109_curated_pack,
-    "q146_bpe_encode" -> q146_bpe_encode)
+    "q146_bpe_encode" -> q146_bpe_encode,
+    "q161_quality_train" -> q161_quality_train)
 
   /** One BPE round as chained CTEs (the q142 fixpoint-replay
     * discipline): pair counts over v{k-1}, the (cnt desc, pair asc)
@@ -497,6 +560,55 @@ object CurationQueries {
        |  FROM w$k WHERE NOT coalesce(pm, false)
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** q161 oracle: the whole gradient descent replayed as chained
+    * MATERIALIZED CTEs — w0 is the zero vector; each round k computes
+    * every doc's z through the SAME left-associated weight·feature chain,
+    * the rational sigmoid, per-doc terms rounded to 12 dp and summed as
+    * DECIMAL(38,18) (exact, order-free), then the 12-dp weight update.
+    * Weights live as F+1 pivoted columns so the fold order is explicit.
+    */
+  private def q161Oracle: String = {
+    val f = QT_F
+    val js = 0 to f
+    val xdefs = (1 to f).map { j =>
+      s"len(list_filter(toks, t -> ${polyHashSql("t")} % $f = ${j - 1}))::DOUBLE" +
+        s" / len(toks) AS x$j"
+    }.mkString(",\n    ")
+    val zChain = js.map(j => s"w$j * x$j").mkString(" + ")
+    val rounds = (1 to QT_ROUNDS).map { k =>
+      s"""s$k AS (
+         |  SELECT y, ${js.map(j => s"x$j").mkString(", ")},
+         |    0.5 + ($zChain) / (2.0 * (1.0 + abs($zChain))) AS sig
+         |  FROM base, w${k - 1}),
+         |g$k AS (
+         |  SELECT count(*)::DOUBLE AS n,
+         |    ${js.map(j => s"sum(round((sig - y) * x$j, 12)::DECIMAL(38,18)) AS g$j").mkString(",\n    ")}
+         |  FROM s$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT ${js.map(j => s"round(w$j - $QT_LR * (g$j::DOUBLE / n), 12) AS w$j").mkString(",\n    ")}
+         |  FROM w${k - 1}, g$k)""".stripMargin
+    }.mkString(",\n")
+    val unpivot = (1 to QT_ROUNDS).flatMap { k =>
+      js.map(j => s"SELECT $k::BIGINT AS round, $j::BIGINT AS j, w$j AS w FROM w$k")
+    }.mkString("\nUNION ALL ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |base AS MATERIALIZED (
+       |  SELECT
+       |    (len(toks) BETWEEN 10 AND 500
+       |     AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) >= 2.0
+       |     AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) <= 8.0
+       |     AND len(list_filter(toks, t -> t IN ('a', 'the'))) >= 1
+       |     AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3)::INT::DOUBLE AS y,
+       |    1.0::DOUBLE AS x0,
+       |    $xdefs
+       |  FROM d WHERE len(toks) > 0),
+       |w0 AS (SELECT ${js.map(j => s"0.0::DOUBLE AS w$j").mkString(", ")}),
+       |$rounds
+       |$unpivot""".stripMargin
+  }
+
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -504,10 +616,12 @@ object CurationQueries {
        |  (h, a) -> (h * 31 + a) % 1000000007)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q161_quality_train" -> q161Oracle,
     "q119_weighted_sample" ->
       s"""WITH k AS (
          |  SELECT source, doc_id, n_chars,
-         |    -ln(((doc_id * $WS_MULT) % $WS_MOD + 1)::DOUBLE / ${WS_MOD + 1}) / n_chars AS key
+         |    -ln(((((doc_id % $WS_MOD + $WS_MOD) % $WS_MOD) * $WS_MULT)
+         |      % $WS_MOD + 1)::DOUBLE / ${WS_MOD + 1}) / n_chars AS key
          |  FROM documents)
          |SELECT source, doc_id, n_chars, round(key, 9) AS key, rk FROM (
          |  SELECT *, row_number() OVER (
@@ -531,6 +645,19 @@ object CurationQueries {
          |FROM d LEFT JOIN c ON d.doc_id = c.doc_id
          |WHERE d.doc_id >= 20""".stripMargin,
     "q155_canary_decontaminate" ->
+      """WITH c AS (
+        |  SELECT DISTINCT substring(text, 11, 40) AS phrase FROM documents
+        |  WHERE doc_id < 20 AND length(substring(text, 11, 40)) = 40),
+        |f AS (
+        |  SELECT DISTINCT d.doc_id FROM documents d, c
+        |  WHERE d.doc_id >= 20 AND contains(d.text, c.phrase))
+        |SELECT d.doc_id,
+        |  (CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END) AS contaminated
+        |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        |WHERE d.doc_id >= 20""".stripMargin,
+    // the gated gram route must produce q155's exact verdicts — the oracle
+    // IS q155's (recall-1.0 prefilter + exact verify == plain contains)
+    "q159_canary_gated" ->
       """WITH c AS (
         |  SELECT DISTINCT substring(text, 11, 40) AS phrase FROM documents
         |  WHERE doc_id < 20 AND length(substring(text, 11, 40)) = 40),

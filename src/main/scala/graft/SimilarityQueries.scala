@@ -260,6 +260,34 @@ object SimilarityQueries {
         col("rank").cast("long").as("rank"))
   }
 
+  /** q149's serving shape from PERSISTED artifacts
+    * ([[graft.operators.AnnIndex]]): the same cached models and coded
+    * corpus are WRITTEN to parquet at construction (the bloom/occupancy
+    * documented-eagerness convention), then the probe plan reads ONLY the
+    * artifacts back — models re-collected from `<idx>/model`, posting
+    * lists scanned from the centroid-partitioned `<idx>/coded`. Parquet
+    * doubles/longs round-trip exactly, so the output contract — and the
+    * oracle — stays q149's two-model-literal replay: a green driver row
+    * proves the persisted lifecycle is lossless end-to-end.
+    */
+  val q160_persisted_ann: Q = (s, dir) => {
+    val emb = t(s, dir).embeddings
+    val coarse = graft.operators.Ivf.trainCached(emb, ivfKey(dir), "vec_id",
+      "embedding", k = IVF_K, dims = DIMS, iters = IVF_ITERS)
+    lastIvfKey = Some(ivfKey(dir))
+    val pq = graft.operators.Pq.trainCached(emb, pqKey(dir), "vec_id",
+      "embedding", m = PQ_M, subDims = PQ_SUBD, k = PQ_K, iters = PQ_ITERS)
+    lastPqKey = Some(pqKey(dir))
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft-annidx-" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    graft.operators.AnnIndex.write(emb, "vec_id", "embedding",
+      coarse, DIMS, pq, PQ_SUBD, idx)
+    graft.operators.AnnIndex.probe(s, idx, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", nprobe = IVF_NPROBE, kNeighbors = 5)
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        col("rank").cast("long").as("rank"))
+  }
+
   def all: Map[String, Q] = Map(
     "q31_knn" -> q31_knn,
     "q32_top_pairs" -> q32_top_pairs,
@@ -275,7 +303,8 @@ object SimilarityQueries {
     "q92_prototypes" -> q92_prototypes,
     "q113_pq_adc" -> q113_pq_adc,
     "q148_pq_rerank" -> q148_pq_rerank,
-    "q149_ivf_pq" -> q149_ivf_pq)
+    "q149_ivf_pq" -> q149_ivf_pq,
+    "q160_persisted_ann" -> q160_persisted_ann)
 
   // ——— oracle SQL helpers (DuckDB) ———
   private[graft] def foldSum(terms: String) =
@@ -540,7 +569,10 @@ object SimilarityQueries {
       "q92_prototypes" -> q92Oracle,
       "q113_pq_adc" -> q113Oracle,
       "q148_pq_rerank" -> q148Oracle,
-      "q149_ivf_pq" -> q149Oracle)
+      "q149_ivf_pq" -> q149Oracle,
+      // q160 probes the PERSISTED artifacts; its output contract IS
+      // q149's (parquet round-trips the models and codes exactly)
+      "q160_persisted_ann" -> q149Oracle)
       .collect { case (k, Some(sql)) => k -> sql }
     staticOracles ++ dynamic +
       // q152/q153 run the salted plans; their output contracts ARE

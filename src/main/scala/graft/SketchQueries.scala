@@ -198,7 +198,8 @@ object SketchQueries {
          |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS w
          |  FROM documents),
          |keyed AS (
-         |  SELECT *, -ln(((doc_id * 2654435761) % 1000000007 + 1)::DOUBLE
+         |  SELECT *, -ln(((((doc_id % 1000000007 + 1000000007) % 1000000007)
+         |      * 2654435761) % 1000000007 + 1)::DOUBLE
          |    / 1000000008.0) / w::DOUBLE AS key
          |  FROM base WHERE w > 0),
          |sample AS (

@@ -1,0 +1,81 @@
+package graft.apps
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, Ivf, Pq}
+
+/** Deployable ANN index lifecycle job over [[graft.operators.AnnIndex]]
+  * — build once, append without retraining, probe from the persisted
+  * artifacts (the serving loop a real embedding pipeline runs, vs the
+  * in-session train+query of q61/q149):
+  *
+  *  - `--mode build`: train the coarse quantizer + PQ codebooks on
+  *    `--input` (optionally on a `--train-fraction` sample — the 100 TB
+  *    path), write `<index>/model` + the centroid-partitioned
+  *    `<index>/coded` posting lists;
+  *  - `--mode append`: assign NEW vectors with the persisted models and
+  *    append to the posting lists — scan-local, no retrain;
+  *  - `--mode probe`: IVF-PQ top-k for `--queries` from the artifacts
+  *    alone, written to `--out` (or printed when omitted).
+  *
+  * The coarse k defaults to [[graft.operators.Ivf.kFor]]'s corpus-sized
+  * rule so posting lists stay probe-sized as the corpus grows; `--nprobe`
+  * is the measured recall dial (scale it with k — BASELINE.md round-6
+  * recall rows).
+  */
+object AnnIndexApp {
+
+  val usage = "graft.apps.AnnIndexApp --mode build|append|probe --index <dir> " +
+    "[build/append: --input <vectors parquet>] [probe: --queries <parquet> " +
+    "[--out <dir>] [--nprobe 2] [--topk 5]] " +
+    "[--id-col vec_id] [--vec-col embedding] [--dims 64] " +
+    "[build: --list-size 64 --pq-m 8 --pq-subdims 8 --pq-k 16 --iters 2 " +
+    "--train-fraction 1.0 --seed 42]"
+
+  def main(args: Array[String]): Unit = {
+    val conf = AppEnv.parseArgs(args)
+    val spark: SparkSession = AppEnv.session("graft-ann-index", conf)
+    val index = AppEnv.get(conf, "index", usage)
+    val idCol = conf.getOrElse("id-col", "vec_id")
+    val vecCol = conf.getOrElse("vec-col", "embedding")
+    val dims = conf.getOrElse("dims", "64").toInt
+    conf.getOrElse("mode", "build") match {
+      case "build" =>
+        val corpus = spark.read.parquet(AppEnv.get(conf, "input", usage))
+        val k = conf.get("k").map(_.toInt).getOrElse(
+          Ivf.kFor(corpus.count(), conf.getOrElse("list-size", "64").toInt))
+        val m = conf.getOrElse("pq-m", "8").toInt
+        val subDims = conf.getOrElse("pq-subdims", "8").toInt
+        val pqK = conf.getOrElse("pq-k", "16").toInt
+        val iters = conf.getOrElse("iters", "2").toInt
+        val fraction = conf.getOrElse("train-fraction", "1.0").toDouble
+        val seed = conf.getOrElse("seed", "42").toLong
+        val (coarse, pq) =
+          if (fraction >= 1.0)
+            (Ivf.train(corpus, idCol, vecCol, k, dims, iters),
+              Pq.train(corpus, idCol, vecCol, m, subDims, pqK, iters))
+          else
+            (Ivf.trainOnSample(corpus, fraction, seed, idCol, vecCol, k, dims, iters),
+              Pq.trainOnSample(corpus, fraction, seed, idCol, vecCol, m, subDims, pqK, iters))
+        AnnIndex.write(corpus, idCol, vecCol, coarse, dims, pq, subDims, index)
+        println(s"[ann-index] built: k=$k lists, m=$m codes, " +
+          s"${AnnIndex.loadCoded(spark, index).count()} vectors")
+      case "append" =>
+        val vecs = spark.read.parquet(AppEnv.get(conf, "input", usage))
+        AnnIndex.append(vecs, idCol, vecCol, index)
+        println(s"[ann-index] appended ${vecs.count()} vectors")
+      case "probe" =>
+        val queries = spark.read.parquet(AppEnv.get(conf, "queries", usage))
+        val got = AnnIndex.probe(spark, index, queries, idCol, vecCol,
+          nprobe = conf.getOrElse("nprobe", "2").toInt,
+          kNeighbors = conf.getOrElse("topk", "5").toInt)
+        conf.get("out") match {
+          case Some(out) => got.write.mode("overwrite").parquet(out)
+          case None => got.orderBy(col("query_id"), col("rank"))
+            .collect().foreach(r => println(s"[ann-probe] $r"))
+        }
+      case other => sys.error(s"unknown --mode $other\nusage: $usage")
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index lifecycle — the missing piece between "trains
+  * and queries in-session" (q61/q113/q149) and a real serving pipeline,
+  * which builds the index ONCE, probes it tomorrow, and appends new
+  * vectors without retraining:
+  *
+  *  - `<dir>/model`: the two model arrays as plain parquet rows
+  *    (kind, dim_param, vals) — "coarse" carries (dims, k·dims centroid
+  *    doubles), "pq" carries (subDims, m·k·subDims codebook doubles).
+  *    Parquet doubles round-trip EXACTLY, so a probe from the loaded
+  *    model is bit-identical to one from the in-memory training (q160
+  *    puts that claim under the driver's hash gate).
+  *  - `<dir>/coded`: the coded corpus (idCol, codes) partitioned BY
+  *    CENTROID — the posting-list layout: a probe of `nprobe` lists can
+  *    prune its scan to those partitions, and per-row storage is the m
+  *    PQ codes, not the dims·4-byte vector.
+  *
+  * Append composes [[Ivf.assign]] + [[Pq.assignCodes]] with the LOADED
+  * models (assignment is a scan-local plan-literal pass, so appends never
+  * shuffle or retrain) and writes new posting-list files alongside the
+  * old — the standard incremental-index shape; periodic retraining when
+  * the data distribution drifts is a full `write` again.
+  */
+object AnnIndex {
+
+  /** Train-side artifacts written once (overwrite). `corpus` must carry
+    * idCol + vecCol; models come from [[Ivf.train]] / [[Pq.train]] (or
+    * their cached/sampled forms).
+    */
+  def write(corpus: DataFrame, idCol: String, vecCol: String,
+            coarse: Array[Double], dims: Int,
+            pq: Array[Double], subDims: Int, dir: String): Unit = {
+    require(dims >= 1 && subDims >= 1 && dims % subDims == 0,
+      s"AnnIndex.write: dims=$dims must be a positive multiple of subDims=$subDims")
+    require(coarse.length % dims == 0 && coarse.nonEmpty,
+      s"AnnIndex.write: coarse length ${coarse.length} not a multiple of dims=$dims")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(("coarse", dims, coarse.toSeq), ("pq", subDims, pq.toSeq))
+      .toDF("kind", "dim_param", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    codedFrame(corpus, idCol, vecCol, coarse, dims, pq, subDims)
+      .write.mode("overwrite").partitionBy("centroid")
+      .parquet(s"$dir/coded")
+  }
+
+  /** Assign new vectors with the PERSISTED models and append their rows
+    * to the posting lists — no retrain, no shuffle (both assignments are
+    * plan-literal scan passes; partitioned append writes new files into
+    * the touched lists' directories only).
+    */
+  def append(newVecs: DataFrame, idCol: String, vecCol: String,
+             dir: String): Unit = {
+    val (coarse, dims, pq, subDims) = loadModel(newVecs.sparkSession, dir)
+    codedFrame(newVecs, idCol, vecCol, coarse, dims, pq, subDims)
+      .write.mode("append").partitionBy("centroid")
+      .parquet(s"$dir/coded")
+  }
+
+  private def codedFrame(vecs: DataFrame, idCol: String, vecCol: String,
+                         coarse: Array[Double], dims: Int,
+                         pq: Array[Double], subDims: Int): DataFrame =
+    Pq.assignCodes(Ivf.assign(vecs, vecCol, coarse, dims),
+        vecCol, pq, subDims)
+      .select(col(idCol), col("codes"), col("centroid"))
+
+  /** The persisted models, collected (bounded: O(k·dims + m·k·subDims)
+    * doubles — model-sized driver state by design, same as training).
+    */
+  def loadModel(spark: SparkSession, dir: String): (Array[Double], Int, Array[Double], Int) = {
+    val rows = spark.read.parquet(s"$dir/model")
+      .select(col("kind"), col("dim_param"), col("vals")).collect()
+    def part(kind: String) = rows.find(_.getString(0) == kind)
+      .getOrElse(sys.error(s"AnnIndex.loadModel: no '$kind' row in $dir/model"))
+    val c = part("coarse")
+    val p = part("pq")
+    (c.getSeq[Double](2).toArray, c.getInt(1),
+      p.getSeq[Double](2).toArray, p.getInt(1))
+  }
+
+  /** The coded corpus as written (centroid comes back as the partition
+    * column).
+    */
+  def loadCoded(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/coded")
+
+  /** Probe the persisted index: IVF-PQ top-k from the loaded artifacts
+    * only ([[Pq.ivfPqTopK]] — coarse probe prunes to nprobe posting
+    * lists, ADC ranks their members from codes). `queries` carries
+    * full-precision vectors (idCol, vecCol).
+    */
+  def probe(spark: SparkSession, dir: String, queries: DataFrame,
+            idCol: String, vecCol: String,
+            nprobe: Int, kNeighbors: Int): DataFrame = {
+    val (coarse, dims, pq, _) = loadModel(spark, dir)
+    Pq.ivfPqTopK(spark, loadCoded(spark, dir), queries, idCol, vecCol,
+      coarse, dims, pq, nprobe, kNeighbors)
+  }
+}

@@ -152,7 +152,7 @@ object Similarity {
     val hottest = df
       .select(lshBucket(asDouble(col(vecCol)), planes, dims).as("bucket"))
       .groupBy(col("bucket")).count()
-      .agg(max(col("count"))).collect()(0).getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
     if (hottest <= bucketRowsCeiling)
       lshTopPairs(df, idCol, vecCol, planes, dims, limit)
     else
@@ -337,7 +337,7 @@ object Similarity {
         s"bucketRowsCeiling=$bucketRowsCeiling maxSaltBuckets=$maxSaltBuckets")
     val hottest = bandedBuckets(df, idCol, vecCol, planes, bands, dims)
       .groupBy(col("bucket")).count()
-      .agg(max(col("count"))).collect()(0).getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
     if (hottest <= bucketRowsCeiling)
       lshNearDupPairsBanded(df, idCol, vecCol, planes, bands, dims, threshold)
     else
@@ -424,7 +424,7 @@ object Similarity {
         s"clusterRowsCeiling=$clusterRowsCeiling maxSaltBuckets=$maxSaltBuckets")
     val hottest = graft.operators.Ivf.assign(df, vecCol, cents, dims)
       .groupBy(col("centroid")).count()
-      .agg(max(col("count"))).collect()(0).getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
     if (hottest <= clusterRowsCeiling)
       semanticDedup(df, idCol, vecCol, cents, dims, threshold)
     else

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.TextFunctions.{polyHash, HashMod}
 
@@ -209,7 +210,9 @@ object Sketch {
     *
     * Weights must be > 0 (the A-ES contract — checked fail-loud at
     * construction, the pageRankWeighted style: a silent w ≤ 0 would make
-    * −ln(u)/w reorder or NaN the race).
+    * −ln(u)/w reorder or NaN the race). The check is one bounded scan per
+    * call; composed pipelines that already validated the weight column can
+    * pass `checkWeights = false` to skip it — the default stays fail-loud.
     *
     * Plan shape: the A-ES key is scan-local arithmetic; the per-group
     * sample cut compiles to WindowGroupLimit (≤ k rows per group per map
@@ -221,7 +224,8 @@ object Sketch {
   def weightedSampledQuantiles(df: DataFrame, groupCols: Seq[String],
                                valCol: Column, weightCol: Column,
                                idCol: String, k: Int,
-                               qs: Seq[Double]): DataFrame = {
+                               qs: Seq[Double],
+                               checkWeights: Boolean = true): DataFrame = {
     require(k >= 1, s"weightedSampledQuantiles: k must be >= 1, got $k")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"weightedSampledQuantiles: quantiles must lie in (0, 1], got $qs")
@@ -232,14 +236,20 @@ object Sketch {
     val g = groupCols.map(col)
     val keyed = df.select((g :+ col(idCol) :+ valCol.as("val") :+
         weightCol.cast("long").as("__w")): _*)
-    val bad = keyed.filter(col("__w") <= 0).limit(1).collect()
-    require(bad.isEmpty,
-      s"weightedSampledQuantiles: contract weight > 0 violated at " +
-        s"$idCol=${bad.headOption.map(_.get(groupCols.size)).orNull}")
+    if (checkWeights) {
+      val bad = keyed.filter(col("__w") <= 0).limit(1).collect()
+      require(bad.isEmpty,
+        s"weightedSampledQuantiles: contract weight > 0 violated at " +
+          s"$idCol=${bad.headOption.map(_.get(groupCols.size)).orNull}")
+    }
     // q119's deterministic-uniform: u in (0, 1] from the id's
-    // multiplicative hash — the oracle replays the identical integers
-    val u = ((col(idCol).cast("long") * lit(2654435761L)) % lit(1000000007L)
-      + 1).cast("double") / 1000000008d
+    // multiplicative hash — the oracle replays the identical integers.
+    // The id is reduced mod the prime BEFORE multiplying (floorMod), so
+    // ids past ~3.47e9 (or negative) never wrap the long product — the
+    // wrapped form admitted NULL keys first under the ascending sample
+    // window while DuckDB raised an overflow error on the same input.
+    val u = (pmod(col(idCol).cast("long"), lit(1000000007L))
+      * lit(2654435761L) % lit(1000000007L) + 1).cast("double") / 1000000008d
     val sampleW = Window.partitionBy(g: _*)
       .orderBy(col("__key").asc, col(idCol).asc)
     val sample = keyed
@@ -262,6 +272,22 @@ object Sketch {
       .agg(min(struct(col("val"), col(idCol), col("__tot"))).as("__pick"))
       .select((g :+ col("q") :+ col("__pick.val").as("value") :+
         col("__pick.__tot").cast("long").as("sample_w")): _*)
+  }
+
+  /** Fail-loud integral-type contract for the streaming twins: their O(k)
+    * Aggregator state carries longs, so a non-integral value/id column
+    * would silently truncate relative to the batch answer the twin is
+    * documented to converge to bit-for-bit. The batch forms keep the
+    * native type; the streaming forms therefore REQUIRE integral inputs.
+    */
+  private def requireIntegral(df: DataFrame, c: Column, what: String,
+                              op: String): Unit = {
+    val dt = df.select(c).schema.head.dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+      s"$op: $what must be an integral type (byte/short/int/long) — its " +
+        s"long-state Aggregator would silently truncate $dt; cast or " +
+        s"round explicitly at the call site if that is intended")
   }
 
   /** Streaming [[weightedSampledQuantiles]]: the A-ES bottom-k race kept
@@ -287,12 +313,16 @@ object Sketch {
                   "q", "value", "sample_w"))
       require(!groupCols.contains(c) && idCol != c,
         s"weightedSampledQuantilesStream: column name '$c' is reserved by the operator")
+    requireIntegral(df, valCol, "valCol", "weightedSampledQuantilesStream")
+    requireIntegral(df, col(idCol), s"idCol '$idCol'",
+      "weightedSampledQuantilesStream")
     val race = udaf(new graft.functions.WeightedBottomKAgg(k),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.scalaLong))
     val g = groupCols.map(col)
-    val u = ((col("__id") * lit(2654435761L)) % lit(1000000007L) + 1)
-      .cast("double") / 1000000008d
+    // id reduced mod the prime before multiplying — see the batch twin
+    val u = (pmod(col("__id"), lit(1000000007L)) * lit(2654435761L)
+      % lit(1000000007L) + 1).cast("double") / 1000000008d
     val agged = df
       .select((g :+ col(idCol).cast("long").as("__id") :+
         valCol.cast("long").as("__val") :+
@@ -347,6 +377,8 @@ object Sketch {
                   "q", "value", "sample_n"))
       require(!groupCols.contains(c) && idCol != c,
         s"sampledQuantilesStream: column name '$c' is reserved by the operator")
+    requireIntegral(df, valCol, "valCol", "sampledQuantilesStream")
+    requireIntegral(df, col(idCol), s"idCol '$idCol'", "sampledQuantilesStream")
     val bottomK = udaf(new graft.functions.BottomKAgg(k),
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
     val g = groupCols.map(col)

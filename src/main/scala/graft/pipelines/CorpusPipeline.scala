@@ -203,12 +203,16 @@ object CorpusPipeline {
     * literal array probed scan-locally (`exists` + `contains`) — no join,
     * no state, so it composes into any batch or streaming stage and
     * streamed survivors equal the batch filter on any arrival order
-    * (spec-pinned). An empty list is the identity.
+    * (spec-pinned). An empty list is the identity — including on NULL
+    * text: `contains` propagates NULL through `exists`, so the predicate
+    * coalesces to "no canary found" and a NULL-text row survives both
+    * routes identically (it can't contain a canary).
     */
   def decontaminateByCanary(docs: DataFrame, canaries: Array[String],
                             textCol: String = "text"): DataFrame =
     if (canaries.isEmpty) docs
-    else docs.filter(!exists(lit(canaries), p => col(textCol).contains(p)))
+    else docs.filter(!coalesce(
+      exists(lit(canaries), p => col(textCol).contains(p)), lit(false)))
 
   /** Containment-threshold decontamination — the graded form of
     * [[decontaminate]]: drop a training doc only when it COVERS at least

@@ -87,7 +87,7 @@ object GraftFunctions {
   def poly_hash(c: Column): Column = call_function("poly_hash", c)
 
   private[plans] val descriptors = Seq(
-    PolyHash.descriptor, ShingleHashes.descriptor,
+    PolyHash.descriptor, ShingleHashes.descriptor, CharGramHashes.descriptor,
     MinHashSig.descriptor, SimHashOf.descriptor, WinnowFps.descriptor,
     VecDot.descriptor, LshBucket.descriptor, LshBucketFrom.descriptor,
     NearestCentroid.descriptor,

@@ -167,6 +167,50 @@ object TextExprs {
     new GenericArrayData(sel.toArray)
   }
 
+  /** Distinct poly-hashes of every length-g CODEPOINT gram of a text, one
+    * rolling O(len) pass — the canary-prefilter primitive (operators
+    * .Canary): a doc containing a phrase verbatim contains the phrase's
+    * first g codepoints as one of these grams, so membership of
+    * poly_hash(substring(phrase, 1, g)) in this set is a recall-1.0
+    * candidate test. Gram hash arithmetic is [[PolyHash]]'s
+    * (h·31 + codepoint mod 1e9+7) over the gram's codepoints, so the two
+    * sides match by construction. Texts shorter than g codepoints yield
+    * an empty array.
+    */
+  def charGramHashes(s: UTF8String, g: Int): ArrayData = {
+    if (g <= 0) return new GenericArrayData(Array.empty[Long])
+    val bytes = new Array[Byte](s.numBytes())
+    s.writeToMemory(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    var ascii = true
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) < 0) { ascii = false; i = bytes.length }; i += 1 }
+    val cps: Array[Int] =
+      if (ascii) {
+        val a = new Array[Int](bytes.length)
+        var j = 0
+        while (j < a.length) { a(j) = bytes(j); j += 1 }
+        a
+      } else s.toString.codePoints().toArray
+    if (cps.length < g) return new GenericArrayData(Array.empty[Long])
+    // 31^(g-1) mod p for the roll-out of the leaving codepoint
+    var pow = 1L
+    var t = 1
+    while (t < g) { pow = pow * 31 % Mod; t += 1 }
+    val seen = new mutable.LinkedHashSet[Long]()
+    var h = 0L
+    var j = 0
+    while (j < g) { h = (h * 31 + cps(j)) % Mod; j += 1 }
+    seen += h
+    while (j < cps.length) {
+      // (h − c_out·31^(g−1))·31 + c_in, kept in [0, Mod): codepoints are
+      // < 2^21 and Mod < 2^30, so every intermediate fits a long
+      h = ((h - cps(j - g) * pow % Mod + Mod) % Mod * 31 + cps(j)) % Mod
+      seen += h
+      j += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
   /** SimHash over a hash set: bit j of the result is set iff more than half
     * of the hashes have bit j set (ties -> 0, matching the HOF `2*ones > n`).
     */
@@ -269,6 +313,36 @@ object WinnowFps {
     FunctionIdentifier("winnow_fps"),
     new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
     (c: Seq[Expression]) => WinnowFps(c.head, c(1), c(2)))
+}
+
+/** char_gram_hashes(text, g) -> array<long> of distinct codepoint-gram
+  * poly-hashes (see [[TextExprs.charGramHashes]]).
+  */
+case class CharGramHashes(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "char_gram_hashes(text: string, g: int literal)")
+
+  protected override def nullSafeEval(text: Any, g: Any): Any =
+    TextExprs.charGramHashes(text.asInstanceOf[UTF8String], g.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, g) => s"graft.plans.TextExprs$$.MODULE$$.charGramHashes($t, $g)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharGramHashes =
+    copy(left = l, right = r)
+}
+
+object CharGramHashes {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_gram_hashes"),
+    new ExpressionInfo(classOf[CharGramHashes].getName, "char_gram_hashes"),
+    (c: Seq[Expression]) => CharGramHashes(c.head, c(1)))
 }
 
 /** minhash_sig(hashes, k) -> array<long> */

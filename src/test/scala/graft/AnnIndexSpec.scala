@@ -56,4 +56,68 @@ class AnnIndexSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().map(_._1).toSeq
     assert(got == expected && got.nonEmpty)
   }
+
+  test("AnnIndex persisted lifecycle: probe from artifacts == in-memory IVF-PQ; append finds new vectors without retrain") {
+    import graft.operators.{AnnIndex, Ivf, Pq}
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-lifecycle").toString
+    val (dims, subDims, m, pqK) = (64, 8, 8, 16)
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = dims, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = m, subDims = subDims,
+      k = pqK, iters = 2)
+    AnnIndex.write(emb, "vec_id", "embedding", coarse, dims, pq, subDims, dir)
+    // the models round-trip bit-for-bit
+    val (coarse2, dims2, pq2, subDims2) = AnnIndex.loadModel(spark, dir)
+    assert(dims2 == dims && subDims2 == subDims)
+    assert(coarse2.toSeq == coarse.toSeq && pq2.toSeq == pq.toSeq)
+    // probe from disk == the fully in-memory composed plan
+    val queries = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"adc", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val persisted = rows(AnnIndex.probe(spark, dir, queries,
+      "vec_id", "embedding", nprobe = 2, kNeighbors = 3))
+    val inMem = rows(Pq.ivfPqTopK(spark,
+      Pq.assignCodes(Ivf.assign(emb, "embedding", coarse, dims),
+        "embedding", pq, subDims),
+      queries, "vec_id", "embedding", coarse, dims, pq,
+      nprobe = 2, kNeighbors = 3))
+    assert(persisted == inMem && persisted.nonEmpty)
+    // append: a planted near-copy of vec_id 3 under a fresh id lands in
+    // the same posting list and surfaces as its rank-1 ADC neighbor —
+    // no retrain, the old model assigns it
+    val planted = emb.filter($"vec_id" === 3)
+      .select(lit(90001L).as("vec_id"), $"embedding")
+    AnnIndex.append(planted, "vec_id", "embedding", dir)
+    // ADC of an exact copy is the query's own quantization error — the
+    // minimum any CODED neighbor can reach, so the copy ranks first
+    val after = AnnIndex.probe(spark, dir, emb.filter($"vec_id" === 3),
+        "vec_id", "embedding", nprobe = 1, kNeighbors = 1)
+      .select($"neighbor_id").as[Long].collect()
+    assert(after.toSeq == Seq(90001L),
+      s"expected the planted copy at rank 1, got ${after.toSeq}")
+  }
+
+  test("AnnIndexApp main: build -> append -> probe through the CLI surface") {
+    import graft.apps.AnnIndexApp
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ann-app").toString
+    val idx = s"$base/idx"
+    emb.write.parquet(s"$base/corpus")
+    emb.filter($"vec_id" === 7)
+      .select(lit(91001L).as("vec_id"), $"embedding")
+      .write.parquet(s"$base/new")
+    emb.filter($"vec_id" === 7).write.parquet(s"$base/queries")
+    AnnIndexApp.main(Array("--mode", "build", "--index", idx,
+      "--input", s"$base/corpus", "--list-size", "64"))
+    AnnIndexApp.main(Array("--mode", "append", "--index", idx,
+      "--input", s"$base/new"))
+    AnnIndexApp.main(Array("--mode", "probe", "--index", idx,
+      "--queries", s"$base/queries", "--nprobe", "2", "--topk", "3",
+      "--out", s"$base/result"))
+    val got = spark.read.parquet(s"$base/result")
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(got.size == 3 && got.head == 91001L,
+      s"the appended copy of the query vector must rank first, got $got")
+  }
 }

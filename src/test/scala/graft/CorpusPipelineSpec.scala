@@ -51,6 +51,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(keptStrict == Set(103L), s"got $keptStrict")
   }
 
+  test("decontaminateByCanary: NULL text survives both the empty-list and non-empty-list routes") {
+    val docs = Seq((1L, "clean prose here"), (2L, "contains THE-CANARY verbatim"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val emptyKept = CorpusPipeline.decontaminateByCanary(docs, Array.empty)
+      .select($"doc_id").as[Long].collect().toSet
+    val kept = CorpusPipeline.decontaminateByCanary(docs, Array("THE-CANARY"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(emptyKept == Set(1L, 2L, 3L))
+    // a NULL text cannot contain a canary: kept, not silently dropped by
+    // NULL propagating through the negated exists
+    assert(kept == Set(1L, 3L))
+  }
+
   test("cleaned corpus has no remaining near-dup pairs above threshold") {
     val docs = Tables.load(spark, TestSession.sf, "documents")
     val (cleaned, _) = CorpusPipeline(docs)

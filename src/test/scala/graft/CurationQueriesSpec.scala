@@ -80,6 +80,63 @@ class CurationQueriesSpec extends AnyFunSuite {
       s"expected a BNLJ left-semi canary match in:\n$plan")
   }
 
+  test("Canary gate: a large planted list engages the gram route; verdicts identical on both routes") {
+    import graft.operators.Canary
+    val canaries = (1 to 60).map(i => f"PLANTED-CANARY-$i%03d-XYZW").toDF("phrase")
+    val docs = Seq(
+      (1L, "clean document with nothing planted at all"),
+      (2L, "prefix PLANTED-CANARY-007-XYZW suffix"),
+      (3L, "prefix PLANTED-CANARY-007-XYZQ suffix"), // one char off -> miss
+      (4L, "PLANTED-CANARY-060-XYZW"), // text length == gram length exactly
+      (5L, null.asInstanceOf[String]),
+      (6L, "two: PLANTED-CANARY-001-XYZW and PLANTED-CANARY-002-XYZW"))
+      .toDF("doc_id", "text")
+    def route(ceiling: Long) = Canary.contaminatedIds(
+      docs, "doc_id", "text", canaries, "phrase", canaryCountCeiling = ceiling)
+    def ids(ceiling: Long) =
+      route(ceiling).select($"doc_id").as[Long].collect().toSet
+    val bnlj = ids(1000) // 60 <= 1000: the plain broadcast-contains route
+    val gram = ids(16)   // 60 > 16: the gram-prefilter route engages
+    assert(bnlj == Set(2L, 4L, 6L), s"plain route got $bnlj")
+    assert(gram == bnlj, s"routes diverged: gram=$gram plain=$bnlj")
+    // the gate genuinely switched plans
+    assert(route(16).queryExecution.analyzed.toString.contains("char_gram_hashes"))
+    assert(!route(1000).queryExecution.analyzed.toString.contains("char_gram_hashes"))
+    // empty list contaminates nothing on either side of the gate
+    assert(Canary.contaminatedIds(docs, "doc_id", "text",
+      Seq.empty[String].toDF("phrase"), "phrase").count() == 0)
+    // a too-short canary makes the gated route fail loud (it would
+    // prefilter nothing), while the plain route still accepts it
+    val withShort = canaries.unionByName(Seq("abc").toDF("phrase"))
+    val e = intercept[IllegalArgumentException] {
+      Canary.contaminatedIds(docs, "doc_id", "text", withShort, "phrase",
+        canaryCountCeiling = 16)
+    }
+    assert(e.getMessage.contains("4 codepoints"))
+  }
+
+  test("q159 == q155 verdict-for-verdict on the shared corpus fixture") {
+    val d = Files.createTempDirectory("graft-canary159-sf").toFile.getAbsolutePath
+    val canary = "THE-QUICK-BROWN-FOX-JUMPS-OVER-LAZY-DOGS"
+    val canary2 = "ANOTHER-EVAL-SPAN-OF-EXACTLY-FORTY-CHARS"
+    // TWO eval docs: q159's ceiling=1 gate needs >1 canaries to engage
+    val docs = Seq(
+      (0L, s"0123456789$canary tail of the eval document", "en", "src_a", 0L),
+      (1L, s"0123456789$canary2 tail of the other eval doc", "en", "src_a", 0L),
+      (20L, s"training prefix $canary training suffix", "en", "src_a", 0L),
+      (21L, s"training prefix ${canary.dropRight(1)}X training suffix", "en", "src_a", 0L),
+      (22L, "wholly unrelated training text with no span", "en", "src_a", 0L),
+      (23L, s"hits the second canary $canary2 here", "en", "src_a", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    val plain = SparkEntry.queries("q155_canary_decontaminate")(spark, d)
+      .as[(Long, Int)].collect().toSet
+    val gated = SparkEntry.queries("q159_canary_gated")(spark, d)
+    assert(gated.queryExecution.analyzed.toString.contains("char_gram_hashes"),
+      "q159 must run the gram-prefilter route")
+    assert(gated.as[(Long, Int)].collect().toSet == plain)
+  }
+
   test("q97: each rule trips on its own boundary, pass is the conjunction") {
     val rows = run("q97_gopher_rules")
       .select($"doc_id", $"n_tok", $"r_count", $"r_mean_len", $"r_stop", $"r_uniq", $"pass")

@@ -372,4 +372,54 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
       "z-order branch must write bucket directories")
     assert(new java.io.File(outZ, "_stats").exists, "stats manifest must exist")
   }
+
+  test("SplitRecapApp main: an incremental bridge resolves to one cluster and one split after recap") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val base = tmp("split-recap")
+    val admitted = s"$base/admitted"
+    val labelsDir = s"$base/labels"
+    // C = t01..t30; A = its first 22 tokens, B = its last 22:
+    // J(A,C) = J(B,C) = 20/28 ≈ 0.714 >= 0.5 (both near-dup C), while
+    // J(A,B) = 12/28 ≈ 0.43 < 0.5 — C BRIDGES two clusters that are not
+    // near-dups of each other
+    def toks(from: Int, to: Int) = (from to to).map(i => f"t$i%02d").mkString(" ")
+    val aDoc = (1L, toks(1, 22))
+    val bDoc = (2L, toks(9, 30))
+    val cDoc = (200L, toks(1, 30))
+    val recapArgs = Array("--input", admitted, "--labels", labelsDir,
+      "--buckets", "10", "--jaccard", "0.5", "--bands", "8")
+    // phase 1: admitted corpus is {A, B, singletons}; recap labels them
+    Seq(aDoc, bDoc, (3L, "wholly unrelated text about other things entirely"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(admitted)
+    graft.apps.SplitRecapApp.main(recapArgs)
+    val labels0 = spark.read.parquet(labelsDir)
+    val l0 = labels0.select($"doc_id", $"cluster", $"split")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(l0(1L)._2 != l0(2L)._2, "A and B must start in different clusters")
+    // phase 2: C arrives incrementally — adopts the min cluster, flags the bridge
+    val index = spark.read.parquet(admitted)
+    val inc = Dedup.incrementalClusterSplit(
+        Seq(cDoc).toDF("doc_id", "text"),
+        Dedup.minhashSignatures(index, "doc_id", "text", 3, 16),
+        labels0.select($"doc_id", $"cluster"),
+        "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.5,
+        buckets = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(inc.toSeq == Seq((200L, math.min(l0(1L)._2, l0(2L)._2),
+      inc.head._3, 1L)), s"C must adopt the min cluster and flag bridged=1: ${inc.toSeq}")
+    // phase 3: the recap over {A, B, C} rewrites the labels — ONE cluster,
+    // ONE split for all three; the unrelated singleton keeps itself
+    spark.createDataFrame(Seq(cDoc)).toDF("doc_id", "text")
+      .write.mode("append").parquet(admitted)
+    graft.apps.SplitRecapApp.main(recapArgs)
+    val l1 = spark.read.parquet(labelsDir)
+      .select($"doc_id", $"cluster", $"split")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(l1(1L)._2 == l1(2L)._2 && l1(2L)._2 == l1(200L)._2,
+      s"recap must merge the bridge into one cluster: $l1")
+    assert(l1(1L)._3 == l1(2L)._3 && l1(2L)._3 == l1(200L)._3,
+      "one cluster means one split")
+    assert(l1(3L)._2 == 3L, "the unrelated singleton stays self-labeled")
+  }
 }

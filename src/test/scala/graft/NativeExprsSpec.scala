@@ -28,6 +28,33 @@ class NativeExprsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("char_gram_hashes native == substring-window reference incl. unicode + shorter-than-g") {
+    val g = 7
+    val edge = Seq((9001L, ""), (9002L, "short"), (9003L, "exactly"),
+      (9004L, "中文分词测试句子标点符号"), (9005L, "aaaaaaaaaaaa"),
+      (9006L, "abcdef")).toDF("doc_id", "text")
+    val all = docs.select($"doc_id", $"text").unionByName(edge)
+    // reference: distinct poly-hash of every codepoint window, first
+    // occurrence first (array_distinct order == the native's LinkedHashSet)
+    val ref = when(length($"text") >= g,
+      array_distinct(transform(sequence(lit(1), length($"text") - (g - 1)),
+        i => TextFunctions.polyHash($"text".substr(i, lit(g))))))
+      .otherwise(array().cast("array<long>"))
+    val diff = all.select(
+      call_function("char_gram_hashes", $"text", lit(g)).as("native"),
+      ref.as("hof")).filter(not($"native" <=> $"hof"))
+    assert(diff.count() == 0)
+    // the prefix contract the canary prefilter relies on: the hash of a
+    // phrase's g-prefix is a member of any containing text's gram set
+    val got = Seq(("xx PLANTED-PHRASE yy", "PLANTED-PHRASE"))
+      .toDF("text", "phrase")
+      .select(array_contains(
+        call_function("char_gram_hashes", $"text", lit(g)),
+        TextFunctions.polyHash($"phrase".substr(lit(1), lit(g)))).as("hit"))
+      .as[Boolean].head()
+    assert(got)
+  }
+
   test("minhash_sig native == HOF including empty-set sentinel") {
     val diff = docs.select(TextFunctions.shingleHashes($"text", 3).as("hs"))
       .select(

@@ -156,6 +156,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!cool2.queryExecution.analyzed.toString.contains("__salt"))
   }
 
+  test("the LSH auto gates on an EMPTY frame: occupancy max coalesces to 0, cool path, no NPE") {
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "v")
+    assert(Similarity.lshTopPairsAuto(
+      empty, "vec_id", "v", 4, 8, 5).count() == 0)
+    assert(Similarity.lshNearDupPairsBandedAuto(
+      empty, "vec_id", "v", 3, 2, 8, 0.8).count() == 0)
+    val cents = Array.tabulate(16)(i => (i % 8 + 1).toDouble)
+    assert(Similarity.semanticDedupAuto(
+      empty, "vec_id", "v", cents, 8, 0.8).count() == 0)
+  }
+
   test("q153 runs the salted cell plan and reproduces q33's rows exactly") {
     val plain = SparkEntry.queries("q33_lsh_ann")(spark, TestSession.sf)
     val salted = SparkEntry.queries("q153_lsh_ann_salted")(spark, TestSession.sf)

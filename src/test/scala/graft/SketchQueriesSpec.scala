@@ -165,6 +165,55 @@ class SketchQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("A-ES uniform is id-mod-prime: ids past the wrap point and negative ids race on real keys") {
+    import graft.operators.Sketch
+    val P = 1000000007L
+    def run(rows: Seq[(String, Long, Long, Long)], k: Int) =
+      Sketch.weightedSampledQuantiles(rows.toDF("source", "doc_id", "len", "w"),
+          Seq("source"), $"len", $"w", "doc_id", k = k, qs = Seq(0.5, 0.9))
+        .select($"q", $"value", $"sample_w")
+        .as[(Double, Long, Long)].collect().toSet
+    // the uniform depends on the id only through floorMod(id, P): shifting
+    // every id by the prime reproduces the identical sample and answers
+    val base = (1L to 30L).map(i => ("s", i, i * 7 % 23 + 1, i % 4 + 1))
+    assert(run(base.map { case (s, i, v, w) => (s, i + P, v, w) }, 8)
+      == run(base, 8))
+    // ids past ~3.47e9 (the old long-wrap point) and negative ids draw real
+    // keys — the wrapped form NULL'd log(u) and NULLS FIRST admitted them
+    // into every sample regardless of weight; now they compete like any id
+    val wild = Seq(("s", 4000000000L, 5L, 1L), ("s", -17L, 9L, 2L),
+      ("s", Long.MaxValue - 3, 2L, 1L), ("s", 1L, 7L, 3L))
+    def key(id: Long, w: Long): Double = {
+      val r = java.lang.Math.floorMod(id, P)
+      val u = (java.lang.Math.floorMod(r * 2654435761L, P) + 1).toDouble / 1000000008d
+      -math.log(u) / w
+    }
+    val expectW = wild.sortBy { case (_, i, _, w) => (key(i, w), i) }
+      .take(2).map(_._4).sum
+    val got = run(wild, 2)
+    assert(got.nonEmpty && got.forall(_._3 == expectW),
+      s"sample_w ${got.map(_._3)} != hand-raced $expectW")
+  }
+
+  test("checkWeights = false skips the eager scan but answers identically on valid weights") {
+    import graft.operators.Sketch
+    val rows = (1L to 25L).map(i => ("s", i, i * 3 % 11 + 1, i % 5 + 1))
+    def run(check: Boolean) =
+      Sketch.weightedSampledQuantiles(rows.toDF("source", "doc_id", "len", "w"),
+          Seq("source"), $"len", $"w", "doc_id", k = 8, qs = Seq(0.5, 0.9),
+          checkWeights = check)
+        .select($"q", $"value", $"sample_w")
+        .as[(Double, Long, Long)].collect().toSet
+    assert(run(check = false) == run(check = true))
+    // and the opt-out genuinely skips the contract: construction no longer
+    // throws on a zero weight (the caller owns validation on this path)
+    val withZero = rows :+ (("s", 999L, 5L, 0L))
+    Sketch.weightedSampledQuantiles(
+      withZero.toDF("source", "doc_id", "len", "w"),
+      Seq("source"), $"len", $"w", "doc_id", k = 8, qs = Seq(0.5),
+      checkWeights = false) // lazy plan, no eager job, no throw
+  }
+
   test("q154 plan: the per-group sample cut compiles to WindowGroupLimit before the one exchange") {
     val plan = SparkEntry.queries("q154_sampled_quantiles")(spark, TestSession.sf)
       .queryExecution.executedPlan.toString

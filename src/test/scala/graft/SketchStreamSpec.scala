@@ -170,4 +170,34 @@ class SketchStreamSpec extends AnyFunSuite {
       assert(streamed.filter(_._1 == "big").forall(_._4 == 8))
     } finally q.stop()
   }
+
+  test("streaming twins fail loud on non-integral value/id columns (the long state would truncate)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double, Long)]
+    val df = in.toDF().toDF("source", "doc_id", "len", "w")
+    // double valCol: both twins refuse at construction, naming the column
+    val e1 = intercept[IllegalArgumentException] {
+      Sketch.sampledQuantilesStream(df, Seq("source"), $"len", "doc_id",
+        k = 4, qs = Seq(0.5))
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sketch.weightedSampledQuantilesStream(df, Seq("source"), $"len", $"w",
+        "doc_id", k = 4, qs = Seq(0.5))
+    }
+    assert(e2.getMessage.contains("integral"))
+    // string idCol refused too (the batch twin hashes the NATIVE string;
+    // the streaming long cast would NULL it)
+    val in2 = MemoryStream[(String, String, Long)]
+    val df2 = in2.toDF().toDF("source", "doc_id", "len")
+    val e3 = intercept[IllegalArgumentException] {
+      Sketch.sampledQuantilesStream(df2, Seq("source"), $"len", "doc_id",
+        k = 4, qs = Seq(0.5))
+    }
+    assert(e3.getMessage.contains("idCol"))
+    // an explicit cast at the call site satisfies the contract
+    Sketch.sampledQuantilesStream(df.withColumn("len2", $"len".cast("long")),
+      Seq("source"), $"len2", "doc_id", k = 4, qs = Seq(0.5))
+  }
 }
