@@ -69,8 +69,10 @@ object Bench {
     // fixpoint-round-latency class; its decade rows live in ScaleBench
     "q146_bpe_encode",
     // GD training is the same driver-synchronous round class (one
-    // F+2-number aggregate collect per round)
-    "q161_quality_train",
+    // F+2-number aggregate collect per round); q162 pays the identical
+    // training at construction before its scan-local scoring pass (q90
+    // is the benched scoring form)
+    "q161_quality_train", "q162_quality_score",
     // q150 is q140's DELIBERATELY-PESSIMIZED verification twin (ceiling=1
     // forces maximal salting + an eager occupancy job) — it exists to put
     // the salted plan under the correctness gate, not to be representative;

@@ -501,6 +501,24 @@ object CurationQueries {
     }.toDF("round", "j", "w")
   }
 
+  /** The learned model APPLIED ([[graft.operators.QualityModel.score]]):
+    * train q161's descent, then score every doc with the FINAL weights —
+    * q90's scoring pass with weights the pipeline learned rather than
+    * fixed constants, end-to-end under the hash gate. Training is
+    * deterministic (decimal-summed gradients), so re-running it here
+    * reproduces q161's exact weights; the oracle replays the descent
+    * CTEs and scores through the identical left-assoc chain.
+    */
+  val q162_quality_score: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val ws = graft.operators.QualityModel.trainLogistic(
+      docs, "text", gopherLabel, f = QT_F, rounds = QT_ROUNDS, lr = QT_LR)
+    docs.filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), gopherLabel.cast("int").as("y"),
+        round(graft.operators.QualityModel.score(col("text"), ws.last), 9)
+          .as("score"))
+  }
+
   def all: Map[String, Q] = Map(
     "q119_weighted_sample" -> q119_weighted_sample,
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
@@ -517,7 +535,8 @@ object CurationQueries {
     "q108_zipf" -> q108_zipf,
     "q109_curated_pack" -> q109_curated_pack,
     "q146_bpe_encode" -> q146_bpe_encode,
-    "q161_quality_train" -> q161_quality_train)
+    "q161_quality_train" -> q161_quality_train,
+    "q162_quality_score" -> q162_quality_score)
 
   /** One BPE round as chained CTEs (the q142 fixpoint-replay
     * discipline): pair counts over v{k-1}, the (cnt desc, pair asc)
@@ -567,18 +586,23 @@ object CurationQueries {
     * DECIMAL(38,18) (exact, order-free), then the 12-dp weight update.
     * Weights live as F+1 pivoted columns so the fold order is explicit.
     */
-  private def q161Oracle: String = {
+  private def qtZChain: String = (0 to QT_F).map(j => s"w$j * x$j").mkString(" + ")
+
+  /** The shared descent CTE chain (d, base incl. doc_id, w0..wR) — q161
+    * unpivots the per-round weights from it, q162 scores `base` with the
+    * final round's.
+    */
+  private def qtCtes: String = {
     val f = QT_F
     val js = 0 to f
     val xdefs = (1 to f).map { j =>
       s"len(list_filter(toks, t -> ${polyHashSql("t")} % $f = ${j - 1}))::DOUBLE" +
         s" / len(toks) AS x$j"
     }.mkString(",\n    ")
-    val zChain = js.map(j => s"w$j * x$j").mkString(" + ")
     val rounds = (1 to QT_ROUNDS).map { k =>
       s"""s$k AS (
          |  SELECT y, ${js.map(j => s"x$j").mkString(", ")},
-         |    0.5 + ($zChain) / (2.0 * (1.0 + abs($zChain))) AS sig
+         |    0.5 + ($qtZChain) / (2.0 * (1.0 + abs($qtZChain))) AS sig
          |  FROM base, w${k - 1}),
          |g$k AS (
          |  SELECT count(*)::DOUBLE AS n,
@@ -588,14 +612,11 @@ object CurationQueries {
          |  SELECT ${js.map(j => s"round(w$j - $QT_LR * (g$j::DOUBLE / n), 12) AS w$j").mkString(",\n    ")}
          |  FROM w${k - 1}, g$k)""".stripMargin
     }.mkString(",\n")
-    val unpivot = (1 to QT_ROUNDS).flatMap { k =>
-      js.map(j => s"SELECT $k::BIGINT AS round, $j::BIGINT AS j, w$j AS w FROM w$k")
-    }.mkString("\nUNION ALL ")
     s"""WITH d AS MATERIALIZED (
-       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents),
        |base AS MATERIALIZED (
-       |  SELECT
+       |  SELECT doc_id,
        |    (len(toks) BETWEEN 10 AND 500
        |     AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) >= 2.0
        |     AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) <= 8.0
@@ -605,9 +626,23 @@ object CurationQueries {
        |    $xdefs
        |  FROM d WHERE len(toks) > 0),
        |w0 AS (SELECT ${js.map(j => s"0.0::DOUBLE AS w$j").mkString(", ")}),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def q161Oracle: String = {
+    val unpivot = (1 to QT_ROUNDS).flatMap { k =>
+      (0 to QT_F).map(j =>
+        s"SELECT $k::BIGINT AS round, $j::BIGINT AS j, w$j AS w FROM w$k")
+    }.mkString("\nUNION ALL ")
+    s"""$qtCtes
        |$unpivot""".stripMargin
   }
+
+  private def q162Oracle: String =
+    s"""$qtCtes
+       |SELECT doc_id, y::INT AS y,
+       |  round(0.5 + ($qtZChain) / (2.0 * (1.0 + abs($qtZChain))), 9) AS score
+       |FROM base, w$QT_ROUNDS""".stripMargin
 
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
@@ -617,6 +652,7 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "q161_quality_train" -> q161Oracle,
+    "q162_quality_score" -> q162Oracle,
     "q119_weighted_sample" ->
       s"""WITH k AS (
          |  SELECT source, doc_id, n_chars,

@@ -86,7 +86,17 @@ object ScaleBench {
     // per-round cost grows with the pair set) — bench-excluded like q94,
     // decade-measured here; q158 adds the shard-vs-index probe on top of
     // its label side's fixpoint
-    "q157_cluster_split", "q158_incremental_split")
+    "q157_cluster_split", "q158_incremental_split",
+    // round-7: the gram-prefilter canary route (forced by q159's
+    // ceiling=1) — per-doc work is the rolling char-gram pass +
+    // broadcast-hash probes, INDEPENDENT of the canary count; expected
+    // ~scan-linear like q155's BNLJ at eval-sized lists, but this is the
+    // route that must hold when canary lists outgrow the BNLJ
+    "q159_canary_gated",
+    // round-7: GD quality training — R driver-synchronous rounds (q146's
+    // class) whose per-round cost is one scan + an F+2-number partial
+    // aggregate; expected round-latency at small SF, ~scan at 100×
+    "q161_quality_train")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",

@@ -29,7 +29,8 @@ object CorpusIngestApp {
     "--checkpoint <dir> [--min-quality 0.35] [--delay '10 seconds'] " +
     "[--eval <parquet of eval docs>] [--eval-containment <tNum/tDen>] " +
     "[--canaries <text file, one verbatim canary string per line>] " +
-    "[--trigger available-now|'<interval>']"
+    "[--split-labels <labels table dir> [--split-buckets 10] " +
+    "[--split-jaccard 0.3]] [--trigger available-now|'<interval>']"
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -85,10 +86,19 @@ object CorpusIngestApp {
       conf.getOrElse("delay", "10 seconds"),
       minQuality = conf.getOrElse("min-quality", "0.35").toDouble,
       evalHashes = evalHashes)
+    // --split-labels: assign every admitted doc its leakage-free split
+    // incrementally (adopt the matched cluster's bucket, flag bridges);
+    // SplitRecapApp periodically rewrites the same table. The split
+    // jaccard is LOWER than the dedup threshold by design — admitted
+    // docs are dedup-clean at the dedup radius; split leakage uses the
+    // wider relatedness radius
+    val splitLabels = conf.get("split-labels").map(dir =>
+      (dir, conf.getOrElse("split-buckets", "10").toInt,
+        conf.getOrElse("split-jaccard", "0.3").toDouble))
     val q = CorpusPipeline.streamingNearDedup(ingested,
       AppEnv.get(conf, "index", usage), AppEnv.get(conf, "out", usage),
       AppEnv.get(conf, "checkpoint", usage), trigger = AppEnv.trigger(conf),
-      evalContainment = evalContainment)
+      evalContainment = evalContainment, splitLabels = splitLabels)
     AppEnv.await(spark, conf, Seq(q))
   }
 }

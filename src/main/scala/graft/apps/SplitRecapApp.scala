@@ -45,7 +45,11 @@ object SplitRecapApp {
       bands = conf.getOrElse("bands", "4").toInt,
       threshold = conf.getOrElse("jaccard", "0.5").toDouble,
       buckets = conf.getOrElse("buckets", "10").toInt)
-    split.write.mode("overwrite")
+    // bridged = 0 on every recap row: the rewrite RESOLVES bridges, and
+    // the column keeps the labels table schema-uniform with the
+    // incremental appends (CorpusPipeline.streamingNearDedup splitLabels)
+    split.withColumn("bridged", lit(0L))
+      .write.mode("overwrite")
       .parquet(AppEnv.get(conf, "labels", usage))
     // operator-facing recap summary: docs per split + how many clusters
     // merged relative to a singleton world (tiny by construction)

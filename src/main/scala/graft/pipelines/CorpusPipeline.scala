@@ -284,11 +284,31 @@ object CorpusPipeline {
     * inverted-index emission (q137's geometry at micro-batch scale);
     * cache the eval frame — it is re-read every trigger.
     */
+  /** `splitLabels = Some((labelsDir, buckets, splitThreshold))` adds the
+    * leakage-free split assignment to the ingest path: each batch's
+    * ADMITTED docs run
+    * [[graft.operators.Dedup.incrementalClusterSplit]] against the index
+    * snapshot and the persisted labels table, and their (id, cluster,
+    * split, bridged) rows append to `labelsDir` — so the next batch
+    * adopts from them too, and [[graft.apps.SplitRecapApp]]'s periodic
+    * rewrite of the same table resolves the bridges (the lambda loop,
+    * now closed end-to-end: ingest adopts → recap rewrites → ingest
+    * adopts from the rewrite).
+    *
+    * `splitThreshold` is deliberately SEPARATE from (and normally lower
+    * than) the dedup threshold: the dedup gate drops docs at
+    * `cfg.jaccardThreshold`-close to the corpus, so every admitted doc
+    * is by construction NOT a near-dup at that radius — the split's
+    * leakage radius ("related docs must not straddle train/val/test")
+    * is the wider one, and only a lower threshold makes the adoption
+    * non-vacuous.
+    */
   def streamingNearDedup(docs: DataFrame, indexDir: String, outDir: String,
                          checkpoint: String, idCol: String = "doc_id",
                          textCol: String = "text", cfg: Config = Config(),
                          trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-                         evalContainment: Option[(DataFrame, Int, Int)] = None)
+                         evalContainment: Option[(DataFrame, Int, Int)] = None,
+                         splitLabels: Option[(String, Int, Double)] = None)
       : StreamingQuery =
     Sinks.foreachBatchSink(docs, checkpoint, trigger, outputMode = "append") {
       (batch, _) =>
@@ -309,12 +329,30 @@ object CorpusPipeline {
             .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
           val admitted = Dedup.incrementalNearDup(inKept, index, idCol,
             textCol, cfg.shingleN, cfg.minhashK, cfg.lshBands,
-            cfg.jaccardThreshold)
-          // admitted FIRST: it reads the index snapshot, which must not see
-          // this batch's own signature append
-          admitted.write.mode("append").parquet(outDir)
-          Dedup.minhashSignatures(b, idCol, textCol, cfg.shingleN, cfg.minhashK)
-            .write.mode("append").parquet(indexDir)
+            cfg.jaccardThreshold).persist()
+          try {
+            // admitted FIRST: it reads the index snapshot, which must not
+            // see this batch's own signature append
+            admitted.write.mode("append").parquet(outDir)
+            splitLabels.foreach { case (labelsDir, buckets, splitThreshold) =>
+              val labels = (
+                try spark.read.parquet(labelsDir)
+                catch { case e: org.apache.spark.sql.AnalysisException
+                    if e.getMessage.contains("PATH_NOT_FOUND") ||
+                       e.getMessage.contains("Path does not exist") ||
+                       e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+                  spark.range(0).select(col("id").as(idCol),
+                    col("id").as("cluster"), col("id").as("split"),
+                    col("id").as("bridged"))
+                }).select(col(idCol), col("cluster"))
+              Dedup.incrementalClusterSplit(admitted, index, labels,
+                  idCol, textCol, cfg.shingleN, cfg.minhashK, cfg.lshBands,
+                  splitThreshold, buckets)
+                .write.mode("append").parquet(labelsDir)
+            }
+            Dedup.minhashSignatures(b, idCol, textCol, cfg.shingleN, cfg.minhashK)
+              .write.mode("append").parquet(indexDir)
+          } finally { admitted.unpersist(); () }
         } finally { b.unpersist(); () }
     }
 

@@ -272,10 +272,12 @@ class AppsSmokeSpec extends AnyFunSuite {
       "SECRET-CANARY-0042-ALPHA\n".getBytes)
 
     val progressDir = tmp("appcorpus-progress")
+    val labelsDir = s"${tmp("appcorpus-labels")}/labels"
     CorpusIngestApp.main(Array(
       "--source", "file", "--input", in, "--index", idx, "--out", out,
       "--checkpoint", cp, "--eval", evalDir, "--max-files-per-trigger", "1",
       "--canaries", canaryFile.getAbsolutePath,
+      "--split-labels", labelsDir,
       "--progress", progressDir))
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -289,6 +291,13 @@ class AppsSmokeSpec extends AnyFunSuite {
     // they never reach the index
     assert(spark.read.parquet(idx).select($"doc_id").as[Long].collect().toSet
       == Set(1L, 4L, 5L, 6L, 9L))
+    // --split-labels assigned every ADMITTED doc a (cluster, split) row
+    val labelRows = spark.read.parquet(labelsDir)
+      .select($"doc_id", $"cluster", $"split")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(labelRows.keySet == admitted,
+      s"one split label per admitted doc; got ${labelRows.keySet}")
+    assert(labelRows.values.forall(r => r._3 >= 0 && r._3 < 10))
     // --progress wrote one StreamingQueryProgress JSON line per trigger
     val progressFiles = new java.io.File(progressDir).listFiles()
     assert(progressFiles != null && progressFiles.nonEmpty,

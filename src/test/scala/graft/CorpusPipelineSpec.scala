@@ -423,6 +423,50 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/index").count() == all.count())
   }
 
+  test("streamingNearDedup splitLabels: admitted docs adopt split clusters at the wider radius; labels feed forward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def edit(base: String, repl: (Int, String)*): String = {
+      val w = base.split(' ')
+      repl.foreach { case (i, s) => w(i) = s }
+      w.mkString(" ")
+    }
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey"
+    // 3 separated word edits: 21 shared shingles drop to 12 of a 30-union
+    // -> J = 0.4: ADMITTED at the dedup radius (0.5) yet RELATED at the
+    // split radius (0.3) — the case the two-threshold design exists for
+    val related = edit(base, 4 -> "xx", 10 -> "yy", 16 -> "zz")
+    val cfg = CorpusPipeline.Config(minhashK = 24, lshBands = 12)
+    val dir = java.nio.file.Files.createTempDirectory("splitlabels").toString
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.streamingNearDedup(in.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/out", s"$dir/cp", cfg = cfg,
+      splitLabels = Some((s"$dir/labels", 10, 0.3)))
+    try {
+      in.addData((1L, base),
+        (40L, "completely unrelated text about volcanic geology formations"))
+      q.processAllAvailable()
+      in.addData((50L, related),
+        (41L, "another standalone document on deep sea hydrothermal vents"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // all four docs admitted (50 is J=0.4 < the 0.5 dedup threshold)
+    assert(spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet == Set(1L, 40L, 41L, 50L))
+    val labels = spark.read.parquet(s"$dir/labels")
+      .select($"doc_id", $"cluster", $"split", $"bridged")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(labels.size == 4, s"one label row per admitted doc: $labels")
+    assert(labels(1L)._2 == 1L, "batch-1 head is its own cluster")
+    // the cross-batch adoption: doc 50 inherits doc 1's cluster AND split
+    assert(labels(50L)._2 == 1L && labels(50L)._4 == 0L,
+      s"doc 50 must adopt cluster 1 un-bridged: ${labels(50L)}")
+    assert(labels(50L)._3 == labels(1L)._3, "same cluster -> same split")
+    assert(labels(40L)._2 == 40L && labels(41L)._2 == 41L, "unrelated stay singletons")
+  }
+
   test("streamingNearDedup evalContainment: streamed survivors == batch containment pass on out-of-order arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -104,7 +104,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q149_ivf_pq" -> 2,           // probe rank over queries×k rows + the final per-query ADC rank; the coarse/codebook models are plan literals and the probes broadcast to the posting-list join
     "q154_sampled_quantiles" -> 1, // ONE (source) exchange serves the sample window, the value-rank window, and the size count (same partitioning); the WindowGroupLimit cut caps it at k rows per group per map task, and the quantile list joins as a broadcast literal
     "q156_weighted_quantiles" -> 2, // q154's (source) exchange + the final per-(source, q) argmin aggregate over ≤ k·|qs| rows per group; the A-ES key is scan-local and the quantile list is a broadcast literal
-    "q155_canary_decontaminate" -> 2) // the canary match itself is a BNLJ left-semi (zero exchange — text never shuffles); the two exchanges carry narrow doc_id longs: the contaminated-id distinct and the verdict join-back
+    "q155_canary_decontaminate" -> 2, // the canary match itself is a BNLJ left-semi (zero exchange — text never shuffles); the two exchanges carry narrow doc_id longs: the contaminated-id distinct and the verdict join-back
+    "q159_canary_gated" -> 3,     // q155's two narrow-long exchanges (canary distinct, contaminated-id distinct) + the verdict join-back, which q155's BNLJ-route stats broadcast but the gram route's unknown-size stats plan as an id-keyed SMJ — still doc_id longs only; gram emission is a scan-local explode and the prefix-hash join + exact verify are broadcast + filter (text never shuffles)
+    "q160_persisted_ann" -> 3)    // q149's two query_id exchanges (probe rank + final ADC rank) + the shared probe subtree printed once more over the parquet-scan corpus (runtime exchange reuse collapses it — the q114 CountShuffles note); the loaded models are plan literals and the coded scan reads (id, codes, centroid) only
 
   budget.foreach { case (q, max) =>
     test(s"$q stays within $max shuffle exchange(s)") {
