@@ -10,11 +10,15 @@ import graft.core.Tables
   * across runs on this drifting host). Edit the variants, run, read the
   * medians. Scratch tool — not part of the driver contract.
   *
-  * Current experiment: SetSim's candidate-join strategy (shuffle_hash
-  * hints vs AQE) on q125's prefix join, plus the build-side skew stats
-  * that justify the SetSim/Graph asymmetry — max prefix-bucket size and
-  * max per-partition build rows vs the edge table that killed SHJ on the
-  * 100× q114 graph.
+  * Current experiment (round 7): the canary-route gate
+  * ([[graft.operators.Canary.contaminatedIds]]) — broadcast BNLJ
+  * `contains` vs the char-gram prefilter, at an eval-sized (20) and a
+  * large (2000) canary list over the sf0.1 documents. The gate's claim:
+  * BNLJ work is |docs|·|canaries| contains() calls, the gram route's is
+  * |docs|·len(text) rolling-hash ops + hash-set probes — independent of
+  * the canary count — so the routes should cross between the two sizes.
+  * (The previous experiment, SetSim shuffle_hash vs AQE + the build-side
+  * skew stats, is in git history; its numbers live in BASELINE.md.)
   */
 object ProbeAb {
   def main(args: Array[String]): Unit = {
@@ -28,20 +32,36 @@ object ProbeAb {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.register(spark)
 
-    // A: current default — shuffle_hash-hinted candidate join
-    def a(): DataFrame = {
-      sys.props("graft.setsim.shuffleHash") = "true"
-      SparkEntry.queries("q125_ppjoin")(spark, sfDir)
-    }
-    // B: strategy left to AQE (the Graph superstep decision)
-    def b(): DataFrame = {
-      sys.props("graft.setsim.shuffleHash") = "false"
-      SparkEntry.queries("q125_ppjoin")(spark, sfDir)
-    }
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    // a deterministic canary list of `n` 40-char spans drawn from the
+    // corpus itself, so real hits exist at every size
+    def canaryList(n: Long): DataFrame = docs
+      .filter(pmod(col("doc_id"), lit(math.max(1L, nDocs / n))) === 0)
+      .select(substring(col("text"), 21, 40).as("phrase"))
+      .filter(length(col("phrase")) === 40)
 
-    val variants = Seq("a_shuffle_hash" -> (() => a()), "b_aqe" -> (() => b()))
-    val times = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector.empty)
-    a().write.format("noop").mode("overwrite").save() // warm-up
+    def route(n: Long, ceiling: Long): DataFrame =
+      graft.operators.Canary.contaminatedIds(docs, "doc_id", "text",
+        canaryList(n), "phrase", canaryCountCeiling = ceiling)
+
+    val variants = Seq(
+      "bnlj_20" -> (() => route(20, Long.MaxValue)),
+      "gram_20" -> (() => route(20, 1)),
+      "bnlj_2000" -> (() => route(2000, Long.MaxValue)),
+      "gram_2000" -> (() => route(2000, 1)))
+
+    // identical verdicts first (the gate must be a plan choice, never a
+    // semantics change), then the alternating timing passes
+    val hits20 = (route(20, Long.MaxValue).count(), route(20, 1).count())
+    val hits2k = (route(2000, Long.MaxValue).count(), route(2000, 1).count())
+    println(s"[ab] verdict parity: 20 -> $hits20, 2000 -> $hits2k")
+    require(hits20._1 == hits20._2 && hits2k._1 == hits2k._2,
+      "routes disagreed — the gate would be changing semantics")
+
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    route(20, Long.MaxValue).write.format("noop").mode("overwrite").save() // warm-up
     for (_ <- 1 to iters; (name, fn) <- variants) {
       val t0 = System.nanoTime()
       fn().write.format("noop").mode("overwrite").save()
@@ -49,43 +69,9 @@ object ProbeAb {
     }
     variants.foreach { case (name, _) =>
       val ts = times(name).sorted
-      println(f"[ab] $name%-18s median=${ts(ts.size / 2)}%.2f s all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      println(f"[ab] $name%-12s median=${ts(ts.size / 2)}%.2f s " +
+        s"all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
-    sys.props("graft.setsim.shuffleHash") = "true"
-
-    // ——— build-side skew stats: q125's prefix table vs q114's edge table ———
-    // q125 prefix table rebuilt here with the same arithmetic as
-    // SetSim.prefixes (t = 3/5, 3-shingle hash sets)
-    val docs = Tables.load(spark, sfDir, "documents")
-    val sets = docs.select(col("doc_id"),
-        array_distinct(graft.functions.TextFunctions.shingleHashes(
-          col("text"), DedupQueries.SHINGLE_N)).as("tk"))
-      .withColumn("n", size(col("tk"))).filter(col("n") >= 1)
-    val dfreq = sets.select(explode(col("tk")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefLen = col("n") - floor((col("n") * 3 + 4) / 5).cast("int") + 1
-    val pref = sets.select(col("doc_id"), col("n"), explode(col("tk")).as("tok"))
-      .join(dfreq, "tok")
-      .groupBy(col("doc_id"), col("n"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col("doc_id"), posexplode(slice(col("ord"), lit(1), prefLen)))
-      .select(col("doc_id"), col("col.tok").as("tok"))
-    def skew(dfIn: DataFrame, key: String, label: String): Unit = {
-      val buckets = dfIn.groupBy(col(key)).agg(count(lit(1)).as("c"))
-      val parts = dfIn.groupBy(pmod(hash(col(key)), lit(32)).as("p"))
-        .agg(count(lit(1)).as("c"))
-      val Array(total, maxB) = buckets.agg(sum(col("c")), max(col("c")))
-        .head().toSeq.map(_.toString.toLong).toArray
-      val maxP = parts.agg(max(col("c"))).head().getLong(0)
-      println(s"[skew] $label rows=$total maxBucket=$maxB maxPartition(32)=$maxP")
-    }
-    skew(pref, "tok", "q125_prefix_build")
-    // the growing-graph ed table (ScaleBench q114 geometry — the one that
-    // broke SHJ at 100×), keyed as the superstep join keys it
-    val li = Tables.load(spark, sfDir, "lineitem")
-    val e = li.select(col("l_orderkey").as("src"),
-      (col("l_partkey") + 10000000L).as("dst")).distinct()
-    skew(e, "src", "q114_edge_build")
     spark.stop()
   }
 }

@@ -26,9 +26,13 @@ import graft.operators.{AnnIndex, Ivf, Pq}
   */
 object AnnIndexApp {
 
-  val usage = "graft.apps.AnnIndexApp --mode build|append|probe --index <dir> " +
-    "[build/append: --input <vectors parquet>] [probe: --queries <parquet> " +
-    "[--out <dir>] [--nprobe 2] [--topk 5]] " +
+  val usage = "graft.apps.AnnIndexApp --mode build|append|stream-append|probe " +
+    "--index <dir> " +
+    "[build/append: --input <vectors parquet>] " +
+    "[stream-append: --source file|kafka --input <dir of JSON lines> " +
+    "--checkpoint <dir> [--trigger available-now|'<interval>']] " +
+    "[probe: --queries <parquet> " +
+    "[--out <dir>] [--nprobe 2] [--topk 5] [--prune true]] " +
     "[--id-col vec_id] [--vec-col embedding] [--dims 64] " +
     "[build: --list-size 64 --pq-m 8 --pq-subdims 8 --pq-k 16 --iters 2 " +
     "--train-fraction 1.0 --seed 42]"
@@ -65,11 +69,38 @@ object AnnIndexApp {
         val vecs = spark.read.parquet(AppEnv.get(conf, "input", usage))
         AnnIndex.append(vecs, idCol, vecCol, index)
         println(s"[ann-index] appended ${vecs.count()} vectors")
+      case "stream-append" =>
+        // continuous ingestion of new vectors (JSON lines
+        // {"<id-col>": …, "<vec-col>": [f, …]}) into the posting lists:
+        // the model loads ONCE (immutable between rebuilds by contract)
+        // and every micro-batch is a scan-local assign + partitioned
+        // append — the Ivf.assign-on-a-stream composition
+        import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField(idCol, LongType),
+          StructField(vecCol, ArrayType(FloatType))))
+        val model = AnnIndex.loadModel(spark, index)
+        val vecs = AppEnv.source(spark, conf, usage)
+          .withColumn("j", from_json(col("value"), schema))
+          .filter(col("j").isNotNull && col(s"j.$idCol").isNotNull &&
+            col(s"j.$vecCol").isNotNull)
+          .select(col(s"j.$idCol").as(idCol), col(s"j.$vecCol").as(vecCol))
+        val q = graft.sinks.Sinks.foreachBatchSink(vecs,
+          AppEnv.get(conf, "checkpoint", usage), AppEnv.trigger(conf),
+          outputMode = "append") { (batch, _) =>
+          AnnIndex.appendWith(batch, idCol, vecCol, model, index)
+        }
+        AppEnv.await(spark, conf, Seq(q))
       case "probe" =>
         val queries = spark.read.parquet(AppEnv.get(conf, "queries", usage))
-        val got = AnnIndex.probe(spark, index, queries, idCol, vecCol,
-          nprobe = conf.getOrElse("nprobe", "2").toInt,
-          kNeighbors = conf.getOrElse("topk", "5").toInt)
+        // --prune true (default): compute the probed centroid set
+        // driver-side and scan ONLY those posting-list partitions — the
+        // point of the layout; identical results to the unpruned join
+        val doProbe = if (conf.getOrElse("prune", "true").toBoolean)
+          AnnIndex.probePruned _ else AnnIndex.probe _
+        val got = doProbe(spark, index, queries, idCol, vecCol,
+          conf.getOrElse("nprobe", "2").toInt,
+          conf.getOrElse("topk", "5").toInt)
         conf.get("out") match {
           case Some(out) => got.write.mode("overwrite").parquet(out)
           case None => got.orderBy(col("query_id"), col("rank"))

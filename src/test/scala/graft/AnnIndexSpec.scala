@@ -98,6 +98,31 @@ class AnnIndexSpec extends AnyFunSuite {
       s"expected the planted copy at rank 1, got ${after.toSeq}")
   }
 
+  test("probePruned == probe, and the coded scan carries a centroid partition filter") {
+    import graft.operators.{AnnIndex, Ivf, Pq}
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-pruned").toString
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    AnnIndex.write(emb, "vec_id", "embedding", coarse, 64, pq, 8, dir)
+    val queries = emb.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"adc", $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val pruned = AnnIndex.probePruned(spark, dir, queries,
+      "vec_id", "embedding", nprobe = 2, kNeighbors = 3)
+    assert(rows(pruned) == rows(AnnIndex.probe(spark, dir, queries,
+      "vec_id", "embedding", nprobe = 2, kNeighbors = 3)))
+    // the scan is partition-pruned to the probed lists: with 5 queries ×
+    // nprobe 2 over 8 lists the literal IN covers < all partitions, and
+    // the plan's PartitionFilters entry proves files outside it are
+    // never opened — the any-corpus-size serving property
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [centroid") ||
+      scan.contains("PartitionFilters: [isnotnull(centroid"),
+      s"expected a centroid partition filter in:\n$scan")
+  }
+
   test("AnnIndexApp main: build -> append -> probe through the CLI surface") {
     import graft.apps.AnnIndexApp
     val emb = Tables.load(spark, TestSession.sf, "embeddings")
@@ -119,5 +144,28 @@ class AnnIndexSpec extends AnyFunSuite {
       .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
     assert(got.size == 3 && got.head == 91001L,
       s"the appended copy of the query vector must rank first, got $got")
+    // stream-append: a JSON-lines copy of vec 9 under a fresh id flows
+    // through the streaming appender (model loaded once, per-batch
+    // scan-local assign + partitioned append) and is probe-visible
+    val v9 = emb.filter($"vec_id" === 9)
+      .select($"embedding".cast("array<float>"))
+      .as[Array[Float]].head()
+    val streamIn = s"$base/stream-in"
+    new java.io.File(streamIn).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(streamIn, "v.jsonl"),
+      s"""{"vec_id":92001,"embedding":[${v9.mkString(",")}]}""".getBytes)
+    AnnIndexApp.main(Array("--mode", "stream-append", "--index", idx,
+      "--source", "file", "--input", streamIn,
+      "--checkpoint", s"$base/stream-cp"))
+    spark.sparkContext.setLogLevel("ERROR")
+    emb.filter($"vec_id" === 9).write.parquet(s"$base/q9")
+    AnnIndexApp.main(Array("--mode", "probe", "--index", idx,
+      "--queries", s"$base/q9", "--nprobe", "1", "--topk", "1",
+      "--out", s"$base/result9"))
+    val got9 = spark.read.parquet(s"$base/result9")
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(got9 == Seq(92001L),
+      s"the stream-appended copy must rank first for its source vector, got $got9")
   }
 }
