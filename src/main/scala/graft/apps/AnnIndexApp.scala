@@ -26,8 +26,8 @@ import graft.operators.{AnnIndex, Ivf, Pq}
   */
 object AnnIndexApp {
 
-  val usage = "graft.apps.AnnIndexApp --mode build|append|stream-append|probe " +
-    "--index <dir> " +
+  val usage = "graft.apps.AnnIndexApp " +
+    "--mode build|append|stream-append|compact|probe --index <dir> " +
     "[build/append: --input <vectors parquet>] " +
     "[stream-append: --source file|kafka --input <dir of JSON lines> " +
     "--checkpoint <dir> [--trigger available-now|'<interval>']] " +
@@ -91,6 +91,12 @@ object AnnIndexApp {
           AnnIndex.appendWith(batch, idCol, vecCol, model, index)
         }
         AppEnv.await(spark, conf, Seq(q))
+      case "compact" =>
+        // the at-least-once appender's K1-style key dedup: drop replayed
+        // duplicate ids and rewrite the posting lists (TableMaintainApp
+        // cadence)
+        val (before, after) = AnnIndex.compactCoded(spark, index)
+        println(s"[ann-index] compacted: $before -> $after rows")
       case "probe" =>
         val queries = spark.read.parquet(AppEnv.get(conf, "queries", usage))
         // --prune true (default): compute the probed centroid set

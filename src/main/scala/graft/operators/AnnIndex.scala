@@ -98,6 +98,40 @@ object AnnIndex {
   def loadCoded(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/coded")
 
+  /** Compact the posting lists: drop duplicate ids (keep the
+    * lexicographically-first codes row — they are identical under one
+    * model anyway) and rewrite the partitioned layout. The streaming
+    * appender is foreachBatch + parquet append, i.e. AT-LEAST-ONCE: a
+    * replayed micro-batch re-appends its rows, and a probe would then
+    * report the same neighbor at two ranks — this is the K1 sink
+    * convention (at-least-once + key dedup) applied to the index, run on
+    * the TableMaintainApp cadence. Returns (rows before, rows after).
+    */
+  def compactCoded(spark: SparkSession, dir: String): (Long, Long) = {
+    val coded = loadCoded(spark, dir)
+    val cols = coded.columns
+    val idCol = cols.filterNot(Set("codes", "centroid")).head
+    val before = coded.count()
+    val deduped = coded
+      .groupBy(col(idCol))
+      .agg(min(struct(col("codes"), col("centroid"))).as("__r"))
+      .select(col(idCol), col("__r.codes").as("codes"),
+        col("__r.centroid").as("centroid"))
+      .cache() // fully materialize BEFORE overwriting the source files
+    val after = deduped.count()
+    val tmp = s"$dir/coded_compact"
+    deduped.write.mode("overwrite").partitionBy("centroid").parquet(tmp)
+    deduped.unpersist()
+    val fs = new java.io.File(s"$dir/coded")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(fs)
+    require(new java.io.File(tmp).renameTo(fs),
+      s"AnnIndex.compactCoded: could not move $tmp into place")
+    (before, after)
+  }
+
   /** Probe the persisted index: IVF-PQ top-k from the loaded artifacts
     * only ([[Pq.ivfPqTopK]] — coarse probe prunes to nprobe posting
     * lists, ADC ranks their members from codes). `queries` carries

@@ -123,6 +123,32 @@ class AnnIndexSpec extends AnyFunSuite {
       s"expected a centroid partition filter in:\n$scan")
   }
 
+  test("compactCoded: a replayed append dedups by id and probes rank clean again") {
+    import graft.operators.{AnnIndex, Ivf, Pq}
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-compact").toString
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    AnnIndex.write(emb, "vec_id", "embedding", coarse, 64, pq, 8, dir)
+    val planted = emb.filter($"vec_id" === 3)
+      .select(lit(90001L).as("vec_id"), $"embedding")
+    // the at-least-once failure mode: the same append replayed
+    AnnIndex.append(planted, "vec_id", "embedding", dir)
+    AnnIndex.append(planted, "vec_id", "embedding", dir)
+    val dup = AnnIndex.probe(spark, dir, emb.filter($"vec_id" === 3),
+        "vec_id", "embedding", nprobe = 1, kNeighbors = 2)
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(dup.count(_ == 90001L) == 2,
+      s"replay must surface the duplicate (the bug compact exists for): $dup")
+    val (before, after) = AnnIndex.compactCoded(spark, dir)
+    assert(after == before - 1, s"exactly the replayed row drops: $before -> $after")
+    val clean = AnnIndex.probe(spark, dir, emb.filter($"vec_id" === 3),
+        "vec_id", "embedding", nprobe = 1, kNeighbors = 2)
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(clean.count(_ == 90001L) == 1 && clean.size == 2,
+      s"post-compact top-2 must be distinct ids: $clean")
+  }
+
   test("AnnIndexApp main: build -> append -> probe through the CLI surface") {
     import graft.apps.AnnIndexApp
     val emb = Tables.load(spark, TestSession.sf, "embeddings")
