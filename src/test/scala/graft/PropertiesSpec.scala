@@ -277,6 +277,42 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("Canary.contaminatedIds == brute-force contains on random corpora, both routes") {
+    // small alphabet so shared substrings (and gram-hash candidates that
+    // fail the exact verify) occur naturally; canaries mix REAL slices of
+    // docs with noise, all >= 4 codepoints (the gated route's contract)
+    val corpusGen = for {
+      n <- Gen.chooseNum(3, 25)
+      texts <- Gen.listOfN(n, Gen.chooseNum(5, 60).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    cases(corpusGen, 10).zipWithIndex.foreach { case (rows, ci) =>
+      val rnd = new scala.util.Random(1000 + ci)
+      val planted = rows.map(_._2).filter(_.length >= 8).take(4).map { t =>
+        val start = rnd.nextInt(t.length - 7)
+        t.substring(start, start + 4 + rnd.nextInt(4))
+      }
+      val noise = Seq.fill(3)(
+        (0 until 4 + rnd.nextInt(5)).map(_ => "abc "(rnd.nextInt(4))).mkString)
+      val canaries = (planted ++ noise).filter(_.trim.length >= 4).distinct
+      val want = rows.filter { case (_, t) => canaries.exists(t.contains) }
+        .map(_._1).toSet
+      val df = rows.toDF("doc_id", "text")
+      val can = canaries.toDF("phrase")
+      // ceiling 1000 = the broadcast BNLJ route; ceiling 1 = the
+      // char-gram prefilter (when >1 canaries) — identical verdicts is
+      // the gate's whole contract
+      for (ceiling <- Seq(1L, 1000L)) {
+        val got = graft.operators.Canary
+          .contaminatedIds(df, "doc_id", "text", can, "phrase", ceiling)
+          .as[Long].collect().toSet
+        assert(got == want,
+          s"case $ci ceiling=$ceiling canaries=$canaries: " +
+            s"missing=${want -- got} extra=${got -- want}")
+      }
+    }
+  }
+
   test("SaltedCells.pairs == brute-force key pairs, exactly once, at random thresholds") {
     // random (key, id, payload) tables with deliberately skewed keys so
     // hot and cold routes are both drawn; every ceiling must yield the

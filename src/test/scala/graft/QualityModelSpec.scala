@@ -70,6 +70,25 @@ class QualityModelSpec extends AnyFunSuite {
     assert(got.head.exists(_ != 0.0))
   }
 
+  test("trainLogistic == hand replay on random corpora and labels (property)") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    for (ci <- 0 until 6) {
+      val rnd = new scala.util.Random(500 + ci)
+      val fixture = (0 until 5 + rnd.nextInt(15)).map { _ =>
+        val text = (0 until 1 + rnd.nextInt(20))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (text, if (rnd.nextBoolean()) 1.0 else 0.0)
+      }
+      val f = 2 + rnd.nextInt(4)
+      val lr = 0.25 + rnd.nextDouble()
+      val got = QualityModel.trainLogistic(fixture.toDF("text", "y"),
+        "text", col("y"), f = f, rounds = 2, lr = lr)
+      val hand = handTrain(fixture, f = f, rounds = 2, lr = lr)
+      assert(got.map(_.toSeq) == hand.map(_.toSeq),
+        s"case $ci (f=$f, lr=$lr): engine ${got.map(_.toSeq)} != hand ${hand.map(_.toSeq)}")
+    }
+  }
+
   test("training reduces squared-error loss below the zero-weight 0.25 on the corpus") {
     val docs = Tables.load(spark, TestSession.sf, "documents")
     // the q161 label: the Gopher-pass verdict
