@@ -312,7 +312,28 @@ object DedupQueries {
       bloom, bits, "doc_id", "text").select(col("doc_id"), col("fp"))
   }
 
+  /** Snapshot diff ([[graft.operators.Dedup.snapshotDiff]]): today's
+    * build vs yesterday's — a deterministic "new" snapshot derived from
+    * the documents table (ids < 50 dropped → removed; every id ≡ 0
+    * mod 7 rewritten → changed; ids < 30 replanted under +100000 →
+    * added; the rest → unchanged). One id-keyed fingerprint full-outer
+    * join; the oracle rebuilds the same snapshot and replays the md5
+    * verdicts.
+    */
+  val q163_corpus_diff: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val newSnap = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" v2"))
+            .otherwise(lit(""))).as("text"))
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    Dedup.snapshotDiff(docs, newSnap, "doc_id", "text")
+  }
+
   def all: Map[String, Q] = Map(
+    "q163_corpus_diff" -> q163_corpus_diff,
     "q95_incremental_bloomed" -> q95_incremental_bloomed,
     "q94_canonical_dedup" -> q94_canonical_dedup,
     "q157_cluster_split" -> q157_cluster_split,
@@ -396,6 +417,22 @@ object DedupQueries {
        |  FROM th)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q163_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents),
+        |n AS (
+        |  SELECT doc_id, md5(trim(lower(
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END))) AS fp
+        |  FROM documents WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(trim(lower(text)))
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     // Exact all-pairs levenshtein over the bounded subset — the blocked
     // join's DEFINITION.
     "q134_edjoin" ->

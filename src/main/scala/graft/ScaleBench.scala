@@ -96,7 +96,10 @@ object ScaleBench {
     // round-7: GD quality training — R driver-synchronous rounds (q146's
     // class) whose per-round cost is one scan + an F+2-number partial
     // aggregate; expected round-latency at small SF, ~scan at 100×
-    "q161_quality_train")
+    "q161_quality_train",
+    // round-7: snapshot diff — two fingerprint scans + one id-keyed
+    // full-outer join of narrow (id, fp) rows; expected ~linear
+    "q163_corpus_diff")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",

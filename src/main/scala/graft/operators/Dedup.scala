@@ -202,6 +202,34 @@ object Dedup {
   def fingerprints(docs: DataFrame, textCol: String): DataFrame =
     docs.select(wideFp(textCol).as("fp"))
 
+  /** Snapshot diff between two corpus versions — the dataset-versioning
+    * primitive ("what changed between yesterday's build and today's"):
+    * every id present in either snapshot gets a status in {added,
+    * removed, changed, unchanged}, decided by the wide MD5 fingerprint
+    * of NORMALIZED text (trim + lower — [[exactDedup]]'s equality, so a
+    * whitespace/case-only rewrite counts as unchanged, deliberately).
+    *
+    * Scale shape: each side reduces to (id, 128-bit fp) scan-locally,
+    * ONE id-keyed full-outer join decides everything — text never
+    * shuffles, and the output is id + a status string. Ids must be
+    * unique within each snapshot (the corpus-table contract everywhere
+    * else in this module).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    for (c <- Seq("__fp_old", "__fp_new", "status"))
+      require(idCol != c,
+        s"snapshotDiff: column name '$c' is reserved by the operator")
+    val o = oldDocs.select(col(idCol), wideFp(textCol).as("__fp_old"))
+    val n = newDocs.select(col(idCol), wideFp(textCol).as("__fp_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Incremental NEAR dedup: drop new docs that are near-duplicates of
     * ALREADY-ADMITTED docs, using a persisted signature index — the
     * continuous-ingest form of [[nearDupPairs]].

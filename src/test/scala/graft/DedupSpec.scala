@@ -414,4 +414,27 @@ class DedupSpec extends AnyFunSuite {
     assert(perCluster.filter($"ns" > 1).isEmpty, "a cluster must map to ONE split")
     assert(real.select($"split").distinct().count() > 3, "buckets must spread")
   }
+
+  test("snapshotDiff: every status drawn; whitespace/case-only rewrites count as unchanged") {
+    val oldSnap = Seq(
+      (1L, "stable text here"),
+      (2L, "will be rewritten"),
+      (3L, "gets dropped entirely"),
+      (4L, "Mixed Case  Padded  ")).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "stable text here"),
+      (2L, "was rewritten indeed"),
+      (4L, "mixed case  padded"), // trim+lower-equal -> unchanged by design
+      (5L, "brand new document")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"), s"got $got")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.snapshotDiff(
+        oldSnap.withColumnRenamed("doc_id", "status"),
+        newSnap.withColumnRenamed("doc_id", "status"), "status", "text")
+    }
+  }
 }
