@@ -1,0 +1,113 @@
+package graft.apps
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Canary, Dedup}
+import graft.pipelines.CorpusPipeline
+
+/** Deployable end-to-end TRAINING-DATA BUILD — the whole corpus product
+  * as ONE batch main, composing the stages the engine ships piecewise
+  * (every stage is its own oracle-checked query):
+  *
+  *   1. decontamination: containment-graded vs an eval set (q137's form)
+  *      and/or exact-substring canaries behind the measured count gate
+  *      ([[graft.operators.Canary.contaminatedIds]], q155/q159);
+  *   2. cleaning: quality filter → wide exact dedup → MinHash-LSH
+  *      near-dup components → optional embedding-cosine components
+  *      ([[CorpusPipeline.apply]], the q66 composition);
+  *   3. leakage-free split: cluster-keyed train/val/test labels at the
+  *      WIDER `--split-jaccard` relatedness radius
+  *      ([[graft.operators.Dedup.clusterSafeSplit]], q157);
+  *   4. packing: GPT-style zero-padding block packing of the TRAIN
+  *      splits (q107's shard-windowed form).
+  *
+  * Outputs under `--out`: `docs/` (the cleaned corpus partitioned BY
+  * SPLIT — val/test stay doc-level), `labels/` (doc_id, cluster, split),
+  * `pack/` (the train splits' block manifest), `stats/` (the per-stage
+  * funnel), plus the funnel printed for the operator.
+  */
+object CorpusBuildApp {
+
+  val usage = "graft.apps.CorpusBuildApp --input <documents parquet> " +
+    "--out <dir> [--embeddings <parquet>] " +
+    "[--eval <parquet> [--containment 1/2]] " +
+    "[--canaries <text file> [--canary-ceiling 128]] " +
+    "[--min-quality 0.35] [--jaccard 0.5] [--cos-threshold 0.35] " +
+    "[--split-jaccard 0.3] [--buckets 10] [--train-splits 0-7] " +
+    "[--block-size 256] [--pack-shards 8]"
+
+  def main(args: Array[String]): Unit = {
+    val conf = AppEnv.parseArgs(args)
+    val spark: SparkSession = AppEnv.session("graft-corpus-build", conf)
+    val out = AppEnv.get(conf, "out", usage)
+    val docs0 = spark.read.parquet(AppEnv.get(conf, "input", usage))
+
+    // stage 1a: containment-graded eval decontamination
+    val docs1 = conf.get("eval") match {
+      case None => docs0
+      case Some(evalPath) =>
+        val Array(tn, td) = conf.getOrElse("containment", "1/2").split("/")
+          .map(_.trim.toInt)
+        CorpusPipeline.decontaminateByContainment(
+          docs0, spark.read.parquet(evalPath), "doc_id", "text", tn, td)
+    }
+    // stage 1b: exact-substring canaries through the measured gate (q159's
+    // gram route engages itself above the ceiling)
+    val docs = conf.get("canaries") match {
+      case None => docs1
+      case Some(path) =>
+        import spark.implicits._
+        val can = spark.read.textFile(path).map(_.trim)
+          .filter((s: String) => s.nonEmpty).toDF("phrase")
+        val hit = Canary.contaminatedIds(docs1, "doc_id", "text",
+          can, "phrase",
+          canaryCountCeiling = conf.getOrElse("canary-ceiling", "128").toLong)
+        docs1.join(hit, Seq("doc_id"), "left_anti")
+    }
+
+    // stage 2: the cleaning pipeline + funnel
+    val cfg = CorpusPipeline.Config(
+      minQuality = conf.getOrElse("min-quality", "0.35").toDouble,
+      jaccardThreshold = conf.getOrElse("jaccard", "0.5").toDouble,
+      embedCosThreshold = conf.getOrElse("cos-threshold", "0.35").toDouble)
+    val embeddings = conf.get("embeddings").map(spark.read.parquet(_))
+    val (cleaned0, stats) = CorpusPipeline(docs, cfg, embeddings)
+    val cleaned = cleaned0.cache()
+
+    // stage 3: cluster-keyed split at the wider relatedness radius — the
+    // band geometry follows the SPLIT threshold (lshBandsFor's S-curve
+    // rule), not the dedup stage's: recall at 0.3 needs more bands than
+    // candidates at 0.5
+    val splitThreshold = conf.getOrElse("split-jaccard", "0.3").toDouble
+    val labels = Dedup.clusterSafeSplit(cleaned, "doc_id", "text",
+      n = cfg.shingleN, k = cfg.minhashK,
+      bands = Dedup.lshBandsFor(cfg.minhashK, splitThreshold),
+      threshold = splitThreshold,
+      buckets = conf.getOrElse("buckets", "10").toInt)
+    labels.write.mode("overwrite").parquet(s"$out/labels")
+    val withSplit = cleaned
+      .join(spark.read.parquet(s"$out/labels")
+        .select(col("doc_id"), col("cluster"), col("split")), "doc_id")
+    withSplit.write.mode("overwrite").partitionBy("split")
+      .parquet(s"$out/docs")
+
+    // stage 4: block-pack the TRAIN splits only (val/test stay doc-level)
+    val Array(lo, hi) = conf.getOrElse("train-splits", "0-7").split("-")
+      .map(_.trim.toLong)
+    val train = spark.read.parquet(s"$out/docs")
+      .filter(col("split").between(lo, hi))
+    graft.CurationQueries.blockPack(train,
+        shards = conf.getOrElse("pack-shards", "8").toInt,
+        blockSize = conf.getOrElse("block-size", "256").toInt)
+      .write.mode("overwrite").parquet(s"$out/pack")
+
+    stats.write.mode("overwrite").parquet(s"$out/stats")
+    stats.collect().foreach(r => println(s"[build] $r"))
+    val perSplit = spark.read.parquet(s"$out/docs")
+      .groupBy(col("split")).agg(count(lit(1)).as("docs")).orderBy(col("split"))
+    perSplit.collect().foreach(r => println(s"[build] split $r"))
+    cleaned.unpersist()
+    ()
+  }
+}

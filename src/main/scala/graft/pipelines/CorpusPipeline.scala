@@ -345,8 +345,12 @@ object CorpusPipeline {
                     col("id").as("cluster"), col("id").as("split"),
                     col("id").as("bridged"))
                 }).select(col(idCol), col("cluster"))
+              // band geometry follows the SPLIT threshold (lshBandsFor's
+              // S-curve rule): recall at the wider relatedness radius
+              // needs more bands than the dedup stage's candidates
               Dedup.incrementalClusterSplit(admitted, index, labels,
-                  idCol, textCol, cfg.shingleN, cfg.minhashK, cfg.lshBands,
+                  idCol, textCol, cfg.shingleN, cfg.minhashK,
+                  Dedup.lshBandsFor(cfg.minhashK, splitThreshold),
                   splitThreshold, buckets)
                 .write.mode("append").parquet(labelsDir)
             }

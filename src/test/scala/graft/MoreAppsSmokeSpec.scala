@@ -373,6 +373,57 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
     assert(new java.io.File(outZ, "_stats").exists, "stats manifest must exist")
   }
 
+  test("CorpusBuildApp main: decontaminate -> clean -> split -> pack, one job, one output tree") {
+    import org.apache.spark.sql.functions.col
+    val base = tmp("corpus-build")
+    val out = s"$base/out"
+    def edit(b: String, repl: (Int, String)*): String = {
+      val w = b.split(' '); repl.foreach { case (i, s) => w(i) = s }; w.mkString(" ")
+    }
+    val b23 = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey"
+    val canary = "THE-PLANTED-CANARY-SPAN-FOR-THE-BUILD-JOB"
+    Seq(
+      (1L, b23, "en", "src_a", 0L),
+      // J = 0.4 vs doc 1: survives the 0.5 dedup, clusters at the 0.3 split
+      (2L, edit(b23, 4 -> "xx", 10 -> "yy", 16 -> "zz"), "en", "src_a", 0L),
+      (3L, b23, "en", "src_a", 0L), // exact dup -> dropped
+      (4L, b23 + " appended", "en", "src_a", 0L), // J ~0.95 near-dup -> dropped
+      (5L, "a a a a a a a a", "en", "src_a", 0L), // quality reject
+      (6L, s"good prose but contains $canary verbatim inside", "en", "src_a", 0L),
+      (7L, "completely different prose about volcanic geology and rare minerals", "en", "src_b", 0L),
+      (8L, "another standalone text on deep sea hydrothermal vents and fauna", "en", "src_b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/docs")
+    val canaryFile = new java.io.File(tmp("build-canaries"), "c.txt")
+    java.nio.file.Files.write(canaryFile.toPath,
+      s"$canary\nANOTHER-UNHIT-CANARY-PHRASE\n".getBytes)
+    graft.apps.CorpusBuildApp.main(Array(
+      "--input", s"$base/docs", "--out", out,
+      "--canaries", canaryFile.getAbsolutePath,
+      "--split-jaccard", "0.3", "--buckets", "10", "--train-splits", "0-7"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val kept = spark.read.parquet(s"$out/docs")
+      .select($"doc_id", $"split").as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(kept.keySet == Set(1L, 2L, 7L, 8L),
+      s"canary 6, dup 3, near-dup 4, low-quality 5 must drop; got ${kept.keySet}")
+    // the split is leakage-free at the WIDER radius: 1 and 2 are related
+    // (J = 0.4) though not dedup-duplicates — same cluster, same split
+    val labels = spark.read.parquet(s"$out/labels")
+      .select($"doc_id", $"cluster", $"split")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(labels(1L)._2 == labels(2L)._2,
+      s"docs 1/2 must share a split cluster: $labels")
+    assert(kept(1L) == kept(2L), "same cluster -> same split bucket")
+    // the pack covers exactly the train-split docs, gaplessly per shard
+    val packed = spark.read.parquet(s"$out/pack")
+      .select($"doc_id").as[Long].collect().toSet
+    val trainIds = kept.filter(_._2 <= 7).keySet
+    assert(packed == trainIds, s"pack must cover the train splits: $packed vs $trainIds")
+    assert(new java.io.File(s"$out/stats").exists)
+  }
+
   test("SplitRecapApp main: an incremental bridge resolves to one cluster and one split after recap") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Dedup
