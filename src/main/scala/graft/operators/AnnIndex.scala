@@ -3,7 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted IVF-PQ index lifecycle — the missing piece between "trains
+/** Persisted IVF-PQ index lifecycle (the IVFADC layout of Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+  * coarse inverted lists + per-list PQ codes, here as centroid-partitioned
+  * parquet) — the missing piece between "trains
   * and queries in-session" (q61/q113/q149) and a real serving pipeline,
   * which builds the index ONCE, probes it tomorrow, and appends new
   * vectors without retraining:

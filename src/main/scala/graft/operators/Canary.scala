@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.polyHash
 
-/** Exact-substring canary decontamination with a construction-time size
-  * gate (the `RuntimeFilter.keysCeiling` / `bandedIntervalJoinAuto`
-  * discipline). Two routes, identical verdicts:
+/** Exact-substring canary decontamination (the memorization-probe form —
+  * Carlini et al., "The Secret Sharer", USENIX Security 2019: planted
+  * canaries must be verbatim-absent from training data for the exposure
+  * measurement to mean anything) with a construction-time size gate (the
+  * `RuntimeFilter.keysCeiling` / `bandedIntervalJoinAuto` discipline).
+  * Two routes, identical verdicts:
   *
   *  - at or under `canaryCountCeiling`: broadcast BroadcastNestedLoopJoin
   *    LEFT SEMI `contains` — per-task work is |docs|·|canaries| contains()

@@ -6,8 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{polyHash, tokens}
 
 /** Trainable quality classifier — the training half that completes q90
-  * (fixed-weight scoring) the way q146 completed q104: a quasi-logistic
-  * model over hashed bag-of-token features, fit by BOUNDED driver-
+  * (fixed-weight scoring) the way q146 completed q104: the linear
+  * quality-filter family of GPT-3's data work (Brown et al. 2020, App. A:
+  * a classifier scores documents against a high-quality reference) and
+  * CCNet (Wenzek et al., LREC 2020), as a quasi-logistic
+  * model over hashed bag-of-token features (the hashing trick —
+  * Weinberger et al., ICML 2009 — is what keeps the model
+  * fixed-size rather than vocabulary-sized), fit by BOUNDED driver-
   * synchronous gradient-descent rounds (the `Bpe.train` / q142 fixpoint
   * discipline). Everything is engine-replayable by construction:
   *
