@@ -45,6 +45,7 @@ object Bench {
     "q94_canonical_dedup", // component fixpoint: driver-synchronous star rounds, same physics as q66
     "q157_cluster_split", // min-label component fixpoint — q94's exclusion class
     "q158_incremental_split", // its label table runs q157's fixpoint — same class
+    "q164_split_exact", // q157's fixpoint over exact edges — same class
     // PageRank supersteps: 5 × (contribution shuffle + 2 broadcasts +
     // job scheduling) ≈ 10 s of ROUND latency at sf0.1 regardless of data
     // (ProbeAb: checkpointed vs pure-plan supersteps within 8%) — the q66

@@ -332,8 +332,21 @@ object DedupQueries {
     Dedup.snapshotDiff(docs, newSnap, "doc_id", "text")
   }
 
+  /** Audit-grade leakage-free split
+    * ([[graft.operators.Dedup.clusterSafeSplitExact]]): q157's task with
+    * the edge set drawn from the EXACT prefix-filtered set-similarity
+    * self-join at J ≥ 1/2 instead of LSH candidates — recall 1.0 by the
+    * prefix argument, so zero true pairs can straddle splits. The oracle
+    * replays all shared-shingle pairs + the integer cross-multiplied
+    * threshold + the recursive closure + the split hash.
+    */
+  val q164_split_exact: Q = (s, dir) =>
+    Dedup.clusterSafeSplitExact(t(s, dir).documents, "doc_id", "text",
+      SHINGLE_N, tNum = 1, tDen = 2, buckets = 10)
+
   def all: Map[String, Q] = Map(
     "q163_corpus_diff" -> q163_corpus_diff,
+    "q164_split_exact" -> q164_split_exact,
     "q95_incremental_bloomed" -> q95_incremental_bloomed,
     "q94_canonical_dedup" -> q94_canonical_dedup,
     "q157_cluster_split" -> q157_cluster_split,
@@ -515,6 +528,29 @@ object DedupQueries {
     "q157_cluster_split" ->
       s"""WITH RECURSIVE $shingleCtes,
          |${componentCtes()},
+         |m AS (SELECT d.doc_id, coalesce(lbl.cluster, d.doc_id) AS cluster
+         |  FROM d LEFT JOIN lbl ON d.doc_id = lbl.doc_id)
+         |SELECT doc_id, cluster,
+         |  ${polyHashSql("'split|' || cluster::VARCHAR")} % 10 AS split
+         |FROM m""".stripMargin,
+    // q164: the same closure + split hash over EXACT J >= 1/2 edges —
+    // shared-shingle pair counts + the integer cross-multiplied threshold
+    // (q125's replay) instead of the LSH candidate CTEs
+    "q164_split_exact" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |sz AS (SELECT doc_id, len(hs) AS n FROM sh WHERE len(hs) >= 1),
+         |el AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE len(hs) >= 1),
+         |ip AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter_cnt
+         |  FROM el a JOIN el b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e1 AS (SELECT d1, d2 FROM ip
+         |  JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |  WHERE inter_cnt * 2 >= (s1.n + s2.n - inter_cnt) * 1),
+         |e1s AS (SELECT d1 AS a, d2 AS b FROM e1 UNION ALL SELECT d2, d1 FROM e1),
+         |r1 AS (SELECT a, b FROM e1s
+         |  UNION SELECT r1.a, e.b FROM r1 JOIN e1s e ON r1.b = e.a),
+         |lbl AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster
+         |  FROM r1 GROUP BY a),
          |m AS (SELECT d.doc_id, coalesce(lbl.cluster, d.doc_id) AS cluster
          |  FROM d LEFT JOIN lbl ON d.doc_id = lbl.doc_id)
          |SELECT doc_id, cluster,

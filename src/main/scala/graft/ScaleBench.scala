@@ -99,7 +99,10 @@ object ScaleBench {
     "q161_quality_train",
     // round-7: snapshot diff — two fingerprint scans + one id-keyed
     // full-outer join of narrow (id, fp) rows; expected ~linear
-    "q163_corpus_diff")
+    "q163_corpus_diff",
+    // round-7: the exact-edge split — q125's prefix-join candidate growth
+    // under q157's fixpoint; expected ~linear candidates + flat rounds
+    "q164_split_exact")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
@@ -597,6 +600,40 @@ object ScaleBench {
           rec(s"q147_banded_scaledgeo|$tag") =
             recallOf(pairSet(bandedQ(8, 13)(spark, dir), "d1", "d2"), ndExact)
         }
+      }
+      // ——— split-leakage cell: "leakage-free" is an LSH-RECALL claim —
+      // a true related pair the bands miss is a pair that can straddle
+      // train/val. Exact truth = the prefix-filtered exact join at
+      // J >= 3/10; measured: same-cluster recall of the LSH split and
+      // the fraction of true pairs landing in DIFFERENT splits, vs the
+      // exact-edge form's structurally-zero straddle rate.
+      for ((tag, dir) <- Seq("01" -> sf01)) {
+        import graft.operators.{Dedup, SetSim}
+        val docs = Tables.load(spark, dir, "documents")
+        val sets = docs.select(col("doc_id"),
+            org.apache.spark.sql.functions.array_distinct(
+              graft.functions.TextFunctions.shingleHashes(col("text"), 3)).as("hs"))
+          .filter(org.apache.spark.sql.functions.size(col("hs")) >= 1)
+        val truePairs = pairSet(
+          SetSim.jaccardSelfJoinSets(sets, "doc_id", "hs", 3, 10), "d1", "d2")
+        def straddle(split: DataFrame): (Double, Double) = {
+          val m = split.select(col("doc_id").cast("long"),
+              col("cluster").cast("long"), col("split").cast("long"))
+            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+          val sameCluster = truePairs.count { case (a, b) => m(a)._1 == m(b)._1 }
+          val crossSplit = truePairs.count { case (a, b) => m(a)._2 != m(b)._2 }
+          (r3(sameCluster.toDouble / math.max(1, truePairs.size)),
+            r3(crossSplit.toDouble / math.max(1, truePairs.size)))
+        }
+        val (lshRec, lshLeak) = straddle(Dedup.clusterSafeSplit(docs,
+          "doc_id", "text", 3, 16, Dedup.lshBandsFor(16, 0.3), 0.3, 10))
+        val (exRec, exLeak) = straddle(Dedup.clusterSafeSplitExact(docs,
+          "doc_id", "text", 3, 3, 10, 10))
+        rec(s"q157_split_lsh_samecluster|$tag") = lshRec
+        rec(s"q157_split_lsh_leak|$tag") = lshLeak
+        rec(s"q164_split_exact_samecluster|$tag") = exRec
+        rec(s"q164_split_exact_leak|$tag") = exLeak
+        System.err.println(s"[scalebench] split truePairs(J>=0.3)=${truePairs.size}")
       }
       rec.foreach { case (k, v) =>
         System.err.println(f"[scalebench] recall $k%-26s $v%.3f")

@@ -630,11 +630,49 @@ object Dedup {
                        n: Int, k: Int, bands: Int, threshold: Double,
                        buckets: Int): DataFrame = {
     require(buckets >= 1, s"clusterSafeSplit: buckets must be >= 1, got $buckets")
-    for (c <- Seq("cluster", "split"))
-      require(idCol != c,
-        s"clusterSafeSplit: column name '$c' is reserved by the operator")
     val pairs = nearDupPairs(docs, idCol, textCol, n, k, bands, threshold)
       .select(col("d1"), col("d2"))
+    splitByPairs(docs, pairs, idCol, buckets, "clusterSafeSplit")
+  }
+
+  /** [[clusterSafeSplit]] with EXACT near-dup edges — the audit-grade
+    * form: the LSH form's leakage-freedom is only as strong as its
+    * candidate RECALL, and a true related pair its bands MISS is exactly
+    * a pair that can straddle train and val. Measured (ScaleBench
+    * split-leakage cell, BASELINE.md round-7 row): on the sf0.1 corpus
+    * the lshBandsFor geometry at J ≥ 0.3 showed ZERO cross-split true
+    * pairs over 256 exact pairs — but that corpus's true pairs skew
+    * high-J where band recall is strong; a corpus dense in
+    * barely-over-threshold pairs has no such luck, and only THIS form
+    * guarantees zero structurally. Here the edge set is the
+    * prefix-filtered exact set-similarity self-join
+    * ([[SetSim.jaccardSelfJoinSets]] over distinct word-n-gram shingle
+    * sets, threshold the exact rational tNum/tDen), so EVERY true pair
+    * clusters — at the exact join's measured-linear (but larger)
+    * candidate cost. Use this to cut the splits that define evals; the
+    * LSH form for bulk assignment where a measured miss rate is
+    * acceptable.
+    */
+  def clusterSafeSplitExact(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, tNum: Int, tDen: Int,
+                            buckets: Int): DataFrame = {
+    require(buckets >= 1,
+      s"clusterSafeSplitExact: buckets must be >= 1, got $buckets")
+    val sets = docs.select(col(idCol),
+        array_distinct(shingleHashes(col(textCol), n)).as("hs"))
+      .filter(size(col("hs")) >= 1)
+    val pairs = SetSim.jaccardSelfJoinSets(sets, idCol, "hs", tNum, tDen)
+      .select(col("d1"), col("d2"))
+    splitByPairs(docs, pairs, idCol, buckets, "clusterSafeSplitExact")
+  }
+
+  /** Shared split tail: components over the given edge set, singleton
+    * fill, portable split hash of the CLUSTER label.
+    */
+  private def splitByPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                           buckets: Int, op: String): DataFrame = {
+    for (c <- Seq("cluster", "split"))
+      require(idCol != c, s"$op: column name '$c' is reserved by the operator")
     val labeled = duplicateClusters(pairs).withColumnRenamed("doc_id", idCol)
     docs.select(col(idCol))
       .join(labeled, Seq(idCol), "left_outer")

@@ -415,6 +415,44 @@ class DedupSpec extends AnyFunSuite {
     assert(real.select($"split").distinct().count() > 3, "buckets must spread")
   }
 
+  test("clusterSafeSplitExact: exact boundary-J pairs cluster (the pairs LSH bands may miss); no true pair straddles") {
+    import graft.operators.{Dedup, SetSim}
+    def words(pre: String, from: Int, to: Int) =
+      (from to to).map(i => f"$pre$i%02d").mkString(" ")
+    // A and B share exactly 14 of 28 distinct 3-shingles -> J = 1/2
+    // EXACTLY (integer boundary, included by inter*2 >= union); C shares
+    // 13/29 with A -> just under, excluded
+    val a = words("w", 1, 23)
+    val b = words("w", 1, 16) + " " + words("v", 17, 23)
+    val c = words("w", 1, 15) + " " + words("u", 16, 23)
+    val docs = Seq((1L, a), (2L, b), (3L, c),
+      (4L, "wholly unrelated prose about other things entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterSafeSplitExact(docs, "doc_id", "text",
+        n = 3, tNum = 1, tDen = 2, buckets = 10)
+      .select($"doc_id", $"cluster", $"split")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L,
+      s"the exact J = 1/2 boundary pair must share a cluster: $got")
+    assert(got(1L)._3 == got(2L)._3, "same cluster -> same split")
+    assert(got(3L)._2 == 3L && got(4L)._2 == 4L,
+      s"just-under-threshold and unrelated docs stay singletons: $got")
+    // the structural guarantee on the real corpus: EVERY exact pair at
+    // the threshold shares a split
+    val corpus = graft.core.Tables.load(spark, TestSession.sf, "documents")
+    val sets = corpus.select($"doc_id",
+      array_distinct(graft.functions.TextFunctions.shingleHashes($"text", 3)).as("hs"))
+      .filter(size($"hs") >= 1)
+    val truePairs = SetSim.jaccardSelfJoinSets(sets, "doc_id", "hs", 1, 2)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    assert(truePairs.nonEmpty, "fixture corpus must carry true pairs")
+    val splits = Dedup.clusterSafeSplitExact(corpus, "doc_id", "text",
+        n = 3, tNum = 1, tDen = 2, buckets = 10)
+      .select($"doc_id", $"split").as[(Long, Long)].collect().toMap
+    val straddling = truePairs.filter { case (x, y) => splits(x) != splits(y) }
+    assert(straddling.isEmpty, s"no true pair may straddle: ${straddling.take(5)}")
+  }
+
   test("snapshotDiff: every status drawn; whitespace/case-only rewrites count as unchanged") {
     val oldSnap = Seq(
       (1L, "stable text here"),
