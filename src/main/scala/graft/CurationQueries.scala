@@ -491,10 +491,11 @@ object CurationQueries {
       meanLen >= 2.0 && meanLen <= 8.0 &&
       nStop >= 1 && uniqRatio >= 0.3).cast("double")
   }
+  private def qtKey(dir: String) = s"qt|$dir|$QT_F|$QT_ROUNDS|$QT_LR"
   val q161_quality_train: Q = (s, dir) => {
     import s.implicits._
-    val ws = graft.operators.QualityModel.trainLogistic(
-      t(s, dir).documents, "text", gopherLabel,
+    val ws = graft.operators.QualityModel.trainCached(
+      t(s, dir).documents, qtKey(dir), "text", gopherLabel,
       f = QT_F, rounds = QT_ROUNDS, lr = QT_LR)
     ws.zipWithIndex.flatMap { case (w, r) =>
       w.zipWithIndex.map { case (v, j) => ((r + 1).toLong, j.toLong, v) }
@@ -505,14 +506,16 @@ object CurationQueries {
     * train q161's descent, then score every doc with the FINAL weights —
     * q90's scoring pass with weights the pipeline learned rather than
     * fixed constants, end-to-end under the hash gate. Training is
-    * deterministic (decimal-summed gradients), so re-running it here
-    * reproduces q161's exact weights; the oracle replays the descent
-    * CTEs and scores through the identical left-assoc chain.
+    * deterministic (decimal-summed gradients) and MEMOIZED
+    * (`trainCached`, the Ivf/Pq convention), so this shares q161's exact
+    * weights without paying the rounds twice; the oracle replays the
+    * descent CTEs and scores through the identical left-assoc chain.
     */
   val q162_quality_score: Q = (s, dir) => {
     val docs = t(s, dir).documents
-    val ws = graft.operators.QualityModel.trainLogistic(
-      docs, "text", gopherLabel, f = QT_F, rounds = QT_ROUNDS, lr = QT_LR)
+    val ws = graft.operators.QualityModel.trainCached(
+      docs, qtKey(dir), "text", gopherLabel,
+      f = QT_F, rounds = QT_ROUNDS, lr = QT_LR)
     docs.filter(size(tokens(col("text"))) > 0)
       .select(col("doc_id"), gopherLabel.cast("int").as("y"),
         round(graft.operators.QualityModel.score(col("text"), ws.last), 9)

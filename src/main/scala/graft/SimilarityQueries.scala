@@ -278,8 +278,11 @@ object SimilarityQueries {
     val pq = graft.operators.Pq.trainCached(emb, pqKey(dir), "vec_id",
       "embedding", m = PQ_M, subDims = PQ_SUBD, k = PQ_K, iters = PQ_ITERS)
     lastPqKey = Some(pqKey(dir))
+    // per-process path: two harness processes on the same sfDir must not
+    // clobber each other's artifacts mid-probe
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft-annidx-" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) +
+      s"-${ProcessHandle.current().pid()}"
     graft.operators.AnnIndex.write(emb, "vec_id", "embedding",
       coarse, DIMS, pq, PQ_SUBD, idx)
     graft.operators.AnnIndex.probe(s, idx, emb.filter(col("vec_id") < 10),

@@ -30,7 +30,8 @@ object SplitRecapApp {
 
   val usage = "graft.apps.SplitRecapApp --input <admitted documents parquet> " +
     "--labels <labels table dir to (re)write> [--buckets 10] " +
-    "[--jaccard 0.5] [--shingle-n 3] [--minhash-k 16] [--bands 4] " +
+    "[--jaccard 0.3] [--shingle-n 3] [--minhash-k 16] " +
+    "[--bands <lshBandsFor(minhash-k, jaccard)>] " +
     "[--id-col doc_id] [--text-col text]"
 
   def main(args: Array[String]): Unit = {
@@ -39,11 +40,18 @@ object SplitRecapApp {
     val idCol = conf.getOrElse("id-col", "doc_id")
     val textCol = conf.getOrElse("text-col", "text")
     val docs = spark.read.parquet(AppEnv.get(conf, "input", usage))
+    // defaults MATCH the incremental path's (CorpusIngestApp
+    // --split-jaccard 0.3, band geometry from lshBandsFor): a recap at a
+    // narrower radius or weaker recall than the path that feeds it would
+    // REINTRODUCE the straddling pairs the rewrite exists to resolve
+    val k = conf.getOrElse("minhash-k", "16").toInt
+    val threshold = conf.getOrElse("jaccard", "0.3").toDouble
     val split = Dedup.clusterSafeSplit(docs, idCol, textCol,
       n = conf.getOrElse("shingle-n", "3").toInt,
-      k = conf.getOrElse("minhash-k", "16").toInt,
-      bands = conf.getOrElse("bands", "4").toInt,
-      threshold = conf.getOrElse("jaccard", "0.5").toDouble,
+      k = k,
+      bands = conf.get("bands").map(_.toInt)
+        .getOrElse(Dedup.lshBandsFor(k, threshold)),
+      threshold = threshold,
       buckets = conf.getOrElse("buckets", "10").toInt)
     // bridged = 0 on every recap row: the rewrite RESOLVES bridges, and
     // the column keeps the labels table schema-uniform with the

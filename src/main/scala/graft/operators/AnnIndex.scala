@@ -96,10 +96,19 @@ object AnnIndex {
   }
 
   /** The coded corpus as written (centroid comes back as the partition
-    * column).
+    * column). Self-heals from a crash inside [[compactCoded]]'s swap
+    * window: if the live lists are gone but the set-aside copy exists,
+    * roll it back before reading — serving never needs a human rename.
     */
-  def loadCoded(spark: SparkSession, dir: String): DataFrame =
+  def loadCoded(spark: SparkSession, dir: String): DataFrame = {
+    val live = new java.io.File(s"$dir/coded")
+    val old = new java.io.File(s"$dir/coded_old")
+    if (!live.exists && old.exists)
+      require(old.renameTo(live),
+        s"AnnIndex.loadCoded: found an interrupted compact swap but could " +
+          s"not roll $old back to $live")
     spark.read.parquet(s"$dir/coded")
+  }
 
   /** Compact the posting lists: drop duplicate ids (keep the
     * lexicographically-first codes row — they are identical under one
@@ -111,7 +120,7 @@ object AnnIndex {
     * the TableMaintainApp cadence. Returns (rows before, rows after).
     */
   def compactCoded(spark: SparkSession, dir: String): (Long, Long) = {
-    val coded = loadCoded(spark, dir)
+    val coded = loadCoded(spark, dir) // rolls back an interrupted swap first
     val cols = coded.columns
     val idCol = cols.filterNot(Set("codes", "centroid")).head
     val before = coded.count()
@@ -122,16 +131,25 @@ object AnnIndex {
         col("__r.centroid").as("centroid"))
       .cache() // fully materialize BEFORE overwriting the source files
     val after = deduped.count()
+    // crash-safe swap order: the live lists are never the only copy —
+    // write the replacement fully, move the old AT MOST ONE rename away,
+    // move the new in, only then delete. A crash at any point leaves a
+    // complete copy at coded, coded_old, or coded_compact.
     val tmp = s"$dir/coded_compact"
     deduped.write.mode("overwrite").partitionBy("centroid").parquet(tmp)
     deduped.unpersist()
-    val fs = new java.io.File(s"$dir/coded")
+    val live = new java.io.File(s"$dir/coded")
+    val old = new java.io.File(s"$dir/coded_old")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
-    rm(fs)
-    require(new java.io.File(tmp).renameTo(fs),
-      s"AnnIndex.compactCoded: could not move $tmp into place")
+    rm(old) // a leftover from an interrupted previous compact
+    require(live.renameTo(old),
+      s"AnnIndex.compactCoded: could not move $live aside")
+    require(new java.io.File(tmp).renameTo(live),
+      s"AnnIndex.compactCoded: could not move $tmp into place " +
+        s"(previous lists preserved at $old)")
+    rm(old)
     (before, after)
   }
 
@@ -163,17 +181,9 @@ object AnnIndex {
                   idCol: String, vecCol: String,
                   nprobe: Int, kNeighbors: Int): DataFrame = {
     val (coarse, dims, pq, _) = loadModel(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("centroid").asc)
-    val probed = queries
-      .select(col(idCol).as("query_id"), Similarity.asDouble(col(vecCol)).as("qv"))
-      .crossJoin(broadcast(Ivf.centroidFrame(spark, coarse, dims)))
-      .withColumn("cdist",
-        -Similarity.dot(col("qv"), col("cvec")) * 2 +
-          Similarity.dot(col("cvec"), col("cvec")))
-      .withColumn("__pr", row_number().over(w))
-      .filter(col("__pr") <= nprobe)
+    // the SAME probe plan ivfPqTopK will join on (Ivf.probes — one
+    // definition), reduced to its distinct centroid set driver-side
+    val probed = Ivf.probes(spark, queries, idCol, vecCol, coarse, dims, nprobe)
       .select(col("centroid")).distinct()
       .collect().map(_.getInt(0)).sorted
     require(probed.nonEmpty || queries.isEmpty,

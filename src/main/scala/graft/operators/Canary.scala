@@ -66,7 +66,10 @@ object Canary {
       // empty list contaminates nothing (the identity contract)
       docs.select(col(idCol)).limit(0)
     else if (nCan <= canaryCountCeiling)
-      docs.join(broadcast(can),
+      // projected first: an unrelated docs column named __phrase must not
+      // make the join condition ambiguous (the gram route projects too)
+      docs.select(col(idCol), col(textCol))
+        .join(broadcast(can),
           col(textCol).contains(col("__phrase")), "left_semi")
         .select(col(idCol)).distinct()
     else {

@@ -135,6 +135,30 @@ object Ivf {
       .toDF("centroid", "cvec")
   }
 
+  /** The probe plan shared by [[knn]], [[Pq.ivfPqTopK]], and
+    * [[AnnIndex.probePruned]]: per query the `nprobe` nearest centroids
+    * by the −2·q·c + c·c monotone-equivalent L2 rank, ties toward the
+    * lower centroid id — queries × k centroids (both tiny), keep nprobe
+    * per query. ONE definition, so the driver-side partition pruning can
+    * never silently drift from the join-side probe it must cover.
+    * Returns (query_id, qv, centroid).
+    */
+  def probes(spark: SparkSession, queries: DataFrame, idCol: String,
+             vecCol: String, cents: Array[Double], dims: Int,
+             nprobe: Int): DataFrame = {
+    val cf = centroidFrame(spark, cents, dims)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("centroid").asc)
+    q.crossJoin(broadcast(cf))
+      .withColumn("cdist",
+        -Similarity.dot(col("qv"), col("cvec")) * 2 +
+          Similarity.dot(col("cvec"), col("cvec")))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid"))
+  }
+
   /** Cosine top-k per query probing `nprobe` posting lists. `corpus` must
     * carry the `centroid` column from [[assign]] (or be read from a
     * centroid-partitioned index, which prunes the scan to probed lists).
@@ -142,22 +166,11 @@ object Ivf {
   def knn(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
           idCol: String, vecCol: String, cents: Array[Double], dims: Int,
           nprobe: Int, kNeighbors: Int): DataFrame = {
-    val cf = centroidFrame(spark, cents, dims)
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    // probe plan: queries × k centroids (both tiny), keep nprobe per query
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("centroid").asc)
-    val probes = q.crossJoin(broadcast(cf))
-      .withColumn("cdist",
-        -Similarity.dot(col("qv"), col("cvec")) * 2 +
-          Similarity.dot(col("cvec"), col("cvec")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid"))
+    val probed = probes(spark, queries, idCol, vecCol, cents, dims, nprobe)
     // candidate join on posting-list id; only probed lists are scored
     val c = corpus.select(col("centroid"),
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    val scored = c.join(broadcast(probes), Seq("centroid"))
+    val scored = c.join(broadcast(probed), Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))

@@ -183,17 +183,7 @@ object Pq {
                 idCol: String, vecCol: String,
                 coarse: Array[Double], dims: Int, pqCents: Array[Double],
                 nprobe: Int, kNeighbors: Int): DataFrame = {
-    val cf = Ivf.centroidFrame(spark, coarse, dims)
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").asc, col("centroid").asc)
-    val probes = q.crossJoin(broadcast(cf))
-      .withColumn("cdist",
-        -Similarity.dot(col("qv"), col("cvec")) * 2 +
-          Similarity.dot(col("cvec"), col("cvec")))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid"))
+    val probes = Ivf.probes(spark, queries, idCol, vecCol, coarse, dims, nprobe)
     val scored = corpusCoded
       .select(col("centroid"), col(idCol).as("neighbor_id"), col("codes"))
       .join(broadcast(probes), Seq("centroid"))

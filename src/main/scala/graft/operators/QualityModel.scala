@@ -78,26 +78,46 @@ object QualityModel {
       .select((col("__y") +: xs.zipWithIndex.map {
         case (x, j) => x.as(s"__x$j") }): _*)
       .localCheckpoint() // R rounds re-scan these narrow rows, not the text
-    var w = Array.fill(f + 1)(0.0)
-    val out = Seq.newBuilder[Array[Double]]
-    for (_ <- 1 to rounds) {
-      val z = zOf(w, (0 to f).map(j => col(s"__x$j")))
-      val sig = sigma(z)
-      val aggs = (0 to f).map { j =>
-        sum(round((sig - col("__y")) * col(s"__x$j"), 12)
-          .cast("decimal(38,18)")).as(s"__g$j")
-      } :+ count(lit(1)).as("__n")
-      val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val n = row.getLong(f + 1).toDouble
-      w = Array.tabulate(f + 1) { j =>
-        val g = row.getDecimal(j).doubleValue()
-        BigDecimal(w(j) - lr * (g / n))
-          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    try {
+      var w = Array.fill(f + 1)(0.0)
+      val out = Seq.newBuilder[Array[Double]]
+      for (_ <- 1 to rounds) {
+        val z = zOf(w, (0 to f).map(j => col(s"__x$j")))
+        val sig = sigma(z)
+        val aggs = (0 to f).map { j =>
+          sum(round((sig - col("__y")) * col(s"__x$j"), 12)
+            .cast("decimal(38,18)")).as(s"__g$j")
+        } :+ count(lit(1)).as("__n")
+        val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val n = row.getLong(f + 1)
+        // fail-loud, not NPE-on-NULL-sums / NaN weights: an empty
+        // training population is a caller bug
+        require(n > 0,
+          "QualityModel.trainLogistic: no documents with tokens to train on")
+        w = Array.tabulate(f + 1) { j =>
+          val g = row.getDecimal(j).doubleValue()
+          BigDecimal(w(j) - lr * (g / n.toDouble))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        out += w.clone()
       }
-      out += w.clone()
-    }
-    out.result()
+      out.result()
+    } finally { base.unpersist(); () }
   }
+
+  /** Per-(input, params) memo — the `Ivf.trainCached` convention: the
+    * descent is deterministic (decimal-summed gradients), so callers
+    * composing train + score (q161/q162) share one training instead of
+    * paying the R driver-synchronous rounds twice.
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]
+
+  def trainCached(docs: DataFrame, cacheKey: String, textCol: String,
+                  labelCol: Column, f: Int, rounds: Int,
+                  lr: Double): Seq[Array[Double]] =
+    modelCache.computeIfAbsent(cacheKey,
+      _ => trainLogistic(docs, textCol, labelCol, f, rounds, lr))
 
   /** Score a text with a trained (or fixed) weight vector — q90's scoring
     * completed with weights the pipeline LEARNED.
