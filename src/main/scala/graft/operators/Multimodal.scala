@@ -47,6 +47,65 @@ object Multimodal {
         length(col(textCol)).cast("long").as("nBytes")).as("meta"))
   }
 
+  /** A REAL decoder for the one raster format that needs no codec
+    * library: binary PPM (P6 — "P6\n<w> <h>\n<maxval>\n" + w·h RGB byte
+    * triples; Netpbm's spec allows '#' comments and any whitespace
+    * between header tokens). Returns (width, height, per-channel mean in
+    * [0, 1]) or None when the payload is not a well-formed P6 — the
+    * caller falls back to the stub seam, which is the contract for
+    * formats this container has no codec for (JPEG/PNG/audio). Pure byte
+    * arithmetic, so it runs inside the same batched mapPartitions as any
+    * codec would.
+    */
+  private[operators] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    var i = 0
+    def skipWs(): Boolean = {
+      var progress = true
+      while (progress) {
+        progress = false
+        while (i < p.length && (p(i) == ' ' || p(i) == '\n' || p(i) == '\r' || p(i) == '\t')) {
+          i += 1; progress = true
+        }
+        if (i < p.length && p(i) == '#') { // comment to end-of-line
+          while (i < p.length && p(i) != '\n') i += 1
+          progress = true
+        }
+      }
+      i < p.length
+    }
+    def int(): Option[Int] = {
+      if (!skipWs() || p(i) < '0' || p(i) > '9') return None
+      var v = 0L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0')
+        if (v > Int.MaxValue) return None
+        i += 1
+      }
+      Some(v.toInt)
+    }
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    i = 2
+    for {
+      w <- int(); h <- int(); maxv <- int()
+      if w > 0 && h > 0 && maxv > 0 && maxv < 256
+      // exactly ONE whitespace byte separates the header from the raster
+      if i < p.length && (p(i) == '\n' || p(i) == ' ' || p(i) == '\r' || p(i) == '\t')
+      pixels = w.toLong * h
+      if pixels <= Int.MaxValue / 3
+      if p.length - (i + 1) >= pixels * 3
+    } yield {
+      i += 1
+      val sums = Array.fill(3)(0L)
+      var j = 0
+      val n = (pixels * 3).toInt
+      while (j < n) {
+        sums(j % 3) += p(i + j) & 0xff
+        j += 1
+      }
+      (w, h, Array.tabulate(3)(c => (sums(c).toDouble / pixels / maxv).toFloat))
+    }
+  }
+
   /** STUB decode: a real implementation would hand `payload` to an image
     * codec and a vision encoder. Here: deterministic arithmetic over the
     * bytes (poly-hash checksum + 4 pseudo-embedding floats) so the
@@ -66,7 +125,10 @@ object Multimodal {
   /** Batched per-partition feature extraction. `batchSize` mirrors the
     * batch dimension a codec/model server expects; records inside a batch
     * are processed together (here trivially, in production via one
-    * vectorized call).
+    * vectorized call). Payloads that parse as binary PPM get the REAL
+    * decode ([[decodePpm]]: true raster dimensions, per-channel means as
+    * the embedding head); everything else falls back to the stub seam
+    * and the metadata dimensions.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       batchSize: Int = 64): Dataset[MediaFeatures] = {
@@ -74,9 +136,15 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val (checksum, emb) = decodeStub(r.payload)
-          MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
-            r.meta.width, r.meta.height, emb)
+          val (checksum, stubEmb) = decodeStub(r.payload)
+          decodePpm(r.payload) match {
+            case Some((w, h, means)) =>
+              MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
+                w, h, means :+ ((means(0) + means(1) + means(2)) / 3))
+            case None =>
+              MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
+                r.meta.width, r.meta.height, stubEmb)
+          }
         }
       }
     }

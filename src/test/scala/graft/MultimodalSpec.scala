@@ -65,4 +65,37 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = frames(1).getAs[Array[Byte]](2)
     assert(f2.toSeq == (16 until 24).map(_.toByte).toSeq) // frame 2 = bytes 16..23
   }
+
+  test("decodePpm: a real P6 decodes to true dims + channel means; malformed payloads fall back to the stub") {
+    import graft.operators.Multimodal
+    // hand-built 2x1 P6 with a comment: pixels (255,0,0) and (0,255,0)
+    def ppm(header: String, raster: Seq[Int]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ raster.map(_.toByte).toArray
+    val good = ppm("P6\n# a comment\n2 1\n255\n",
+      Seq(255, 0, 0, 0, 255, 0))
+    val media = Seq(
+      (1L, good),
+      (2L, ppm("P6\n2 1\n255\n", Seq(255, 0))), // truncated raster
+      (3L, ppm("P6\n2 1\n65535\n", Seq.fill(12)(0))), // 16-bit maxval unsupported
+      (4L, "P3\n2 1\n255\n255 0 0 0 255 0".getBytes("US-ASCII").toSeq.toArray), // ASCII PPM is not P6
+      (5L, "plain text payload, the stub seam".getBytes("US-ASCII")))
+      .map { case (id, p) => (id, p, ("fake/rgb8", 99, 77, p.length.toLong)) }
+      .toDF("doc_id", "payload", "meta")
+      .select($"doc_id", $"payload",
+        struct($"meta._1".as("format"), $"meta._2".as("width"),
+          $"meta._3".as("height"), $"meta._4".as("nBytes")).as("meta"))
+    val got = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    // the real decode: true 2x1 dims, channel means (0.5, 0.5, 0.0),
+    // luminance head = their average
+    assert(got(1L).width == 2 && got(1L).height == 1)
+    assert(got(1L).embedding.toSeq
+      == Seq(0.5f, 0.5f, 0.0f, (0.5f + 0.5f + 0.0f) / 3))
+    // every malformed shape keeps the stub contract: meta dims + 4 floats
+    for (id <- Seq(2L, 3L, 4L, 5L)) {
+      assert(got(id).width == 99 && got(id).height == 77, s"doc $id")
+      assert(got(id).embedding.length == 4 &&
+        got(id).embedding.forall(v => v >= 0f && v <= 1f), s"doc $id")
+    }
+  }
 }
