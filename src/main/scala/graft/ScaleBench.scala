@@ -607,7 +607,7 @@ object ScaleBench {
       // J >= 3/10; measured: same-cluster recall of the LSH split and
       // the fraction of true pairs landing in DIFFERENT splits, vs the
       // exact-edge form's structurally-zero straddle rate.
-      for ((tag, dir) <- Seq("01" -> sf01)) {
+      for ((tag, dir) <- Seq("01" -> sf01, "10x" -> sf1)) {
         import graft.operators.{Dedup, SetSim}
         val docs = Tables.load(spark, dir, "documents")
         val sets = docs.select(col("doc_id"),

@@ -639,12 +639,12 @@ object Dedup {
     * form: the LSH form's leakage-freedom is only as strong as its
     * candidate RECALL, and a true related pair its bands MISS is exactly
     * a pair that can straddle train and val. Measured (ScaleBench
-    * split-leakage cell, BASELINE.md round-7 row): on the sf0.1 corpus
-    * the lshBandsFor geometry at J ≥ 0.3 showed ZERO cross-split true
-    * pairs over 256 exact pairs — but that corpus's true pairs skew
-    * high-J where band recall is strong; a corpus dense in
-    * barely-over-threshold pairs has no such luck, and only THIS form
-    * guarantees zero structurally. Here the edge set is the
+    * split-leakage cell, BASELINE.md round-7 rows): the lshBandsFor
+    * geometry at J ≥ 0.3 showed 0.000 leak over 256 exact pairs at
+    * sf0.1 — corpus luck — and REAL 0.001 leak over 2560 pairs a decade
+    * up: true related pairs whose bands never collided, split across
+    * train and val. Only THIS form guarantees zero structurally, at
+    * every scale. Here the edge set is the
     * prefix-filtered exact set-similarity self-join
     * ([[SetSim.jaccardSelfJoinSets]] over distinct word-n-gram shingle
     * sets, threshold the exact rational tNum/tDen), so EVERY true pair
