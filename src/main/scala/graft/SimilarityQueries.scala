@@ -48,6 +48,20 @@ object SimilarityQueries {
   val IVF_ITERS = 2
   val IVF_NPROBE = 2
 
+  /** Register a tmp artifact tree for recursive deletion at JVM exit —
+    * once per path (q160's per-process index must not outlive the
+    * process that wrote it).
+    */
+  private val reapRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def reapOnExit(path: String): Unit =
+    if (reapRegistered.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
+
   private def ivfKey(dir: String) = s"ivf|$dir|$IVF_K|$DIMS|$IVF_ITERS"
 
   /** Last-trained model key — lets [[oracles]] inline the EXACT centroid
@@ -279,10 +293,12 @@ object SimilarityQueries {
       "embedding", m = PQ_M, subDims = PQ_SUBD, k = PQ_K, iters = PQ_ITERS)
     lastPqKey = Some(pqKey(dir))
     // per-process path: two harness processes on the same sfDir must not
-    // clobber each other's artifacts mid-probe
+    // clobber each other's artifacts mid-probe; reaped at JVM exit so
+    // repeated harness runs don't accumulate index copies in tmp
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft-annidx-" +
       java.lang.Integer.toHexString(dir.hashCode) +
       s"-${ProcessHandle.current().pid()}"
+    reapOnExit(idx)
     graft.operators.AnnIndex.write(emb, "vec_id", "embedding",
       coarse, DIMS, pq, PQ_SUBD, idx)
     graft.operators.AnnIndex.probe(s, idx, emb.filter(col("vec_id") < 10),

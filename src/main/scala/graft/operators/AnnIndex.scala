@@ -96,19 +96,10 @@ object AnnIndex {
   }
 
   /** The coded corpus as written (centroid comes back as the partition
-    * column). Self-heals from a crash inside [[compactCoded]]'s swap
-    * window: if the live lists are gone but the set-aside copy exists,
-    * roll it back before reading — serving never needs a human rename.
+    * column).
     */
-  def loadCoded(spark: SparkSession, dir: String): DataFrame = {
-    val live = new java.io.File(s"$dir/coded")
-    val old = new java.io.File(s"$dir/coded_old")
-    if (!live.exists && old.exists)
-      require(old.renameTo(live),
-        s"AnnIndex.loadCoded: found an interrupted compact swap but could " +
-          s"not roll $old back to $live")
+  def loadCoded(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/coded")
-  }
 
   /** Compact the posting lists: drop duplicate ids (keep the
     * lexicographically-first codes row — they are identical under one
@@ -118,9 +109,27 @@ object AnnIndex {
     * report the same neighbor at two ranks — this is the K1 sink
     * convention (at-least-once + key dedup) applied to the index, run on
     * the TableMaintainApp cadence. Returns (rows before, rows after).
+    *
+    * SINGLE-WRITER maintenance contract (the same one every copy-on-write
+    * table op in this repo carries): exactly one compact runs at a time,
+    * and appends/probes pause for the swap window — a reader-side
+    * auto-heal was considered and rejected because a concurrent reader
+    * rolling `coded_old` back RACES the compactor's own rename (it can
+    * abort a healthy compact, or crash spuriously when the swap lands
+    * between its check and its rename). Recovery from a crash inside the
+    * window is therefore HERE, at the start of the next compact — which
+    * is also the only party that can know the swap is not in flight.
     */
   def compactCoded(spark: SparkSession, dir: String): (Long, Long) = {
-    val coded = loadCoded(spark, dir) // rolls back an interrupted swap first
+    locally { // roll back a PREVIOUS compact's interrupted swap
+      val live = new java.io.File(s"$dir/coded")
+      val prev = new java.io.File(s"$dir/coded_old")
+      if (!live.exists && prev.exists)
+        require(prev.renameTo(live),
+          s"AnnIndex.compactCoded: found an interrupted swap but could " +
+            s"not roll $prev back to $live")
+    }
+    val coded = loadCoded(spark, dir)
     val cols = coded.columns
     val idCol = cols.filterNot(Set("codes", "centroid")).head
     val before = coded.count()

@@ -125,11 +125,18 @@ object Multimodal {
   /** Batched per-partition feature extraction. `batchSize` mirrors the
     * batch dimension a codec/model server expects; records inside a batch
     * are processed together (here trivially, in production via one
-    * vectorized call). Payloads that parse as binary PPM get the REAL
-    * decode ([[decodePpm]]: true raster dimensions, per-channel means as
-    * the embedding head); everything else falls back to the stub seam
-    * and the metadata dimensions.
+    * vectorized call). Records whose metadata DECLARES binary PPM
+    * (`meta.format == "image/ppm"`) get the REAL decode ([[decodePpm]]:
+    * true raster dimensions, per-channel means as the embedding head);
+    * every other format — and a declared PPM that fails to parse —
+    * falls back to the stub seam and the metadata dimensions. The
+    * format gate matters beyond tidiness: decode is dispatched by what
+    * the record CLAIMS to be, never by content sniffing, so a text
+    * payload that happens to look like a P6 header (the q35 corpus is
+    * arbitrary text) can never silently switch feature semantics.
     */
+  val PpmFormat = "image/ppm"
+
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -137,7 +144,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val (checksum, stubEmb) = decodeStub(r.payload)
-          decodePpm(r.payload) match {
+          (if (r.meta.format == PpmFormat) decodePpm(r.payload) else None) match {
             case Some((w, h, means)) =>
               MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
                 w, h, means :+ ((means(0) + means(1) + means(2)) / 3))

@@ -77,7 +77,11 @@ object QualityModel {
       .filter(size(col("__toks")) > 0)
       .select((col("__y") +: xs.zipWithIndex.map {
         case (x, j) => x.as(s"__x$j") }): _*)
-      .localCheckpoint() // R rounds re-scan these narrow rows, not the text
+      // persist (NOT localCheckpoint): the R rounds re-scan these narrow
+      // rows instead of the text, and cache-manager persistence is the
+      // form unpersist() can actually free in the finally below —
+      // Dataset.unpersist is a no-op on a localCheckpoint's RDD blocks
+      .persist()
     try {
       var w = Array.fill(f + 1)(0.0)
       val out = Seq.newBuilder[Array[Double]]

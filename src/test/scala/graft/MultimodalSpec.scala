@@ -78,8 +78,14 @@ class MultimodalSpec extends AnyFunSuite {
       (2L, ppm("P6\n2 1\n255\n", Seq(255, 0))), // truncated raster
       (3L, ppm("P6\n2 1\n65535\n", Seq.fill(12)(0))), // 16-bit maxval unsupported
       (4L, "P3\n2 1\n255\n255 0 0 0 255 0".getBytes("US-ASCII").toSeq.toArray), // ASCII PPM is not P6
-      (5L, "plain text payload, the stub seam".getBytes("US-ASCII")))
-      .map { case (id, p) => (id, p, ("fake/rgb8", 99, 77, p.length.toLong)) }
+      (5L, "plain text payload, the stub seam".getBytes("US-ASCII")),
+      // declared fake/rgb8: even a VALID P6 payload must not decode —
+      // dispatch is by declared format, never content sniffing (the q35
+      // oracle contract over arbitrary text payloads)
+      (6L, good))
+      .map { case (id, p) =>
+        (id, p, (if (id <= 4) Multimodal.PpmFormat else "fake/rgb8",
+          99, 77, p.length.toLong)) }
       .toDF("doc_id", "payload", "meta")
       .select($"doc_id", $"payload",
         struct($"meta._1".as("format"), $"meta._2".as("width"),
@@ -91,8 +97,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L).width == 2 && got(1L).height == 1)
     assert(got(1L).embedding.toSeq
       == Seq(0.5f, 0.5f, 0.0f, (0.5f + 0.5f + 0.0f) / 3))
-    // every malformed shape keeps the stub contract: meta dims + 4 floats
-    for (id <- Seq(2L, 3L, 4L, 5L)) {
+    // every malformed shape — and a valid P6 under a NON-ppm declared
+    // format — keeps the stub contract: meta dims + 4 floats
+    for (id <- Seq(2L, 3L, 4L, 5L, 6L)) {
       assert(got(id).width == 99 && got(id).height == 77, s"doc $id")
       assert(got(id).embedding.length == 4 &&
         got(id).embedding.forall(v => v >= 0f && v <= 1f), s"doc $id")
