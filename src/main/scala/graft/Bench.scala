@@ -86,6 +86,12 @@ object Bench {
     // q159 is q155's forced-gate twin (ceiling=1 engages the gram
     // prefilter on an eval-sized list); q155 is the benched form
     "q159_canary_gated",
+    // q165 is the twin one gate further (both ceilings=1 force the
+    // shuffle-gram route + short-probe union); q155 is the benched form
+    "q165_canary_joined",
+    // q166 composes q157's split fixpoint + q161's GD rounds — both
+    // already excluded driver-synchronous classes; decade rows instead
+    "q166_holdout_eval",
     // q160 rebuilds + rewrites the whole persisted index at construction
     // (the lifecycle under the hash gate); q149 is the benched probe form
     "q160_persisted_ann")

@@ -522,11 +522,75 @@ object CurationQueries {
           .as("score"))
   }
 
+  /** q155 under the FORCED too-big-to-broadcast route (both ceilings = 1
+    * — the q150–q153/q159 pessimized-twin convention): the gram
+    * prefilter as a shuffle equi-JOIN on the gram hash (q96's n-gram
+    * join shape — (id, 8-byte hash) vs (hash, phrase) in the exchange,
+    * text never shuffles; candidates collapse to one bounded
+    * (id, phrases) row per doc before the exact-verify id join), PLUS a
+    * planted sub-4-codepoint canary so the short-probe BNLJ branch and
+    * its union run under the driver's hash gate too. The oracle is plain
+    * contains over the union list — recall 1.0 on every route.
+    */
+  val q165_canary_joined: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val long = docs.filter(col("doc_id") < 20)
+      .select(substring(col("text"), 11, 40).as("phrase"))
+      .filter(length(col("phrase")) === 40)
+    val short = docs.filter(col("doc_id") < 3)
+      .select(substring(col("text"), 11, 3).as("phrase"))
+      .filter(length(col("phrase")) === 3)
+    val canaries = long.unionByName(short).distinct()
+    val train = docs.filter(col("doc_id") >= 20)
+    val contaminated = graft.operators.Canary.contaminatedIds(
+      train, "doc_id", "text", canaries, "phrase",
+      canaryCountCeiling = 1, broadcastCharsCeiling = 1)
+    train
+      .join(contaminated.withColumn("flag", lit(1)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("flag"), lit(0)).as("contaminated"))
+  }
+
+  /** Hold-out evaluation of the trained quality model — the composition
+    * [[graft.operators.Dedup.clusterSafeSplit]] +
+    * [[graft.operators.QualityModel.trainLogistic]] exists for: train on
+    * splits ≠ 0, score split 0, and the cluster guarantee makes the
+    * measurement honest (no near-duplicate of a held-out doc can sit in
+    * train, so the accuracy is generalization, not leakage — the q164
+    * lesson applied to model eval). Output is per-held-out-doc
+    * (y, score, hit) — replayable end to end: the oracle rebuilds the
+    * SAME split (q157's closure CTEs), runs the SAME descent over the
+    * split-filtered subset (q161's round CTEs), and scores through the
+    * identical left-assoc chain.
+    *
+    * Scale shape: the split costs q157's plan, training costs q161's
+    * over ~9/10 of the corpus, eval is one scan-local scoring pass over
+    * the held-out tenth joined to the split frame on id.
+    */
+  val q166_holdout_eval: Q = (s, dir) => {
+    val docs = t(s, dir).documents
+    val split = graft.operators.Dedup.clusterSafeSplit(docs, "doc_id", "text",
+      DedupQueries.SHINGLE_N, DedupQueries.MINHASH_K, DedupQueries.LSH_BANDS,
+      0.5, buckets = 10).select(col("doc_id"), col("split"))
+    val train = docs.join(
+      split.filter(col("split") =!= 0).select(col("doc_id")), Seq("doc_id"))
+    val w = graft.operators.QualityModel.trainCached(
+      train, s"qt-holdout|$dir|$QT_F|$QT_ROUNDS|$QT_LR", "text", gopherLabel,
+      f = QT_F, rounds = QT_ROUNDS, lr = QT_LR).last
+    docs.join(split.filter(col("split") === 0).select(col("doc_id")), Seq("doc_id"))
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), gopherLabel.cast("int").as("y"),
+        round(graft.operators.QualityModel.score(col("text"), w), 9).as("score"))
+      .withColumn("hit",
+        ((col("score") >= 0.5) === (col("y") === 1)).cast("int"))
+  }
+
   def all: Map[String, Q] = Map(
     "q119_weighted_sample" -> q119_weighted_sample,
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
     "q155_canary_decontaminate" -> q155_canary_decontaminate,
     "q159_canary_gated" -> q159_canary_gated,
+    "q165_canary_joined" -> q165_canary_joined,
+    "q166_holdout_eval" -> q166_holdout_eval,
     "q97_gopher_rules" -> q97_gopher_rules,
     "q98_token_entropy" -> q98_token_entropy,
     "q99_temperature_mix" -> q99_temperature_mix,
@@ -591,22 +655,33 @@ object CurationQueries {
     */
   private def qtZChain: String = (0 to QT_F).map(j => s"w$j * x$j").mkString(" + ")
 
-  /** The shared descent CTE chain (d, base incl. doc_id, w0..wR) — q161
-    * unpivots the per-round weights from it, q162 scores `base` with the
-    * final round's.
-    */
-  private def qtCtes: String = {
+  /** The per-doc feature select list (y, x0..xF) over `d`'s `toks`. */
+  private def qtFeatureSelect: String = {
     val f = QT_F
-    val js = 0 to f
     val xdefs = (1 to f).map { j =>
       s"len(list_filter(toks, t -> ${polyHashSql("t")} % $f = ${j - 1}))::DOUBLE" +
         s" / len(toks) AS x$j"
     }.mkString(",\n    ")
+    s"""(len(toks) BETWEEN 10 AND 500
+       |     AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) >= 2.0
+       |     AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) <= 8.0
+       |     AND len(list_filter(toks, t -> t IN ('a', 'the'))) >= 1
+       |     AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3)::INT::DOUBLE AS y,
+       |    1.0::DOUBLE AS x0,
+       |    $xdefs""".stripMargin
+  }
+
+  /** The descent rounds (w0..wR) over training table `src` — each round
+    * re-scans `src` with the previous round's weights, so q166 runs the
+    * IDENTICAL arithmetic over its split-filtered subset.
+    */
+  private def qtRoundCtes(src: String): String = {
+    val js = 0 to QT_F
     val rounds = (1 to QT_ROUNDS).map { k =>
       s"""s$k AS (
          |  SELECT y, ${js.map(j => s"x$j").mkString(", ")},
          |    0.5 + ($qtZChain) / (2.0 * (1.0 + abs($qtZChain))) AS sig
-         |  FROM base, w${k - 1}),
+         |  FROM $src, w${k - 1}),
          |g$k AS (
          |  SELECT count(*)::DOUBLE AS n,
          |    ${js.map(j => s"sum(round((sig - y) * x$j, 12)::DECIMAL(38,18)) AS g$j").mkString(",\n    ")}
@@ -615,22 +690,23 @@ object CurationQueries {
          |  SELECT ${js.map(j => s"round(w$j - $QT_LR * (g$j::DOUBLE / n), 12) AS w$j").mkString(",\n    ")}
          |  FROM w${k - 1}, g$k)""".stripMargin
     }.mkString(",\n")
+    s"""w0 AS (SELECT ${js.map(j => s"0.0::DOUBLE AS w$j").mkString(", ")}),
+       |$rounds""".stripMargin
+  }
+
+  /** The shared descent CTE chain (d, base incl. doc_id, w0..wR) — q161
+    * unpivots the per-round weights from it, q162 scores `base` with the
+    * final round's.
+    */
+  private def qtCtes: String =
     s"""WITH d AS MATERIALIZED (
        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents),
        |base AS MATERIALIZED (
        |  SELECT doc_id,
-       |    (len(toks) BETWEEN 10 AND 500
-       |     AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) >= 2.0
-       |     AND list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) <= 8.0
-       |     AND len(list_filter(toks, t -> t IN ('a', 'the'))) >= 1
-       |     AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.3)::INT::DOUBLE AS y,
-       |    1.0::DOUBLE AS x0,
-       |    $xdefs
+       |    $qtFeatureSelect
        |  FROM d WHERE len(toks) > 0),
-       |w0 AS (SELECT ${js.map(j => s"0.0::DOUBLE AS w$j").mkString(", ")}),
-       |$rounds""".stripMargin
-  }
+       |${qtRoundCtes("base")}""".stripMargin
 
   private def q161Oracle: String = {
     val unpivot = (1 to QT_ROUNDS).flatMap { k =>
@@ -647,6 +723,32 @@ object CurationQueries {
        |  round(0.5 + ($qtZChain) / (2.0 * (1.0 + abs($qtZChain))), 9) AS score
        |FROM base, w$QT_ROUNDS""".stripMargin
 
+  /** q166 oracle: q157's split closure (shared shingle/component CTEs)
+    * feeding q161's descent rounds over the split≠0 subset, then the
+    * identical scoring chain over split 0 — the whole
+    * train-on-train/score-on-held-out composition replayed in SQL.
+    */
+  private def q166Oracle: String = {
+    val scoreSql = s"round(0.5 + ($qtZChain) / (2.0 * (1.0 + abs($qtZChain))), 9)"
+    s"""WITH RECURSIVE ${DedupQueries.shingleCtes},
+       |${DedupQueries.componentCtes()},
+       |m AS (SELECT d.doc_id, coalesce(lbl.cluster, d.doc_id) AS cluster
+       |  FROM d LEFT JOIN lbl ON d.doc_id = lbl.doc_id),
+       |sp AS MATERIALIZED (SELECT doc_id,
+       |    ${polyHashSql("'split|' || cluster::VARCHAR")} % 10 AS split
+       |  FROM m),
+       |base AS MATERIALIZED (
+       |  SELECT d.doc_id, sp.split,
+       |    $qtFeatureSelect
+       |  FROM d JOIN sp ON d.doc_id = sp.doc_id WHERE len(toks) > 0),
+       |tr AS MATERIALIZED (SELECT * FROM base WHERE split <> 0),
+       |${qtRoundCtes("tr")}
+       |SELECT doc_id, y::INT AS y,
+       |  $scoreSql AS score,
+       |  (($scoreSql >= 0.5) = (y = 1))::INT AS hit
+       |FROM base, w$QT_ROUNDS WHERE split = 0""".stripMargin
+  }
+
   /** The q75-oracle polyhash over a shingle string, as DuckDB SQL. */
   private def polyHashSql(expr: String): String =
     s"""list_reduce(list_prepend(0::BIGINT,
@@ -656,6 +758,23 @@ object CurationQueries {
   def oracles: Map[String, String] = Map(
     "q161_quality_train" -> q161Oracle,
     "q162_quality_score" -> q162Oracle,
+    "q166_holdout_eval" -> q166Oracle,
+    // the forced shuffle-gram + short-probe union must produce plain
+    // contains() verdicts over the union list — recall 1.0 on every route
+    "q165_canary_joined" ->
+      """WITH c AS (
+        |  SELECT DISTINCT substring(text, 11, 40) AS phrase FROM documents
+        |  WHERE doc_id < 20 AND length(substring(text, 11, 40)) = 40
+        |  UNION
+        |  SELECT substring(text, 11, 3) FROM documents
+        |  WHERE doc_id < 3 AND length(substring(text, 11, 3)) = 3),
+        |f AS (
+        |  SELECT DISTINCT d.doc_id FROM documents d, c
+        |  WHERE d.doc_id >= 20 AND contains(d.text, c.phrase))
+        |SELECT d.doc_id,
+        |  (CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END) AS contaminated
+        |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+        |WHERE d.doc_id >= 20""".stripMargin,
     "q119_weighted_sample" ->
       s"""WITH k AS (
          |  SELECT source, doc_id, n_chars,

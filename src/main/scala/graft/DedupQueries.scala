@@ -376,7 +376,7 @@ object DedupQueries {
        |      list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)),
        |      (h, a) -> (h * 31 + a) % 1000000007)""".stripMargin
 
-  private val shingleCtes =
+  private[graft] val shingleCtes =
     s"""d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |     FROM documents),
        |sh AS (SELECT doc_id,
@@ -399,7 +399,7 @@ object DedupQueries {
     * `where` restricts the doc population (q158 closes over the index
     * side only).
     */
-  private def componentCtes(where: String = ""): String =
+  private[graft] def componentCtes(where: String = ""): String =
     s"""bands AS (SELECT doc_id, b,
        |    list_reduce(list_prepend(0::BIGINT, sig[b*4+1 : b*4+4]),
        |      (h, x) -> (h * 31 + x) % 1000000007) AS bk
@@ -443,7 +443,7 @@ object DedupQueries {
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'
         |       WHEN n.doc_id IS NULL THEN 'removed'
-        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     // Exact all-pairs levenshtein over the bounded subset — the blocked

@@ -102,7 +102,16 @@ object ScaleBench {
     "q163_corpus_diff",
     // round-7: the exact-edge split — q125's prefix-join candidate growth
     // under q157's fixpoint; expected ~linear candidates + flat rounds
-    "q164_split_exact")
+    "q164_split_exact",
+    // round-8: the too-big-to-broadcast canary route (both ceilings
+    // forced) — the shuffle carries (id, 8-byte gram hash) vs
+    // (hash, phrase), candidates collapse per doc before the verify's id
+    // join; expected ~scan-linear like q159's broadcast form
+    "q165_canary_joined",
+    // round-8: hold-out eval — q157's fixpoint + q161's GD rounds over
+    // the split≠0 subset + one scoring scan of the held-out tenth;
+    // expected the sum of its parts (round latency at small SF)
+    "q166_holdout_eval")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",

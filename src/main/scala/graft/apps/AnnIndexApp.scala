@@ -27,7 +27,8 @@ import graft.operators.{AnnIndex, Ivf, Pq}
 object AnnIndexApp {
 
   val usage = "graft.apps.AnnIndexApp " +
-    "--mode build|append|stream-append|compact|probe --index <dir> " +
+    "--mode build|append|stream-append|compact|stats|probe --index <dir> " +
+    "[stats: --psi-threshold 0.2] " +
     "[build/append: --input <vectors parquet>] " +
     "[stream-append: --source file|kafka --input <dir of JSON lines> " +
     "--checkpoint <dir> [--trigger available-now|'<interval>']] " +
@@ -97,6 +98,21 @@ object AnnIndexApp {
         // cadence)
         val (before, after) = AnnIndex.compactCoded(spark, index)
         println(s"[ann-index] compacted: $before -> $after rows")
+      case "stats" =>
+        // the retrain gate: posting-list occupancy drift (PSI) of the
+        // current index vs its train-time histogram — the measurement
+        // behind the "retrain when the distribution drifts" contract.
+        // Run on the compact cadence; >= --psi-threshold means the
+        // coarse quantizer no longer tessellates the data and a --mode
+        // build rebuild is due.
+        val coded = AnnIndex.loadCoded(spark, index)
+        val rows = coded.count()
+        val lists = coded.select(col("centroid")).distinct().count()
+        val drift = AnnIndex.driftScore(spark, index)
+        val threshold = conf.getOrElse("psi-threshold", "0.2").toDouble
+        println(f"[ann-index] stats: rows=$rows lists=$lists " +
+          f"drift_psi=$drift%.6f threshold=$threshold " +
+          f"retrain_due=${drift >= threshold}")
       case "probe" =>
         val queries = spark.read.parquet(AppEnv.get(conf, "queries", usage))
         // --prune true (default): compute the probed centroid set

@@ -43,12 +43,75 @@ object AnnIndex {
       s"AnnIndex.write: coarse length ${coarse.length} not a multiple of dims=$dims")
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(("coarse", dims, coarse.toSeq), ("pq", subDims, pq.toSeq))
-      .toDF("kind", "dim_param", "vals")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
     codedFrame(corpus, idCol, vecCol, coarse, dims, pq, subDims)
       .write.mode("overwrite").partitionBy("centroid")
       .parquet(s"$dir/coded")
+    // the TRAIN-TIME posting-list occupancy rides along in the model dir
+    // (k doubles — model-sized): the reference distribution the drift
+    // gate scores later appends against ([[driftScore]]); counted from
+    // the written lists, so it is exactly what a probe would see
+    val k = coarse.length / dims
+    val hist = assignmentHistogram(spark, s"$dir/coded", k)
+    Seq(("coarse", dims, coarse.toSeq), ("pq", subDims, pq.toSeq),
+        ("hist", k, hist.toSeq))
+      .toDF("kind", "dim_param", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Per-centroid row counts of the written posting lists, as a dense
+    * k-cell array (bounded: k doubles — the same model-sized driver
+    * state as training).
+    */
+  private def assignmentHistogram(spark: SparkSession, codedDir: String,
+                                  k: Int): Array[Double] = {
+    val counts = spark.read.parquet(codedDir)
+      .groupBy(col("centroid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    Array.tabulate(k)(i => counts.getOrElse(i, 0L).toDouble)
+  }
+
+  /** Drift of the CURRENT posting-list occupancy against the train-time
+    * histogram, as the population stability index (the q112 monitoring
+    * arithmetic over centroid-assignment cells): PSI = Σ (q−p)·ln(q/p)
+    * with the conventional 1e-6 floor on empty cells. The index contract
+    * says "periodic retraining when the distribution drifts" — this is
+    * the measurement that makes the retrain decision executable rather
+    * than prose: appends drawn from the trained distribution land in
+    * lists proportionally (PSI ≈ append noise), a shifted embedding
+    * distribution piles into few lists (PSI jumps, and probe quality
+    * degrades for exactly the same reason — the coarse quantizer no
+    * longer tessellates the data). Conventional read: < 0.1 stable,
+    * 0.1–0.2 moderate, > 0.2 retrain (`AnnIndexApp --mode stats`
+    * surfaces it with the 0.2 default threshold).
+    *
+    * Cost: one (centroid → count) aggregate over the coded scan — k
+    * cells after map-side partials; run it on the compact/stats cadence.
+    * Fails loudly on an index written before histograms existed —
+    * rebuild (`write`) to stamp one.
+    */
+  def driftScore(spark: SparkSession, dir: String): Double = {
+    val rows = spark.read.parquet(s"$dir/model")
+      .select(col("kind"), col("dim_param"), col("vals")).collect()
+    val hist = rows.find(_.getString(0) == "hist").getOrElse(sys.error(
+      s"AnnIndex.driftScore: no 'hist' row in $dir/model — the index " +
+        s"predates drift tracking; rebuild with AnnIndex.write to stamp " +
+        s"the train-time histogram"))
+    val train = hist.getSeq[Double](2).toArray
+    psi(train, assignmentHistogram(spark, s"$dir/coded", train.length))
+  }
+
+  /** PSI between two same-length count histograms (reference, current). */
+  private[graft] def psi(ref: Array[Double], cur: Array[Double]): Double = {
+    require(ref.length == cur.length && ref.nonEmpty,
+      s"AnnIndex.psi: histogram shapes differ (${ref.length} vs ${cur.length})")
+    val (rs, cs) = (ref.sum, cur.sum)
+    require(rs > 0 && cs > 0, "AnnIndex.psi: empty histogram")
+    val eps = 1e-6
+    ref.indices.iterator.map { i =>
+      val p = math.max(ref(i) / rs, eps)
+      val q = math.max(cur(i) / cs, eps)
+      (q - p) * math.log(q / p)
+    }.sum
   }
 
   /** Assign new vectors with the PERSISTED models and append their rows
@@ -64,11 +127,26 @@ object AnnIndex {
   /** [[append]] with an ALREADY-LOADED model — the streaming appender's
     * form (load once, append every micro-batch; the model is immutable
     * between rebuilds by contract).
+    *
+    * Refuses while a compact holds the lease ([[compactCoded]]): an
+    * append landing in the swap window writes into the directory the
+    * compactor is about to move aside and delete — those rows would be
+    * silently lost. The check makes the documented "appends pause for
+    * the swap window" contract executable: a misconfigured concurrent
+    * appender fails loudly instead of losing data, and the foreachBatch
+    * retry re-runs the batch after the lease clears (at-least-once, the
+    * sink's existing discipline).
     */
   def appendWith(newVecs: DataFrame, idCol: String, vecCol: String,
                  model: (Array[Double], Int, Array[Double], Int),
                  dir: String): Unit = {
     val (coarse, dims, pq, subDims) = model
+    val spark = newVecs.sparkSession
+    require(!fsOf(spark, dir).exists(leasePath(dir)),
+      s"AnnIndex.appendWith: a compact holds ${leasePath(dir)} — appends " +
+        s"during the swap window are lost; retry after the compact " +
+        s"completes (a crashed compact's stale lease is taken over by the " +
+        s"next compactCoded run)")
     codedFrame(newVecs, idCol, vecCol, coarse, dims, pq, subDims)
       .write.mode("append").partitionBy("centroid")
       .parquet(s"$dir/coded")
@@ -101,6 +179,16 @@ object AnnIndex {
   def loadCoded(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/coded")
 
+  private def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The compact lease marker — present exactly while a compact owns the
+    * index directory (see [[compactCoded]]'s single-writer contract).
+    */
+  def leasePath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/compact.lease")
+
   /** Compact the posting lists: drop duplicate ids (keep the
     * lexicographically-first codes row — they are identical under one
     * model anyway) and rewrite the partitioned layout. The streaming
@@ -110,56 +198,92 @@ object AnnIndex {
     * convention (at-least-once + key dedup) applied to the index, run on
     * the TableMaintainApp cadence. Returns (rows before, rows after).
     *
-    * SINGLE-WRITER maintenance contract (the same one every copy-on-write
-    * table op in this repo carries): exactly one compact runs at a time,
-    * and appends/probes pause for the swap window — a reader-side
-    * auto-heal was considered and rejected because a concurrent reader
-    * rolling `coded_old` back RACES the compactor's own rename (it can
-    * abort a healthy compact, or crash spuriously when the swap lands
-    * between its check and its rename). Recovery from a crash inside the
-    * window is therefore HERE, at the start of the next compact — which
-    * is also the only party that can know the swap is not in flight.
+    * All directory manipulation goes through the Hadoop `FileSystem`
+    * resolved from the path's scheme (the `Merge.applyChangesOrCreate` /
+    * `Layout.compact` pattern), so the maintenance path runs on the same
+    * stores write/append/probe already do — `hdfs://` renames are atomic
+    * namespace ops; object stores without atomic rename need the
+    * single-writer contract below anyway (and pay a copy per rename,
+    * which is why compacts are a cadence job, not a hot-path one).
+    *
+    * SINGLE-WRITER maintenance contract, ENFORCED by a lease: compact
+    * creates `<dir>/compact.lease` atomically at start (create-fails-if-
+    * exists), [[appendWith]] refuses while it is present, and a second
+    * compact refuses while a FRESH lease is held — so the documented
+    * "appends/probes pause for the swap window" cannot be violated
+    * silently. A compact that fails BEFORE its swap starts releases the
+    * lease (nothing moved — appends are safe to resume); a crash inside
+    * the swap window keeps the lease held, blocking appends until the
+    * next compact — the only party that can know the swap is not in
+    * flight — takes over the now-stale lease (age > `leaseTakeoverMs`
+    * by the file's store mtime) and rolls the interrupted swap back. A
+    * reader-side auto-heal was considered and rejected because a
+    * concurrent reader rolling `coded_old` back RACES the compactor's
+    * own rename (it can abort a healthy compact, or crash spuriously
+    * when the swap lands between its check and its rename).
     */
-  def compactCoded(spark: SparkSession, dir: String): (Long, Long) = {
-    locally { // roll back a PREVIOUS compact's interrupted swap
-      val live = new java.io.File(s"$dir/coded")
-      val prev = new java.io.File(s"$dir/coded_old")
-      if (!live.exists && prev.exists)
-        require(prev.renameTo(live),
-          s"AnnIndex.compactCoded: found an interrupted swap but could " +
-            s"not roll $prev back to $live")
+  def compactCoded(spark: SparkSession, dir: String,
+                   leaseTakeoverMs: Long = 24L * 3600 * 1000): (Long, Long) = {
+    val fs = fsOf(spark, dir)
+    val lease = leasePath(dir)
+    if (fs.exists(lease)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+      require(age > leaseTakeoverMs,
+        s"AnnIndex.compactCoded: $lease is held and only ${age}ms old " +
+          s"(takeover at ${leaseTakeoverMs}ms) — another compact is in " +
+          s"flight; exactly one compact may run at a time")
+      // a crashed compact's stale lease: take it over (delete + recreate
+      // below re-stamps ownership and the mtime clock)
+      fs.delete(lease, false)
     }
-    val coded = loadCoded(spark, dir)
-    val cols = coded.columns
-    val idCol = cols.filterNot(Set("codes", "centroid")).head
-    val before = coded.count()
-    val deduped = coded
-      .groupBy(col(idCol))
-      .agg(min(struct(col("codes"), col("centroid"))).as("__r"))
-      .select(col(idCol), col("__r.codes").as("codes"),
-        col("__r.centroid").as("centroid"))
-      .cache() // fully materialize BEFORE overwriting the source files
-    val after = deduped.count()
+    locally {
+      val out = fs.create(lease, /* overwrite = */ false)
+      try out.writeBytes(s"compact start epoch_ms=${System.currentTimeMillis()}\n")
+      finally out.close()
+    }
+    val live = new org.apache.hadoop.fs.Path(s"$dir/coded")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/coded_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/coded_compact")
+    val counts =
+      try {
+        // roll back a PREVIOUS compact's interrupted swap
+        if (!fs.exists(live) && fs.exists(old))
+          require(fs.rename(old, live),
+            s"AnnIndex.compactCoded: found an interrupted swap but could " +
+              s"not roll $old back to $live")
+        val coded = loadCoded(spark, dir)
+        val idCol = coded.columns.filterNot(Set("codes", "centroid")).head
+        val before = coded.count()
+        val deduped = coded
+          .groupBy(col(idCol))
+          .agg(min(struct(col("codes"), col("centroid"))).as("__r"))
+          .select(col(idCol), col("__r.codes").as("codes"),
+            col("__r.centroid").as("centroid"))
+          .cache() // fully materialize BEFORE overwriting the source files
+        val after = deduped.count()
+        deduped.write.mode("overwrite").partitionBy("centroid").parquet(tmp.toString)
+        deduped.unpersist()
+        (before, after)
+      } catch { case e: Throwable =>
+        // nothing has moved yet — release the lease so appends resume
+        fs.delete(lease, false)
+        throw e
+      }
     // crash-safe swap order: the live lists are never the only copy —
-    // write the replacement fully, move the old AT MOST ONE rename away,
-    // move the new in, only then delete. A crash at any point leaves a
-    // complete copy at coded, coded_old, or coded_compact.
-    val tmp = s"$dir/coded_compact"
-    deduped.write.mode("overwrite").partitionBy("centroid").parquet(tmp)
-    deduped.unpersist()
-    val live = new java.io.File(s"$dir/coded")
-    val old = new java.io.File(s"$dir/coded_old")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(old) // a leftover from an interrupted previous compact
-    require(live.renameTo(old),
+    // the replacement is fully written, move the old AT MOST ONE rename
+    // away, move the new in, only then delete. A crash at any point
+    // leaves a complete copy at coded, coded_old, or coded_compact —
+    // and keeps the lease held so appends stay blocked until the next
+    // compact's takeover rolls the swap back.
+    fs.delete(old, true) // a leftover from an interrupted previous compact
+    require(fs.rename(live, old),
       s"AnnIndex.compactCoded: could not move $live aside")
-    require(new java.io.File(tmp).renameTo(live),
+    require(fs.rename(tmp, live),
       s"AnnIndex.compactCoded: could not move $tmp into place " +
         s"(previous lists preserved at $old)")
-    rm(old)
-    (before, after)
+    fs.delete(old, true)
+    fs.delete(lease, false)
+    counts
   }
 
   /** Probe the persisted index: IVF-PQ top-k from the loaded artifacts

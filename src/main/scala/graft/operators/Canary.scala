@@ -8,33 +8,48 @@ import graft.functions.TextFunctions.polyHash
 /** Exact-substring canary decontamination (the memorization-probe form —
   * Carlini et al., "The Secret Sharer", USENIX Security 2019: planted
   * canaries must be verbatim-absent from training data for the exposure
-  * measurement to mean anything) with a construction-time size gate (the
+  * measurement to mean anything) with construction-time size gates (the
   * `RuntimeFilter.keysCeiling` / `bandedIntervalJoinAuto` discipline).
-  * Two routes, identical verdicts:
+  * Three routes, identical verdicts:
   *
   *  - at or under `canaryCountCeiling`: broadcast BroadcastNestedLoopJoin
   *    LEFT SEMI `contains` — per-task work is |docs|·|canaries| contains()
   *    calls, the right plan for eval-sized canary lists (reference shape:
   *    q155; text never shuffles, the only exchange is the id distinct);
-  *  - above it: hashed char-gram prefilter — g = the SHORTEST canary's
-  *    codepoint length; every canary contributes only the poly-hash of its
-  *    g-prefix, docs emit their distinct char-g-gram hashes scan-locally
-  *    (one rolling O(len) native pass, `char_gram_hashes`), and only
-  *    (doc, canary) pairs sharing a hash pay the exact contains() verify.
-  *    Per-task doc work becomes O(len) hash ops + broadcast-hash probes —
-  *    INDEPENDENT of the canary count — while recall stays 1.0: a doc
-  *    containing a canary verbatim contains its g-prefix, so the true
-  *    pair always survives the prefilter. False candidates (hash
-  *    collisions at ~|grams|·|canaries|/2³⁰ expected, plus real shared
-  *    prefixes) are killed by the verify.
+  *  - above it: hashed char-gram prefilter — g = the SHORTEST long
+  *    canary's codepoint length; every canary contributes only the
+  *    poly-hash of its g-prefix, docs emit their distinct char-g-gram
+  *    hashes scan-locally (one rolling O(len) native pass,
+  *    `char_gram_hashes`), and only (doc, canary) pairs sharing a hash
+  *    pay the exact contains() verify. Per-task doc work becomes O(len)
+  *    hash ops + broadcast-hash probes — INDEPENDENT of the canary
+  *    count — while recall stays 1.0: a doc containing a canary verbatim
+  *    contains its g-prefix, so the true pair always survives the
+  *    prefilter. False candidates (hash collisions at
+  *    ~|grams|·|canaries|/2³⁰ expected, plus real shared prefixes) are
+  *    killed by the verify;
+  *  - above `broadcastCharsCeiling` total long-canary codepoints (the
+  *    too-big-to-BROADCAST regime — the default admits ~10⁶ typical
+  *    canaries; past it the (hash, phrase) table stops being an
+  *    eval-list and starts being a corpus): the SAME gram prefilter as
+  *    an equi-JOIN on the gram hash (q96's n-gram join shape) — the
+  *    shuffle carries (id, 8-byte hash) and (hash, phrase), never text;
+  *    surviving (id, candidate phrases) collapse to one bounded row per
+  *    candidate doc (true matches + collisions — small by construction),
+  *    and the exact verify re-attaches text by ONE id join against that
+  *    bounded side (AQE broadcasts it when it fits, the common case).
+  *    Recall 1.0 by the same prefix pigeonhole.
   *
-  * The gated route still BROADCASTS the (prefix-hash, phrase) table —
-  * fine to ~10⁶ canaries × typical phrase lengths; a canary list too big
-  * to broadcast at all is q96's n-gram equi-join territory, not a canary
-  * probe. NULL text matches nothing on either route (it cannot contain a
-  * canary) — the `CorpusPipeline.decontaminateByCanary` contract.
+  * Canaries SHORTER than 4 codepoints cannot prefilter anything (their
+  * whole body is shorter than a useful gram), so above the count ceiling
+  * they are split off and routed through the BNLJ contains path — a list
+  * that merely grows past the ceiling keeps working with short probes in
+  * it (and g is computed over the LONG canaries only, so one short probe
+  * no longer drags every canary to g < 4). NULL/empty text matches
+  * nothing on any route (it cannot contain a canary) — the
+  * `CorpusPipeline.decontaminateByCanary` contract.
   *
-  * The default ceiling is MEASURED, not guessed (ProbeAb, sf0.1
+  * The default count ceiling is MEASURED, not guessed (ProbeAb, sf0.1
   * documents, identical verdicts both routes): BNLJ scales linearly in
   * the canary count (0.48 s at 20 canaries → 5.10 s at 2000) while the
   * gram route is flat (0.57–0.58 s at both sizes) — crossover ≈ 60
@@ -46,46 +61,91 @@ object Canary {
   /** Distinct ids of docs containing ANY canary phrase verbatim. */
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                       canaries: DataFrame, phraseCol: String,
-                      canaryCountCeiling: Long = 128): DataFrame = {
+                      canaryCountCeiling: Long = 128,
+                      broadcastCharsCeiling: Long = 32L << 20): DataFrame = {
     require(canaryCountCeiling >= 1,
       s"Canary.contaminatedIds: canaryCountCeiling must be >= 1, got $canaryCountCeiling")
-    for (c <- Seq("__phrase", "__ph", "__gh"))
+    require(broadcastCharsCeiling >= 1,
+      s"Canary.contaminatedIds: broadcastCharsCeiling must be >= 1, got $broadcastCharsCeiling")
+    for (c <- Seq("__phrase", "__ph", "__gh", "__cands"))
       require(idCol != c && textCol != c,
         s"Canary.contaminatedIds: column name '$c' is reserved by the operator")
     val can = canaries.select(col(phraseCol).as("__phrase"))
       .filter(col("__phrase").isNotNull && length(col("__phrase")) > 0)
       .distinct()
-    // ONE bounded aggregate decides the route: canary count + shortest
-    // canary length (the gram size g; counted in codepoints, matching
-    // substring/char_gram_hashes semantics)
-    val gate = can.agg(count(lit(1)).as("n"),
-      coalesce(min(length(col("__phrase"))), lit(0)).as("g")).collect()(0)
+    // ONE bounded aggregate decides the route: canary count, short-probe
+    // count, the shortest LONG canary's length (the gram size g; counted
+    // in codepoints, matching substring/char_gram_hashes semantics), and
+    // the long side's total codepoints (the broadcast-size gate)
+    val longSide = length(col("__phrase")) >= 4
+    val gate = can.agg(
+      count(lit(1)).as("n"),
+      count(when(!longSide, 1)).as("n_short"),
+      coalesce(min(when(longSide, length(col("__phrase")))), lit(0)).as("g"),
+      coalesce(sum(when(longSide, length(col("__phrase")))), lit(0L)).as("chars_long")
+    ).collect()(0)
     val nCan = gate.getLong(0)
-    val g = gate.getInt(1)
+    val nShort = gate.getLong(1)
+    val g = gate.getInt(2)
+    val charsLong = gate.getLong(3)
     if (nCan == 0)
       // empty list contaminates nothing (the identity contract)
       docs.select(col(idCol)).limit(0)
-    else if (nCan <= canaryCountCeiling)
-      // projected first: an unrelated docs column named __phrase must not
-      // make the join condition ambiguous (the gram route projects too)
-      docs.select(col(idCol), col(textCol))
-        .join(broadcast(can),
-          col(textCol).contains(col("__phrase")), "left_semi")
-        .select(col(idCol)).distinct()
+    else if (nCan <= canaryCountCeiling || nCan == nShort)
+      // all-short lists have no gram route at any size — BNLJ is the
+      // only exact plan for sub-4-codepoint probes, whatever the count
+      bnljIds(docs, idCol, textCol, can)
     else {
-      require(g >= 4,
-        s"Canary.contaminatedIds: the gated gram route needs every canary to " +
-          s"be >= 4 codepoints (shortest is $g) — shorter probes prefilter " +
-          s"nothing; shrink the list or raise canaryCountCeiling")
-      val pref = can.select(
+      val pref = can.filter(longSide).select(
         polyHash(substring(col("__phrase"), 1, g)).as("__ph"), col("__phrase"))
-      // candidates: scan-local gram emission, broadcast-hash membership —
-      // text never shuffles; the join key is the 8-byte gram hash
-      val grams = docs.select(col(idCol), col(textCol),
-        explode(call_function("char_gram_hashes", col(textCol), lit(g))).as("__gh"))
-      grams.join(broadcast(pref), col("__gh") === col("__ph"))
-        .filter(col(textCol).contains(col("__phrase"))) // exact verify, scan-local
-        .select(col(idCol)).distinct()
+      val longIds =
+        if (charsLong <= broadcastCharsCeiling)
+          gramBroadcastIds(docs, idCol, textCol, pref, g)
+        else gramJoinIds(docs, idCol, textCol, pref, g)
+      if (nShort == 0) longIds
+      else longIds.unionByName(
+        bnljIds(docs, idCol, textCol, can.filter(!longSide))).distinct()
     }
+  }
+
+  /** The eval-list plan: broadcast nested-loop LEFT SEMI contains. */
+  private def bnljIds(docs: DataFrame, idCol: String, textCol: String,
+                      can: DataFrame): DataFrame =
+    // projected first: an unrelated docs column named __phrase must not
+    // make the join condition ambiguous (the gram routes project too)
+    docs.select(col(idCol), col(textCol))
+      .join(broadcast(can),
+        col(textCol).contains(col("__phrase")), "left_semi")
+      .select(col(idCol)).distinct()
+
+  /** The count-independent plan: scan-local gram emission, broadcast-hash
+    * membership, pipelined exact verify — text never leaves its scan.
+    */
+  private def gramBroadcastIds(docs: DataFrame, idCol: String, textCol: String,
+                               pref: DataFrame, g: Int): DataFrame = {
+    val grams = docs.select(col(idCol), col(textCol),
+      explode(call_function("char_gram_hashes", col(textCol), lit(g))).as("__gh"))
+    grams.join(broadcast(pref), col("__gh") === col("__ph"))
+      .filter(col(textCol).contains(col("__phrase"))) // exact verify, scan-local
+      .select(col(idCol)).distinct()
+  }
+
+  /** The too-big-to-broadcast plan: the same prefilter as a shuffle
+    * equi-join on the gram hash — (id, hash) vs (hash, phrase), text
+    * stays out of the wide exchange; candidates collapse to one
+    * (id, phrases) row per candidate doc before the verify's id join.
+    */
+  private def gramJoinIds(docs: DataFrame, idCol: String, textCol: String,
+                          pref: DataFrame, g: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(call_function("char_gram_hashes", col(textCol), lit(g))).as("__gh"))
+    val cands = grams.join(pref, col("__gh") === col("__ph"))
+      .select(col(idCol), col("__phrase")).distinct()
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__phrase")).as("__cands"))
+    docs.select(col(idCol), col(textCol))
+      .join(cands, Seq(idCol))
+      .filter(exists(col("__cands"), p => col(textCol).contains(p)))
+      .select(col(idCol)).distinct()
   }
 }

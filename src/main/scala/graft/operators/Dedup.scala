@@ -214,19 +214,28 @@ object Dedup {
     * shuffles, and the output is id + a status string. Ids must be
     * unique within each snapshot (the corpus-table contract everywhere
     * else in this module).
+    *
+    * NULL text is IN-DOMAIN (the decontamination ops' contract): its
+    * fingerprint is NULL, so presence is decided by explicit per-side
+    * markers carried through the join — not fingerprint nullness — and
+    * the changed/unchanged comparison is null-safe (`<=>`): a NULL-text
+    * row present in both snapshots is `unchanged`, one that gained or
+    * lost its text is `changed`.
     */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
-    for (c <- Seq("__fp_old", "__fp_new", "status"))
+    for (c <- Seq("__fp_old", "__fp_new", "__in_old", "__in_new", "status"))
       require(idCol != c,
         s"snapshotDiff: column name '$c' is reserved by the operator")
-    val o = oldDocs.select(col(idCol), wideFp(textCol).as("__fp_old"))
-    val n = newDocs.select(col(idCol), wideFp(textCol).as("__fp_new"))
+    val o = oldDocs.select(col(idCol), lit(1).as("__in_old"),
+      wideFp(textCol).as("__fp_old"))
+    val n = newDocs.select(col(idCol), lit(1).as("__in_new"),
+      wideFp(textCol).as("__fp_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") === col("__fp_new"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

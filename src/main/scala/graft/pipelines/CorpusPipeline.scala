@@ -335,16 +335,10 @@ object CorpusPipeline {
             // see this batch's own signature append
             admitted.write.mode("append").parquet(outDir)
             splitLabels.foreach { case (labelsDir, buckets, splitThreshold) =>
-              val labels = (
-                try spark.read.parquet(labelsDir)
-                catch { case e: org.apache.spark.sql.AnalysisException
-                    if e.getMessage.contains("PATH_NOT_FOUND") ||
-                       e.getMessage.contains("Path does not exist") ||
-                       e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-                  spark.range(0).select(col("id").as(idCol),
-                    col("id").as("cluster"), col("id").as("split"),
-                    col("id").as("bridged"))
-                }).select(col(idCol), col("cluster"))
+              // readLabels' keyed dedup: a replayed batch's re-appended
+              // rows must not double the adoption candidates
+              val labels = readLabels(spark, labelsDir, idCol)
+                .select(col(idCol), col("cluster"))
               // band geometry follows the SPLIT threshold (lshBandsFor's
               // S-curve rule): recall at the wider relatedness radius
               // needs more bands than the dedup stage's candidates
@@ -360,17 +354,53 @@ object CorpusPipeline {
         } finally { b.unpersist(); () }
     }
 
+  /** Read a parquet dir, or `empty` when the path does not exist / has
+    * no data files yet — matched by the stable error CONDITION
+    * identifiers (`SparkThrowable.getCondition`), not message text,
+    * which drifts across Spark versions.
+    */
+  private[graft] def readParquetOr(spark: SparkSession, dir: String)
+                                  (empty: => DataFrame): DataFrame =
+    try spark.read.parquet(dir)
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if Option(e.getCondition).exists(c =>
+          c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA") =>
+      empty
+    }
+
+  /** The labels table as ONE row per doc. The ingest path's labels
+    * append is foreachBatch parquet append, i.e. AT-LEAST-ONCE (the K1
+    * sink convention): a replayed micro-batch re-appends its docs'
+    * (id, cluster, split, bridged) rows — byte-identical, since the
+    * adoption is deterministic against the immutable index snapshot the
+    * batch read. This is the read-side key dedup every labels consumer
+    * must apply (the adoption path's min-over-clusters tolerated the
+    * duplicates by accident; a docs⋈labels join does not): collapse by
+    * id, keeping the (cluster, split) pair together (min of the struct —
+    * replay duplicates collapse to themselves) and the widest bridged
+    * flag so no deferred merge is lost. Missing/empty dir → empty frame
+    * of the labels schema.
+    */
+  def readLabels(spark: SparkSession, labelsDir: String,
+                 idCol: String = "doc_id"): DataFrame =
+    readParquetOr(spark, labelsDir) {
+      spark.range(0).select(col("id").as(idCol),
+        col("id").as("cluster"), col("id").as("split"),
+        col("id").as("bridged"))
+    }
+      .groupBy(col(idCol))
+      .agg(min(struct(col("cluster"), col("split"))).as("__cs"),
+        max(col("bridged")).as("bridged"))
+      .select(col(idCol), col("__cs.cluster").as("cluster"),
+        col("__cs.split").as("split"), col("bridged"))
+
   /** The persisted signature index, or an empty frame of the right schema
     * before the first batch has written it (missing dir, or an existing
     * but still-empty one — parquet cannot infer a schema from either).
     */
   private def readSigIndex(spark: SparkSession, dir: String, batch: DataFrame,
                            idCol: String, textCol: String, cfg: Config): DataFrame =
-    try spark.read.parquet(dir)
-    catch { case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("PATH_NOT_FOUND") ||
-           e.getMessage.contains("Path does not exist") ||
-           e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+    readParquetOr(spark, dir) {
       Dedup.minhashSignatures(batch.limit(0), idCol, textCol,
         cfg.shingleN, cfg.minhashK)
     }
@@ -413,14 +443,7 @@ object CorpusPipeline {
           val inKept = b.join(
             dropSet(inPairs).withColumnRenamed("doc_id", idCol),
             Seq(idCol), "left_anti")
-          val index = (
-            try spark.read.parquet(indexDir)
-            catch { case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("PATH_NOT_FOUND") ||
-                   e.getMessage.contains("Path does not exist") ||
-                   e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-              bSets.limit(0)
-            })
+          val index = readParquetOr(spark, indexDir)(bSets.limit(0))
             .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
           val matched = graft.operators.SetSim.jaccardJoinSets(
               bSets.join(inKept.select(col(idCol)), Seq(idCol), "left_semi"),

@@ -149,6 +149,81 @@ class AnnIndexSpec extends AnyFunSuite {
       s"post-compact top-2 must be distinct ids: $clean")
   }
 
+  test("compact lease: appends and second compacts refuse while held; a stale lease is taken over") {
+    import graft.operators.{AnnIndex, Ivf, Pq}
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-lease").toString
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    AnnIndex.write(emb, "vec_id", "embedding", coarse, 64, pq, 8, dir)
+    val model = AnnIndex.loadModel(spark, dir)
+    val planted = emb.filter($"vec_id" === 3)
+      .select(lit(90001L).as("vec_id"), $"embedding")
+    // simulate a compact crashed (or running) mid-window: lease present
+    val fs = AnnIndex.leasePath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    locally { val o = fs.create(AnnIndex.leasePath(dir), false); o.close() }
+    // an append during the swap window would land in the directory about
+    // to be moved aside and silently lose rows — it must refuse instead
+    val ea = intercept[IllegalArgumentException] {
+      AnnIndex.appendWith(planted, "vec_id", "embedding", model, dir)
+    }
+    assert(ea.getMessage.contains("compact holds"), ea.getMessage)
+    // a second compact against a FRESH lease refuses too (single writer)
+    val ec = intercept[IllegalArgumentException] {
+      AnnIndex.compactCoded(spark, dir)
+    }
+    assert(ec.getMessage.contains("in flight"), ec.getMessage)
+    // age the lease past the takeover window: the next compact owns it,
+    // runs, and releases — after which appends work again
+    fs.setTimes(AnnIndex.leasePath(dir),
+      System.currentTimeMillis() - 25L * 3600 * 1000, -1)
+    val (before, after) = AnnIndex.compactCoded(spark, dir)
+    assert(before == after, s"nothing to dedup: $before -> $after")
+    assert(!fs.exists(AnnIndex.leasePath(dir)), "lease must be released")
+    AnnIndex.appendWith(planted, "vec_id", "embedding", model, dir)
+    val got = AnnIndex.probe(spark, dir, emb.filter($"vec_id" === 3),
+        "vec_id", "embedding", nprobe = 1, kNeighbors = 1)
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(90001L), s"post-lease append must be probe-visible: $got")
+    // a compact that fails BEFORE its swap releases the lease: plant a
+    // malformed model dir copy? cheaper — delete coded to force the read
+    // to fail, then verify the lease is gone and the error surfaced
+    val dir2 = java.nio.file.Files.createTempDirectory("ann-lease2").toString
+    intercept[Exception] { AnnIndex.compactCoded(spark, dir2) }
+    assert(!fs.exists(AnnIndex.leasePath(dir2)),
+      "a pre-swap failure must release the lease so appends resume")
+  }
+
+  test("drift gate: undrifted appends stay under the retrain threshold; a shifted batch crosses it") {
+    import graft.operators.{AnnIndex, Ivf, Pq}
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-drift").toString
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    AnnIndex.write(emb, "vec_id", "embedding", coarse, 64, pq, 8, dir)
+    // freshly built: current occupancy IS the train histogram
+    assert(math.abs(AnnIndex.driftScore(spark, dir)) < 1e-12)
+    // an undrifted append: a 10% resample of the corpus itself lands in
+    // lists proportionally — PSI stays in the append-noise band
+    val resample = emb.sample(withReplacement = false, 0.1, seed = 7)
+      .select(($"vec_id" + 500000L).as("vec_id"), $"embedding")
+    AnnIndex.append(resample, "vec_id", "embedding", dir)
+    val noise = AnnIndex.driftScore(spark, dir)
+    assert(noise < 0.2, s"undrifted append must not trip the gate: $noise")
+    // a drifted batch: corpus-sized mass of ONE vector piles into one
+    // list — the coarse quantizer no longer tessellates the data
+    val n = emb.count()
+    val one = emb.filter($"vec_id" === 3).select($"embedding").head()
+      .getAs[scala.collection.Seq[Float]](0)
+    val drifted = spark.range(600000L, 600000L + n)
+      .select($"id".as("vec_id"), typedLit(one.toArray).as("embedding"))
+    AnnIndex.append(drifted, "vec_id", "embedding", dir)
+    val psi = AnnIndex.driftScore(spark, dir)
+    assert(psi >= 0.2, s"a corpus-sized single-point batch must cross the retrain threshold: $psi")
+    assert(psi > 4 * noise, s"drift must dominate append noise: $psi vs $noise")
+  }
+
   test("AnnIndexApp main: build -> append -> probe through the CLI surface") {
     import graft.apps.AnnIndexApp
     val emb = Tables.load(spark, TestSession.sf, "embeddings")
@@ -193,5 +268,9 @@ class AnnIndexSpec extends AnyFunSuite {
       .select($"neighbor_id").as[Long].collect().toSeq
     assert(got9 == Seq(92001L),
       s"the stream-appended copy must rank first for its source vector, got $got9")
+    // stats mode: the drift/occupancy report runs against the same index
+    // (two tiny appends cannot trip the 0.2 retrain gate)
+    AnnIndexApp.main(Array("--mode", "stats", "--index", idx))
+    assert(graft.operators.AnnIndex.driftScore(spark, idx) < 0.2)
   }
 }

@@ -465,6 +465,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"doc 50 must adopt cluster 1 un-bridged: ${labels(50L)}")
     assert(labels(50L)._3 == labels(1L)._3, "same cluster -> same split")
     assert(labels(40L)._2 == 40L && labels(41L)._2 == 41L, "unrelated stay singletons")
+    // the at-least-once failure mode on the labels table: a replayed
+    // micro-batch re-appends identical rows — readLabels' keyed dedup
+    // collapses them back to one row per doc (preserving the widest
+    // bridged flag), so docs⋈labels consumers never double rows
+    val one = spark.read.parquet(s"$dir/labels").filter($"doc_id" === 50L)
+    one.withColumn("bridged", lit(1L))
+      .write.mode("append").parquet(s"$dir/labels")
+    one.write.mode("append").parquet(s"$dir/labels")
+    assert(spark.read.parquet(s"$dir/labels")
+      .filter($"doc_id" === 50L).count() == 3)
+    val deduped = CorpusPipeline.readLabels(spark, s"$dir/labels")
+      .select($"doc_id", $"cluster", $"split", $"bridged")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(deduped.size == 4, s"one row per doc after dedup: $deduped")
+    assert(deduped(50L) == ((50L, labels(50L)._2, labels(50L)._3, 1L)),
+      s"min (cluster, split) + max bridged: ${deduped(50L)}")
+    // missing dir -> empty frame of the labels schema
+    assert(CorpusPipeline.readLabels(spark, s"$dir/nope").count() == 0)
   }
 
   test("streamingNearDedup evalContainment: streamed survivors == batch containment pass on out-of-order arrival") {

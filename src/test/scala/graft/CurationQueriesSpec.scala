@@ -105,14 +105,30 @@ class CurationQueriesSpec extends AnyFunSuite {
     // empty list contaminates nothing on either side of the gate
     assert(Canary.contaminatedIds(docs, "doc_id", "text",
       Seq.empty[String].toDF("phrase"), "phrase").count() == 0)
-    // a too-short canary makes the gated route fail loud (it would
-    // prefilter nothing), while the plain route still accepts it
-    val withShort = canaries.unionByName(Seq("abc").toDF("phrase"))
-    val e = intercept[IllegalArgumentException] {
-      Canary.contaminatedIds(docs, "doc_id", "text", withShort, "phrase",
-        canaryCountCeiling = 16)
+    // the too-big-to-broadcast route (same gram prefilter as a shuffle
+    // equi-join + bounded-candidate verify) produces identical verdicts
+    val joined = Canary.contaminatedIds(docs, "doc_id", "text", canaries,
+        "phrase", canaryCountCeiling = 16, broadcastCharsCeiling = 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(joined == bnlj, s"shuffle route diverged: joined=$joined plain=$bnlj")
+    // a sub-4-codepoint canary no longer aborts the gated routes: it is
+    // split off to the BNLJ contains path (g is computed over the LONG
+    // canaries only) and the id sets union — so a list that merely grows
+    // past the ceiling keeps working with short probes in it. "oth" hits
+    // doc 1 ("nothing"), which every long canary misses.
+    val withShort = canaries.unionByName(Seq("oth").toDF("phrase"))
+    for (bcast <- Seq(Long.MaxValue, 1L)) {
+      val got = Canary.contaminatedIds(docs, "doc_id", "text", withShort,
+          "phrase", canaryCountCeiling = 16, broadcastCharsCeiling = bcast)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == bnlj + 1L, s"short+long union (bcast=$bcast) got $got")
     }
-    assert(e.getMessage.contains("4 codepoints"))
+    // an ALL-short list above the ceiling has no gram route — it stays
+    // on BNLJ (the only exact plan for sub-4-codepoint probes) and works
+    val allShort = Canary.contaminatedIds(docs, "doc_id", "text",
+        Seq("oth", "ume").toDF("phrase"), "phrase", canaryCountCeiling = 1)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(allShort == Set(1L), s"all-short got $allShort")
   }
 
   test("q159 == q155 verdict-for-verdict on the shared corpus fixture") {

@@ -475,4 +475,26 @@ class DedupSpec extends AnyFunSuite {
         newSnap.withColumnRenamed("doc_id", "status"), "status", "text")
     }
   }
+
+  test("snapshotDiff: NULL text is in-domain — presence by side markers, fingerprints compared null-safely") {
+    // md5(NULL) is NULL: fingerprint-nullness would misread every one of
+    // these as added/changed — presence markers + <=> must not
+    val oldSnap = Seq(
+      (1L, null.asInstanceOf[String]), // stays NULL            -> unchanged
+      (2L, null.asInstanceOf[String]), // gains text            -> changed
+      (3L, "loses its text"),          // goes NULL             -> changed
+      (4L, null.asInstanceOf[String])) // NULL row removed      -> removed
+      .toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "text appeared"),
+      (3L, null.asInstanceOf[String]),
+      (5L, null.asInstanceOf[String])) // NULL row added        -> added
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"), s"got $got")
+  }
 }

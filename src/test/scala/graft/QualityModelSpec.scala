@@ -115,4 +115,55 @@ class QualityModelSpec extends AnyFunSuite {
     // monotone-ish: the final round is no worse than the first round
     assert(lFinal <= loss(ws.head) + 1e-12)
   }
+
+  test("hold-out eval: train on split!=0, score split 0 — beats the majority baseline on docs it never saw") {
+    import graft.operators.Dedup
+    // two separable families by hashed-feature residue (ph(t) % 6):
+    // pos words all hash to residue 2, neg words to residue 4 — so x2/x4
+    // carry the signal; per-doc serial tokens add feature noise and keep
+    // the near-dup clusters honest (each doc is its own cluster except
+    // the planted twins)
+    val pos = Seq("alpha", "charlie", "juliet", "mike", "oscar", "quebec")
+    val neg = Seq("bravo", "golf", "papa", "whiskey", "yankee", "star")
+    def doc(i: Int, fam: Seq[String]) =
+      s"${fam(i % 6)} ${fam((i + 1) % 6)} ${fam((i + 2) % 6)} " +
+        s"${fam((i + 3) % 6)} s$i t$i u$i v$i w$i"
+    val base = (0 until 30).map(i => (i.toLong, doc(i, pos))) ++
+      (30 until 60).map(i => (i.toLong, doc(i, neg)))
+    // planted near-dup twins (first token swapped -> 3-shingle J = 6/8):
+    // the split must keep each twin with its original or the eval leaks
+    val twinOf = Seq(0, 7, 33, 41)
+    val twins = twinOf.map { i =>
+      (i + 1000L, base(i)._2.replaceFirst("^\\S+", "delta"))
+    }
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val label = arrays_overlap(
+      graft.functions.TextFunctions.tokens($"text"),
+      lit(pos.toArray)).cast("double")
+    val split = Dedup.clusterSafeSplit(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.5, buckets = 5)
+      .select($"doc_id", $"split")
+    val sm = split.as[(Long, Long)].collect().toMap
+    twinOf.foreach { i =>
+      assert(sm(i.toLong) == sm(i + 1000L),
+        s"twin $i must share its original's split (cluster-safety)")
+    }
+    val train = docs.join(split.filter($"split" =!= 0).select($"doc_id"), Seq("doc_id"))
+    val heldOut = docs.join(split.filter($"split" === 0).select($"doc_id"), Seq("doc_id"))
+    val w = QualityModel.trainLogistic(train, "text", label,
+      f = 6, rounds = 20, lr = 2.0).last
+    val eval = heldOut
+      .select(label.as("y"), QualityModel.score($"text", w).as("s"))
+      .select($"y".cast("int").as("y"), ($"s" >= 0.5).cast("int").as("pred"))
+      .as[(Int, Int)].collect()
+    assert(eval.nonEmpty, "held-out split is empty — rebucket the fixture")
+    val ys = eval.map(_._1)
+    assert(ys.toSet == Set(0, 1),
+      s"held-out set must carry both classes, got ${ys.toSeq}")
+    val acc = eval.count { case (y, p) => y == p }.toDouble / eval.length
+    val majority = math.max(ys.sum, ys.length - ys.sum).toDouble / ys.length
+    assert(acc > majority,
+      s"held-out accuracy $acc must beat the majority baseline $majority " +
+        s"(zero-weight scores 0.5 -> all-positive, <= majority)")
+  }
 }
