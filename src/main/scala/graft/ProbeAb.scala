@@ -10,15 +10,16 @@ import graft.core.Tables
   * across runs on this drifting host). Edit the variants, run, read the
   * medians. Scratch tool — not part of the driver contract.
   *
-  * Current experiment (round 7): the canary-route gate
-  * ([[graft.operators.Canary.contaminatedIds]]) — broadcast BNLJ
-  * `contains` vs the char-gram prefilter, at an eval-sized (20) and a
-  * large (2000) canary list over the sf0.1 documents. The gate's claim:
-  * BNLJ work is |docs|·|canaries| contains() calls, the gram route's is
-  * |docs|·len(text) rolling-hash ops + hash-set probes — independent of
-  * the canary count — so the routes should cross between the two sizes.
-  * (The previous experiment, SetSim shuffle_hash vs AQE + the build-side
-  * skew stats, is in git history; its numbers live in BASELINE.md.)
+  * Current experiment (round 8): decompose q165's too-big-to-broadcast
+  * canary route (`Canary.gramJoinIds`) into stages over
+  * SPARK_GRAFT_SF_DIR — the 10× ScaleBench cell measured 16.5 s where
+  * the broadcast twin (q159's route) runs 1.3 s on the same data, and
+  * the 100× cell is FASTER (9 s), so something structural, not host
+  * drift, is in the 10× plan. Stages: the bare gram scan, the gram
+  * equi-join + candidate distinct, the per-doc candidate collapse, the
+  * full route, and the broadcast form for contrast.
+  * (The previous experiment, the canary-count BNLJ↔gram crossover, is in
+  * git history; its numbers live in BASELINE.md round-7 notes.)
   */
 object ProbeAb {
   def main(args: Array[String]): Unit = {
@@ -33,35 +34,61 @@ object ProbeAb {
     graft.plans.GraftFunctions.register(spark)
 
     val docs = Tables.load(spark, sfDir, "documents")
-    val nDocs = docs.count()
-    // a deterministic canary list of `n` 40-char spans drawn from the
-    // corpus itself, so real hits exist at every size
-    def canaryList(n: Long): DataFrame = docs
-      .filter(pmod(col("doc_id"), lit(math.max(1L, nDocs / n))) === 0)
-      .select(substring(col("text"), 21, 40).as("phrase"))
-      .filter(length(col("phrase")) === 40)
+    val g = 40
+    val pref = docs.filter(col("doc_id") < 20)
+      .select(substring(col("text"), 11, g).as("__phrase"))
+      .filter(length(col("__phrase")) === g).distinct()
+      .select(graft.functions.TextFunctions.polyHash(
+        substring(col("__phrase"), 1, g)).as("__ph"), col("__phrase"))
+    val train = docs.filter(col("doc_id") >= 20)
 
-    def route(n: Long, ceiling: Long): DataFrame =
-      graft.operators.Canary.contaminatedIds(docs, "doc_id", "text",
-        canaryList(n), "phrase", canaryCountCeiling = ceiling)
+    def grams = train.select(col("doc_id"),
+      explode(call_function("char_gram_hashes", col("text"), lit(g))).as("__gh"))
+    def cands = grams.join(pref, col("__gh") === col("__ph"))
+      .select(col("doc_id"), col("__phrase")).distinct()
+    def collapsed = cands.groupBy(col("doc_id"))
+      .agg(collect_list(col("__phrase")).as("__cands"))
+    def full = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") >= 20).select(col("doc_id"), col("text"))
+      .join(collapsed, Seq("doc_id"))
+      .filter(exists(col("__cands"), p => col("text").contains(p)))
+      .select(col("doc_id")).distinct()
+    def bcast = train.select(col("doc_id"), col("text"),
+        explode(call_function("char_gram_hashes", col("text"), lit(g))).as("__gh"))
+      .join(broadcast(pref), col("__gh") === col("__ph"))
+      .filter(col("text").contains(col("__phrase")))
+      .select(col("doc_id")).distinct()
+
+    val canariesLong = docs.filter(col("doc_id") < 20)
+      .select(substring(col("text"), 11, 40).as("phrase"))
+      .filter(length(col("phrase")) === 40)
+    val canariesShort = docs.filter(col("doc_id") < 3)
+      .select(substring(col("text"), 11, 3).as("phrase"))
+      .filter(length(col("phrase")) === 3)
+    val canaries = canariesLong.unionByName(canariesShort).distinct()
+    def opLong = graft.operators.Canary.contaminatedIds(train, "doc_id",
+      "text", canariesLong.distinct(), "phrase", 1, 1)
+    def opBoth = graft.operators.Canary.contaminatedIds(train, "doc_id",
+      "text", canaries, "phrase", 1, 1)
+    def opShortBnlj = train.select(col("doc_id"), col("text"))
+      .join(broadcast(canariesShort.distinct().select(col("phrase").as("__phrase"))),
+        col("text").contains(col("__phrase")), "left_semi")
+      .select(col("doc_id")).distinct()
+    def q165 = SparkEntry.queries("q165_canary_joined")(spark, sfDir)
 
     val variants = Seq(
-      "bnlj_20" -> (() => route(20, Long.MaxValue)),
-      "gram_20" -> (() => route(20, 1)),
-      "bnlj_2000" -> (() => route(2000, Long.MaxValue)),
-      "gram_2000" -> (() => route(2000, 1)))
-
-    // identical verdicts first (the gate must be a plan choice, never a
-    // semantics change), then the alternating timing passes
-    val hits20 = (route(20, Long.MaxValue).count(), route(20, 1).count())
-    val hits2k = (route(2000, Long.MaxValue).count(), route(2000, 1).count())
-    println(s"[ab] verdict parity: 20 -> $hits20, 2000 -> $hits2k")
-    require(hits20._1 == hits20._2 && hits2k._1 == hits2k._2,
-      "routes disagreed — the gate would be changing semantics")
+      "op_long" -> (() => opLong),
+      "op_short" -> (() => opShortBnlj),
+      "op_both" -> (() => opBoth),
+      "q165_full" -> (() => q165),
+      "grams_scan" -> (() => grams),
+      "gram_join" -> (() => cands),
+      "cands_agg" -> (() => collapsed),
+      "bcast_route" -> (() => bcast))
 
     val times = collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    route(20, Long.MaxValue).write.format("noop").mode("overwrite").save() // warm-up
+    grams.write.format("noop").mode("overwrite").save() // warm-up
     for (_ <- 1 to iters; (name, fn) <- variants) {
       val t0 = System.nanoTime()
       fn().write.format("noop").mode("overwrite").save()
@@ -72,6 +99,10 @@ object ProbeAb {
       println(f"[ab] $name%-12s median=${ts(ts.size / 2)}%.2f s " +
         s"all=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
+    println("==== op_both final (AQE) plan ====")
+    val df = opBoth
+    df.write.format("noop").mode("overwrite").save()
+    println(df.queryExecution.executedPlan.toString.split("\n").take(80).mkString("\n"))
     spark.stop()
   }
 }

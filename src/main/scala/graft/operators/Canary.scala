@@ -132,20 +132,37 @@ object Canary {
 
   /** The too-big-to-broadcast plan: the same prefilter as a shuffle
     * equi-join on the gram hash — (id, hash) vs (hash, phrase), text
-    * stays out of the wide exchange; candidates collapse to one
-    * (id, phrases) row per candidate doc before the verify's id join.
+    * stays out of the wide exchange; the distinct (id, phrase) candidate
+    * PAIRS (bounded: true matches + ~|grams|·|canaries|/2³⁰ collisions)
+    * then join docs on id for the exact verify, so text is re-read, not
+    * shuffled per gram, and AQE broadcasts the candidate side when it
+    * fits (the common case). The verify is a plain two-attribute
+    * `contains` across the join — deliberately NOT an `exists()` lambda
+    * over a per-doc collect_list: an outer column reference inside a
+    * higher-order function above this self-join shape mis-binds after
+    * attribute dedup at some plan sizes (measured at 10×:
+    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND from BindReferences) and defeats
+    * the filter's pipelining at the sizes where it survives.
     */
   private def gramJoinIds(docs: DataFrame, idCol: String, textCol: String,
                           pref: DataFrame, g: Int): DataFrame = {
     val grams = docs.select(col(idCol),
       explode(call_function("char_gram_hashes", col(textCol), lit(g))).as("__gh"))
-    val cands = grams.join(pref, col("__gh") === col("__ph"))
+    // BOTH joins carry explicit shuffle_hash BUILD-side hints: the static
+    // planner's size estimate of a scan does not survive the Generate
+    // explode (measured at 10×: it chose BuildLeft BROADCAST of the
+    // 27M-row exploded gram table, and of the full docs-with-text side in
+    // the verify — 18 s where the route costs 3). The hinted build sides
+    // are the genuinely bounded ones (canaries/candidates, partitioned by
+    // the join key so per-partition builds stay flat — safe where a
+    // broadcast of the same table is not); AQE still demotes to broadcast
+    // at runtime when the materialized side turns out tiny.
+    val cands = grams.join(pref.hint("shuffle_hash"),
+        col("__gh") === col("__ph"))
       .select(col(idCol), col("__phrase")).distinct()
-      .groupBy(col(idCol))
-      .agg(collect_list(col("__phrase")).as("__cands"))
     docs.select(col(idCol), col(textCol))
-      .join(cands, Seq(idCol))
-      .filter(exists(col("__cands"), p => col(textCol).contains(p)))
+      .join(cands.hint("shuffle_hash"), Seq(idCol))
+      .filter(col(textCol).contains(col("__phrase"))) // exact verify
       .select(col(idCol)).distinct()
   }
 }
