@@ -584,6 +584,27 @@ object CurationQueries {
         ((col("score") >= 0.5) === (col("y") === 1)).cast("int"))
   }
 
+  /** PII scrubbing ([[graft.operators.Scrub.scrubPii]]): the redaction
+    * pass that runs before fingerprinting (emails / IPv4s / phones →
+    * typed placeholders + per-doc counts). The synthetic corpus carries
+    * no PII, so the fixture PLANTS a deterministic email + IP + phone on
+    * every doc_id ≡ 0 (mod 3) — the driver row then hash-checks the
+    * scrubbed STRINGS, i.e. the cross-engine regex-semantics claim
+    * itself (Java regex vs RE2 agree on the restricted pattern subset).
+    * Scan-local, zero shuffle (the q97 class — no ScaleBench row).
+    */
+  val q167_pii_scrub: Q = (s, dir) => {
+    val planted = t(s, dir).documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".7 or +1 555 01"),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+          lit(" 4242")))
+        .otherwise(col("text")).as("text"))
+    graft.operators.Scrub.scrubPii(planted, "doc_id", "text")
+  }
+
   def all: Map[String, Q] = Map(
     "q119_weighted_sample" -> q119_weighted_sample,
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
@@ -591,6 +612,7 @@ object CurationQueries {
     "q159_canary_gated" -> q159_canary_gated,
     "q165_canary_joined" -> q165_canary_joined,
     "q166_holdout_eval" -> q166_holdout_eval,
+    "q167_pii_scrub" -> q167_pii_scrub,
     "q97_gopher_rules" -> q97_gopher_rules,
     "q98_token_entropy" -> q98_token_entropy,
     "q99_temperature_mix" -> q99_temperature_mix,
@@ -755,10 +777,37 @@ object CurationQueries {
        |  list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),
        |  (h, a) -> (h * 31 + a) % 1000000007)""".stripMargin
 
+  /** q167 oracle: the identical plant, the identical three-pass
+    * replace in the identical order ('g' — DuckDB replaces first-only
+    * by default where Spark replaces all), counts via
+    * regexp_extract_all length.
+    */
+  private def q167Oracle: String = {
+    import graft.operators.Scrub
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN
+       |      text || ' contact user' || doc_id::VARCHAR || '@example.com via 10.0.' ||
+       |      (doc_id % 256)::VARCHAR || '.7 or +1 555 01' ||
+       |      lpad((doc_id % 100)::VARCHAR, 2, '0') || ' 4242'
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '${Scrub.EMAIL}', '<EMAIL>', 'g'),
+       |    '${Scrub.IPV4}', '<IP>', 'g'),
+       |    '${Scrub.PHONE}', '<PHONE>', 'g') AS scrubbed,
+       |  len(regexp_extract_all(text, '${Scrub.EMAIL}'))::BIGINT AS n_email,
+       |  len(regexp_extract_all(text, '${Scrub.IPV4}'))::BIGINT AS n_ip,
+       |  len(regexp_extract_all(text, '${Scrub.PHONE}'))::BIGINT AS n_phone
+       |FROM p""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q161_quality_train" -> q161Oracle,
     "q162_quality_score" -> q162Oracle,
     "q166_holdout_eval" -> q166Oracle,
+    "q167_pii_scrub" -> q167Oracle,
     // the forced shuffle-gram + short-probe union must produce plain
     // contains() verdicts over the union list — recall 1.0 on every route
     "q165_canary_joined" ->

@@ -344,9 +344,42 @@ object DedupQueries {
     Dedup.clusterSafeSplitExact(t(s, dir).documents, "doc_id", "text",
       SHINGLE_N, tNum = 1, tDen = 2, buckets = 10)
 
+  /** Per-EVAL-doc contamination coverage — the "is my eval compromised"
+    * dashboard row, the reverse direction of q137's per-train-doc
+    * containment: for each eval doc (doc_id < 50), what fraction of its
+    * distinct 3-shingles appears ANYWHERE in the training corpus
+    * (doc_id ≥ 50). A benchmark whose items are half-covered by train
+    * shingles measures memorization, not ability — this is the report
+    * that says so before the eval ships.
+    *
+    * Scale shape: the train side reduces to its distinct shingle-hash
+    * LONGS (one exchange — the honest cost of an any-overlap answer; a
+    * bloom side would trade ε false coverage for it), the eval side is
+    * eval-sized and explodes scan-locally, and the left-semi join keys
+    * on the 8-byte hash. Coverage is one narrow per-doc aggregate.
+    */
+  val q168_eval_coverage: Q = (s, dir) => {
+    val sets = t(s, dir).documents.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions.shingleHashes(
+        col("text"), SHINGLE_N)).as("hs"))
+    val ev = sets.filter(col("doc_id") < 50 && size(col("hs")) >= 1)
+    val trainH = sets.filter(col("doc_id") >= 50)
+      .select(explode(col("hs")).as("h")).distinct()
+    val cov = ev.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(trainH, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    ev.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)) / col("n_shingles"), 6)
+          .as("coverage"))
+  }
+
   def all: Map[String, Q] = Map(
     "q163_corpus_diff" -> q163_corpus_diff,
     "q164_split_exact" -> q164_split_exact,
+    "q168_eval_coverage" -> q168_eval_coverage,
     "q95_incremental_bloomed" -> q95_incremental_bloomed,
     "q94_canonical_dedup" -> q94_canonical_dedup,
     "q157_cluster_split" -> q157_cluster_split,
@@ -430,6 +463,19 @@ object DedupQueries {
        |  FROM th)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // the coverage replay: eval shingle sets vs the train corpus's
+    // distinct shingle universe, per-doc covered counts + the fraction
+    "q168_eval_coverage" ->
+      s"""WITH $shingleCtes,
+         |ev AS (SELECT doc_id, hs FROM sh WHERE doc_id < 50 AND len(hs) >= 1),
+         |tr AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id >= 50),
+         |cov AS (SELECT e.doc_id, count(*)::BIGINT AS n_covered
+         |  FROM (SELECT doc_id, unnest(hs) AS h FROM ev) e
+         |  JOIN tr USING (h) GROUP BY 1)
+         |SELECT ev.doc_id, len(ev.hs)::BIGINT AS n_shingles,
+         |  coalesce(cov.n_covered, 0)::BIGINT AS n_covered,
+         |  round(coalesce(cov.n_covered, 0)::DOUBLE / len(ev.hs), 6) AS coverage
+         |FROM ev LEFT JOIN cov ON ev.doc_id = cov.doc_id""".stripMargin,
     "q163_corpus_diff" ->
       """WITH o AS (
         |  SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents),

@@ -111,7 +111,13 @@ object ScaleBench {
     // round-8: hold-out eval — q157's fixpoint + q161's GD rounds over
     // the split≠0 subset + one scoring scan of the held-out tenth;
     // expected the sum of its parts (round latency at small SF)
-    "q166_holdout_eval")
+    "q166_holdout_eval",
+    // round-8: eval-coverage report — the train side's distinct
+    // shingle-hash exchange grows with the corpus while the eval side
+    // stays fixed (q96/q137's geometry); expected ~linear in the
+    // distinct-hash exchange. q167 (PII scrub) is scan-local zero-shuffle
+    // — the q97/q101 no-scaling-question class, deliberately absent here
+    "q168_eval_coverage")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",
