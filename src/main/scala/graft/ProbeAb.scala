@@ -57,6 +57,11 @@ object ProbeAb {
       .select(col("id").as("vec_id"), typedLit(one.toArray).as("embedding"))
     AnnIndex.append(drifted, "vec_id", "embedding", dir)
     println(f"[drift] +100%% single-point (real shift): psi=${AnnIndex.driftScore(spark, dir)}%.6f")
+    // reap the scratch index (2× corpus-sized coded rows) — the round-7
+    // tmp-reaping discipline
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
     spark.stop()
   }
 }

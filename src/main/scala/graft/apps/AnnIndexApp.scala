@@ -105,10 +105,7 @@ object AnnIndexApp {
         // Run on the compact cadence; >= --psi-threshold means the
         // coarse quantizer no longer tessellates the data and a --mode
         // build rebuild is due.
-        val coded = AnnIndex.loadCoded(spark, index)
-        val rows = coded.count()
-        val lists = coded.select(col("centroid")).distinct().count()
-        val drift = AnnIndex.driftScore(spark, index)
+        val (rows, lists, drift) = AnnIndex.driftStats(spark, index)
         val threshold = conf.getOrElse("psi-threshold", "0.2").toDouble
         println(f"[ann-index] stats: rows=$rows lists=$lists " +
           f"drift_psi=$drift%.6f threshold=$threshold " +

@@ -36,26 +36,37 @@ object AnnIndex {
     */
   def write(corpus: DataFrame, idCol: String, vecCol: String,
             coarse: Array[Double], dims: Int,
-            pq: Array[Double], subDims: Int, dir: String): Unit = {
+            pq: Array[Double], subDims: Int, dir: String,
+            leaseTakeoverMs: Long = 24L * 3600 * 1000): Unit = {
     require(dims >= 1 && subDims >= 1 && dims % subDims == 0,
       s"AnnIndex.write: dims=$dims must be a positive multiple of subDims=$subDims")
     require(coarse.length % dims == 0 && coarse.nonEmpty,
       s"AnnIndex.write: coarse length ${coarse.length} not a multiple of dims=$dims")
     val spark = corpus.sparkSession
     import spark.implicits._
-    codedFrame(corpus, idCol, vecCol, coarse, dims, pq, subDims)
-      .write.mode("overwrite").partitionBy("centroid")
-      .parquet(s"$dir/coded")
-    // the TRAIN-TIME posting-list occupancy rides along in the model dir
-    // (k doubles — model-sized): the reference distribution the drift
-    // gate scores later appends against ([[driftScore]]); counted from
-    // the written lists, so it is exactly what a probe would see
-    val k = coarse.length / dims
-    val hist = assignmentHistogram(spark, s"$dir/coded", k)
-    Seq(("coarse", dims, coarse.toSeq), ("pq", subDims, pq.toSeq),
-        ("hist", k, hist.toSeq))
-      .toDF("kind", "dim_param", "vals")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    // a rebuild is a maintenance writer like compact: it must not
+    // overwrite `coded` while a compact is mid-swap (or vice versa), so
+    // it holds the same lease. Released in finally — an interrupted
+    // overwrite leaves no moved-aside state, just an incomplete table
+    // whose fix is re-running the build (mode-overwrite semantics).
+    val fs = fsOf(spark, dir)
+    val lease = leasePath(dir)
+    acquireLease(fs, lease, leaseTakeoverMs, "write")
+    try {
+      codedFrame(corpus, idCol, vecCol, coarse, dims, pq, subDims)
+        .write.mode("overwrite").partitionBy("centroid")
+        .parquet(s"$dir/coded")
+      // the TRAIN-TIME posting-list occupancy rides along in the model dir
+      // (k doubles — model-sized): the reference distribution the drift
+      // gate scores later appends against ([[driftScore]]); counted from
+      // the written lists, so it is exactly what a probe would see
+      val k = coarse.length / dims
+      val hist = assignmentHistogram(spark, s"$dir/coded", k)
+      Seq(("coarse", dims, coarse.toSeq), ("pq", subDims, pq.toSeq),
+          ("hist", k, hist.toSeq))
+        .toDF("kind", "dim_param", "vals")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    } finally { fs.delete(lease, false); () }
   }
 
   /** Per-centroid row counts of the written posting lists, as a dense
@@ -89,7 +100,15 @@ object AnnIndex {
     * Fails loudly on an index written before histograms existed —
     * rebuild (`write`) to stamp one.
     */
-  def driftScore(spark: SparkSession, dir: String): Double = {
+  def driftScore(spark: SparkSession, dir: String): Double =
+    driftStats(spark, dir)._3
+
+  /** (rows, non-empty lists, drift PSI) from ONE coded aggregate — the
+    * current occupancy histogram already carries all three, so the
+    * stats/monitoring path ([[graft.apps.AnnIndexApp]] `--mode stats`)
+    * never scans the index more than once.
+    */
+  def driftStats(spark: SparkSession, dir: String): (Long, Long, Double) = {
     val rows = spark.read.parquet(s"$dir/model")
       .select(col("kind"), col("dim_param"), col("vals")).collect()
     val hist = rows.find(_.getString(0) == "hist").getOrElse(sys.error(
@@ -97,7 +116,8 @@ object AnnIndex {
         s"predates drift tracking; rebuild with AnnIndex.write to stamp " +
         s"the train-time histogram"))
     val train = hist.getSeq[Double](2).toArray
-    psi(train, assignmentHistogram(spark, s"$dir/coded", train.length))
+    val cur = assignmentHistogram(spark, s"$dir/coded", train.length)
+    (cur.sum.toLong, cur.count(_ > 0).toLong, psi(train, cur))
   }
 
   /** PSI between two same-length count histograms (reference, current). */
@@ -183,11 +203,85 @@ object AnnIndex {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The compact lease marker — present exactly while a compact owns the
-    * index directory (see [[compactCoded]]'s single-writer contract).
+  /** The maintenance lease marker — present exactly while a compact or
+    * rebuild owns the index directory (see [[compactCoded]]'s
+    * single-writer contract).
     */
   def leasePath(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$dir/compact.lease")
+
+  /** Acquire the maintenance lease with a unique owner token (returned
+    * for [[verifyLease]] re-checks). A FRESH foreign lease refuses; a
+    * stale one (store mtime older than `takeoverMs`) is taken over.
+    * delete-then-create is not atomic on any store (and local
+    * `create(overwrite=false)` is itself check-then-create), so
+    * ownership is VERIFIED by reading the token back — two racers both
+    * "acquiring" resolve to the single one whose token survived; the
+    * loser fails here instead of proceeding.
+    */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+                           lease: org.apache.hadoop.fs.Path,
+                           takeoverMs: Long, op: String): String = {
+    if (fs.exists(lease)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
+      require(age > takeoverMs,
+        s"AnnIndex.$op: $lease is held and only ${age}ms old (takeover " +
+          s"at ${takeoverMs}ms) — another maintenance op is in flight; " +
+          s"exactly one compact/rebuild may run at a time")
+      // a crashed op's stale lease: take it over (recreate re-stamps
+      // ownership and the mtime clock)
+      fs.delete(lease, false)
+    }
+    val token = s"op=$op pid=${ProcessHandle.current().pid()} " +
+      s"nonce=${java.util.UUID.randomUUID()}"
+    val out =
+      try fs.create(lease, /* overwrite = */ false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"AnnIndex.$op: lost the lease-acquisition race on $lease", e)
+      }
+    try out.writeBytes(token + "\n") finally out.close()
+    verifyLease(fs, lease, token, op)
+    token
+  }
+
+  /** Require the lease still carries OUR token — the load-bearing check
+    * runs immediately before the irreversible swap, so a racing
+    * taker-over aborts this op while everything is still reversible.
+    */
+  private def leaseToken(fs: org.apache.hadoop.fs.FileSystem,
+                         lease: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(lease)
+    try new java.io.BufferedReader(new java.io.InputStreamReader(in)).readLine()
+    finally in.close()
+  }
+
+  private def verifyLease(fs: org.apache.hadoop.fs.FileSystem,
+                          lease: org.apache.hadoop.fs.Path,
+                          token: String, op: String): Unit = {
+    val read = leaseToken(fs, lease)
+    require(read == token,
+      s"AnnIndex.$op: lease ownership lost — $lease now carries " +
+        s"'$read', not ours; another maintenance op took over")
+  }
+
+  /** The data files of a posting-list directory (name, length) — the
+    * pre-swap concurrent-append detector's snapshot unit.
+    */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Set[(String, Long)] =
+    if (!fs.exists(p)) Set.empty
+    else {
+      val it = fs.listFiles(p, /* recursive = */ true)
+      val b = Set.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith("."))
+          b += ((s.getPath.toString, s.getLen))
+      }
+      b.result()
+    }
 
   /** Compact the posting lists: drop duplicate ids (keep the
     * lexicographically-first codes row — they are identical under one
@@ -207,16 +301,28 @@ object AnnIndex {
     * which is why compacts are a cadence job, not a hot-path one).
     *
     * SINGLE-WRITER maintenance contract, ENFORCED by a lease: compact
-    * creates `<dir>/compact.lease` atomically at start (create-fails-if-
-    * exists), [[appendWith]] refuses while it is present, and a second
-    * compact refuses while a FRESH lease is held — so the documented
-    * "appends/probes pause for the swap window" cannot be violated
-    * silently. A compact that fails BEFORE its swap starts releases the
-    * lease (nothing moved — appends are safe to resume); a crash inside
-    * the swap window keeps the lease held, blocking appends until the
-    * next compact — the only party that can know the swap is not in
-    * flight — takes over the now-stale lease (age > `leaseTakeoverMs`
-    * by the file's store mtime) and rolls the interrupted swap back. A
+    * (and [[write]]'s rebuild) acquires `<dir>/compact.lease` with a
+    * verified owner token, [[appendWith]] refuses while it is present,
+    * and a second maintenance op refuses while a FRESH lease is held —
+    * so the documented "appends/probes pause for the swap window"
+    * cannot be violated silently. Failure handling is phase-aware:
+    *
+    *  - a failure while `coded` is a complete copy (compute / tmp-write)
+    *    RELEASES the lease — appends are safe to resume;
+    *  - a failure that leaves `coded` moved aside (the swap window, or
+    *    a failed rollback of a previous swap) KEEPS the lease held —
+    *    releasing it would let a retrying appender recreate a fresh
+    *    `coded` and a later compact delete `coded_old`, the only
+    *    complete copy; the next compact takes over the stale lease
+    *    (age > `leaseTakeoverMs` by store mtime) and rolls back.
+    *
+    * Two pre-swap gates run while everything is still reversible: the
+    * live file set must equal the snapshot this compact READ (an append
+    * that passed its lease check before acquisition but committed files
+    * mid-compact aborts the compact instead of losing rows — the
+    * check-then-write residual shrinks from the whole compact to the
+    * instants between this listing and the rename), and the lease must
+    * still carry OUR token (a concurrent taker-over wins; we abort). A
     * reader-side auto-heal was considered and rejected because a
     * concurrent reader rolling `coded_old` back RACES the compactor's
     * own rename (it can abort a healthy compact, or crash spuriously
@@ -226,31 +332,21 @@ object AnnIndex {
                    leaseTakeoverMs: Long = 24L * 3600 * 1000): (Long, Long) = {
     val fs = fsOf(spark, dir)
     val lease = leasePath(dir)
-    if (fs.exists(lease)) {
-      val age = System.currentTimeMillis() - fs.getFileStatus(lease).getModificationTime
-      require(age > leaseTakeoverMs,
-        s"AnnIndex.compactCoded: $lease is held and only ${age}ms old " +
-          s"(takeover at ${leaseTakeoverMs}ms) — another compact is in " +
-          s"flight; exactly one compact may run at a time")
-      // a crashed compact's stale lease: take it over (delete + recreate
-      // below re-stamps ownership and the mtime clock)
-      fs.delete(lease, false)
-    }
-    locally {
-      val out = fs.create(lease, /* overwrite = */ false)
-      try out.writeBytes(s"compact start epoch_ms=${System.currentTimeMillis()}\n")
-      finally out.close()
-    }
+    val token = acquireLease(fs, lease, leaseTakeoverMs, "compactCoded")
     val live = new org.apache.hadoop.fs.Path(s"$dir/coded")
     val old = new org.apache.hadoop.fs.Path(s"$dir/coded_old")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/coded_compact")
     val counts =
       try {
-        // roll back a PREVIOUS compact's interrupted swap
+        // roll back a PREVIOUS compact's interrupted swap FIRST — if
+        // this fails, the conditional release below sees live missing
+        // and keeps the lease (the catastrophic case the phase-aware
+        // contract exists for)
         if (!fs.exists(live) && fs.exists(old))
           require(fs.rename(old, live),
             s"AnnIndex.compactCoded: found an interrupted swap but could " +
               s"not roll $old back to $live")
+        val snapshot = dataFiles(fs, live)
         val coded = loadCoded(spark, dir)
         val idCol = coded.columns.filterNot(Set("codes", "centroid")).head
         val before = coded.count()
@@ -263,10 +359,27 @@ object AnnIndex {
         val after = deduped.count()
         deduped.write.mode("overwrite").partitionBy("centroid").parquet(tmp.toString)
         deduped.unpersist()
+        // pre-swap gates, still fully reversible: no concurrent append
+        // landed since the read, and the lease is still ours
+        val now = dataFiles(fs, live)
+        require(now == snapshot,
+          s"AnnIndex.compactCoded: the live lists changed during the " +
+            s"compact (${(now -- snapshot).size} new / " +
+            s"${(snapshot -- now).size} gone files) — an append slipped " +
+            s"into the window; aborting without the swap, re-run compact")
+        verifyLease(fs, lease, token, "compactCoded")
         (before, after)
       } catch { case e: Throwable =>
-        // nothing has moved yet — release the lease so appends resume
-        fs.delete(lease, false)
+        // keep the lease ONLY in the true moved-aside state (live
+        // missing while old holds the only complete copy — a failed
+        // rollback): releasing there would let a retrying appender
+        // recreate a fresh `coded` and a later compact delete the copy.
+        // Every other failure leaves nothing to protect, so release —
+        // but never delete a lease another op now owns
+        val movedAside = !fs.exists(live) && fs.exists(old)
+        if (!movedAside && fs.exists(lease) &&
+            (try leaseToken(fs, lease) == token catch { case _: Exception => false }))
+          fs.delete(lease, false)
         throw e
       }
     // crash-safe swap order: the live lists are never the only copy —

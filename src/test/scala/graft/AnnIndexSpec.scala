@@ -186,13 +186,56 @@ class AnnIndexSpec extends AnyFunSuite {
         "vec_id", "embedding", nprobe = 1, kNeighbors = 1)
       .select($"neighbor_id").as[Long].collect().toSeq
     assert(got == Seq(90001L), s"post-lease append must be probe-visible: $got")
-    // a compact that fails BEFORE its swap releases the lease: plant a
-    // malformed model dir copy? cheaper — delete coded to force the read
-    // to fail, then verify the lease is gone and the error surfaced
+    // a compact that fails BEFORE its swap releases the lease (an empty
+    // dir has no moved-aside copy to protect), so appends can resume
     val dir2 = java.nio.file.Files.createTempDirectory("ann-lease2").toString
     intercept[Exception] { AnnIndex.compactCoded(spark, dir2) }
     assert(!fs.exists(AnnIndex.leasePath(dir2)),
       "a pre-swap failure must release the lease so appends resume")
+    // a REBUILD is a maintenance writer too: it must refuse while a
+    // fresh lease is held (a rebuild racing a compact's swap would be
+    // overwritten or moved aside)
+    locally { val o = fs.create(AnnIndex.leasePath(dir), false); o.close() }
+    val (coarse2, _, pq2, _) = model
+    val ew = intercept[IllegalArgumentException] {
+      AnnIndex.write(emb, "vec_id", "embedding", coarse2, 64, pq2, 8, dir)
+    }
+    assert(ew.getMessage.contains("in flight"), ew.getMessage)
+    fs.delete(AnnIndex.leasePath(dir), false)
+  }
+
+  test("interrupted swap: the next compact takes over the stale lease, rolls coded_old back, and completes") {
+    import graft.operators.{AnnIndex, Ivf, Pq}
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-swapcrash").toString
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    AnnIndex.write(emb, "vec_id", "embedding", coarse, 64, pq, 8, dir)
+    val before = AnnIndex.loadCoded(spark, dir).count()
+    // simulate a compact that crashed between rename(live->old) and
+    // rename(tmp->live): live missing, old holds the only complete copy,
+    // the (now stale) lease still held
+    val fs = AnnIndex.leasePath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/coded")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/coded_old")
+    assert(fs.rename(live, old))
+    locally { val o = fs.create(AnnIndex.leasePath(dir), false); o.close() }
+    fs.setTimes(AnnIndex.leasePath(dir),
+      System.currentTimeMillis() - 25L * 3600 * 1000, -1)
+    // appends stay blocked through the whole crashed window
+    val planted = emb.filter($"vec_id" === 3)
+      .select(lit(90001L).as("vec_id"), $"embedding")
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendWith(planted, "vec_id", "embedding",
+        AnnIndex.loadModel(spark, dir), dir)
+    }
+    // the next compact is the recovery: takeover + rollback + swap
+    val (b2, a2) = AnnIndex.compactCoded(spark, dir)
+    assert(b2 == before && a2 == before, s"rolled-back compact sees all rows: $b2/$a2")
+    assert(fs.exists(live) && !fs.exists(old) &&
+      !fs.exists(AnnIndex.leasePath(dir)),
+      "recovery must restore live, clear old, release the lease")
   }
 
   test("drift gate: undrifted appends stay under the retrain threshold; a shifted batch crosses it") {
