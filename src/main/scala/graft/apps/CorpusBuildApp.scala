@@ -30,9 +30,10 @@ import graft.pipelines.CorpusPipeline
 object CorpusBuildApp {
 
   val usage = "graft.apps.CorpusBuildApp --input <documents parquet> " +
-    "--out <dir> [--embeddings <parquet>] " +
+    "--out <dir> [--embeddings <parquet>] [--scrub-pii true] " +
     "[--eval <parquet> [--containment 1/2]] " +
-    "[--canaries <text file> [--canary-ceiling 128]] " +
+    "[--canaries <text file> [--canary-ceiling 128] " +
+    "[--canary-broadcast-chars 33554432]] " +
     "[--min-quality 0.35] [--jaccard 0.5] [--cos-threshold 0.35] " +
     "[--split-jaccard 0.3] [--buckets 10] [--train-splits 0-7] " +
     "[--block-size 256] [--pack-shards 8]"
@@ -41,7 +42,15 @@ object CorpusBuildApp {
     val conf = AppEnv.parseArgs(args)
     val spark: SparkSession = AppEnv.session("graft-corpus-build", conf)
     val out = AppEnv.get(conf, "out", usage)
-    val docs0 = spark.read.parquet(AppEnv.get(conf, "input", usage))
+    val raw = spark.read.parquet(AppEnv.get(conf, "input", usage))
+
+    // stage 0 (--scrub-pii true): redact emails/IPs/phones BEFORE any
+    // stage fingerprints the text — scrub after dedup and the same
+    // document with two different emails survives as two "distinct" docs
+    val docs0 =
+      if (conf.getOrElse("scrub-pii", "false").toBoolean)
+        raw.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
+      else raw
 
     // stage 1a: containment-graded eval decontamination
     val docs1 = conf.get("eval") match {
@@ -52,8 +61,9 @@ object CorpusBuildApp {
         CorpusPipeline.decontaminateByContainment(
           docs0, spark.read.parquet(evalPath), "doc_id", "text", tn, td)
     }
-    // stage 1b: exact-substring canaries through the measured gate (q159's
-    // gram route engages itself above the ceiling)
+    // stage 1b: exact-substring canaries through the measured gates
+    // (q159's gram route engages above the count ceiling; q165's
+    // shuffle-join route above the broadcast-chars ceiling)
     val docs = conf.get("canaries") match {
       case None => docs1
       case Some(path) =>
@@ -62,7 +72,9 @@ object CorpusBuildApp {
           .filter((s: String) => s.nonEmpty).toDF("phrase")
         val hit = Canary.contaminatedIds(docs1, "doc_id", "text",
           can, "phrase",
-          canaryCountCeiling = conf.getOrElse("canary-ceiling", "128").toLong)
+          canaryCountCeiling = conf.getOrElse("canary-ceiling", "128").toLong,
+          broadcastCharsCeiling =
+            conf.getOrElse("canary-broadcast-chars", (32L << 20).toString).toLong)
         docs1.join(hit, Seq("doc_id"), "left_anti")
     }
 

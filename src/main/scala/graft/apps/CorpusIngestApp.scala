@@ -29,6 +29,7 @@ object CorpusIngestApp {
     "--checkpoint <dir> [--min-quality 0.35] [--delay '10 seconds'] " +
     "[--eval <parquet of eval docs>] [--eval-containment <tNum/tDen>] " +
     "[--canaries <text file, one verbatim canary string per line>] " +
+    "[--scrub-pii true] " +
     "[--split-labels <labels table dir> [--split-buckets 10] " +
     "[--split-jaccard 0.3]] [--trigger available-now|'<interval>']"
 
@@ -40,11 +41,19 @@ object CorpusIngestApp {
   def main(args: Array[String]): Unit = {
     val conf = AppEnv.parseArgs(args)
     val spark: SparkSession = AppEnv.session("graft-corpus-ingest", conf)
-    val docs = AppEnv.source(spark, conf, usage)
+    val raw = AppEnv.source(spark, conf, usage)
       .withColumn("j", from_json(col("value"), docSchema))
       .filter(col("j").isNotNull && col("j.doc_id").isNotNull && col("j.text").isNotNull)
       .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
         timestamp_seconds(col("j.ts")).as("ts"))
+    // --scrub-pii true: redact emails/IPs/phones BEFORE anything
+    // fingerprints the text (scrub after dedup and the same document
+    // with two emails survives as two "distinct" docs) — stateless
+    // per-row regexes, streaming-safe at any arrival order
+    val docs =
+      if (conf.getOrElse("scrub-pii", "false").toBoolean)
+        raw.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
+      else raw
     // eval-set decontamination — two modes sharing --eval:
     //  * default: ANY-overlap, recall-first — hashes computed once
     //    batch-side (bounded set, q69's premise), probed scan-locally as

@@ -392,7 +392,8 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
       (4L, b23 + " appended", "en", "src_a", 0L), // J ~0.95 near-dup -> dropped
       (5L, "a a a a a a a a", "en", "src_a", 0L), // quality reject
       (6L, s"good prose but contains $canary verbatim inside", "en", "src_a", 0L),
-      (7L, "completely different prose about volcanic geology and rare minerals", "en", "src_b", 0L),
+      (7L, "completely different prose about volcanic geology and rare " +
+        "minerals mail curator@example.org for samples", "en", "src_b", 0L),
       (8L, "another standalone text on deep sea hydrothermal vents and fauna", "en", "src_b", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$base/docs")
@@ -400,7 +401,7 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
     java.nio.file.Files.write(canaryFile.toPath,
       s"$canary\nANOTHER-UNHIT-CANARY-PHRASE\n".getBytes)
     graft.apps.CorpusBuildApp.main(Array(
-      "--input", s"$base/docs", "--out", out,
+      "--input", s"$base/docs", "--out", out, "--scrub-pii", "true",
       "--canaries", canaryFile.getAbsolutePath,
       "--split-jaccard", "0.3", "--buckets", "10", "--train-splits", "0-7"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -408,6 +409,12 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
       .select($"doc_id", $"split").as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(kept.keySet == Set(1L, 2L, 7L, 8L),
       s"canary 6, dup 3, near-dup 4, low-quality 5 must drop; got ${kept.keySet}")
+    // --scrub-pii ran as stage 0: the planted email is redacted in the
+    // OUTPUT corpus (scrub-before-fingerprint, so dedup saw scrubbed text)
+    val d7 = spark.read.parquet(s"$out/docs")
+      .filter($"doc_id" === 7L).select($"text").as[String].head()
+    assert(d7.contains("<EMAIL>") && !d7.contains("curator@"),
+      s"doc 7 must ship scrubbed: $d7")
     // the split is leakage-free at the WIDER radius: 1 and 2 are related
     // (J = 0.4) though not dedup-duplicates — same cluster, same split
     val labels = spark.read.parquet(s"$out/labels")
