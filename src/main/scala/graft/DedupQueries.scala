@@ -354,9 +354,12 @@ object DedupQueries {
     *
     * Scale shape: the train side reduces to its distinct shingle-hash
     * LONGS (one exchange — the honest cost of an any-overlap answer; a
-    * bloom side would trade ε false coverage for it), the eval side is
-    * eval-sized and explodes scan-locally, and the left-semi join keys
-    * on the 8-byte hash. Coverage is one narrow per-doc aggregate.
+    * bloom side would trade ε false coverage for it) and then STREAMS
+    * through the join; the exploded (eval doc, hash) table is the
+    * broadcast side, explicitly — it is eval-sized by contract (eval
+    * sets don't grow with the corpus), where the planner's estimate
+    * would happily broadcast the train universe instead (the q165
+    * build-side lesson). Coverage is one narrow per-doc aggregate.
     */
   val q168_eval_coverage: Q = (s, dir) => {
     val sets = t(s, dir).documents.select(col("doc_id"),
@@ -365,8 +368,11 @@ object DedupQueries {
     val ev = sets.filter(col("doc_id") < 50 && size(col("hs")) >= 1)
     val trainH = sets.filter(col("doc_id") >= 50)
       .select(explode(col("hs")).as("h")).distinct()
-    val cov = ev.select(col("doc_id"), explode(col("hs")).as("h"))
-      .join(trainH, Seq("h"), "left_semi")
+    // inner join counts each eval (doc, h) at most once: trainH is
+    // distinct and a doc's hs is distinct, so no over-count
+    val cov = trainH
+      .join(broadcast(ev.select(col("doc_id"), explode(col("hs")).as("h"))),
+        Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
     ev.select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"))
       .join(cov, Seq("doc_id"), "left_outer")
