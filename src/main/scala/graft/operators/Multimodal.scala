@@ -57,7 +57,8 @@ object Multimodal {
     * arithmetic, so it runs inside the same batched mapPartitions as any
     * codec would.
     */
-  private[operators] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+  private[operators] def decodePnm(p: Array[Byte], magic: Char,
+                                   channels: Int): Option[(Int, Int, Array[Float])] = {
     var i = 0
     def skipWs(): Boolean = {
       var progress = true
@@ -83,7 +84,7 @@ object Multimodal {
       }
       Some(v.toInt)
     }
-    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    if (p.length < 2 || p(0) != 'P' || p(1) != magic) return None
     i = 2
     for {
       w <- int(); h <- int(); maxv <- int()
@@ -91,20 +92,30 @@ object Multimodal {
       // exactly ONE whitespace byte separates the header from the raster
       if i < p.length && (p(i) == '\n' || p(i) == ' ' || p(i) == '\r' || p(i) == '\t')
       pixels = w.toLong * h
-      if pixels <= Int.MaxValue / 3
-      if p.length - (i + 1) >= pixels * 3
+      if pixels <= Int.MaxValue / channels
+      if p.length - (i + 1) >= pixels * channels
     } yield {
       i += 1
-      val sums = Array.fill(3)(0L)
+      val sums = Array.fill(channels)(0L)
       var j = 0
-      val n = (pixels * 3).toInt
+      val n = (pixels * channels).toInt
       while (j < n) {
-        sums(j % 3) += p(i + j) & 0xff
+        sums(j % channels) += p(i + j) & 0xff
         j += 1
       }
-      (w, h, Array.tabulate(3)(c => (sums(c).toDouble / pixels / maxv).toFloat))
+      (w, h, Array.tabulate(channels)(c => (sums(c).toDouble / pixels / maxv).toFloat))
     }
   }
+
+  /** Binary P6 PPM: 3 interleaved RGB channels. */
+  private[operators] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodePnm(p, '6', 3)
+
+  /** Binary P5 PGM: one grayscale channel — the same Netpbm byte
+    * arithmetic as [[decodePpm]] with a different magic and stride.
+    */
+  private[operators] def decodePgm(p: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    decodePnm(p, '5', 1)
 
   /** STUB decode: a real implementation would hand `payload` to an image
     * codec and a vision encoder. Here: deterministic arithmetic over the
@@ -136,6 +147,7 @@ object Multimodal {
     * arbitrary text) can never silently switch feature semantics.
     */
   val PpmFormat = "image/ppm"
+  val PgmFormat = "image/pgm"
 
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       batchSize: Int = 64): Dataset[MediaFeatures] = {
@@ -144,10 +156,21 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val (checksum, stubEmb) = decodeStub(r.payload)
-          (if (r.meta.format == PpmFormat) decodePpm(r.payload) else None) match {
+          val real = r.meta.format match {
+            case PpmFormat => decodePpm(r.payload)
+            case PgmFormat => decodePgm(r.payload)
+            case _ => None
+          }
+          real match {
             case Some((w, h, means)) =>
+              // uniform 4-float embedding head: RGB means + their average
+              // for P6; the grayscale mean replicated for P5
+              val emb =
+                if (means.length == 3)
+                  means :+ ((means(0) + means(1) + means(2)) / 3)
+                else Array.fill(4)(means(0))
               MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
-                w, h, means :+ ((means(0) + means(1) + means(2)) / 3))
+                w, h, emb)
             case None =>
               MediaFeatures(r.doc_id, r.payload.length.toLong, checksum,
                 r.meta.width, r.meta.height, stubEmb)

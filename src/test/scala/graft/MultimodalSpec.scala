@@ -105,4 +105,32 @@ class MultimodalSpec extends AnyFunSuite {
         got(id).embedding.forall(v => v >= 0f && v <= 1f), s"doc $id")
     }
   }
+
+  test("decodePgm: binary P5 decodes one grayscale channel; the magic gates P5 vs P6 under the declared format") {
+    import graft.operators.Multimodal
+    def pnm(header: String, raster: Seq[Int]): Array[Byte] =
+      header.getBytes("US-ASCII") ++ raster.map(_.toByte).toArray
+    // 2x2 P5, mean = (0 + 64 + 128 + 192) / 4 / 255
+    val goodPgm = pnm("P5\n2 2\n255\n", Seq(0, 64, 128, 192))
+    val goodPpm = pnm("P6\n2 1\n255\n", Seq(255, 0, 0, 0, 255, 0))
+    val media = Seq(
+      (1L, goodPgm, Multimodal.PgmFormat),
+      // a P6 payload DECLARED pgm must not decode (wrong magic): stub
+      (2L, goodPpm, Multimodal.PgmFormat),
+      // and a P5 payload declared ppm falls back too
+      (3L, goodPgm, Multimodal.PpmFormat))
+      .map { case (id, p, f) => (id, p, (f, 99, 77, p.length.toLong)) }
+      .toDF("doc_id", "payload", "meta")
+      .select($"doc_id", $"payload",
+        struct($"meta._1".as("format"), $"meta._2".as("width"),
+          $"meta._3".as("height"), $"meta._4".as("nBytes")).as("meta"))
+    val got = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    val m = ((0 + 64 + 128 + 192) / 4.0 / 255.0).toFloat
+    assert(got(1L).width == 2 && got(1L).height == 2)
+    assert(got(1L).embedding.toSeq == Seq(m, m, m, m))
+    for (id <- Seq(2L, 3L))
+      assert(got(id).width == 99 && got(id).height == 77,
+        s"doc $id must fall back to the stub on a magic/format mismatch")
+  }
 }
