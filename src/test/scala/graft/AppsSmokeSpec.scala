@@ -251,7 +251,7 @@ class AppsSmokeSpec extends AnyFunSuite {
       doc(1, base, 10),
       doc(2, base, 11),                       // exact dup of 1 -> dropped at ingest
       doc(3, "a a a a a a a a", 12),          // quality reject
-      doc(4, "completely different prose about volcanic geology and rare minerals", 13),
+      doc(4, "completely different prose about volcanic geology and rare minerals mail geo@rocks.io", 13),
       "not json at all"))
     // batch 2: near-dup of 1 (append-one-word, jacc ~0.95) + a fresh doc
     // + a doc repeating an eval 5-gram -> dropped by in-stream decont
@@ -277,6 +277,7 @@ class AppsSmokeSpec extends AnyFunSuite {
       "--source", "file", "--input", in, "--index", idx, "--out", out,
       "--checkpoint", cp, "--eval", evalDir, "--max-files-per-trigger", "1",
       "--canaries", canaryFile.getAbsolutePath,
+      "--scrub-pii", "true",
       "--split-labels", labelsDir,
       "--progress", progressDir))
     spark.sparkContext.setLogLevel("ERROR")
@@ -286,6 +287,12 @@ class AppsSmokeSpec extends AnyFunSuite {
     assert(admitted == Set(1L, 4L, 6L, 9L),
       s"expected exact dup 2, low-quality 3, near-dup 5, contaminated 7, " +
         s"canary 8 dropped (blurred 9 admitted); got $admitted")
+    // --scrub-pii ran as stage 0 of the stream: the planted email ships
+    // redacted in the admitted output
+    val d4 = spark.read.parquet(out).filter($"doc_id" === 4L)
+      .select($"text").as[String].head()
+    assert(d4.contains("<EMAIL>") && !d4.contains("geo@rocks.io"),
+      s"doc 4 must ship scrubbed: $d4")
     // the signature index holds every doc the near-dedup stage SAW (ingest
     // survivors, admitted or not); decont drops docs 7/8 BEFORE ingest, so
     // they never reach the index
