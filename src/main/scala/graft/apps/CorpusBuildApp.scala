@@ -46,9 +46,13 @@ object CorpusBuildApp {
 
     // stage 0 (--scrub-pii true): redact emails/IPs/phones BEFORE any
     // stage fingerprints the text — scrub after dedup and the same
-    // document with two different emails survives as two "distinct" docs
+    // document with two different emails survives as two "distinct"
+    // docs. The EVAL and CANARY sides below pass through the SAME
+    // redaction: comparing scrubbed train text against raw probe text
+    // would silently miss any contamination whose span contains PII.
+    val scrubPii = conf.getOrElse("scrub-pii", "false").toBoolean
     val docs0 =
-      if (conf.getOrElse("scrub-pii", "false").toBoolean)
+      if (scrubPii)
         raw.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
       else raw
 
@@ -58,8 +62,13 @@ object CorpusBuildApp {
       case Some(evalPath) =>
         val Array(tn, td) = conf.getOrElse("containment", "1/2").split("/")
           .map(_.trim.toInt)
+        val evalDocs0 = spark.read.parquet(evalPath)
+        val evalDocs =
+          if (scrubPii) evalDocs0.withColumn("text",
+            graft.operators.Scrub.scrubbed(col("text")))
+          else evalDocs0
         CorpusPipeline.decontaminateByContainment(
-          docs0, spark.read.parquet(evalPath), "doc_id", "text", tn, td)
+          docs0, evalDocs, "doc_id", "text", tn, td)
     }
     // stage 1b: exact-substring canaries through the measured gates
     // (q159's gram route engages above the count ceiling; q165's
@@ -69,7 +78,9 @@ object CorpusBuildApp {
       case Some(path) =>
         import spark.implicits._
         val can = spark.read.textFile(path).map(_.trim)
-          .filter((s: String) => s.nonEmpty).toDF("phrase")
+          .filter((s: String) => s.nonEmpty)
+          .map(p => if (scrubPii) graft.operators.Scrub.scrubString(p) else p)
+          .toDF("phrase")
         val hit = Canary.contaminatedIds(docs1, "doc_id", "text",
           can, "phrase",
           canaryCountCeiling = conf.getOrElse("canary-ceiling", "128").toLong,

@@ -49,9 +49,12 @@ object CorpusIngestApp {
     // --scrub-pii true: redact emails/IPs/phones BEFORE anything
     // fingerprints the text (scrub after dedup and the same document
     // with two emails survives as two "distinct" docs) — stateless
-    // per-row regexes, streaming-safe at any arrival order
+    // per-row regexes, streaming-safe at any arrival order. The eval
+    // and canary probe sides below pass through the SAME redaction, or
+    // contamination whose span contains PII would silently stop matching
+    val scrubPii = conf.getOrElse("scrub-pii", "false").toBoolean
     val docs =
-      if (conf.getOrElse("scrub-pii", "false").toBoolean)
+      if (scrubPii)
         raw.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
       else raw
     // eval-set decontamination — two modes sharing --eval:
@@ -72,23 +75,27 @@ object CorpusIngestApp {
     }
     require(containment.isEmpty || conf.contains("eval"),
       "--eval-containment requires --eval <parquet of eval docs>")
+    def scrubEval(df: org.apache.spark.sql.DataFrame) =
+      if (scrubPii) df.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
+      else df
     val evalHashes: Array[Long] = conf.get("eval").filter(_ => containment.isEmpty)
       .map { p =>
         import graft.functions.TextFunctions.shingleHashes
-        spark.read.parquet(p)
+        scrubEval(spark.read.parquet(p))
           .select(explode(shingleHashes(col("text"), 5)).as("h"))
           .distinct().collect().map(_.getLong(0))
       }.getOrElse(Array.empty)
     // cached: the containment stage re-reads the eval side every trigger
     val evalContainment = containment.map { case (tn, td) =>
-      (spark.read.parquet(conf("eval")).select(col("doc_id"), col("text")).cache(),
-        tn, td)
+      (scrubEval(spark.read.parquet(conf("eval")))
+        .select(col("doc_id"), col("text")).cache(), tn, td)
     }
     // --canaries: exact-substring decontamination (q155's pipeline form)
     // — a stateless scan-local filter, composable with either eval mode;
     // read once batch-side (canary lists are small by definition)
     val canaries: Array[String] = conf.get("canaries")
-      .map(p => spark.read.textFile(p).collect().map(_.trim).filter(_.nonEmpty))
+      .map(p => spark.read.textFile(p).collect().map(_.trim).filter(_.nonEmpty)
+        .map(c => if (scrubPii) graft.operators.Scrub.scrubString(c) else c))
       .getOrElse(Array.empty)
     val ingested = CorpusPipeline.streamingIngest(
       CorpusPipeline.decontaminateByCanary(docs, canaries), "ts",

@@ -46,13 +46,19 @@ object AnnIndex {
     import spark.implicits._
     // a rebuild is a maintenance writer like compact: it must not
     // overwrite `coded` while a compact is mid-swap (or vice versa), so
-    // it holds the same lease. Released in finally — an interrupted
-    // overwrite leaves no moved-aside state, just an incomplete table
-    // whose fix is re-running the build (mode-overwrite semantics).
+    // it holds the same lease — released only while WE still own it (a
+    // rebuild outliving the takeover window must not delete the lease a
+    // taker-over now holds).
     val fs = fsOf(spark, dir)
     val lease = leasePath(dir)
-    acquireLease(fs, lease, leaseTakeoverMs, "write")
+    val token = acquireLease(fs, lease, leaseTakeoverMs, "write")
     try {
+      // drop the OLD model before touching coded: a crash mid-rebuild
+      // then leaves an index that REFUSES to load (no model row — the
+      // loadModel fail-loud), never one that silently decodes new codes
+      // with old codebooks; the fix for either state is re-running the
+      // build (mode-overwrite semantics)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/model"), true)
       codedFrame(corpus, idCol, vecCol, coarse, dims, pq, subDims)
         .write.mode("overwrite").partitionBy("centroid")
         .parquet(s"$dir/coded")
@@ -62,12 +68,26 @@ object AnnIndex {
       // the written lists, so it is exactly what a probe would see
       val k = coarse.length / dims
       val hist = assignmentHistogram(spark, s"$dir/coded", k)
+      // the commit gate: a racing maintenance op that took the lease
+      // over mid-rebuild aborts US here, before the model lands
+      verifyLease(fs, lease, token, "write")
       Seq(("coarse", dims, coarse.toSeq), ("pq", subDims, pq.toSeq),
           ("hist", k, hist.toSeq))
         .toDF("kind", "dim_param", "vals")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
-    } finally { fs.delete(lease, false); () }
+    } finally releaseLeaseIfOurs(fs, lease, token)
   }
+
+  /** Delete the lease iff it still carries OUR token — never a lease
+    * another maintenance op now owns.
+    */
+  private def releaseLeaseIfOurs(fs: org.apache.hadoop.fs.FileSystem,
+                                 lease: org.apache.hadoop.fs.Path,
+                                 token: String): Unit =
+    if (fs.exists(lease) &&
+        (try leaseToken(fs, lease) == token catch { case _: Exception => false })) {
+      fs.delete(lease, false); ()
+    }
 
   /** Per-centroid row counts of the written posting lists, as a dense
     * k-cell array (bounded: k doubles — the same model-sized driver
@@ -374,27 +394,53 @@ object AnnIndex {
         // missing while old holds the only complete copy — a failed
         // rollback): releasing there would let a retrying appender
         // recreate a fresh `coded` and a later compact delete the copy.
-        // Every other failure leaves nothing to protect, so release —
-        // but never delete a lease another op now owns
+        // Every other failure leaves nothing to protect, so reap the
+        // (possibly corpus-sized, fully-written) tmp and release — but
+        // only while WE still own the lease: a lost-ownership abort must
+        // touch neither the winner's lease nor the tmp it may be writing
         val movedAside = !fs.exists(live) && fs.exists(old)
-        if (!movedAside && fs.exists(lease) &&
-            (try leaseToken(fs, lease) == token catch { case _: Exception => false }))
+        val ours = fs.exists(lease) &&
+          (try leaseToken(fs, lease) == token catch { case _: Exception => false })
+        if (!movedAside && ours) {
+          fs.delete(tmp, true)
           fs.delete(lease, false)
+        }
         throw e
       }
     // crash-safe swap order: the live lists are never the only copy —
     // the replacement is fully written, move the old AT MOST ONE rename
     // away, move the new in, only then delete. A crash at any point
-    // leaves a complete copy at coded, coded_old, or coded_compact —
-    // and keeps the lease held so appends stay blocked until the next
-    // compact's takeover rolls the swap back.
-    fs.delete(old, true) // a leftover from an interrupted previous compact
-    require(fs.rename(live, old),
-      s"AnnIndex.compactCoded: could not move $live aside")
+    // leaves a complete copy at coded, coded_old, or coded_compact.
+    // Lease handling stays phase-aware through the swap: a failure while
+    // live is still intact (the move-aside itself — rename is atomic, a
+    // false return means nothing moved) reaps tmp and releases; a
+    // failure INSIDE the moved-aside window keeps the lease held so
+    // appends stay blocked until the next compact's takeover rolls back;
+    // post-swap cleanup failures release (live is complete again — the
+    // leftover old is reaped by the next compact's own delete).
+    try {
+      fs.delete(old, true) // a leftover from an interrupted previous compact
+      require(fs.rename(live, old),
+        s"AnnIndex.compactCoded: could not move $live aside")
+    } catch { case e: Throwable =>
+      // re-check rather than assume: a FALSE rename moved nothing, but
+      // an exception thrown mid-call is indeterminate on a non-atomic
+      // store — reap/release only when live is verifiably still intact
+      if (fs.exists(live)) {
+        fs.delete(tmp, true)
+        releaseLeaseIfOurs(fs, lease, token)
+      }
+      throw e
+    }
+    // the moved-aside window: failures here KEEP the lease
     require(fs.rename(tmp, live),
       s"AnnIndex.compactCoded: could not move $tmp into place " +
         s"(previous lists preserved at $old)")
-    fs.delete(old, true)
+    try fs.delete(old, true)
+    catch { case e: Throwable =>
+      releaseLeaseIfOurs(fs, lease, token)
+      throw e
+    }
     fs.delete(lease, false)
     counts
   }

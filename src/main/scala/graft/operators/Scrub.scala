@@ -52,6 +52,18 @@ object Scrub {
         IPV4, "<IP>"),
       PHONE, "<PHONE>")
 
+  /** Driver-side twin of [[scrubbed]] — the SAME three patterns in the
+    * SAME order through `java.util.regex` (the engine behind Spark's
+    * regexp_replace), for scrubbing plan-time strings: eval/canary text
+    * must pass through the identical redaction as the corpus, or a
+    * phrase containing PII can never match its scrubbed training copy
+    * and decontamination silently weakens.
+    */
+  def scrubString(s: String): String =
+    s.replaceAll(EMAIL, "<EMAIL>")
+      .replaceAll(IPV4, "<IP>")
+      .replaceAll(PHONE, "<PHONE>")
+
   /** (idCol, scrubbed, n_email, n_ip, n_phone) — counts measured on the
     * ORIGINAL text, so the funnel reports what was found, not what was
     * left. NULL text stays NULL with zero counts (in-domain, the module

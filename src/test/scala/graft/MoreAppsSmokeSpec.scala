@@ -394,12 +394,17 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
       (6L, s"good prose but contains $canary verbatim inside", "en", "src_a", 0L),
       (7L, "completely different prose about volcanic geology and rare " +
         "minerals mail curator@example.org for samples", "en", "src_b", 0L),
-      (8L, "another standalone text on deep sea hydrothermal vents and fauna", "en", "src_b", 0L))
+      (8L, "another standalone text on deep sea hydrothermal vents and fauna", "en", "src_b", 0L),
+      // a contaminated doc whose canary span CONTAINS PII: the canary
+      // list carries the raw phrase, the corpus is scrubbed first —
+      // decontamination must still fire (both sides pass the same scrub)
+      (9L, "please reach admin@leak.example.com for the SECRET benchmark items today", "en", "src_b", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$base/docs")
     val canaryFile = new java.io.File(tmp("build-canaries"), "c.txt")
     java.nio.file.Files.write(canaryFile.toPath,
-      s"$canary\nANOTHER-UNHIT-CANARY-PHRASE\n".getBytes)
+      (s"$canary\nANOTHER-UNHIT-CANARY-PHRASE\n" +
+        "reach admin@leak.example.com for the SECRET benchmark\n").getBytes)
     graft.apps.CorpusBuildApp.main(Array(
       "--input", s"$base/docs", "--out", out, "--scrub-pii", "true",
       "--canaries", canaryFile.getAbsolutePath,
@@ -408,7 +413,8 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
     val kept = spark.read.parquet(s"$out/docs")
       .select($"doc_id", $"split").as[(Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(kept.keySet == Set(1L, 2L, 7L, 8L),
-      s"canary 6, dup 3, near-dup 4, low-quality 5 must drop; got ${kept.keySet}")
+      s"canary 6, dup 3, near-dup 4, low-quality 5, PII-canary 9 must " +
+        s"drop; got ${kept.keySet}")
     // --scrub-pii ran as stage 0: the planted email is redacted in the
     // OUTPUT corpus (scrub-before-fingerprint, so dedup saw scrubbed text)
     val d7 = spark.read.parquet(s"$out/docs")
