@@ -54,6 +54,19 @@ class ScrubSpec extends AnyFunSuite {
       s"placeholders must not re-match: $twice")
   }
 
+  test("scrubString is the exact driver-side twin of the scrubbed column") {
+    val samples = Seq(
+      "jo@x.org at 8.8.8.8 call +1 555 123 4567",
+      "no pii in this one at all",
+      "root@10.0.0.1 logged in from 192.168.1.1")
+    val viaColumn = Scrub.scrubPii(
+        samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id").select($"scrubbed").as[String].collect().toSeq
+    assert(viaColumn == samples.map(Scrub.scrubString),
+      "the plan-time and driver-side scrubs must agree byte-for-byte")
+  }
+
   test("q167 row shape on the shared tables: planted docs scrubbed, unplanted untouched") {
     val got = SparkEntry.queries("q167_pii_scrub")(spark, TestSession.sf)
       .as[(Long, String, Long, Long, Long)].collect()
