@@ -585,15 +585,21 @@ object CurationQueries {
   }
 
   /** PII scrubbing ([[graft.operators.Scrub.scrubPii]]): the redaction
-    * pass that runs before fingerprinting (emails / IPv4s / phones →
-    * typed placeholders + per-doc counts). The synthetic corpus carries
-    * no PII, so the fixture PLANTS a deterministic email + IP + phone on
-    * every doc_id ≡ 0 (mod 3) — the driver row then hash-checks the
-    * scrubbed STRINGS, i.e. the cross-engine regex-semantics claim
-    * itself (Java regex vs RE2 agree on the restricted pattern subset).
-    * Scan-local, zero shuffle (the q97 class — no ScaleBench row).
+    * pass that runs before fingerprinting (emails / IPv4s / intl + NANP
+    * phones / SSNs / card numbers → typed placeholders + per-doc
+    * counts). The synthetic corpus carries no PII, so the fixture PLANTS
+    * deterministic specimens: email + IP + intl phone on doc_id ≡ 0
+    * (mod 3); paren + dashed NANP phone, SSN, contiguous + separated
+    * card, AND a 17-digit near-miss ("ref 12345678901234567" — must
+    * survive unscrubbed, putting the \b{13,16}\b boundary agreement
+    * itself under the hash) on doc_id ≡ 1. The driver row then
+    * hash-checks the scrubbed STRINGS, i.e. the cross-engine
+    * regex-semantics claim itself (Java regex vs RE2 agree on the
+    * restricted pattern subset). Scan-local, zero shuffle (the q97
+    * class — no ScaleBench row).
     */
   val q167_pii_scrub: Q = (s, dir) => {
+    val id4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
     val planted = t(s, dir).documents.select(col("doc_id"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         concat(col("text"),
@@ -601,6 +607,11 @@ object CurationQueries {
           pmod(col("doc_id"), lit(256)), lit(".7 or +1 555 01"),
           lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
           lit(" 4242")))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(col("text"),
+          lit(" call (555) 010-"), id4,
+          lit(" or 555-867-5309, ssn 123-45-"), id4,
+          lit(", card 4111111111111111 or 4242-4242-4242-4242, ref 12345678901234567")))
         .otherwise(col("text")).as("text"))
     graft.operators.Scrub.scrubPii(planted, "doc_id", "text")
   }
@@ -777,29 +788,39 @@ object CurationQueries {
        |  list_transform(string_split($expr, ''), c -> ascii(c)::BIGINT)),
        |  (h, a) -> (h * 31 + a) % 1000000007)""".stripMargin
 
-  /** q167 oracle: the identical plant, the identical three-pass
-    * replace in the identical order ('g' — DuckDB replaces first-only
-    * by default where Spark replaces all), counts via
-    * regexp_extract_all length.
+  /** q167 oracle: the identical plant, the identical replace chain in
+    * the identical order ('g' — DuckDB replaces first-only by default
+    * where Spark replaces all), counts via regexp_extract_all length.
+    * Both the replace chain and the count expressions are GENERATED from
+    * [[graft.operators.Scrub.PASSES]], so the oracle can never drift
+    * from the operator's pattern list or pass order.
     */
   private def q167Oracle: String = {
     import graft.operators.Scrub
+    val scrubbed = Scrub.PASSES.foldLeft("text") { case (acc, (p, repl, _)) =>
+      s"regexp_replace($acc, '$p', '$repl', 'g')"
+    }
+    val counts = Scrub.COUNT_COLS.map { c =>
+      val sum = Scrub.PASSES.filter(_._3 == c)
+        .map { case (p, _, _) => s"len(regexp_extract_all(text, '$p'))" }
+        .mkString(" + ")
+      s"($sum)::BIGINT AS $c"
+    }.mkString(",\n  ")
     s"""WITH p AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN
        |      text || ' contact user' || doc_id::VARCHAR || '@example.com via 10.0.' ||
        |      (doc_id % 256)::VARCHAR || '.7 or +1 555 01' ||
        |      lpad((doc_id % 100)::VARCHAR, 2, '0') || ' 4242'
+       |    WHEN doc_id % 3 = 1 THEN
+       |      text || ' call (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+       |      ' or 555-867-5309, ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+       |      ', card 4111111111111111 or 4242-4242-4242-4242, ref 12345678901234567'
        |    ELSE text END AS text
        |  FROM documents)
        |SELECT doc_id,
-       |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    '${Scrub.EMAIL}', '<EMAIL>', 'g'),
-       |    '${Scrub.IPV4}', '<IP>', 'g'),
-       |    '${Scrub.PHONE}', '<PHONE>', 'g') AS scrubbed,
-       |  len(regexp_extract_all(text, '${Scrub.EMAIL}'))::BIGINT AS n_email,
-       |  len(regexp_extract_all(text, '${Scrub.IPV4}'))::BIGINT AS n_ip,
-       |  len(regexp_extract_all(text, '${Scrub.PHONE}'))::BIGINT AS n_phone
+       |  $scrubbed AS scrubbed,
+       |  $counts
        |FROM p""".stripMargin
   }
 

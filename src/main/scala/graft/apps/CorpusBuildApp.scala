@@ -55,6 +55,24 @@ object CorpusBuildApp {
       if (scrubPii)
         raw.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
       else raw
+    // PII funnel: per-source counts of what the scrub pass found ("how
+    // much PII did this source carry" — the compliance question). One
+    // extra scan-local aggregation over the raw input; grouped by the
+    // corpus `source` column when present, the whole corpus otherwise.
+    if (scrubPii) {
+      import graft.operators.Scrub
+      val srcCol =
+        if (raw.columns.contains("source")) col("source") else lit("all")
+      val piiBySource = raw
+        .select(srcCol.as("source") +: Scrub.countColumns(col("text")): _*)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          Scrub.COUNT_COLS.map(c => sum(col(c)).as(c)): _*)
+        .orderBy(col("source"))
+      piiBySource.write.mode("overwrite").parquet(s"$out/pii_by_source")
+      spark.read.parquet(s"$out/pii_by_source").orderBy(col("source"))
+        .collect().foreach(r => println(s"[build] pii $r"))
+    }
 
     // stage 1a: containment-graded eval decontamination
     val docs1 = conf.get("eval") match {
