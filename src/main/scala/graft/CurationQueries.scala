@@ -616,6 +616,43 @@ object CurationQueries {
     graft.operators.Scrub.scrubPii(planted, "doc_id", "text")
   }
 
+  /** The markup plants for q169: a full HTML wrap (script with the
+    * old-school comment-hiding pattern, style, comment, DOCTYPE, tags,
+    * entities incl. a double-escape) on doc_id ≡ 0 (mod 4); an
+    * entities-and-inline-tags tail (incl. an UNKNOWN entity that must
+    * survive — the over-deletion boundary under the hash) on ≡ 2. No
+    * single quotes (they'd need SQL escaping in the oracle twin).
+    */
+  private val MarkupPre =
+    "<!DOCTYPE html><html><head><title>Doc</title>" +
+      "<style type=\"text/css\">p{margin:0}</style>" +
+      "<script>var a=1; if (a<2) { a=3; }<!-- hide --></script>" +
+      "</head><body><!-- hdr --><p class=\"main\">"
+  private val MarkupPost =
+    "</p><br/>tail &amp;amp; &lt;esc&gt;&nbsp;fin</body></html>"
+  private val MarkupTail =
+    " say &quot;hi&#39;s&quot; ok <b>bold</b> unknown &foo; stays"
+
+  /** Markup stripping ([[graft.operators.Markup.stripMarkup]]): the
+    * first cleaning pass a web-scrape corpus needs — script/style/
+    * comments dropped with content, tags/DOCTYPE dropped keeping
+    * content, common entities decoded (&amp; last — double-escapes
+    * render one level), whitespace collapsed. The synthetic corpus
+    * carries no markup, so the fixture PLANTS it (see [[MarkupPre]]);
+    * the driver row hash-checks the stripped STRINGS — the cross-engine
+    * lazy-quantifier/(?i) agreement claim itself. Scan-local, zero
+    * shuffle (the q97 class — no ScaleBench row).
+    */
+  val q169_markup_strip: Q = (s, dir) => {
+    val planted = t(s, dir).documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(MarkupPre), col("text"), lit(MarkupPost)))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(col("text"), lit(MarkupTail)))
+      .otherwise(col("text")).as("text"))
+    graft.operators.Markup.stripMarkup(planted, "doc_id", "text")
+  }
+
   def all: Map[String, Q] = Map(
     "q119_weighted_sample" -> q119_weighted_sample,
     "q96_ngram_decontaminate" -> q96_ngram_decontaminate,
@@ -624,6 +661,7 @@ object CurationQueries {
     "q165_canary_joined" -> q165_canary_joined,
     "q166_holdout_eval" -> q166_holdout_eval,
     "q167_pii_scrub" -> q167_pii_scrub,
+    "q169_markup_strip" -> q169_markup_strip,
     "q97_gopher_rules" -> q97_gopher_rules,
     "q98_token_entropy" -> q98_token_entropy,
     "q99_temperature_mix" -> q99_temperature_mix,
@@ -824,11 +862,37 @@ object CurationQueries {
        |FROM p""".stripMargin
   }
 
+  /** q169 oracle: the identical plant, the identical pass chain
+    * GENERATED from [[graft.operators.Markup]]'s pass tables (the q167
+    * no-drift discipline), trim(…) last. Plant strings contain no
+    * single quotes; entity replacements escape theirs for the SQL
+    * literal.
+    */
+  private def q169Oracle: String = {
+    import graft.operators.Markup
+    def q(s: String) = s.replace("'", "''")
+    val noMarkup = Markup.STRIP.foldLeft("text") { (acc, p) =>
+      s"regexp_replace($acc, '${q(p)}', ' ', 'g')"
+    }
+    val decoded = Markup.ENTITIES.foldLeft(noMarkup) { case (acc, (e, r)) =>
+      s"regexp_replace($acc, '${q(e)}', '${q(r)}', 'g')"
+    }
+    val stripped = s"trim(regexp_replace($decoded, '${q(Markup.WS)}', ' ', 'g'))"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN '${q(MarkupPre)}' || text || '${q(MarkupPost)}'
+       |    WHEN doc_id % 4 = 2 THEN text || '${q(MarkupTail)}'
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id, $stripped AS stripped FROM p""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q161_quality_train" -> q161Oracle,
     "q162_quality_score" -> q162Oracle,
     "q166_holdout_eval" -> q166Oracle,
     "q167_pii_scrub" -> q167Oracle,
+    "q169_markup_strip" -> q169Oracle,
     // the forced shuffle-gram + short-probe union must produce plain
     // contains() verdicts over the union list — recall 1.0 on every route
     "q165_canary_joined" ->

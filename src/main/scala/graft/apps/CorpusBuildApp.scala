@@ -30,7 +30,7 @@ import graft.pipelines.CorpusPipeline
 object CorpusBuildApp {
 
   val usage = "graft.apps.CorpusBuildApp --input <documents parquet> " +
-    "--out <dir> [--embeddings <parquet>] [--scrub-pii true] " +
+    "--out <dir> [--embeddings <parquet>] [--strip-markup true] [--scrub-pii true] " +
     "[--eval <parquet> [--containment 1/2]] " +
     "[--canaries <text file> [--canary-ceiling 128] " +
     "[--canary-broadcast-chars 33554432]] " +
@@ -44,27 +44,38 @@ object CorpusBuildApp {
     val out = AppEnv.get(conf, "out", usage)
     val raw = spark.read.parquet(AppEnv.get(conf, "input", usage))
 
-    // stage 0 (--scrub-pii true): redact emails/IPs/phones BEFORE any
-    // stage fingerprints the text — scrub after dedup and the same
-    // document with two different emails survives as two "distinct"
-    // docs. The EVAL and CANARY sides below pass through the SAME
-    // redaction: comparing scrubbed train text against raw probe text
-    // would silently miss any contamination whose span contains PII.
+    // stage 0 (--strip-markup true, then --scrub-pii true): strip
+    // HTML/markup and redact PII BEFORE any stage fingerprints the
+    // text — clean after dedup and the same document with two different
+    // emails (or two encodings of the same page) survives as two
+    // "distinct" docs. The EVAL and CANARY sides below pass through the
+    // SAME transforms in the SAME order: comparing cleaned train text
+    // against raw probe text would silently miss any contamination
+    // whose span contains markup or PII.
+    val stripMarkup = conf.getOrElse("strip-markup", "false").toBoolean
     val scrubPii = conf.getOrElse("scrub-pii", "false").toBoolean
+    def cleanCol(c: org.apache.spark.sql.Column) = {
+      val m = if (stripMarkup) graft.operators.Markup.stripped(c) else c
+      if (scrubPii) graft.operators.Scrub.scrubbed(m) else m
+    }
     val docs0 =
-      if (scrubPii)
-        raw.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
+      if (stripMarkup || scrubPii)
+        raw.withColumn("text", cleanCol(col("text")))
       else raw
     // PII funnel: per-source counts of what the scrub pass found ("how
     // much PII did this source carry" — the compliance question). One
-    // extra scan-local aggregation over the raw input; grouped by the
-    // corpus `source` column when present, the whole corpus otherwise.
+    // extra scan-local aggregation; counts measure the text the scrub
+    // pass actually sees (markup-stripped when --strip-markup is on);
+    // grouped by the corpus `source` column when present, the whole
+    // corpus otherwise.
     if (scrubPii) {
       import graft.operators.Scrub
       val srcCol =
         if (raw.columns.contains("source")) col("source") else lit("all")
+      val seen =
+        if (stripMarkup) graft.operators.Markup.stripped(col("text")) else col("text")
       val piiBySource = raw
-        .select(srcCol.as("source") +: Scrub.countColumns(col("text")): _*)
+        .select(srcCol.as("source") +: Scrub.countColumns(seen): _*)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"),
           Scrub.COUNT_COLS.map(c => sum(col(c)).as(c)): _*)
@@ -82,8 +93,8 @@ object CorpusBuildApp {
           .map(_.trim.toInt)
         val evalDocs0 = spark.read.parquet(evalPath)
         val evalDocs =
-          if (scrubPii) evalDocs0.withColumn("text",
-            graft.operators.Scrub.scrubbed(col("text")))
+          if (stripMarkup || scrubPii)
+            evalDocs0.withColumn("text", cleanCol(col("text")))
           else evalDocs0
         CorpusPipeline.decontaminateByContainment(
           docs0, evalDocs, "doc_id", "text", tn, td)
@@ -97,7 +108,10 @@ object CorpusBuildApp {
         import spark.implicits._
         val can = spark.read.textFile(path).map(_.trim)
           .filter((s: String) => s.nonEmpty)
-          .map(p => if (scrubPii) graft.operators.Scrub.scrubString(p) else p)
+          .map { p =>
+            val m = if (stripMarkup) graft.operators.Markup.stripString(p) else p
+            if (scrubPii) graft.operators.Scrub.scrubString(m) else m
+          }
           .toDF("phrase")
         val hit = Canary.contaminatedIds(docs1, "doc_id", "text",
           can, "phrase",

@@ -29,7 +29,7 @@ object CorpusIngestApp {
     "--checkpoint <dir> [--min-quality 0.35] [--delay '10 seconds'] " +
     "[--eval <parquet of eval docs>] [--eval-containment <tNum/tDen>] " +
     "[--canaries <text file, one verbatim canary string per line>] " +
-    "[--scrub-pii true] " +
+    "[--strip-markup true] [--scrub-pii true] " +
     "[--split-labels <labels table dir> [--split-buckets 10] " +
     "[--split-jaccard 0.3]] [--trigger available-now|'<interval>']"
 
@@ -46,16 +46,27 @@ object CorpusIngestApp {
       .filter(col("j").isNotNull && col("j.doc_id").isNotNull && col("j.text").isNotNull)
       .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
         timestamp_seconds(col("j.ts")).as("ts"))
-    // --scrub-pii true: redact emails/IPs/phones BEFORE anything
-    // fingerprints the text (scrub after dedup and the same document
-    // with two emails survives as two "distinct" docs) — stateless
-    // per-row regexes, streaming-safe at any arrival order. The eval
-    // and canary probe sides below pass through the SAME redaction, or
-    // contamination whose span contains PII would silently stop matching
+    // --strip-markup true, then --scrub-pii true: strip HTML/markup and
+    // redact PII BEFORE anything fingerprints the text (clean after
+    // dedup and the same document with two emails — or one re-encoded
+    // with different markup — survives as two "distinct" docs) —
+    // stateless per-row regexes, streaming-safe at any arrival order.
+    // The eval and canary probe sides below pass through the SAME
+    // transforms in the SAME order, or contamination whose span
+    // contains markup/PII would silently stop matching
+    val stripMarkup = conf.getOrElse("strip-markup", "false").toBoolean
     val scrubPii = conf.getOrElse("scrub-pii", "false").toBoolean
+    def cleanCol(c: org.apache.spark.sql.Column) = {
+      val m = if (stripMarkup) graft.operators.Markup.stripped(c) else c
+      if (scrubPii) graft.operators.Scrub.scrubbed(m) else m
+    }
+    def cleanString(s: String) = {
+      val m = if (stripMarkup) graft.operators.Markup.stripString(s) else s
+      if (scrubPii) graft.operators.Scrub.scrubString(m) else m
+    }
     val docs =
-      if (scrubPii)
-        raw.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
+      if (stripMarkup || scrubPii)
+        raw.withColumn("text", cleanCol(col("text")))
       else raw
     // eval-set decontamination — two modes sharing --eval:
     //  * default: ANY-overlap, recall-first — hashes computed once
@@ -76,7 +87,7 @@ object CorpusIngestApp {
     require(containment.isEmpty || conf.contains("eval"),
       "--eval-containment requires --eval <parquet of eval docs>")
     def scrubEval(df: org.apache.spark.sql.DataFrame) =
-      if (scrubPii) df.withColumn("text", graft.operators.Scrub.scrubbed(col("text")))
+      if (stripMarkup || scrubPii) df.withColumn("text", cleanCol(col("text")))
       else df
     val evalHashes: Array[Long] = conf.get("eval").filter(_ => containment.isEmpty)
       .map { p =>
@@ -95,7 +106,7 @@ object CorpusIngestApp {
     // read once batch-side (canary lists are small by definition)
     val canaries: Array[String] = conf.get("canaries")
       .map(p => spark.read.textFile(p).collect().map(_.trim).filter(_.nonEmpty)
-        .map(c => if (scrubPii) graft.operators.Scrub.scrubString(c) else c))
+        .map(cleanString))
       .getOrElse(Array.empty)
     val ingested = CorpusPipeline.streamingIngest(
       CorpusPipeline.decontaminateByCanary(docs, canaries), "ts",

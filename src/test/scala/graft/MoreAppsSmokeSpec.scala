@@ -392,8 +392,12 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
       (4L, b23 + " appended", "en", "src_a", 0L), // J ~0.95 near-dup -> dropped
       (5L, "a a a a a a a a", "en", "src_a", 0L), // quality reject
       (6L, s"good prose but contains $canary verbatim inside", "en", "src_a", 0L),
-      (7L, "completely different prose about volcanic geology and rare " +
-        "minerals mail curator@example.org for samples", "en", "src_b", 0L),
+      // doc 7 ships WRAPPED in markup: --strip-markup must peel it back
+      // to the plain prose BEFORE scrub/fingerprinting (the wrap strips
+      // to exactly the inner text, so dedup semantics are unchanged)
+      (7L, "<html><body><!-- hdr --><p>completely different prose about " +
+        "volcanic geology and rare <b>minerals</b> mail curator@example.org " +
+        "for samples</p><script>track();</script></body></html>", "en", "src_b", 0L),
       (8L, "another standalone text on deep sea hydrothermal vents and fauna", "en", "src_b", 0L),
       // a contaminated doc whose canary span CONTAINS PII: the canary
       // list carries the raw phrase, the corpus is scrubbed first —
@@ -406,7 +410,8 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
       (s"$canary\nANOTHER-UNHIT-CANARY-PHRASE\n" +
         "reach admin@leak.example.com for the SECRET benchmark\n").getBytes)
     graft.apps.CorpusBuildApp.main(Array(
-      "--input", s"$base/docs", "--out", out, "--scrub-pii", "true",
+      "--input", s"$base/docs", "--out", out,
+      "--strip-markup", "true", "--scrub-pii", "true",
       "--canaries", canaryFile.getAbsolutePath,
       "--split-jaccard", "0.3", "--buckets", "10", "--train-splits", "0-7"))
     spark.sparkContext.setLogLevel("ERROR")
@@ -421,6 +426,18 @@ class MoreAppsSmokeSpec extends AnyFunSuite {
       .filter($"doc_id" === 7L).select($"text").as[String].head()
     assert(d7.contains("<EMAIL>") && !d7.contains("curator@"),
       s"doc 7 must ship scrubbed: $d7")
+    // --strip-markup ran BEFORE scrub: the wrap, the inline tag, and the
+    // script content are all gone from the shipped text
+    assert(d7 == "completely different prose about volcanic geology and " +
+      "rare minerals mail <EMAIL> for samples",
+      s"doc 7 must ship markup-stripped then scrubbed: $d7")
+    // the PII funnel landed per-source: src_b carried both planted emails
+    val pii = spark.read.parquet(s"$out/pii_by_source")
+      .select($"source", $"docs", $"n_email")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(pii("src_b") == (("src_b", 3L, 2L)),
+      s"src_b funnel row must count its 2 emails over 3 docs: $pii")
+    assert(pii("src_a")._3 == 0L, s"src_a carries no PII: $pii")
     // the split is leakage-free at the WIDER radius: 1 and 2 are related
     // (J = 0.4) though not dedup-duplicates — same cluster, same split
     val labels = spark.read.parquet(s"$out/labels")
