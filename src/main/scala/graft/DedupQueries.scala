@@ -138,6 +138,42 @@ object DedupQueries {
   val q30_simhash_pairs: Q = (s, dir) =>
     Dedup.simhashPairs(t(s, dir).documents, "doc_id", "text", SIMHASH_BITS, MAX_HAMMING)
 
+  /** Image-level near-dup dedup
+    * ([[graft.operators.Multimodal.imageNearDupPairs]]): 64-bit dHash
+    * over DECODED rasters + the q29/q30 pigeonhole Hamming machinery —
+    * the multimodal half of the dedup family (a re-encoded or resized
+    * duplicate image has a new byte fingerprint, so byte-level dedup
+    * can never find it). Fixture: each doc's ASCII bytes become a real
+    * P5 PGM raster (the q35 bytes-as-payload convention, geometry from
+    * the text length so twins inherit it), and every doc_id ≡ 0
+    * (mod 50) additionally ships a 2× nearest-neighbor-upscaled
+    * RE-ENCODING under id + 10⁷. The Spark side hashes the twins from
+    * their physically upscaled payloads; the oracle replays them at
+    * BASE geometry — they agree only because dHash's floor-grid point
+    * sampling is exactly invariant under integer NN resize, so the
+    * driver hash gate proves the resize-invariance claim itself.
+    * Expected pairs: each twin at Hamming 0 from its base, plus
+    * whatever exact/near text duplicates the corpus already carries.
+    */
+  val q170_image_neardup: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    val geo = t(s, dir).documents.select(col("doc_id"), col("text"),
+      (lit(8) + pmod(length(col("text")), lit(9))).cast("int").as("w"))
+      .withColumn("h", floor(length(col("text")) / col("w")).cast("int"))
+      .filter(col("h") >= 1)
+    val base = geo.select(col("doc_id"),
+      concat(lit("P5\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n"),
+        col("text").substr(lit(1), col("w") * col("h"))).cast("binary").as("payload"),
+      struct(lit(Multimodal.PgmFormat).as("format"),
+        col("w").as("width"), col("h").as("height"),
+        (col("w") * col("h")).cast("long").as("nBytes")).as("meta"))
+    val twins = Multimodal.upscaledTwins(s,
+      base.filter(pmod(col("doc_id"), lit(50)) === 0),
+      factor = 2, idOffset = 10000000L).toDF()
+    Multimodal.imageNearDupPairs(s, base.unionByName(twins), maxHamming = 7)
+  }
+
   /** MinHash as an ESTIMATOR: per LSH candidate pair, the fraction of
     * agreeing signature entries estimates Jaccard; emitted beside the
     * exact value — the accuracy/cost tradeoff a 100 TB dedup run tunes k
@@ -404,10 +440,45 @@ object DedupQueries {
     "q85_lsh_salted" -> q85_lsh_salted,
     "q29_simhash" -> q29_simhash,
     "q30_simhash_pairs" -> q30_simhash_pairs,
+    "q170_image_neardup" -> q170_image_neardup,
     "q65_dedup_exact_wide" -> q65_dedup_exact_wide,
     "q66_corpus_survivors" -> q66_corpus_survivors,
     "q84_incremental_dedup" -> q84_incremental_dedup,
     "q86_incremental_neardup" -> q86_incremental_neardup)
+
+  /** q170 oracle: the dHash replayed sample-by-sample over the TEXT
+    * codepoints (ASCII: bytes == codepoints, the q35 convention) at
+    * base geometry — including the upscaled twins, whose Spark-side
+    * hash comes from the physically 2×-resized raster; equality IS the
+    * floor-grid resize-invariance identity
+    * floor(floor(j·kw/9)/k) = floor(j·w/9). Bit 63's literal is Long's
+    * sign bit: terms are summed ascending so the partial sums of bits
+    * 0–62 stay < 2⁶³ and the final negative addend lands exactly on the
+    * two's-complement pattern (disjoint powers: sum == bitwise or).
+    * Then the O(n²) Hamming self-join the banded engine must equal.
+    */
+  private def q170Oracle: String = {
+    def samp(i: Int, j: Int) =
+      s"ascii(substr(text, (($i*h//8)*w + ($j*w//9)) + 1, 1))"
+    val bits = (for { i <- 0 until 8; j <- 0 until 8 } yield
+      s"CASE WHEN ${samp(i, j)} > ${samp(i, j + 1)} THEN ${1L << (i * 8 + j)} ELSE 0 END")
+      .mkString(" +\n      ")
+    s"""WITH geo AS (
+       |  SELECT doc_id, text, (8 + length(text) % 9)::INT AS w,
+       |    (length(text) // (8 + length(text) % 9))::INT AS h
+       |  FROM documents
+       |  WHERE length(text) // (8 + length(text) % 9) >= 1),
+       |imgs AS (
+       |  SELECT doc_id, text, w, h FROM geo
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text, w, h FROM geo WHERE doc_id % 50 = 0),
+       |hashes AS (
+       |  SELECT doc_id, ($bits)::BIGINT AS dhash FROM imgs)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin
+  }
 
   // Shared oracle CTE fragments (DuckDB).
   private val polyHashSql = (e: String) =>
@@ -672,6 +743,7 @@ object DedupQueries {
          |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MAX_HAMMING""".stripMargin,
+    "q170_image_neardup" -> q170Oracle,
     "q65_dedup_exact_wide" ->
       s"""SELECT min(doc_id) AS doc_id FROM (
          |  SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents)

@@ -117,7 +117,16 @@ object ScaleBench {
     // stays fixed (q96/q137's geometry); expected ~linear in the
     // distinct-hash exchange. q167 (PII scrub) is scan-local zero-shuffle
     // — the q97/q101 no-scaling-question class, deliberately absent here
-    "q168_eval_coverage")
+    "q168_eval_coverage",
+    // round-9: image perceptual-hash dedup — per image one scan-local
+    // PGM synth + decode + 64-bit dHash, then the pigeonhole self-join
+    // shuffling 8 narrow (blk, bv, id, hash) tuples per image, with
+    // runtime exchange reuse collapsing the two sides to ONE decode
+    // (shuffle_hash-pinned — a self-join build side is never
+    // broadcastable at scale); expected ~linear, the q30 geometry.
+    // q169 (markup strip) is scan-local zero-shuffle like q167 —
+    // deliberately absent
+    "q170_image_neardup")
 
   private val scaleSet = Seq(
     "q30_simhash_pairs", "q12_join_chain", "q1_agg", "q9_join_inner",

@@ -527,26 +527,46 @@ object Dedup {
     * 1.95 s → 0.69 s at sf0.1).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int, maxHamming: Int): DataFrame =
+    hammingPairs(simhashOf(df, idCol, textCol, bits),
+      idCol, "simhash", bits, maxHamming)
+
+  /** The pigeonhole-banded Hamming self-join over ANY precomputed
+    * `bits`-wide hash column — the engine behind [[simhashPairs]] and
+    * the image perceptual-hash dedup
+    * ([[graft.operators.Multimodal.imageNearDupPairs]]). See
+    * [[simhashPairs]] for the recall argument (block equality is
+    * complete for distance <= maxHamming) and the first-matching-block
+    * dedup rule (scan-local, no candidate-set re-shuffle).
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                    bits: Int, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     val w = bits / blocks // bits must divide evenly for full coverage
     require(w * blocks == bits, s"bits=$bits not divisible into $blocks blocks")
     def blockOf(c: Column, j: Int) =
       shiftright(c, j * w).bitwiseAND((1L << w) - 1)
-    val sh = simhashOf(df, idCol, textCol, bits)
     val blockStructs = array((0 until blocks).map { j =>
-      struct(lit(j).as("blk"), blockOf(col("simhash"), j).as("bv"))
+      struct(lit(j).as("blk"), blockOf(col(hashCol), j).as("bv"))
     }: _*)
-    val keyed = sh.select(col(idCol), col("simhash"), explode(blockStructs).as("bb"))
-      .select(col(idCol), col("simhash"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
-    val a = keyed.select(col("blk"), col("bv"), col(idCol).as("d1"), col("simhash").as("s1"))
-    val b = keyed.select(col("blk"), col("bv"), col(idCol).as("d2"), col("simhash").as("s2"))
+    val keyed = hashes.select(col(idCol), col(hashCol), explode(blockStructs).as("bb"))
+      .select(col(idCol), col(hashCol), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    val a = keyed.select(col("blk"), col("bv"), col(idCol).as("d1"), col(hashCol).as("s1"))
+    val b = keyed.select(col("blk"), col("bv"), col(idCol).as("d2"), col(hashCol).as("s2"))
     // keep the pair only at its FIRST matching block: for every i < blk
     // the i-th blocks must differ (computable from s1/s2 alone)
     val firstMatch = (0 until blocks).map { i =>
       (col("blk") <= i) || (blockOf(col("s1"), i) =!= blockOf(col("s2"), i))
     }.reduce(_ && _)
-    a.join(b, Seq("blk", "bv")).filter(col("d1") < col("d2"))
+    // shuffle_hash pinned: in a SELF-join both sides are corpus-sized,
+    // so the static planner's broadcast pick (its estimate does not
+    // survive the Generate explode) is never right at scale — and with
+    // BOTH sides shuffled on (blk, bv) over the same child plan,
+    // runtime exchange reuse computes the hash pipeline ONCE where a
+    // broadcast build recomputes it (decode is the expensive stage for
+    // image hashes). AQE still demotes to broadcast when genuinely tiny.
+    a.join(b.hint("shuffle_hash"), Seq("blk", "bv"))
+      .filter(col("d1") < col("d2"))
       .filter(firstMatch)
       .select(col("d1"), col("d2"), hamming(col("s1"), col("s2")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

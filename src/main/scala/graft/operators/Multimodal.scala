@@ -57,8 +57,13 @@ object Multimodal {
     * arithmetic, so it runs inside the same batched mapPartitions as any
     * codec would.
     */
-  private[operators] def decodePnm(p: Array[Byte], magic: Char,
-                                   channels: Int): Option[(Int, Int, Array[Float])] = {
+  /** Header parse shared by the mean-decode and the perceptual hash:
+    * validates magic/dims/maxval/raster length and returns
+    * (width, height, maxval, raster offset) without touching the pixel
+    * bytes.
+    */
+  private[operators] def parsePnmHeader(p: Array[Byte], magic: Char,
+                                        channels: Int): Option[(Int, Int, Int, Int)] = {
     var i = 0
     def skipWs(): Boolean = {
       var progress = true
@@ -94,18 +99,22 @@ object Multimodal {
       pixels = w.toLong * h
       if pixels <= Int.MaxValue / channels
       if p.length - (i + 1) >= pixels * channels
-    } yield {
-      i += 1
+    } yield (w, h, maxv, i + 1)
+  }
+
+  private[operators] def decodePnm(p: Array[Byte], magic: Char,
+                                   channels: Int): Option[(Int, Int, Array[Float])] =
+    parsePnmHeader(p, magic, channels).map { case (w, h, maxv, off) =>
+      val pixels = w.toLong * h
       val sums = Array.fill(channels)(0L)
       var j = 0
       val n = (pixels * channels).toInt
       while (j < n) {
-        sums(j % channels) += p(i + j) & 0xff
+        sums(j % channels) += p(off + j) & 0xff
         j += 1
       }
       (w, h, Array.tabulate(channels)(c => (sums(c).toDouble / pixels / maxv).toFloat))
     }
-  }
 
   /** Binary P6 PPM: 3 interleaved RGB channels. */
   private[operators] def decodePpm(p: Array[Byte]): Option[(Int, Int, Array[Float])] =
@@ -179,6 +188,143 @@ object Multimodal {
       }
     }
   }
+
+  /** 64-bit dHash (difference hash) of a decoded Netpbm raster — the
+    * perceptual fingerprint for image-level near-dup dedup. A 9×8 grid
+    * of point samples at the normalized positions
+    * (row i → pixel floor(i·h/8), col j → pixel floor(j·w/9)); bit
+    * (i·8+j) is set iff luma(i,j) > luma(i,j+1), luma = the channel sum
+    * (integer — no division, no rounding, replayable by any engine).
+    *
+    * Why THESE choices:
+    *  - gradient comparisons (dHash) need no mean, so the whole hash is
+    *    integer arithmetic — unlike aHash, whose global-mean threshold
+    *    drags in a division;
+    *  - point sampling at floor-normalized positions is EXACTLY
+    *    invariant under integer-factor nearest-neighbor resize:
+    *    the resized sample floor(floor(j·kw/9)/k) = floor(j·w/9) by the
+    *    floor-division composition identity — a re-encoded 2× upscale
+    *    hashes IDENTICALLY (spec-pinned, and q170's oracle proves it
+    *    cross-engine by replaying twins at base geometry);
+    *  - comparisons are invariant under any monotone brightness remap
+    *    (the classic dHash robustness), so re-exposure lands within a
+    *    small Hamming radius.
+    * Area-averaging would resist noise better but ties the hash to a
+    * box-filter's rounding; the deterministic point grid is the
+    * oracle-replayable choice and the standard dHash formulation.
+    */
+  private[operators] def dhash(p: Array[Byte], magic: Char,
+                               channels: Int): Option[Long] =
+    parsePnmHeader(p, magic, channels).map { case (w, h, _, off) =>
+      def luma(r: Int, c: Int): Int = {
+        val pr = r * h / 8
+        val pc = c * w / 9
+        val base = off + (pr * w + pc) * channels
+        var s = 0
+        var k = 0
+        while (k < channels) { s += p(base + k) & 0xff; k += 1 }
+        s
+      }
+      var hash = 0L
+      var i = 0
+      while (i < 8) {
+        var j = 0
+        while (j < 8) {
+          if (luma(i, j) > luma(i, j + 1)) hash |= 1L << (i * 8 + j)
+          j += 1
+        }
+        i += 1
+      }
+      hash
+    }
+
+  /** Nearest-neighbor integer-factor upscale of a Netpbm raster,
+    * re-encoded with a canonical single-newline header — the "same
+    * image, different encoding" generator for specs and the q170
+    * fixture twins. Pixel (r, c) of the output is source
+    * (r / factor, c / factor).
+    */
+  private[operators] def upscaleNn(p: Array[Byte], magic: Char,
+                                   channels: Int, factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1, "upscale factor must be >= 1")
+    parsePnmHeader(p, magic, channels).map { case (w, h, maxv, off) =>
+      val (ow, oh) = (w * factor, h * factor)
+      require(ow.toLong * oh * channels <= Int.MaxValue - 64,
+        s"upscaled raster ${ow}x$oh exceeds a JVM array")
+      val header = s"P$magic\n$ow $oh\n$maxv\n".getBytes("US-ASCII")
+      val outBytes = new Array[Byte](header.length + ow * oh * channels)
+      System.arraycopy(header, 0, outBytes, 0, header.length)
+      var r = 0
+      while (r < oh) {
+        var c = 0
+        while (c < ow) {
+          val srcBase = off + ((r / factor) * w + (c / factor)) * channels
+          val dstBase = header.length + (r * ow + c) * channels
+          var k = 0
+          while (k < channels) {
+            outBytes(dstBase + k) = p(srcBase + k); k += 1
+          }
+          c += 1
+        }
+        r += 1
+      }
+      outBytes
+    }
+  }
+
+  /** (doc_id, dhash) for every record whose DECLARED format decodes
+    * (the [[extractFeatures]] dispatch gate: never content sniffing);
+    * undecodable or non-raster records emit NO row — a hash computed
+    * off stub bytes would manufacture fake near-dups. Scan-local
+    * per-partition decode, payload never shuffles.
+    */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val h = r.meta.format match {
+          case PpmFormat => dhash(r.payload, '6', 3)
+          case PgmFormat => dhash(r.payload, '5', 1)
+          case _ => None
+        }
+        h.map(v => (r.doc_id, v))
+      }
+    }.toDF("doc_id", "dhash")
+  }
+
+  /** The NN-upscaled re-encoding of every decodable raster record, with
+    * ids shifted by `idOffset` — the "same image, new encoding"
+    * generator (fixture twins for q170, resize cases in specs). Records
+    * whose declared format does not decode emit no twin.
+    */
+  def upscaledTwins(spark: SparkSession, media: DataFrame,
+                    factor: Int, idOffset: Long): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].flatMap { r =>
+      val up = r.meta.format match {
+        case PpmFormat => upscaleNn(r.payload, '6', 3, factor)
+        case PgmFormat => upscaleNn(r.payload, '5', 1, factor)
+        case _ => None
+      }
+      up.map(bytes => MediaRecord(r.doc_id + idOffset, bytes,
+        MediaMeta(r.meta.format, r.meta.width * factor,
+          r.meta.height * factor, bytes.length.toLong)))
+    }
+  }
+
+  /** Image-level near-dup pairs: [[perceptualHashes]] into the
+    * pigeonhole-banded Hamming self-join ([[Dedup.hammingPairs]] — the
+    * q29/q30 machinery on the new hash). maxHamming 7 splits the 64-bit
+    * hash into 8 exact-match blocks; with effectively-random hashes the
+    * false-candidate rate per block is n²/2⁸ per band key width, and
+    * the exact Hamming filter keeps only true near-dups. Scale shape:
+    * payload decodes scan-locally to ONE long per image; only
+    * (block, value, id, hash) tuples shuffle — never pixels.
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 7): DataFrame =
+    Dedup.hammingPairs(perceptualHashes(spark, media),
+      "doc_id", "dhash", bits = 64, maxHamming = maxHamming)
 
   /** Resize plan: aspect-preserving fit into a (maxW, maxH) box, never
     * upscaling. The dimension math is the real operator (it drives batch
