@@ -27,8 +27,9 @@ import graft.operators.{AnnIndex, Ivf, Pq}
 object AnnIndexApp {
 
   val usage = "graft.apps.AnnIndexApp " +
-    "--mode build|append|stream-append|compact|stats|probe --index <dir> " +
+    "--mode build|append|stream-append|compact|stats|probe|delete --index <dir> " +
     "[stats: --psi-threshold 0.2] " +
+    "[delete: --ids <comma-separated> | --ids-parquet <parquet with id col>] " +
     "[build/append: --input <vectors parquet>] " +
     "[stream-append: --source file|kafka --input <dir of JSON lines> " +
     "--checkpoint <dir> [--trigger available-now|'<interval>']] " +
@@ -110,6 +111,21 @@ object AnnIndexApp {
         println(f"[ann-index] stats: rows=$rows lists=$lists " +
           f"drift_psi=$drift%.6f threshold=$threshold " +
           f"retrain_due=${drift >= threshold}")
+      case "delete" =>
+        // takedown / right-to-be-forgotten: file tombstones — effective
+        // at the next probe, folded into storage (and cleared) by the
+        // next compact or rebuild
+        import spark.implicits._
+        val ids = (conf.get("ids"), conf.get("ids-parquet")) match {
+          case (Some(list), _) =>
+            list.split(",").map(_.trim.toLong).toSeq.toDF(idCol)
+          case (None, Some(p)) => spark.read.parquet(p)
+          case (None, None) =>
+            sys.error(s"--mode delete needs --ids or --ids-parquet\nusage: $usage")
+        }
+        AnnIndex.deleteIds(ids, idCol, index)
+        println(s"[ann-index] filed ${ids.count()} tombstones " +
+          s"(probe-effective now; folded at the next compact)")
       case "probe" =>
         val queries = spark.read.parquet(AppEnv.get(conf, "queries", usage))
         // --prune true (default): compute the probed centroid set

@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   * shuffle or retrain) and writes new posting-list files alongside the
   * old — the standard incremental-index shape; periodic retraining when
   * the data distribution drifts is a full `write` again.
+  *
+  * Removal is tombstones, not rewrites: `<dir>/deletes` holds pending id
+  * rows ([[deleteIds]] — the takedown path), probes anti-join the
+  * pending set (request-sized, broadcast), and the next compact/rebuild
+  * folds them into storage and clears the table — so a
+  * right-to-be-forgotten request is effective at the NEXT PROBE and
+  * durable at the next maintenance pass, never a full rebuild of its
+  * own.
   */
 object AnnIndex {
 
@@ -52,30 +60,101 @@ object AnnIndex {
     val fs = fsOf(spark, dir)
     val lease = leasePath(dir)
     val token = acquireLease(fs, lease, leaseTakeoverMs, "write")
+    val hb = startHeartbeat(fs, lease, token, leaseTakeoverMs)
     try {
+      // a rebuild HONORS pending tombstones: a takedown filed against
+      // the old index must not resurrect when the caller rebuilds from
+      // an uncurated corpus (fold here, clear after the model lands)
+      val del = deletesPath(dir)
+      val source =
+        if (fs.exists(del))
+          corpus.join(
+            broadcast(spark.read.parquet(del.toString).select(col("id").as("__del_id"))),
+            col(idCol) === col("__del_id"), "left_anti")
+        else corpus
       // drop the OLD model before touching coded: a crash mid-rebuild
       // then leaves an index that REFUSES to load (no model row — the
       // loadModel fail-loud), never one that silently decodes new codes
       // with old codebooks; the fix for either state is re-running the
       // build (mode-overwrite semantics)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/model"), true)
-      codedFrame(corpus, idCol, vecCol, coarse, dims, pq, subDims)
+      codedFrame(source, idCol, vecCol, coarse, dims, pq, subDims)
         .write.mode("overwrite").partitionBy("centroid")
         .parquet(s"$dir/coded")
+      // snapshot what THIS rebuild wrote, before any other scan runs:
+      // the commit gate below re-lists against it
+      val snapshot = dataFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/coded"))
       // the TRAIN-TIME posting-list occupancy rides along in the model dir
       // (k doubles — model-sized): the reference distribution the drift
       // gate scores later appends against ([[driftScore]]); counted from
       // the written lists, so it is exactly what a probe would see
       val k = coarse.length / dims
       val hist = assignmentHistogram(spark, s"$dir/coded", k)
-      // the commit gate: a racing maintenance op that took the lease
-      // over mid-rebuild aborts US here, before the model lands
+      // commit gates, before the model lands: a racing maintenance op
+      // that took the lease over mid-rebuild aborts US here; and the
+      // coded dir must hold ONLY this rebuild's output — an append whose
+      // lease check passed just before we acquired writes rows coded
+      // with the OLD codebooks, which the new model would silently
+      // mis-decode (and pollute the train-time histogram). Aborting here
+      // leaves the fail-loud no-model state; re-run the build.
       verifyLease(fs, lease, token, "write")
+      val now = dataFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/coded"))
+      require(now == snapshot,
+        s"AnnIndex.write: the coded dir changed during the rebuild " +
+          s"(${(now -- snapshot).size} new / ${(snapshot -- now).size} " +
+          s"gone files) — a concurrent append landed rows coded with the " +
+          s"old codebooks; aborting before the model lands (the index " +
+          s"refuses to load until the build is re-run)")
       Seq(("coarse", dims, coarse.toSeq), ("pq", subDims, pq.toSeq),
           ("hist", k, hist.toSeq))
         .toDF("kind", "dim_param", "vals")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
-    } finally releaseLeaseIfOurs(fs, lease, token)
+      // folded tombstones are served: clear them (idempotent — a crash
+      // before this leaves no-op tombstones the next compact reaps)
+      if (fs.exists(del)) fs.delete(del, true)
+      ()
+    } finally {
+      stopHeartbeat(hb)
+      releaseLeaseIfOurs(fs, lease, token)
+    }
+  }
+
+  /** Re-stamp the lease's mtime every takeoverMs/4 while the owning op
+    * computes, so a takeover means "the owner is DEAD", not "the owner
+    * is slow": a corpus-sized compact/rebuild outliving the takeover
+    * window on a slow store keeps its lease fresh for as long as the
+    * process lives, while a crashed op stops beating and ages into
+    * takeover exactly as before. `setTimes` touches metadata only — a
+    * concurrent [[leaseToken]] read never sees a half-written file the
+    * way a content rewrite could expose. Each beat re-verifies the
+    * token first and stops silently on loss (the owner's own
+    * [[verifyLease]] commit gate is the authoritative abort).
+    */
+  private def startHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+                             lease: org.apache.hadoop.fs.Path,
+                             token: String, takeoverMs: Long): Thread = {
+    val period = math.max(takeoverMs / 4, 25L)
+    val t = new Thread(() => {
+      try {
+        var ours = true
+        while (ours) {
+          Thread.sleep(period)
+          ours =
+            (try leaseToken(fs, lease) == token
+             catch { case _: Exception => false }) &&
+            (try { fs.setTimes(lease, System.currentTimeMillis(), -1); true }
+             catch { case _: Exception => false })
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"ann-index-lease-heartbeat-${lease.hashCode}")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  private def stopHeartbeat(t: Thread): Unit = {
+    t.interrupt()
+    t.join(2000)
   }
 
   /** Delete the lease iff it still carries OUR token — never a lease
@@ -126,7 +205,9 @@ object AnnIndex {
   /** (rows, non-empty lists, drift PSI) from ONE coded aggregate — the
     * current occupancy histogram already carries all three, so the
     * stats/monitoring path ([[graft.apps.AnnIndexApp]] `--mode stats`)
-    * never scans the index more than once.
+    * never scans the index more than once. Counts reflect STORED rows:
+    * tombstoned ids still count until the next compact folds them (the
+    * drift signal cares about what the lists physically hold).
     */
   def driftStats(spark: SparkSession, dir: String): (Long, Long, Double) = {
     val rows = spark.read.parquet(s"$dir/model")
@@ -182,7 +263,8 @@ object AnnIndex {
                  dir: String): Unit = {
     val (coarse, dims, pq, subDims) = model
     val spark = newVecs.sparkSession
-    require(!fsOf(spark, dir).exists(leasePath(dir)),
+    val fs = fsOf(spark, dir)
+    require(!fs.exists(leasePath(dir)),
       s"AnnIndex.appendWith: a compact holds ${leasePath(dir)} — appends " +
         s"during the swap window are lost; retry after the compact " +
         s"completes (a crashed compact's stale lease is taken over by the " +
@@ -190,6 +272,19 @@ object AnnIndex {
     codedFrame(newVecs, idCol, vecCol, coarse, dims, pq, subDims)
       .write.mode("append").partitionBy("centroid")
       .parquet(s"$dir/coded")
+    // post-commit re-check: a maintenance op that acquired the lease
+    // WHILE this append was committing may have snapshotted/overwritten
+    // coded without our rows (a rebuild would even code them with the
+    // old model). Failing loudly here makes the foreachBatch retry
+    // re-run the batch after the lease clears — at-least-once, and the
+    // possible duplicate is exactly what compact's key dedup reaps. The
+    // maintenance side holds the mirror gate (file-set re-listing), so
+    // the check-then-act residual needs BOTH gates to miss.
+    require(!fs.exists(leasePath(dir)),
+      s"AnnIndex.appendWith: a maintenance op acquired ${leasePath(dir)} " +
+        s"while this append was committing — its snapshot may not include " +
+        s"these rows; retry the batch after the lease clears (duplicates " +
+        s"are reaped by compact's key dedup)")
   }
 
   private def codedFrame(vecs: DataFrame, idCol: String, vecCol: String,
@@ -229,6 +324,57 @@ object AnnIndex {
     */
   def leasePath(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$dir/compact.lease")
+
+  /** The tombstone table: id rows pending removal from the index. */
+  def deletesPath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/deletes")
+
+  /** File tombstones for `ids` — the takedown / right-to-be-forgotten
+    * path, without which every removal is a full rebuild. A tombstone
+    * takes effect at the NEXT probe (the probe paths anti-join the
+    * pending set — bounded by contract: tombstones are request-sized,
+    * reaped at every compact/rebuild) and is folded into storage by the
+    * next [[compactCoded]] or [[write]], which then clears the table.
+    *
+    * Same coordination discipline as [[appendWith]]: refuses while a
+    * maintenance op holds the lease (a tombstone filed during the swap
+    * window could be cleared WITHOUT being folded — a silently
+    * resurrected vector, the one failure a takedown path must not
+    * have), and re-checks after the write commits so a late-landing
+    * delete fails loudly and the caller re-files (duplicate tombstone
+    * rows are harmless — the anti-joins and the fold are idempotent).
+    */
+  def deleteIds(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = ids.sparkSession
+    val fs = fsOf(spark, dir)
+    def refuse(when: String): Unit =
+      require(!fs.exists(leasePath(dir)),
+        s"AnnIndex.deleteIds: a maintenance op holds ${leasePath(dir)} " +
+          s"$when — a tombstone filed during the swap window could be " +
+          s"cleared without being folded; retry after it completes " +
+          s"(re-filed tombstones are idempotent)")
+    refuse("")
+    ids.select(col(idCol).as("id"))
+      .write.mode("append").parquet(deletesPath(dir).toString)
+    refuse("(acquired while this delete was committing)")
+  }
+
+  /** `coded` minus the pending tombstones — the serving-path filter.
+    * The tombstone side broadcasts (request-sized by contract); absent
+    * table = identity, so an index that never deletes keeps its exact
+    * q160 plan.
+    */
+  private def withoutDeleted(spark: SparkSession, dir: String,
+                             coded: DataFrame): DataFrame = {
+    val del = deletesPath(dir)
+    if (!fsOf(spark, dir).exists(del)) coded
+    else {
+      val idCol = coded.columns.filterNot(Set("codes", "centroid")).head
+      coded.join(
+        broadcast(spark.read.parquet(del.toString).select(col("id").as("__del_id"))),
+        col(idCol) === col("__del_id"), "left_anti")
+    }
+  }
 
   /** Acquire the maintenance lease with a unique owner token (returned
     * for [[verifyLease]] re-checks). A FRESH foreign lease refuses; a
@@ -285,6 +431,24 @@ object AnnIndex {
         s"'$read', not ours; another maintenance op took over")
   }
 
+  /** The path-safe nonce of a lease token (the UUID after "nonce=") —
+    * the compact staging-dir suffix.
+    */
+  private def tokenNonce(token: String): String =
+    token.substring(token.indexOf("nonce=") + "nonce=".length).trim
+
+  /** Staging leftovers that are not OURS — dead racers' tmp dirs
+    * (including the legacy unsuffixed `coded_compact` name), reaped at
+    * the start of every owned compact.
+    */
+  private def foreignTmps(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                          own: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("coded_compact") && p != own)
+  }
+
   /** The data files of a posting-list directory (name, length) — the
     * pre-swap concurrent-append detector's snapshot unit.
     */
@@ -305,7 +469,11 @@ object AnnIndex {
 
   /** Compact the posting lists: drop duplicate ids (keep the
     * lexicographically-first codes row — they are identical under one
-    * model anyway) and rewrite the partitioned layout. The streaming
+    * model anyway), fold pending tombstones, and rewrite the partitioned
+    * layout, clearing the tombstone table once its rows are folded.
+    * Holds the lease with a HEARTBEAT (mtime re-stamp every
+    * `leaseTakeoverMs`/4), so a corpus-sized rewrite outliving the
+    * takeover window is not mistaken for a crashed owner. The streaming
     * appender is foreachBatch + parquet append, i.e. AT-LEAST-ONCE: a
     * replayed micro-batch re-appends its rows, and a probe would then
     * report the same neighbor at two ranks — this is the K1 sink
@@ -353,11 +521,27 @@ object AnnIndex {
     val fs = fsOf(spark, dir)
     val lease = leasePath(dir)
     val token = acquireLease(fs, lease, leaseTakeoverMs, "compactCoded")
+    val hb = startHeartbeat(fs, lease, token, leaseTakeoverMs)
     val live = new org.apache.hadoop.fs.Path(s"$dir/coded")
     val old = new org.apache.hadoop.fs.Path(s"$dir/coded_old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/coded_compact")
+    // the staging dir is token-unique: two racers that both believed
+    // they acquired (the delete-then-create takeover interleaving) can
+    // never share a tmp, so the loser's writes cannot clobber the
+    // winner's validated output between its verifyLease and its rename
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/coded_compact.${tokenNonce(token)}")
+    val del = deletesPath(dir)
+    // the heartbeat stops on EVERY exit — including the keep-lease
+    // failure paths, where the un-beaten lease aging into takeover is
+    // exactly what lets the next compact recover
+    try {
     val counts =
       try {
+        // reap FOREIGN staging leftovers while we own the lease: a dead
+        // racer's tmp is garbage (its owner either lost verifyLease or
+        // crashed); one re-created mid-delete by a still-running loser
+        // is re-reaped by the next owned compact
+        foreignTmps(fs, dir, tmp).foreach(p => fs.delete(p, true))
         // roll back a PREVIOUS compact's interrupted swap FIRST — if
         // this fails, the conditional release below sees live missing
         // and keeps the lease (the catastrophic case the phase-aware
@@ -367,10 +551,21 @@ object AnnIndex {
             s"AnnIndex.compactCoded: found an interrupted swap but could " +
               s"not roll $old back to $live")
         val snapshot = dataFiles(fs, live)
+        val delSnapshot = dataFiles(fs, del)
         val coded = loadCoded(spark, dir)
         val idCol = coded.columns.filterNot(Set("codes", "centroid")).head
         val before = coded.count()
-        val deduped = coded
+        // fold pending tombstones into the rewrite (deleteIds refuses
+        // while we hold the lease, and the pre-swap re-listing below
+        // catches one whose check passed just before acquisition)
+        val folded =
+          if (fs.exists(del))
+            coded.join(
+              broadcast(spark.read.parquet(del.toString)
+                .select(col("id").as("__del_id"))),
+              col(idCol) === col("__del_id"), "left_anti")
+          else coded
+        val deduped = folded
           .groupBy(col(idCol))
           .agg(min(struct(col("codes"), col("centroid"))).as("__r"))
           .select(col(idCol), col("__r.codes").as("codes"),
@@ -380,13 +575,17 @@ object AnnIndex {
         deduped.write.mode("overwrite").partitionBy("centroid").parquet(tmp.toString)
         deduped.unpersist()
         // pre-swap gates, still fully reversible: no concurrent append
-        // landed since the read, and the lease is still ours
+        // or delete landed since the read, and the lease is still ours
         val now = dataFiles(fs, live)
         require(now == snapshot,
           s"AnnIndex.compactCoded: the live lists changed during the " +
             s"compact (${(now -- snapshot).size} new / " +
             s"${(snapshot -- now).size} gone files) — an append slipped " +
             s"into the window; aborting without the swap, re-run compact")
+        require(dataFiles(fs, del) == delSnapshot,
+          s"AnnIndex.compactCoded: the tombstone table changed during " +
+            s"the compact — a delete slipped into the window and would be " +
+            s"cleared unfolded; aborting without the swap, re-run compact")
         verifyLease(fs, lease, token, "compactCoded")
         (before, after)
       } catch { case e: Throwable =>
@@ -441,8 +640,17 @@ object AnnIndex {
       releaseLeaseIfOurs(fs, lease, token)
       throw e
     }
+    // folded tombstones are in the live lists now: clear the table (a
+    // failure here is benign — leftover tombstones anti-join to nothing
+    // and the next compact clears them — but release before rethrowing)
+    try { if (fs.exists(del)) fs.delete(del, true) }
+    catch { case e: Throwable =>
+      releaseLeaseIfOurs(fs, lease, token)
+      throw e
+    }
     fs.delete(lease, false)
     counts
+    } finally stopHeartbeat(hb)
   }
 
   /** Probe the persisted index: IVF-PQ top-k from the loaded artifacts
@@ -454,8 +662,9 @@ object AnnIndex {
             idCol: String, vecCol: String,
             nprobe: Int, kNeighbors: Int): DataFrame = {
     val (coarse, dims, pq, _) = loadModel(spark, dir)
-    Pq.ivfPqTopK(spark, loadCoded(spark, dir), queries, idCol, vecCol,
-      coarse, dims, pq, nprobe, kNeighbors)
+    Pq.ivfPqTopK(spark,
+      withoutDeleted(spark, dir, loadCoded(spark, dir)),
+      queries, idCol, vecCol, coarse, dims, pq, nprobe, kNeighbors)
   }
 
   /** [[probe]] with the scan PRUNED to the probed posting lists — the
@@ -480,8 +689,8 @@ object AnnIndex {
       .collect().map(_.getInt(0)).sorted
     require(probed.nonEmpty || queries.isEmpty,
       "AnnIndex.probePruned: no probed lists for a non-empty query set")
-    val coded = loadCoded(spark, dir)
-      .filter(col("centroid").isin(probed.map(Integer.valueOf).toSeq: _*))
+    val coded = withoutDeleted(spark, dir, loadCoded(spark, dir)
+      .filter(col("centroid").isin(probed.map(Integer.valueOf).toSeq: _*)))
     Pq.ivfPqTopK(spark, coded, queries, idCol, vecCol,
       coarse, dims, pq, nprobe, kNeighbors)
   }

@@ -238,6 +238,107 @@ class AnnIndexSpec extends AnyFunSuite {
       "recovery must restore live, clear old, release the lease")
   }
 
+  test("tombstones: delete is probe-effective immediately, folded and cleared by compact, honored by rebuild") {
+    import graft.operators.{AnnIndex, Ivf, Pq}
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-delete").toString
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    AnnIndex.write(emb, "vec_id", "embedding", coarse, 64, pq, 8, dir)
+    val fs = AnnIndex.leasePath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an exact copy of vec 3 under a fresh id ranks at the top of its
+    // own probe (ADC of a duplicate is its quantization error — assert
+    // membership, not distance)
+    val planted = emb.filter($"vec_id" === 3)
+      .select(lit(90001L).as("vec_id"), $"embedding")
+    AnnIndex.append(planted, "vec_id", "embedding", dir)
+    def neighbors(pruned: Boolean) = {
+      val f = if (pruned) AnnIndex.probePruned _ else AnnIndex.probe _
+      f(spark, dir, emb.filter($"vec_id" === 3), "vec_id", "embedding", 1, 2)
+        .select($"neighbor_id").as[Long].collect().toSet
+    }
+    assert(neighbors(pruned = false).contains(90001L))
+    // the takedown: tombstone filed -> BOTH probe paths exclude it at
+    // once, while the row physically remains in the lists
+    AnnIndex.deleteIds(Seq(90001L).toDF("vec_id"), "vec_id", dir)
+    assert(!neighbors(pruned = false).contains(90001L),
+      "tombstoned id must vanish from probe before any compact")
+    assert(!neighbors(pruned = true).contains(90001L),
+      "and from the pruned probe path")
+    val storedBefore = AnnIndex.loadCoded(spark, dir)
+      .filter($"vec_id" === 90001L).count()
+    assert(storedBefore == 1, "the row is only MASKED until compact folds it")
+    // compact folds the tombstone into the rewrite and clears the table
+    val (before, after) = AnnIndex.compactCoded(spark, dir)
+    assert(after == before - 1, s"exactly the tombstoned row drops: $before -> $after")
+    assert(!fs.exists(AnnIndex.deletesPath(dir)),
+      "the tombstone table must be cleared once folded")
+    assert(AnnIndex.loadCoded(spark, dir).filter($"vec_id" === 90001L).isEmpty,
+      "the id must be physically gone from coded")
+    assert(!neighbors(pruned = false).contains(90001L))
+    // deletes respect the maintenance lease: refuse while held, like appends
+    locally { val o = fs.create(AnnIndex.leasePath(dir), false); o.close() }
+    val ed = intercept[IllegalArgumentException] {
+      AnnIndex.deleteIds(Seq(1L).toDF("vec_id"), "vec_id", dir)
+    }
+    assert(ed.getMessage.contains("maintenance op holds"), ed.getMessage)
+    fs.delete(AnnIndex.leasePath(dir), false)
+    // a REBUILD honors pending tombstones even from an uncurated corpus:
+    // the takedown must not resurrect
+    AnnIndex.append(planted, "vec_id", "embedding", dir)
+    AnnIndex.deleteIds(Seq(90001L).toDF("vec_id"), "vec_id", dir)
+    val withPlant = emb.select($"vec_id", $"embedding").unionByName(planted)
+    AnnIndex.write(withPlant, "vec_id", "embedding", coarse, 64, pq, 8, dir)
+    assert(AnnIndex.loadCoded(spark, dir).filter($"vec_id" === 90001L).isEmpty,
+      "rebuild must fold pending tombstones, not resurrect the takedown")
+    assert(!fs.exists(AnnIndex.deletesPath(dir)),
+      "rebuild clears the folded tombstone table")
+  }
+
+  test("lease heartbeat: a compact outliving the takeover window keeps ownership; takeover still works once the owner stops beating") {
+    import graft.operators.{AnnIndex, Ivf, Pq}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val emb = Tables.load(spark, TestSession.sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-heartbeat").toString
+    val coarse = Ivf.train(emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", m = 8, subDims = 8, k = 16, iters = 2)
+    AnnIndex.write(emb, "vec_id", "embedding", coarse, 64, pq, 8, dir)
+    val fs = AnnIndex.leasePath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = AnnIndex.loadCoded(spark, dir).count()
+    // a SLOW compact: takeover window 400ms, the Spark dedup+rewrite
+    // takes seconds — without the heartbeat every later contender would
+    // "take over" a healthy owner and waste its corpus-sized rewrite
+    val slow = Future(AnnIndex.compactCoded(spark, dir, leaseTakeoverMs = 400L))
+    val deadline = System.currentTimeMillis() + 60000
+    while (!fs.exists(AnnIndex.leasePath(dir)) &&
+           System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(fs.exists(AnnIndex.leasePath(dir)), "the slow compact must be holding the lease")
+    // let the ORIGINAL stamp age well past the window, then contend
+    Thread.sleep(1000)
+    if (fs.exists(AnnIndex.leasePath(dir))) {
+      val ec = intercept[IllegalArgumentException] {
+        AnnIndex.compactCoded(spark, dir, leaseTakeoverMs = 400L)
+      }
+      assert(ec.getMessage.contains("in flight"),
+        s"the heartbeat must keep the live owner's lease FRESH: ${ec.getMessage}")
+    } // else the slow compact already finished — the assert below still pins success
+    val (b, a) = Await.result(slow, 120.seconds)
+    assert(b == before && a == before,
+      s"the slow compact must complete despite outliving the window: $b/$a")
+    assert(!fs.exists(AnnIndex.leasePath(dir)), "lease released after success")
+    // once the owner is DEAD (no heartbeat), staleness still means
+    // takeover: a hand-planted lease aged past the window is claimed
+    locally { val o = fs.create(AnnIndex.leasePath(dir), false); o.close() }
+    fs.setTimes(AnnIndex.leasePath(dir), System.currentTimeMillis() - 1000, -1)
+    val (b2, a2) = AnnIndex.compactCoded(spark, dir, leaseTakeoverMs = 400L)
+    assert(b2 == before && a2 == before)
+    assert(!fs.exists(AnnIndex.leasePath(dir)))
+  }
+
   test("drift gate: undrifted appends stay under the retrain threshold; a shifted batch crosses it") {
     import graft.operators.{AnnIndex, Ivf, Pq}
     val emb = Tables.load(spark, TestSession.sf, "embeddings")
