@@ -25,6 +25,10 @@ import org.apache.spark.sql.SparkSession
   * Per-query minima ship alongside (`queries_min`) as the contention-free
   * floor, and their sum is the first-class `value_min` field on every
   * line — the cross-round comparison number when medians get poisoned.
+  * `contention_suspects` (full line; `suspect_count` on the compact)
+  * names the queries whose median/min ratio inside THIS capture exceeds
+  * 3× with a > 0.5 s gap — the mechanical form of the adjudication that
+  * previously needed a human comparing medians across rounds.
   *
   * q32_top_pairs is EXCLUDED from the headline set: it is the O(n²)
   * crossJoin verification baseline for the similarity family (oracle-checked
@@ -160,12 +164,26 @@ object Bench {
     // on its own.
     val slowest = results.sortBy(-_._2).take(5)
       .map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
+    // contention adjudication made MECHANICAL (it has consumed three
+    // rounds of cross-round median comparisons by hand): a query whose
+    // median sits > 3× above its own min INSIDE one capture was sampled
+    // through a host-contention window — the plan cannot change between
+    // round-robin iterations of the same binary. The absolute-gap guard
+    // (> 0.5 s) keeps 20 ms queries off the list on scheduler jitter.
+    // Reading: suspects inflate `value`; `value_min` is the cross-round
+    // number whenever the list is non-empty.
+    val suspects = results
+      .filter(r => r._3 > 0 && r._2 / r._3 > 3.0 && r._2 - r._3 > 0.5)
+      .sortBy(-_._2)
+    val suspectsJson = suspects
+      .map(r => "\"" + r._1 + "\":" + r4(r._2 / r._3)).mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"value_min":$totalMin,""" +
-      s""""unit":"sec","iters":$iters,""" +
+      s""""unit":"sec","iters":$iters,"suspect_count":${suspects.size},""" +
       s""""n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}"""
     println(compact)
     val full = s"""{"metric":"total","value":$total,"value_min":$totalMin,""" +
       s""""unit":"sec","iters":$iters,""" +
+      s""""contention_suspects":$suspectsJson,""" +
       s""""queries":${jmap(_._2)},"queries_min":${jmap(_._3)},"sf":"$sfDir"}"""
     println(full)
     // …and the compact line AGAIN as the very last line: the driver keeps
