@@ -171,7 +171,7 @@ object DedupQueries {
     val twins = Multimodal.upscaledTwins(s,
       base.filter(pmod(col("doc_id"), lit(50)) === 0),
       factor = 2, idOffset = 10000000L).toDF()
-    Multimodal.imageNearDupPairs(s, base.unionByName(twins), maxHamming = 7)
+    Multimodal.imageNearDupPairs(s, base.unionByName(twins), maxHamming = 3)
   }
 
   /** MinHash as an ESTIMATOR: per LSH candidate pair, the fraction of
@@ -477,7 +477,7 @@ object DedupQueries {
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
   }
 
   // Shared oracle CTE fragments (DuckDB).

@@ -314,15 +314,19 @@ object Multimodal {
 
   /** Image-level near-dup pairs: [[perceptualHashes]] into the
     * pigeonhole-banded Hamming self-join ([[Dedup.hammingPairs]] — the
-    * q29/q30 machinery on the new hash). maxHamming 7 splits the 64-bit
-    * hash into 8 exact-match blocks; with effectively-random hashes the
-    * false-candidate rate per block is n²/2⁸ per band key width, and
-    * the exact Hamming filter keeps only true near-dups. Scale shape:
-    * payload decodes scan-locally to ONE long per image; only
-    * (block, value, id, hash) tuples shuffle — never pixels.
+    * q29/q30 machinery on the new hash). maxHamming 3 splits the 64-bit
+    * hash into 4 exact-match blocks of 16 bits — the standard dHash
+    * near-dup radius, and the radius IS the scale dial: block width
+    * sets the band-key space (2^16 here), so the candidate rate on
+    * effectively-random hashes is n²·4/2^16. A wider radius shrinks the
+    * blocks — maxHamming 7 means 8-bit blocks, only 256 bucket values,
+    * and the candidate set degrades to n²/2⁵ (measured at 510k images:
+    * 139 s / 63× on the second ScaleBench decade at maxHamming 7;
+    * 2.9 s / 2.4× at 3). Scale shape: payload decodes scan-locally to ONE long per
+    * image; only (block, value, id, hash) tuples shuffle — never pixels.
     */
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
-                        maxHamming: Int = 7): DataFrame =
+                        maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs(perceptualHashes(spark, media),
       "doc_id", "dhash", bits = 64, maxHamming = maxHamming)
 
