@@ -47,6 +47,7 @@ object Bench {
   private val excluded = Set("q32_top_pairs", "q66_corpus_survivors",
     "q77_corpus_funnel", // q77 = q66's plan + count aggregates — same fixpoint-round latency
     "q94_canonical_dedup", // component fixpoint: driver-synchronous star rounds, same physics as q66
+    "q171_image_dup_clusters", // q94's star fixpoint over q170's pairs — same class; q170 is the benched geometry
     "q157_cluster_split", // min-label component fixpoint — q94's exclusion class
     "q158_incremental_split", // its label table runs q157's fixpoint — same class
     "q164_split_exact", // q157's fixpoint over exact edges — same class

@@ -174,6 +174,23 @@ object DedupQueries {
     Multimodal.imageNearDupPairs(s, base.unionByName(twins), maxHamming = 3)
   }
 
+  /** Image duplicate CLUSTERS + canonical keeper: q170's perceptual
+    * pairs resolved to connected components (the min-label star rounds
+    * of [[graft.operators.Dedup.duplicateClustersStar]]) with the
+    * min-id keep rule — the multimodal twin of q94's text resolution:
+    * "which images are the same image, and which copy ships". The
+    * component label IS the cluster min under min-label semantics, so
+    * keep = (doc_id == cluster) — no extra pass. Oracle replays the
+    * closure as a recursive CTE over the same O(n²) Hamming edges
+    * (q94's lbl pattern over q170's hash CTEs). Driver-synchronous
+    * fixpoint rounds — Bench-excluded per the q94 convention; the pair
+    * generation underneath is q170's measured geometry.
+    */
+  val q171_image_dup_clusters: Q = (s, dir) =>
+    graft.operators.Dedup.duplicateClustersStar(
+        q170_image_neardup(s, dir).select(col("d1"), col("d2")))
+      .withColumn("keep", (col("doc_id") === col("cluster")).cast("long"))
+
   /** MinHash as an ESTIMATOR: per LSH candidate pair, the fraction of
     * agreeing signature entries estimates Jaccard; emitted beside the
     * exact value — the accuracy/cost tradeoff a 100 TB dedup run tunes k
@@ -441,6 +458,7 @@ object DedupQueries {
     "q29_simhash" -> q29_simhash,
     "q30_simhash_pairs" -> q30_simhash_pairs,
     "q170_image_neardup" -> q170_image_neardup,
+    "q171_image_dup_clusters" -> q171_image_dup_clusters,
     "q65_dedup_exact_wide" -> q65_dedup_exact_wide,
     "q66_corpus_survivors" -> q66_corpus_survivors,
     "q84_incremental_dedup" -> q84_incremental_dedup,
@@ -457,13 +475,13 @@ object DedupQueries {
     * two's-complement pattern (disjoint powers: sum == bitwise or).
     * Then the O(n²) Hamming self-join the banded engine must equal.
     */
-  private def q170Oracle: String = {
+  private def imageHashCtes: String = {
     def samp(i: Int, j: Int) =
       s"ascii(substr(text, (($i*h//8)*w + ($j*w//9)) + 1, 1))"
     val bits = (for { i <- 0 until 8; j <- 0 until 8 } yield
       s"CASE WHEN ${samp(i, j)} > ${samp(i, j + 1)} THEN ${1L << (i * 8 + j)} ELSE 0 END")
       .mkString(" +\n      ")
-    s"""WITH geo AS (
+    s"""geo AS (
        |  SELECT doc_id, text, (8 + length(text) % 9)::INT AS w,
        |    (length(text) // (8 + length(text) % 9))::INT AS h
        |  FROM documents
@@ -473,12 +491,30 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id + 10000000, text, w, h FROM geo WHERE doc_id % 50 = 0),
        |hashes AS (
-       |  SELECT doc_id, ($bits)::BIGINT AS dhash FROM imgs)
+       |  SELECT doc_id, ($bits)::BIGINT AS dhash FROM imgs)""".stripMargin
+  }
+
+  private def q170Oracle: String =
+    s"""WITH $imageHashCtes
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
        |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
        |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
-  }
+
+  /** q171 oracle: q170's hash CTEs, then the transitive closure as a
+    * recursive CTE (the q94 lbl pattern) and the min-label keep mark.
+    */
+  private def q171Oracle: String =
+    s"""WITH RECURSIVE $imageHashCtes,
+       |e1 AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+       |e1s AS (SELECT d1 AS a, d2 AS b FROM e1 UNION ALL SELECT d2, d1 FROM e1),
+       |r1 AS (SELECT a, b FROM e1s
+       |  UNION SELECT r1.a, e.b FROM r1 JOIN e1s e ON r1.b = e.a),
+       |lbl AS (SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster
+       |  FROM r1 GROUP BY a)
+       |SELECT doc_id, cluster, (doc_id = cluster)::BIGINT AS keep FROM lbl""".stripMargin
 
   // Shared oracle CTE fragments (DuckDB).
   private val polyHashSql = (e: String) =>
@@ -744,6 +780,7 @@ object DedupQueries {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MAX_HAMMING""".stripMargin,
     "q170_image_neardup" -> q170Oracle,
+    "q171_image_dup_clusters" -> q171Oracle,
     "q65_dedup_exact_wide" ->
       s"""SELECT min(doc_id) AS doc_id FROM (
          |  SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents)

@@ -101,6 +101,25 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(pairs == expected, s"got $pairs")
   }
 
+  test("duplicate family resolves to one cluster with the min-id canonical keeper (q171's rule)") {
+    val bright = pgm(18, 16, (r, c) => (r * 13 + c * 7) % 195 + 20)
+    val other = pgm(18, 16, (r, c) => ((r * 31 + c * 17) * 7 + 11) % 251)
+    val base = mediaDF(Seq((5L, baseA, Multimodal.PgmFormat)))
+    val media = mediaDF(Seq(
+      (5L, baseA, Multimodal.PgmFormat),
+      (12L, bright, Multimodal.PgmFormat),
+      (2L, other, Multimodal.PgmFormat)))
+      .unionByName(Multimodal.upscaledTwins(spark, base, 2, 10L).toDF())
+    val pairs = Multimodal.imageNearDupPairs(spark, media, maxHamming = 3)
+      .select($"d1", $"d2")
+    val got = Dedup.duplicateClustersStar(pairs)
+      .withColumn("keep", ($"doc_id" === $"cluster").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    // family {5, 12, 15} clusters under min id 5, which is the keeper;
+    // unrelated 2 never enters the component machinery
+    assert(got == Set((5L, 5L, 1L), (12L, 5L, 0L), (15L, 5L, 0L)), s"got $got")
+  }
+
   test("banded Hamming join equals the brute-force pair set (no dupes, no misses)") {
     // 40 pseudo-random small images via an LCG; some land within 7 bits
     var seed = 12345L
