@@ -446,7 +446,9 @@ object AnnIndex {
     val d = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("coded_compact") && p != own)
+      // name comparison, not Path equality: listings come back
+      // scheme-qualified while `own` is as-constructed
+      .filter(p => p.getName.startsWith("coded_compact") && p.getName != own.getName)
   }
 
   /** The data files of a posting-list directory (name, length) — the
