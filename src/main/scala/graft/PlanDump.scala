@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` for named queries to files — the evidence
+  * channel for plan-shape claims (plans/rNN/<query>_{before,after}.txt).
+  * Usage: PlanDump <outDir> <suffix> <query>... ; sf dir / cpus from the
+  * same envs as Bench so the dumped plan is the benched plan.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    for (q <- names) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val w = new java.io.PrintWriter(s"$outDir/${q}_$suffix.txt", "UTF-8")
+      try w.println(plan) finally w.close()
+      println(s"[plandump] wrote $outDir/${q}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

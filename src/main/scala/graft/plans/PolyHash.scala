@@ -91,7 +91,7 @@ object GraftFunctions {
     MinHashSig.descriptor, SimHashOf.descriptor, WinnowFps.descriptor,
     VecDot.descriptor, LshBucket.descriptor, LshBucketFrom.descriptor,
     NearestCentroid.descriptor,
-    PqCodes.descriptor, PqAdc.descriptor)
+    PqCodes.descriptor, PqAdc.descriptor, SortedInterCount.descriptor)
 
   /** Register all engine functions on a live session (idempotent overwrite). */
   def register(spark: SparkSession): Unit =

@@ -395,3 +395,65 @@ object PqAdc {
     new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
     (c: Seq[Expression]) => PqAdc(c.head, c(1), c(2)))
 }
+
+/** sorted_inter_count(a, b): number of elements common to two SORTED
+  * ascending array<long> columns (distinct elements within each array —
+  * the adjacency-list contract), as one codegen'd merge walk.
+  *
+  * The triangle-count hot loop: per oriented edge (u, v) the triangle
+  * closers are |N+(u) ∩ N+(v)|, and counting them by merge-walking two
+  * pre-sorted neighbor arrays replaces the wedge-enumeration join — the
+  * exchange that carried Σ out-deg² wedge ROWS now carries Σ out-deg
+  * array elements attached to E edge rows (guide §2.3: shuffle bytes ≈
+  * the proxy, not the fan-out). `array_intersect` computes the same count
+  * but builds a hash set and materializes the intersection array per row;
+  * the merge walk allocates nothing.
+  */
+case class SortedInterCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_inter_count"
+
+  private def isLongArray(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sorted_inter_count(a: array<bigint>, b: array<bigint>) — both sorted ascending")
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.SortedInterCount$$.MODULE$$.count($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCount =
+    copy(left = l, right = r)
+}
+
+object SortedInterCount {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_inter_count"),
+    new ExpressionInfo(classOf[SortedInterCount].getName, "sorted_inter_count"),
+    (c: Seq[Expression]) => SortedInterCount(c.head, c(1)))
+}

@@ -301,4 +301,34 @@ class GraphSpec extends AnyFunSuite {
     val g = Seq((1L, 3L, 10L), (2L, 3L, 4L), (3L, 4L, 0L))
     assert(costs(g, Seq(1L, 2L), 2) == Map(1L -> 0, 2L -> 0, 3L -> 4, 4L -> 4))
   }
+
+  test("triangleCount: adjacency-intersection closing == brute force on a dense pseudo-random graph") {
+    // deterministic hash-sampled graph over 40 nodes, ~30% density — big
+    // enough that the degree orientation, tie-breaks, and the per-edge
+    // sorted-merge intersection all do real work; brute force is the spec
+    val edges = for {
+      x <- 1L to 40L; y <- (x + 1) to 40L
+      if ((x * 2654435761L + y * 40503L) % 97) % 10 < 3
+    } yield (x, y)
+    val und = edges.toDF("x", "y")
+    val got = Graph.triangleCount(und, "x", "y").collect()(0).getLong(0)
+    val es = edges.toSet
+    def adj(u: Long, v: Long) = es((u min v, u max v))
+    val brute = (for {
+      u <- 1L to 40L; v <- (u + 1) to 40L; w <- (v + 1) to 40L
+      if adj(u, v) && adj(u, w) && adj(v, w)
+    } yield 1).size
+    assert(got == brute.toLong, s"got $got, brute-force says $brute")
+  }
+
+  test("triangleCount: empty and triangle-free edge sets return one zero row") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType), StructField("y", LongType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(Graph.triangleCount(empty, "x", "y").collect()(0).getLong(0) == 0L)
+    // a path graph: edges exist, adjacency joins fire, but nothing closes
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    assert(Graph.triangleCount(path, "x", "y").collect()(0).getLong(0) == 0L)
+  }
 }

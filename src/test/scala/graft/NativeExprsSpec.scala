@@ -144,4 +144,24 @@ class NativeExprsSpec extends AnyFunSuite {
       .filter(not($"chunk" <=> $"wide"))
     assert(a.count() == 0)
   }
+
+  test("sorted_inter_count == size(array_intersect) on sorted distinct long arrays") {
+    // deterministic pseudo-random sorted-distinct pairs incl. empty,
+    // disjoint, identical, and subset cases — the adjacency-list contract
+    val rows = (0 until 200).map { i =>
+      def arr(seed: Long, n: Int) =
+        (0 until n).map(j => ((seed * 31 + j * 2654435761L) % 97)).distinct.sorted.toArray
+      (arr(i, i % 13), arr(i * 7 + 3, (i * 5) % 17))
+    } ++ Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 2L, 3L), Array.empty[Long]),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(1L, 5L), Array(2L, 6L)))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      call_function("sorted_inter_count", $"a", $"b").as("native"),
+      size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .filter(not($"native" <=> $"ref"))
+    assert(diff.count() == 0)
+  }
 }
