@@ -332,11 +332,19 @@ object SetSim {
         row_number().over(wOcc).cast("string")))
       .select(col(idCol), col("len"), col("tok"))
 
+    // materialized once: the gram stream (posexplode + per-(id,gram)
+    // occurrence window — an exchange + sort over Σ grams) feeds BOTH the
+    // frequency agg and the prefix ordering; without the checkpoint that
+    // window pipeline runs twice (measured: q134 warm 1.1 → 0.9 s)
+    val gramsM =
+      if (sys.props.get("graft.setsim.materialize").forall(_.toBoolean))
+        grams.localCheckpoint()
+      else grams
     // rarest-first global order; constant prefix of k·q + 1 elements
     // (orderedPrefix — the same order definition as the Jaccard joins)
-    val dfreq = grams.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreq = gramsM.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val pref = orderedPrefix(
-      grams.select(col(idCol), col("len").as("n"), col("tok")),
+      gramsM.select(col(idCol), col("len").as("n"), col("tok")),
       idCol, dfreq, lit(k * q + 1))
 
     val a = pref.select(col("tok"), col(idCol).as("d1"), col("n").as("l1"))
@@ -383,12 +391,32 @@ object SetSim {
       .select(col("d1"), col("d2"), col("dist"))
   }
 
-  /** Normalize to (id, tk, n≥1) — see [[jaccardSelfJoinSets]]'s contract. */
+  /** Normalize to (id, tk, n≥1) — see [[jaccardSelfJoinSets]]'s contract.
+    *
+    * Materialized ONCE (localCheckpoint): every join in this file
+    * references its prepared sets 3-4 times (element-frequency agg, prefix
+    * elements, and both verify sides), under DIFFERENT downstream keys, so
+    * exchange reuse can never collapse them — without the checkpoint the
+    * caller's whole set-construction pipeline (typically a text scan +
+    * shingle hashing + array_distinct) re-executes per reference, and the
+    * duplicated subtrees quadruple the codegen surface. Measured at sf0.1
+    * (ProbeAb same-JVM alternating medians, 4 passes): q125 2.64→1.60 s,
+    * q135 2.75→1.76 s, q134 1.27→0.93 s, q128 1.61→1.24 s,
+    * q137 1.40→1.14 s. The stored rows are the (id, elements, n) sets
+    * themselves — the same bound the verify join already holds per
+    * partition. `-Dgraft.setsim.materialize=false` restores the
+    * recompute-per-reference plan for deployments where executor
+    * storage is tighter than scan+hash recompute (the
+    * `graft.setsim.shuffleHash` convention).
+    */
   private def prepare(sets0: DataFrame, idCol: String, setCol: String): DataFrame = {
     checkIdCol(idCol)
-    sets0.select(col(idCol), col(setCol).as("tk"))
+    val s = sets0.select(col(idCol), col(setCol).as("tk"))
       .withColumn("n", size(col("tk")))
       .filter(col("n") >= 1)
+    if (sys.props.get("graft.setsim.materialize").forall(_.toBoolean))
+      s.localCheckpoint()
+    else s
   }
 
   /** Shared order-and-slice core — ONE definition of the global element
