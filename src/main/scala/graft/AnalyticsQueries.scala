@@ -331,15 +331,38 @@ object AnalyticsQueries {
     * in a kept pair). Top-N by lift compiles to TakeOrdered.
     */
   val q121_basket_rules: Q = (s, dir) => {
-    val op = t(s, dir).lineitem
+    val op0 = t(s, dir).lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val pairs = op.select(col("o"), col("p").as("p1"))
-      .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
-      .filter(col("p1") < col("p2"))
+    // shuffle_hash pin on the self-join (round-9 optimization, measured):
+    // both sides are the SAME corpus-sized distinct table, so the static
+    // planner's broadcast choice (it broadcast all of op at sf0.1) cannot
+    // be right at scale — the round-8 q165 / round-9 hammingPairs lesson —
+    // and with both sides hashed on `o` over one child plan, exchange
+    // reuse plans a single shuffle serving both. Same-JVM alternating A/B
+    // at sf0.1: broadcast 2.53 s vs pinned 2.21 s — the scale-correct plan
+    // is also the faster one here. A localCheckpoint of op (the
+    // SetSim.prepare pattern — op is referenced 5×) was ALSO measured and
+    // LOSES (2.39 s vs 2.07 s same-JVM): the distinct is one cheap
+    // pushed-down scan, and the checkpoint's synchronous materialization
+    // barrier costs more than four recomputes at every scale where the
+    // scan is the cheap part. `-Dgraft.basket.shuffleHash=false` restores
+    // the planner's choice (the `graft.setsim.shuffleHash` convention).
+    // Self-join via dataset aliases over the SAME child plan (not two
+    // differently-aliased projections, whose p1/p2 Alias nodes defeat
+    // exchange-canonicalization): both sides hash on `o` over one
+    // canonical subtree, so ReusedExchange serves the build side and the
+    // scan+distinct runs once for the pair stage.
+    val lhs0 = op0.alias("a")
+    val lhs = if (sys.props.get("graft.basket.shuffleHash").forall(_.toBoolean))
+      lhs0.hint("shuffle_hash") else lhs0
+    val pairs = lhs
+      .join(op0.alias("b"), col("a.o") === col("b.o"))
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= BASKET_MIN_PAIR)
-    val items = op.groupBy(col("p").as("pid")).agg(count(lit(1)).as("item_cnt"))
-    val nOrders = op.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
+    val items = op0.groupBy(col("p").as("pid")).agg(count(lit(1)).as("item_cnt"))
+    val nOrders = op0.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(items.select(col("pid").as("p1"), col("item_cnt").as("c1"))), Seq("p1"))
       .join(broadcast(items.select(col("pid").as("p2"), col("item_cnt").as("c2"))), Seq("p2"))

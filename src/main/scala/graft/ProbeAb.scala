@@ -7,12 +7,11 @@ import org.apache.spark.sql.SparkSession
   * across runs on this drifting host). Edit the variants, run, read the
   * medians. Scratch tool — not part of the driver contract.
   *
-  * Current experiment (round 9, optimization): does materializing the
-  * prepared sets / gram stream in [[graft.operators.SetSim]] (ONE
-  * localCheckpoint instead of 2-4 recomputations of the set-construction
-  * subtree) pay at sf0.1? A = `-Dgraft.setsim.materialize=false` (the
-  * round-8 plan), B = true. Alternating A,B,A,B,… per query inside one
-  * JVM so host drift hits both variants equally; medians decide.
+  * Generic toggle form (round 9, optimization): SPARK_GRAFT_AB_PROP
+  * names a boolean system property, SPARK_GRAFT_AB_QUERIES the
+  * comma-separated queries; the probe alternates A (prop=false) and
+  * B (prop=true) per query inside one JVM so host drift hits both
+  * variants equally; medians decide.
   */
 object ProbeAb {
   def main(args: Array[String]): Unit = {
@@ -25,8 +24,9 @@ object ProbeAb {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = Seq("q125_ppjoin", "q135_overlap_join", "q134_edjoin",
-      "q128_ppjoin_incremental", "q137_containment")
+    val toggle = sys.env.getOrElse("SPARK_GRAFT_AB_PROP", "graft.basket.materialize")
+    val queries = sys.env.getOrElse("SPARK_GRAFT_AB_QUERIES", "q121_basket_rules")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
@@ -39,18 +39,18 @@ object ProbeAb {
     // one untimed pass of each query under BOTH variants so codegen
     // compilation (distinct per variant plan) is paid before timing
     for (v <- Seq("false", "true"); q <- queries) {
-      System.setProperty("graft.setsim.materialize", v); run(q)
+      System.setProperty(toggle, v); run(q)
     }
 
     val t = collection.mutable.Map[(String, String), Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to passes; q <- queries; v <- Seq("false", "true")) {
-      System.setProperty("graft.setsim.materialize", v)
+      System.setProperty(toggle, v)
       t((q, v)) :+= run(q)
     }
     for (q <- queries) {
       def med(v: String) = { val s = t((q, v)).sorted; s(s.size / 2) }
-      println(f"[ab] $q%-26s A(recompute)=${med("false")}%.2f s  B(materialize)=${med("true")}%.2f s")
+      println(f"[ab] $q%-26s A($toggle=false)=${med("false")}%.2f s  B(true)=${med("true")}%.2f s")
     }
     spark.stop()
   }
