@@ -296,7 +296,12 @@ object TextQueries {
     val vocab = tf.orderBy(col("tf").desc, col("tok").asc).limit(vocabCap)
     // total tokens == sum of tf, but computed as a direct per-doc sum so the
     // vocab aggregation's shuffle isn't paid twice; counts ALL tokens (the
-    // model normalizer is the corpus, not the kept vocab)
+    // model normalizer is the corpus, not the kept vocab). Round-9 A/B
+    // re-validated this: deriving the total as Σ tf over the tf table
+    // (hoping for runtime exchange reuse) measured 1.14 s vs 0.96 s
+    // same-JVM at sf0.1 — the scalar branch re-executes the whole
+    // explode+aggregate subtree, while the direct form is one cheap
+    // tokenize-only scan.
     val total = docs.agg(sum(size(tokens(col("text")))).as("t_total"))
     base.join(broadcast(vocab), Seq("tok"), "left")
       .crossJoin(broadcast(total))
@@ -349,6 +354,12 @@ object TextQueries {
     val bgCol = zip_with(
       slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
       (a, b) => concat(a, lit(" "), b))
+    // NOT materialized (round-9 A/B, measured): a localCheckpoint of this
+    // exploded stream — the SetSim.prepare trick — wins only 1.69→1.60 s
+    // at sf0.1, and the stored intermediate is the CORPUS-SIZED bigram
+    // stream (≈ token count rows), the one thing a 100 TB run cannot
+    // afford to persist per query. Recompute-per-reference keeps the
+    // operator scan-shaped; the 5% local delta is job overhead, not data.
     val base = d2.select(col("doc_id"), explode(bgCol).as("bg"))
     val bc = base.groupBy(col("bg")).agg(count(lit(1)).as("bcnt"))
     // contexts derive from the AGGREGATED bigram table (vocab-sized), never

@@ -252,6 +252,75 @@ object RuntimeFilter {
     * differs. Same eager-measurement caveat as the sized form (one
     * `approx_count_distinct` pass at construction).
     */
+  /** The number of hash functions the ONE-PASS auto path builds with —
+    * fixed, because the bitset is built before the cardinality is known.
+    * k=3 is within a few percent of optimal across the whole admissible
+    * range (the fold-down below always lands fill near the k·n/m ≈ ln 2
+    * regime or better).
+    */
+  val AutoHashes = 3
+
+  /** Bits needed for `targetFpp` at `nKeys` keys under a FIXED k hashes
+    * (the [[AutoHashes]] regime — [[requiredBits]] assumes k is free):
+    * solve (1 − e^(−kn/m))^k ≤ p for m.
+    */
+  def requiredBitsFixedK(nKeys: Long, k: Int, targetFpp: Double): Long = {
+    require(targetFpp > 0 && targetFpp < 1, s"targetFpp must be in (0,1), got $targetFpp")
+    val m = math.ceil(
+      k.toDouble * nKeys.max(1) / -math.log1p(-math.pow(targetFpp, 1.0 / k))).toLong
+    ((m + 63) / 64) * 64
+  }
+
+  /** Standard bloom fill-based cardinality estimate: n ≈ −(m/k)·ln(1 − X/m)
+    * where X is the number of set bits. Accurate to a few percent below
+    * ~80% fill; returns Long.MaxValue at saturation (the caller degrades).
+    */
+  def estimateKeysFromFill(setBits: Long, numBits: Long, k: Int): Long =
+    if (setBits >= numBits) Long.MaxValue
+    else math.ceil(-(numBits.toDouble / k) *
+      math.log1p(-setBits.toDouble / numBits)).toLong
+
+  /** Fold a power-of-two bitset down to `targetBits` (also a power of two
+    * dividing the source size): position p's target is p mod targetBits,
+    * and because both sizes are multiples of 64, whole words OR together —
+    * word i folds onto i mod (targetBits/64). Membership is preserved
+    * exactly for every inserted key (positions were h mod 2^a; the folded
+    * bit is h mod 2^b with b ≤ a, the same value the probe computes).
+    */
+  def foldBits(words: Array[Long], targetBits: Int): Array[Long] = {
+    require(Integer.bitCount(targetBits) == 1 && targetBits % 64 == 0,
+      s"targetBits must be a power of two ≥ 64, got $targetBits")
+    val srcW = words.length; val dstW = targetBits / 64
+    require(srcW % dstW == 0, s"$targetBits must divide ${srcW * 64L}")
+    val out = new Array[Long](dstW)
+    var i = 0
+    while (i < srcW) { out(i % dstW) |= words(i); i += 1 }
+    out
+  }
+
+  /** The probe-bitset size the one-pass auto path builds at: a power of
+    * two with room for `keysCeiling` keys at the default fpp, so any build
+    * the auto path would ACCEPT is sized correctly from one job (2^21 bits
+    * = 32 Ki words collected, still driver-trivial).
+    */
+  val AutoProbeBits: Int = 1 << 21
+
+  /** [[bloomPrunedJoinAuto]]'s decision + sizing in ONE build-side pass
+    * (round-9 optimization; the previous form ran TWO eager jobs — an
+    * `approx_count_distinct` sizing pass, then the bitset build — and the
+    * sizing pass was ~45% of warm construction time at sf0.1). The bitset
+    * is built once at [[AutoProbeBits]] (power of two), the build
+    * cardinality is estimated from the bitset's fill — the standard
+    * n ≈ −(m/k)·ln(1−X/m), exact enough (±few %) everywhere below the
+    * saturation the ceilings reject anyway — and the bitset FOLDS DOWN
+    * (mod a smaller power of two, membership-preserving) to the smallest
+    * size meeting `targetFpp`, so the plan literal stays as small as the
+    * two-pass form's. Degrade cases (estimated keys over `keysCeiling`,
+    * or projected fpp over `fppCeiling` at the affordable size) return
+    * the plain join exactly as before — they now cost one build pass
+    * instead of one acd pass, the price of the accept path being one job
+    * cheaper. Output is the plain inner join's in all branches.
+    */
   def bloomPrunedJoinAuto(probe: DataFrame, build: DataFrame,
                           probeKey: String, buildKey: String,
                           targetFpp: Double = 0.03,
@@ -259,17 +328,23 @@ object RuntimeFilter {
                           fppCeiling: Double = 0.25,
                           keysCeiling: Long = 1L << 17): DataFrame = {
     checkKeyTypes(probe, build, probeKey, buildKey)
-    val nKeys = math.ceil(
-      build.agg(approx_count_distinct(canon(build, col(buildKey))))
-        .head().getLong(0) * 1.1).toLong
-    val bits = math.min(requiredBits(nKeys, targetFpp), (maxBits / 64) * 64)
-    val hashes = optimalHashes(bits, nKeys)
+    val full = bloomBits(build, col(buildKey), AutoProbeBits, AutoHashes)
+    val setBits = full.foldLeft(0L)((a, w) => a + java.lang.Long.bitCount(w))
+    val est = estimateKeysFromFill(setBits, AutoProbeBits, AutoHashes)
+    val nKeys = if (est == Long.MaxValue) Long.MaxValue
+                else math.ceil(est * 1.1).toLong // same headroom as the acd form
+    // smallest power of two meeting targetFpp at k=AutoHashes, clamped to
+    // [64, AutoProbeBits] (we cannot unfold upward) and to maxBits
+    def ceilPow2(x: Long): Long = java.lang.Long.highestOneBit(math.max(64L, x) - 1) << 1
+    val bits = if (nKeys == Long.MaxValue) AutoProbeBits else math.min(math.min(
+      ceilPow2(requiredBitsFixedK(nKeys, AutoHashes, targetFpp)),
+      AutoProbeBits.toLong), java.lang.Long.highestOneBit(maxBits)).toInt
     if (nKeys > keysCeiling ||
-        projectedFpp(nKeys, bits.toInt, hashes) > fppCeiling)
+        projectedFpp(nKeys, bits, AutoHashes) > fppCeiling)
       probe.join(build, probe(probeKey) === build(buildKey)) // bloom can't pay — plain join
     else
       joinPruned(probe, build, probeKey, buildKey,
-        bloomBits(build, col(buildKey), bits.toInt, hashes), bits.toInt, hashes)
+        foldBits(full, bits), bits, AutoHashes)
   }
 
   private def checkKeyTypes(probe: DataFrame, build: DataFrame,

@@ -200,6 +200,32 @@ class RuntimeFilterSpec extends AnyFunSuite {
     assert(capped.exceptAll(plain).isEmpty && plain.exceptAll(capped).isEmpty)
   }
 
+  test("one-pass auto: fill estimate tracks true cardinality and fold-down loses no build key") {
+    // the round-9 single-pass redesign: the auto path builds ONE bitset at
+    // AutoProbeBits, estimates cardinality from its fill, and folds down —
+    // estimate and fold are the two pieces that must not drift
+    val keys = tables.orders.select($"o_orderkey").limit(2000)
+    val full = RuntimeFilter.bloomBits(keys, $"o_orderkey",
+      RuntimeFilter.AutoProbeBits, RuntimeFilter.AutoHashes)
+    val setBits = full.map(java.lang.Long.bitCount(_).toLong).sum
+    val est = RuntimeFilter.estimateKeysFromFill(
+      setBits, RuntimeFilter.AutoProbeBits, RuntimeFilter.AutoHashes)
+    val truth = keys.distinct().count()
+    assert(math.abs(est - truth) <= math.max(5L, truth / 10),
+      s"fill estimate $est vs true $truth — outside 10%")
+    // fold 2^21 → 2^12 and probe every build key through the folded bits:
+    // membership must be preserved exactly (no false negatives)
+    val folded = RuntimeFilter.foldBits(full, 1 << 12)
+    val missed = keys.filter(!RuntimeFilter.mightContain(
+      $"o_orderkey".cast("long"), folded, 1 << 12, RuntimeFilter.AutoHashes)).count()
+    assert(missed === 0, s"$missed build keys lost by fold-down")
+    // and the folded bitset is what a direct build at 2^12 produces
+    val direct = RuntimeFilter.bloomBits(keys, $"o_orderkey",
+      1 << 12, RuntimeFilter.AutoHashes)
+    assert(folded.toSeq === direct.toSeq,
+      "fold-down must equal a direct build at the target size")
+  }
+
   test("NULL probe keys are dropped, matching inner-join semantics") {
     val build = Seq(1L, 2L, 3L).toDF("k")
     val words = RuntimeFilter.bloomBits(build, $"k")
