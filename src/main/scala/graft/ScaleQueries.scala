@@ -191,7 +191,9 @@ object ScaleQueries {
     // table root mid-overwrite.
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
       dir.replaceAll("[^A-Za-z0-9]+", "_") + "_" + ProcessHandle.current().pid()
-    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+    val base = if (sys.props.get("graft.merge.rebalance").forall(_.toBoolean))
+      orders.hint("rebalance", col("o_orderpriority")) else orders
+    base.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
     val touched = orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
     val updates = touched.withColumn("o_totalprice", col("o_totalprice") + 1000.0)
       .unionByName(touched.withColumn("o_orderkey", col("o_orderkey") + 1000000000L))

@@ -110,7 +110,17 @@ object Merge {
     // the merge is re-run from the (per-directory-atomic) base — the
     // non-transactional parquet contract documented above.
     val merged = survivors.unionAll(upd).localCheckpoint(true)
-    merged
+    // REBALANCE by the partition column before the write (guide §6 file
+    // sizing): without it every one of the N checkpoint partitions opens a
+    // file in every affected directory (N × P small files — 160 at bench
+    // shape), which the merge's own survivor scan and every downstream
+    // reader then pays for in listing + open cost. The AQE rebalance
+    // shuffle is advisory-sized, so at cluster scale it yields
+    // target-sized files per partition instead of one per task.
+    // `-Dgraft.merge.rebalance=false` restores the direct write.
+    val toWrite = if (sys.props.get("graft.merge.rebalance").forall(_.toBoolean))
+      merged.hint("rebalance", col(partCol)) else merged
+    toWrite
       .write
       .partitionBy(partCol)
       .option("partitionOverwriteMode", "dynamic")
