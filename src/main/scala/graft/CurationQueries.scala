@@ -148,7 +148,7 @@ object CurationQueries {
     * pair — invisible in an entropy score).
     */
   val q98_token_entropy: Q = (s, dir) => {
-    val cnt = t(s, dir).documents
+    val cnt = Tables.fanOut(s, t(s, dir).documents) // measured 0.79→0.69 s
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -260,7 +260,7 @@ object CurationQueries {
     // 100× — the set's partial aggregate dedups map-side, so the extra
     // distinct exchange buys nothing (collect_list, which cannot dedup
     // partially, loses outright)
-    val ss = t(s, dir).documents
+    val ss = Tables.fanOut(s, t(s, dir).documents) // measured 1.18→0.95 s
       .select(col("source"), explode(shingleHashes(col("text"), 5)).as("h"))
       .groupBy(col("h"))
       .agg(array_sort(collect_set(col("source"))).as("ss"))
@@ -291,6 +291,9 @@ object CurationQueries {
     // the set's partial aggregate dedups (doc per hash) map-side, so a
     // pre-distinct exchange buys nothing and collect_list (no partial
     // dedup possible) measures strictly slower
+    // NO fanOut here (measured: 1.08→1.35 s with it): winnowFps emits far
+    // fewer rows than it reads characters, so the win from parallelizing
+    // the hash loses to re-serializing the full text into the exchange
     val docSets = t(s, dir).documents
       .select(col("doc_id"), explode(winnowFps(col("text"), 3, 4)).as("v"))
       .select(col("doc_id"), col("v").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))

@@ -483,22 +483,38 @@ object TextQueries {
     * cross-doc count and once on (doc_id) for runs — both key-partitioned;
     * nothing is quadratic and no doc text moves after the first explode.
     */
-  val q75_dup_spans: Q = (s, dir) => {
-    val pos = t(s, dir).documents
-      .select(col("doc_id"),
-        posexplode(shingles(tokens(col("text")), 3)).as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"), polyHash(col("sh")).as("h"))
-    // "occurs in ≥2 distinct docs" as per-h window min≠max (equivalent to
-    // count(DISTINCT doc_id) >= 2): marks every position in place with ONE
-    // scan of the corpus — the groupBy+self-join form re-explodes all
-    // shingles a second time and pays a third exchange
+  /** Keep the positions whose trigram hash occurs in ≥ 2 distinct docs —
+    * the shared cross-doc duplication marker of q75/q88, as per-h window
+    * min≠max (equivalent to count(DISTINCT doc_id) >= 2): marks every
+    * position in place with ONE scan of the corpus.
+    *
+    * Round-9 A/B (measured, rejected): the groupBy(h)+left-semi form with
+    * a pinned shuffle_hash build — betting on runtime exchange reuse to
+    * serve the aggregate from the probe's shuffle and skip WindowExec's
+    * sort — ties q75 (1.04 vs 1.04 s) and LOSES q88 (1.44 vs 1.32 s
+    * same-JVM at sf0.1): the semi-join's second reference re-runs the
+    * posexplode+hash subtree, which costs more than sorting the
+    * position stream within each h-partition.
+    */
+  private def crossDocMarked(pos: DataFrame): DataFrame = {
     val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
     pos
       .withColumn("d_min", min(col("doc_id")).over(wH))
       .withColumn("d_max", max(col("doc_id")).over(wH))
       .filter(col("d_min") =!= col("d_max"))
+      .drop("d_min", "d_max")
+  }
+
+  val q75_dup_spans: Q = (s, dir) => {
+    // fanOut: positional shingle hashing is the heaviest scan-adjacent
+    // work in the text family — measured 1.44→0.86 s (Tables.fanOut doc)
+    val pos = Tables.fanOut(s, t(s, dir).documents)
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), 3)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), polyHash(col("sh")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    crossDocMarked(pos)
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("run"))
@@ -521,15 +537,14 @@ object TextQueries {
     */
   val q88_span_removal: Q = (s, dir) => {
     val docs = t(s, dir).documents
-    val pos = docs
+    // fanOut on the hashing side only (measured 1.34→0.92 s): the
+    // join-back side's HOF rebuild is already distributed by the doc_id
+    // exchange of the join itself
+    val pos = Tables.fanOut(s, docs)
       .select(col("doc_id"),
         posexplode(shingles(tokens(col("text")), 3)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"), polyHash(col("sh")).as("h"))
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val marked = pos
-      .withColumn("d_min", min(col("doc_id")).over(wH))
-      .withColumn("d_max", max(col("doc_id")).over(wH))
-      .filter(col("d_min") =!= col("d_max"))
+    val marked = crossDocMarked(pos)
       .groupBy(col("doc_id"))
       .agg(collect_set(col("pos")).as("starts"))
     docs.join(marked, Seq("doc_id"), "left_outer")

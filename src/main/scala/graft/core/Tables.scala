@@ -25,10 +25,39 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$table.parquet")
-    raw.schema.collect { case f if f.dataType == TimestampNTZType => f.name } match {
+    val norm = raw.schema.collect { case f if f.dataType == TimestampNTZType => f.name } match {
       case Seq() => raw
       case ntz   => ntz.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
     }
+    norm
+  }
+
+  /** Unsplittable-input guard (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read"). The
+    * driver testdata ships each table as ONE single-row-group parquet
+    * file, so a scan is a single task no matter the core count — and
+    * Catalyst pipelines the scan-adjacent projection work into that one
+    * task, serializing the expensive part of a scan-shaped query. When
+    * the scan has materially fewer input files than the session has
+    * cores, a round-robin repartition to `defaultParallelism` moves the
+    * per-row work onto every core for the cost of one narrow exchange of
+    * the (column-pruned) rows. Scale-adaptive by construction: a
+    * production table with enough splits never triggers the guard, and
+    * the target is the session's parallelism, not a constant.
+    *
+    * PER CALL SITE, not blanket (round-9 A/B, measured): it pays only
+    * where the per-row work downstream of the scan is heavy AND the
+    * plan references the fanned scan once or twice — positional shingle
+    * hashing won 0.4–0.6 s/query (q75 1.44→0.86 s, q88 1.34→0.92 s,
+    * q105 1.18→0.95 s), while light-compute or many-reference plans LOSE
+    * the exchange cost (q1 1.12→1.22 s, q109 1.69→2.11 s, q87
+    * 0.68→1.07 s). `-Dgraft.scan.fanout=false` restores raw scan
+    * parallelism everywhere.
+    */
+  def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (!sys.props.get("graft.scan.fanout").forall(_.toBoolean)) return df
+    val par = spark.sparkContext.defaultParallelism
+    if (df.inputFiles.length * 2 <= par) df.repartition(par) else df
   }
 
   /** events.parquet's `ts` physical type has varied across driver testdata
