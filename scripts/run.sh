@@ -42,6 +42,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_JAVA_OPTS: extra -D flags (e.g. the graft.* A/B toggles) for
+# plan dumps / probes of a non-default variant.
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  $GRAFT_JAVA_OPTS \
   -cp "$CP" "$@"
