@@ -28,6 +28,36 @@ object GraphQueries {
       col("l_partkey").as("src"),
       (col("l_suppkey") + PR_SUPP_OFFSET).as("dst"))
 
+  /** Co-purchased part pairs — the shared base of every co-purchase graph
+    * query: the distinct (order, part) table self-joined on the order key
+    * via DATASET ALIASES over one child plan with a pinned shuffle_hash
+    * build (the q121 round-9 lesson: differently-aliased projections
+    * defeat exchange canonicalization, so the scan+distinct subtree ran
+    * once PER SIDE, and the static planner broadcast the corpus-sized
+    * table). Returns the raw joined pairs as (a.p, b.p); callers filter
+    * to canonical (<) or symmetric (≠) form.
+    */
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val op = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    op.alias("a").hint("shuffle_hash")
+      .join(op.alias("b"), col("a.o") === col("b.o"))
+  }
+
+  /** Canonical (x < y) co-purchase edge list (distinct). */
+  private def coEdgesCanonical(s: org.apache.spark.sql.SparkSession, dir: String) =
+    coPurchasePairs(s, dir)
+      .filter(col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+
+  /** Symmetric (src ≠ dst) co-purchase pair stream (NOT deduplicated —
+    * per-order multiplicity preserved, exactly as the inline form was). */
+  private def coPairsSymmetric(s: org.apache.spark.sql.SparkSession, dir: String) =
+    coPurchasePairs(s, dir)
+      .filter(col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst"))
+
   /** Global PageRank over distinct part→supplier edges. */
   val q114_pagerank: Q = (s, dir) =>
     Graph.pageRank(edges(s, dir), "src", "dst", PR_ITERS, PR_DAMPING)
@@ -73,16 +103,10 @@ object GraphQueries {
     * orientation logic.
     */
   val q122_triangles: Q = (s, dir) => {
-    val op = t(s, dir).lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     // checkpointed: the co-occurrence self-join + distinct feeds the
     // triangle pipeline AND the nodes/edges count aggregates — otherwise
     // each reference re-runs the expensive pair-distinct
-    val e = op.select(col("o"), col("p").as("x"))
-      .join(op.select(col("o"), col("p").as("y")), Seq("o"))
-      .filter(col("x") < col("y"))
-      .select(col("x"), col("y")).distinct()
-      .localCheckpoint()
+    val e = coEdgesCanonical(s, dir).localCheckpoint()
     val tri = Graph.triangleCount(e, "x", "y")
     val nodes = e.select(col("x").as("n")).union(e.select(col("y").as("n")))
       .distinct().agg(count(lit(1)).as("nodes"))
@@ -108,15 +132,8 @@ object GraphQueries {
     * dedups (node, dist) rows, so both sides compute exact BFS levels.
     */
   val BFS_HOPS = 3
-  val q127_bfs_hops: Q = (s, dir) => {
-    val op = t(s, dir).lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.select(col("o"), col("p").as("src"))
-      .join(op.select(col("o"), col("p").as("dst")), Seq("o"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-    Graph.shortestHops(e, "src", "dst", PPR_SEEDS, BFS_HOPS)
-  }
+  val q127_bfs_hops: Q = (s, dir) =>
+    Graph.shortestHops(coPairsSymmetric(s, dir), "src", "dst", PPR_SEEDS, BFS_HOPS)
 
   /** Community detection over the symmetric co-purchase part graph:
     * synchronous LPA, [[LPA_ITERS]] fixed rounds, min-label ties —
@@ -126,15 +143,8 @@ object GraphQueries {
     * instead of geometry.
     */
   val LPA_ITERS = 3
-  val q139_label_prop: Q = (s, dir) => {
-    val op = t(s, dir).lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.select(col("o"), col("p").as("src"))
-      .join(op.select(col("o"), col("p").as("dst")), Seq("o"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-    Graph.labelPropagation(e, "src", "dst", LPA_ITERS)
-  }
+  val q139_label_prop: Q = (s, dir) =>
+    Graph.labelPropagation(coPairsSymmetric(s, dir), "src", "dst", LPA_ITERS)
 
   /** Bounded k-core peel over the symmetric co-purchase graph
     * ([[Graph.kCoreBounded]]): [[KCORE_ROUNDS]] rounds at k =
@@ -144,15 +154,8 @@ object GraphQueries {
     */
   val KCORE_K = 60
   val KCORE_ROUNDS = 3
-  val q142_kcore: Q = (s, dir) => {
-    val op = t(s, dir).lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.select(col("o"), col("p").as("src"))
-      .join(op.select(col("o"), col("p").as("dst")), Seq("o"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
-    Graph.kCoreBounded(e, "src", "dst", KCORE_K, KCORE_ROUNDS)
-  }
+  val q142_kcore: Q = (s, dir) =>
+    Graph.kCoreBounded(coPairsSymmetric(s, dir), "src", "dst", KCORE_K, KCORE_ROUNDS)
 
   /** Bounded Bellman-Ford over the same co-purchase graph with a
     * key-derived integer edge weight (1 + (src+dst) mod 5 — deterministic
@@ -163,13 +166,8 @@ object GraphQueries {
     * as chained per-round CTEs, all-integer.
     */
   val q129_minplus: Q = (s, dir) => {
-    val op = t(s, dir).lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.select(col("o"), col("p").as("src"))
-      .join(op.select(col("o"), col("p").as("dst")), Seq("o"))
-      .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        (lit(1) + pmod(col("src") + col("dst"), lit(5))).as("w"))
+    val e = coPairsSymmetric(s, dir)
+      .withColumn("w", lit(1) + pmod(col("src") + col("dst"), lit(5)))
     Graph.minPlus(e, "src", "dst", "w", PPR_SEEDS, BFS_HOPS)
   }
 
@@ -181,15 +179,9 @@ object GraphQueries {
     */
   val TRI_P_NUM = 3
   val TRI_P_DEN = 10
-  val q130_triangle_sample: Q = (s, dir) => {
-    val op = t(s, dir).lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = op.select(col("o"), col("p").as("x"))
-      .join(op.select(col("o"), col("p").as("y")), Seq("o"))
-      .filter(col("x") < col("y"))
-      .select(col("x"), col("y")).distinct()
-    Graph.triangleCountSampled(e, "x", "y", TRI_P_NUM, TRI_P_DEN)
-  }
+  val q130_triangle_sample: Q = (s, dir) =>
+    Graph.triangleCountSampled(coEdgesCanonical(s, dir), "x", "y",
+      TRI_P_NUM, TRI_P_DEN)
 
   def all: Map[String, Q] = Map(
     "q114_pagerank" -> q114_pagerank,

@@ -436,8 +436,26 @@ object Graph {
     // Out-deg stays O(√E) under the orientation, bounding both array
     // length and per-edge walk cost on any graph. Measured at sf0.1:
     // 28.0 s → 3.9 s (ProbeOne, same session protocol).
+    // adj materialized ONCE (round-9: the plan showed the collect_list
+    // aggregate running twice — the dst-rename defeats canonicalization,
+    // so exchange reuse can never serve the second attach); the stored
+    // rows are (node, sorted out-neighbors) — Σ out-deg = E elements, the
+    // same bytes the closing joins move anyway. shuffle_hash pins for the
+    // same reason as the degree attaches: adj is graph-sized and the SMJ
+    // sorts buy nothing over a hash build.
+    // adj materialized ONCE (round-9: the executed plan showed the
+    // collect_list aggregate running TWICE — the dst-rename defeats
+    // exchange canonicalization, so reuse can never serve the second
+    // attach). The stored rows are (node, sorted out-neighbors) —
+    // Σ out-deg = E elements, the bytes the closing joins move anyway.
+    // Join strategy stays with the planner: shuffle_hash pins measured a
+    // wash here (±0.3 s inside host noise at sf0.1, both directions) and
+    // the pageRank 100× lesson stands — a pinned hash build on a
+    // graph-sized side dies when a partition outgrows execution memory,
+    // while SMJ spills.
     val adj = g.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nb"))
+      .localCheckpoint()
     g.join(adj.select(col("src").as("dst"), col("nb").as("nb2")), "dst")
       .join(adj, "src")
       .select(call_function("sorted_inter_count", col("nb"), col("nb2")).as("c"))
