@@ -325,13 +325,21 @@ object CurationQueries {
     * (one sequential partition) would serialize the corpus.
     */
   def blockPack(docs: org.apache.spark.sql.DataFrame, shards: Int,
-                blockSize: Int): org.apache.spark.sql.DataFrame = {
+                blockSize: Int): org.apache.spark.sql.DataFrame =
+    blockPackCounts(docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok")), shards, blockSize)
+
+  /** [[blockPack]] over pre-computed per-doc token counts (doc_id, n_tok)
+    * — the form a metadata-only pipeline (q109) feeds so the packer never
+    * touches text.
+    */
+  def blockPackCounts(counts: org.apache.spark.sql.DataFrame, shards: Int,
+                      blockSize: Int): org.apache.spark.sql.DataFrame = {
     val h = polyHash(concat(lit("s42|"), col("doc_id").cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), h.as("h"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
+    counts
+      .select(col("doc_id"), h.as("h"), col("n_tok"))
       .withColumn("shard", pmod(col("h"), lit(shards)))
       .withColumn("off", coalesce(sum(col("n_tok") + 1).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tok"), col("off"),
@@ -398,11 +406,32 @@ object CurationQueries {
       .select(col("doc_id"), explode(shingleHashes(col("text"), 5)).as("h"))
       .join(evalH, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
-    val decont = ruleKept.join(contaminated, Seq("doc_id"), "left_anti")
 
-    val survivors = decont.join(
-      Dedup.exactDedup(decont, "doc_id", "text"), Seq("doc_id"), "left_semi")
-    blockPack(survivors, 8, 256)
+    if (sys.props.get("graft.curated.meta").forall(_.toBoolean)) {
+      // Guide-§8 form (round-9, measured): every decision after the
+      // decontamination probe depends only on (doc_id, fp, n_tok) — so
+      // extract that METADATA TABLE in one gated scan (checkpointed: ~40
+      // bytes/doc, no text) and run dedup + packing over it. The text is
+      // read exactly twice (metadata scan, shingle explode) instead of
+      // re-running the rule-gate scan per stage reference; the dedup
+      // fingerprint is the SAME polyHash(trim(lower(text))) expression
+      // exactDedup computes, evaluated in the metadata scan.
+      val meta = ruleKept
+        .select(col("doc_id"),
+          polyHash(trim(lower(col("text")))).as("fp"),
+          size(toks).cast("long").as("n_tok"))
+        .localCheckpoint()
+      val decontIds = meta.join(contaminated, Seq("doc_id"), "left_anti")
+      val keepers = decontIds.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val survivors = decontIds.join(keepers, Seq("doc_id"), "left_semi")
+      blockPackCounts(survivors.select(col("doc_id"), col("n_tok")), 8, 256)
+    } else {
+      val decont = ruleKept.join(contaminated, Seq("doc_id"), "left_anti")
+      val survivors = decont.join(
+        Dedup.exactDedup(decont, "doc_id", "text"), Seq("doc_id"), "left_semi")
+      blockPack(survivors, 8, 256)
+    }
   }
 
   /** A-ES deterministic-uniform parameters: the Knuth multiplicative hash
