@@ -197,8 +197,15 @@ object DedupQueries {
     * by (estimate-only dedup never touches the shingle sets again).
     */
   val q49_minhash_estimate: Q = (s, dir) => {
-    val sigs = Dedup.minhashSignatures(t(s, dir).documents, "doc_id", "text",
+    val sigs0 = Dedup.minhashSignatures(t(s, dir).documents, "doc_id", "text",
       SHINGLE_N, MINHASH_K)
+    // Materialized once (the SetSim.prepare pattern, A/B-measured): the
+    // signature table feeds candidate generation AND both attach joins —
+    // three references under different keys, so exchange reuse can never
+    // collapse them and the shingle+minhash pipeline re-executed per
+    // reference. `-Dgraft.mh.materialize=false` restores recompute.
+    val sigs = if (sys.props.get("graft.mh.materialize").forall(_.toBoolean))
+      sigs0.localCheckpoint() else sigs0
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", MINHASH_K, LSH_BANDS)
     val inter = size(array_intersect(col("h1"), col("h2"))).cast("double")
     val union = (size(col("h1")) + size(col("h2"))).cast("double") - inter

@@ -174,6 +174,8 @@ object TextQueries {
     */
   val q68_tfidf: Q = (s, dir) => {
     val docs = t(s, dir).documents
+    // no fanOut (measured 0.81→0.93 s): the tokenize+explode here is
+    // lighter than the (doc_id, n, tok) exchange it would add
     val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("tok"))
