@@ -287,7 +287,14 @@ object Dedup {
       sigs.select(col(idCol).as(side), explode(bandStructs).as("bb"))
         .select(col(side), col("bb.band").as("band"), col("bb.bk").as("bk"))
     }
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+    // The shard's signature pipeline is referenced twice (band keys +
+    // hash-array attach) under different keys — materialize once (the
+    // SetSim.prepare pattern; `-Dgraft.mh.materialize=false` restores
+    // recompute). indexSigs is the CALLER's frame and is often a bare
+    // parquet/index read — cheap to re-reference — so it stays untouched.
+    val newSigs0 = minhashSignatures(newDocs, idCol, textCol, n, k)
+    val newSigs = if (sys.props.get("graft.mh.materialize").forall(_.toBoolean))
+      newSigs0.localCheckpoint() else newSigs0
     val cand = bandKeys(newSigs, "nid")
       .join(bandKeys(indexSigs, "xid"), Seq("band", "bk"))
       .select(col("nid"), col("xid")).distinct()
