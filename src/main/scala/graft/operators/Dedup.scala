@@ -147,7 +147,12 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, k: Int, bands: Int, threshold: Double,
                    hotBucketThreshold: Option[Int] = None): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    // signature pipeline referenced 3× (band keys + both hash-array
+    // attaches) under different keys — materialized once (the q49/q86
+    // round-9 pattern; `-Dgraft.mh.materialize=false` restores recompute)
+    val sigs0 = minhashSignatures(df, idCol, textCol, n, k)
+    val sigs = if (sys.props.get("graft.mh.materialize").forall(_.toBoolean))
+      sigs0.localCheckpoint() else sigs0
     val cand = hotBucketThreshold match {
       case Some(t) => lshCandidatePairsSalted(sigs, idCol, k, bands, t)
       case None    => lshCandidatePairs(sigs, idCol, k, bands)

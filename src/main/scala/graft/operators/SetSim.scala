@@ -132,8 +132,7 @@ object SetSim {
     // with the corpus) and recomputes the whole prefix pipeline for the
     // build side; the shuffled form keys both sides on `tok` so AQE can
     // reuse one exchange for both (and no sort, unlike merge).
-    val cand = candidates(maybeShj(pref), maybeShj(pref),
-      idCol, tNum, tDen, selfPairs = true)
+    val cand = selfCandidates(pref, idCol, tNum, tDen)
     verify(cand, sets, sets, idCol, tNum, tDen)
   }
 
@@ -251,12 +250,23 @@ object SetSim {
     val pref = orderedPrefix(
       sets.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
       idCol, dfreq, col("n") - minOverlap + 1)
-    val a = pref.select(col("tok"), col(idCol).as("d1"),
-      col("n").as("n1"), col("pos").as("p1"))
-    val b = pref.select(col("tok"), col(idCol).as("d2"),
-      col("n").as("n2"), col("pos").as("p2"))
-    val cand = maybeShj(a).join(maybeShj(b), Seq("tok"))
-      .filter(col("d1") < col("d2"))
+    // aliased self-join over ONE prefix subtree (see [[selfCandidates]])
+    val joined =
+      if (sys.props.get("graft.setsim.selfAlias").forall(_.toBoolean))
+        maybeShj(pref.alias("a"))
+          .join(pref.alias("b"), col("a.tok") === col("b.tok"))
+          .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+            col("a.n").as("n1"), col("b.n").as("n2"),
+            col("a.pos").as("p1"), col("b.pos").as("p2"))
+      else {
+        val a = pref.select(col("tok"), col(idCol).as("d1"),
+          col("n").as("n1"), col("pos").as("p1"))
+        val b = pref.select(col("tok"), col(idCol).as("d2"),
+          col("n").as("n2"), col("pos").as("p2"))
+        maybeShj(a).join(maybeShj(b), Seq("tok")).filter(col("d1") < col("d2"))
+      }
+    val cand = joined
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
       .filter(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
@@ -347,11 +357,21 @@ object SetSim {
       gramsM.select(col(idCol), col("len").as("n"), col("tok")),
       idCol, dfreq, lit(k * q + 1))
 
-    val a = pref.select(col("tok"), col(idCol).as("d1"), col("n").as("l1"))
-    val b = pref.select(col("tok"), col(idCol).as("d2"), col("n").as("l2"))
-    val longCand = maybeShj(a).join(maybeShj(b), Seq("tok"))
-      .filter(col("d1") < col("d2") && abs(col("l1") - col("l2")) <= k)
-      .select(col("d1"), col("d2"))
+    // aliased self-join over ONE prefix subtree (see [[selfCandidates]])
+    val longCand =
+      if (sys.props.get("graft.setsim.selfAlias").forall(_.toBoolean))
+        maybeShj(pref.alias("a"))
+          .join(pref.alias("b"), col("a.tok") === col("b.tok"))
+          .filter(col(s"a.$idCol") < col(s"b.$idCol") &&
+            abs(col("a.n") - col("b.n")) <= k)
+          .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      else {
+        val a = pref.select(col("tok"), col(idCol).as("d1"), col("n").as("l1"))
+        val b = pref.select(col("tok"), col(idCol).as("d2"), col("n").as("l2"))
+        maybeShj(a).join(maybeShj(b), Seq("tok"))
+          .filter(col("d1") < col("d2") && abs(col("l1") - col("l2")) <= k)
+          .select(col("d1"), col("d2"))
+      }
 
     // dense route for gram-starved strings against every length-compatible
     // string (itself length-bounded: |ol − sl| ≤ k ⇒ ol ≤ shortLen + k, a
@@ -462,6 +482,36 @@ object SetSim {
     * candidates on the sf0.1 shingle corpus). `selfPairs` adds the
     * d1 < d2 canonical cut of a self-join.
     */
+  /** SELF-join candidates over ONE prefix table via dataset aliases
+    * (round-9: `candidates(pref, pref, …)` projected two
+    * differently-aliased copies of the prefix pipeline, and the
+    * d1/d2 Alias nodes defeat exchange canonicalization — so the whole
+    * orderedPrefix subtree (explode + df join + per-set sort + slice)
+    * executed once PER SIDE. Aliasing the SAME child plan lets runtime
+    * exchange reuse serve the build side from the probe's shuffle.)
+    * Filters are identical to [[candidates]] with selfPairs=true.
+    * `-Dgraft.setsim.selfAlias=false` restores the two-projection form.
+    */
+  private def selfCandidates(pref: DataFrame, idCol: String,
+                             tNum: Int, tDen: Int): DataFrame = {
+    if (!sys.props.get("graft.setsim.selfAlias").forall(_.toBoolean))
+      return candidates(maybeShj(pref), maybeShj(pref), idCol, tNum, tDen,
+        selfPairs = true)
+    val j = maybeShj(pref.alias("a"))
+      .join(pref.alias("b"), col("a.tok") === col("b.tok"))
+      .filter(greatest(col("a.n"), col("b.n")) * tNum <=
+        least(col("a.n"), col("b.n")) * tDen)
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        col("a.pos").as("p1"), col("b.pos").as("p2"))
+    j.groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
+      .filter((lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")))
+        * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
+      .select(col("d1"), col("d2"))
+  }
+
   private def candidates(prefL: DataFrame, prefR: DataFrame, idCol: String,
                          tNum: Int, tDen: Int, selfPairs: Boolean): DataFrame = {
     val a = prefL.select(col("tok"), col(idCol).as("d1"),
