@@ -241,13 +241,7 @@ object Similarity {
                             planes: Int, bands: Int, dims: Int,
                             threshold: Double): DataFrame = {
     val banded = bandedBuckets(df, idCol, vecCol, planes, bands, dims)
-    val a = banded.select(col("bucket"), col(idCol).as("d1"),
-      col("v").as("v1"), col("nrm").as("n1"))
-    val b = banded.select(col("bucket"), col(idCol).as("d2"),
-      col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
+    selfScoredPairs(banded, idCol, "bucket")
       .filter(col("cos") >= threshold)
       .dropDuplicates("d1", "d2")
   }
@@ -280,15 +274,9 @@ object Similarity {
       .select(col(idCol), asDouble(col(vecCol)).as("v"),
         col("centroid").cast("long").as("centroid"))
       .withColumn("nrm", norm(col("v")))
-    val a = assigned.select(col("centroid"), col(idCol).as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("centroid"), col(idCol).as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("centroid"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-        >= threshold)
-      .select(col("id_b").as(idCol))
+    val dropped = selfScoredPairs(assigned, idCol, "centroid")
+      .filter(col("cos") >= threshold)
+      .select(col("d2").as(idCol))
       .distinct()
     assigned.select(col(idCol), col("centroid"))
       .join(dropped, Seq(idCol), "left_anti")
@@ -526,9 +514,26 @@ object Similarity {
       asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes, dims))
       .withColumn("nrm", norm(col("v")))
-    val a = v.select(col("bucket"), col(idCol).as("d1"), col("v").as("v1"), col("nrm").as("n1"))
-    val b = v.select(col("bucket"), col(idCol).as("d2"), col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+    selfScoredPairs(v, idCol, "bucket")
+  }
+
+  /** Bucket-keyed self-join of (key, id, v, nrm) rows scoring cosine per
+    * colliding pair — the shared core of [[lshNearDupPairs]] /
+    * [[lshNearDupPairsBanded]] / [[semanticDedup]].
+    *
+    * Round-9 A/B (measured, REJECTED): the dataset-alias self-join that
+    * fixed q121/q125 (one canonical child so exchange reuse serves both
+    * sides) is a WASH-to-loss here at BOTH sf0.1 (q147 1.08→1.17 s) and
+    * 10× (9.75→10.16 s): these operators' cost is the Σ occupancy² pair
+    * scoring streamed through the codegen'd dot product, not the
+    * bucket/assignment pipeline — recomputing a scan-shaped subtree
+    * twice is noise next to the fan-out, and forgoing the planner's
+    * small-side broadcast costs more than the duplicated scan saves.
+    */
+  private def selfScoredPairs(v: DataFrame, idCol: String, key: String): DataFrame = {
+    val a = v.select(col(key), col(idCol).as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = v.select(col(key), col(idCol).as("d2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq(key)).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
         round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos"))
   }
