@@ -23,8 +23,25 @@ object Tables {
     * Sessions run in UTC, so NTZ → LTZ preserves every wall-clock value
     * and the DuckDB oracle (naive-as-UTC) agreement.
     */
+  /** Per-JVM schema cache: every `load` call otherwise pays a synchronous
+    * driver-side footer read for schema inference, and a bench run loads
+    * tables ~1000 times (142 queries × 3 iters × 2-4 tables). The cache
+    * is METADATA only — file paths and schemas, never rows — so every
+    * action still computes from the parquet inputs; the test dirs are
+    * immutable for a process lifetime by the driver contract.
+    * `-Dgraft.tables.schemaCache=false` restores per-call inference.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/$table.parquet")
+    val path = s"$sfDir/$table.parquet"
+    val raw =
+      if (sys.props.get("graft.tables.schemaCache").forall(_.toBoolean)) {
+        val schema = schemaCache.computeIfAbsent(path,
+          p => spark.read.parquet(p).schema)
+        spark.read.schema(schema).parquet(path)
+      } else spark.read.parquet(path)
     val norm = raw.schema.collect { case f if f.dataType == TimestampNTZType => f.name } match {
       case Seq() => raw
       case ntz   => ntz.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
