@@ -148,7 +148,10 @@ object CurationQueries {
     * pair — invisible in an entropy score).
     */
   val q98_token_entropy: Q = (s, dir) => {
-    val cnt = Tables.fanOut(s, t(s, dir).documents) // measured 0.79→0.69 s
+    // fanOut measured twice: it won before the Tables schema cache
+    // (0.79→0.69 s — the query was load-overhead-bound) and LOSES after
+    // it (0.44→0.57 s), so the scan stays unfanned
+    val cnt = t(s, dir).documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
