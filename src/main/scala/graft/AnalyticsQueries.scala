@@ -338,14 +338,14 @@ object AnalyticsQueries {
     // planner's broadcast choice (it broadcast all of op at sf0.1) cannot
     // be right at scale — the round-8 q165 / round-9 hammingPairs lesson —
     // and with both sides hashed on `o` over one child plan, exchange
-    // reuse plans a single shuffle serving both. Same-JVM alternating A/B
-    // at sf0.1: broadcast 2.53 s vs pinned 2.21 s — the scale-correct plan
-    // is also the faster one here. A localCheckpoint of op (the
+    // reuse plans a single shuffle serving both. Position-balanced same-JVM
+    // A/B at sf0.1: broadcast 1.51 s vs pinned 1.34 s — the scale-correct
+    // plan is also the faster one here. A localCheckpoint of op (the
     // SetSim.prepare pattern — op is referenced 5×) was ALSO measured and
-    // LOSES (2.39 s vs 2.07 s same-JVM): the distinct is one cheap
-    // pushed-down scan, and the checkpoint's synchronous materialization
-    // barrier costs more than four recomputes at every scale where the
-    // scan is the cheap part. `-Dgraft.basket.shuffleHash=false` restores
+    // LOSES (even under the pre-fix harness that favored it): the
+    // distinct is one cheap pushed-down scan, and the checkpoint's
+    // synchronous materialization barrier costs more than four recomputes
+    // at every scale where the scan is the cheap part. `-Dgraft.basket.shuffleHash=false` restores
     // the planner's choice (the `graft.setsim.shuffleHash` convention).
     // Self-join via dataset aliases over the SAME child plan (not two
     // differently-aliased projections, whose p1/p2 Alias nodes defeat

@@ -114,6 +114,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE SMJ->SHJ conversion (round-9, measured): when every map
+      // partition of the build side is under this size, the sort-merge
+      // join is rewritten to a shuffled-hash join at runtime - removing
+      // the per-partition sorts. SIZE-GATED, so it cannot hit the q114
+      // pinned-hint OOM mode: an oversized partition keeps SMJ's
+      // spillable sort. Position-balanced same-JVM A/B at sf0.1: small
+      // but consistent on the sort-heavy queries (q122 4.53->4.17s,
+      // q125 2.09->1.84s; the rest within noise, none worse than
+      // +0.08s) - the guide-recommended setting, kept because the
+      // safety gate makes the downside a no-op.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -203,7 +203,7 @@ object DedupQueries {
     // signature table feeds candidate generation AND both attach joins —
     // three references under different keys, so exchange reuse can never
     // collapse them and the shingle+minhash pipeline re-executed per
-    // reference. `-Dgraft.mh.materialize=false` restores recompute.
+    // reference (position-balanced A/B: 0.63→0.52 s at sf0.1). `-Dgraft.mh.materialize=false` restores recompute.
     val sigs = if (sys.props.get("graft.mh.materialize").forall(_.toBoolean))
       sigs0.localCheckpoint() else sigs0
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", MINHASH_K, LSH_BANDS)

@@ -21,10 +21,18 @@ object ProbeAb {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE size-gated SMJ->SHJ conversion - the Bench session's
+      // measured default (see Bench.scala)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A toggle starting with "spark." is treated as a RUNTIME SQL conf
+    // (set via spark.conf.set with SPARK_GRAFT_AB_VALUES "a|b"); anything
+    // else is a graft.* boolean system property toggled false/true.
     val toggle = sys.env.getOrElse("SPARK_GRAFT_AB_PROP", "graft.basket.materialize")
+    val values = sys.env.getOrElse("SPARK_GRAFT_AB_VALUES", "false|true")
+      .split('|') match { case Array(a, b) => (a, b) }
     val queries = sys.env.getOrElse("SPARK_GRAFT_AB_QUERIES", "q121_basket_rules")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
@@ -35,22 +43,33 @@ object ProbeAb {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def set(v: String): Unit =
+      if (toggle.startsWith("spark.")) spark.conf.set(toggle, v)
+      else System.setProperty(toggle, v)
+
     run("q1_agg") // session/codegen warm-up
     // one untimed pass of each query under BOTH variants so codegen
     // compilation (distinct per variant plan) is paid before timing
-    for (v <- Seq("false", "true"); q <- queries) {
-      System.setProperty(toggle, v); run(q)
-    }
+    for (v <- Seq(values._1, values._2); q <- queries) { set(v); run(q) }
 
+    // POSITION-BALANCED alternation (round-9 harness fix): with a fixed
+    // (A, B) order per query, B always re-runs the query the JVM just
+    // executed — warm JIT profiles and caches gave "B" a measured 20-30%
+    // edge even when A and B were THE SAME VALUE (the no-op control:
+    // q125 2.01 vs 1.42 s for two spellings of "0"). Swapping the order
+    // every pass gives each variant an equal share of the warm slot.
     val t = collection.mutable.Map[(String, String), Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to passes; q <- queries; v <- Seq("false", "true")) {
-      System.setProperty(toggle, v)
+    for (p <- 1 to passes; q <- queries;
+         v <- if (p % 2 == 1) Seq(values._1, values._2)
+              else Seq(values._2, values._1)) {
+      set(v)
       t((q, v)) :+= run(q)
     }
     for (q <- queries) {
       def med(v: String) = { val s = t((q, v)).sorted; s(s.size / 2) }
-      println(f"[ab] $q%-26s A($toggle=false)=${med("false")}%.2f s  B(true)=${med("true")}%.2f s")
+      println(f"[ab] $q%-26s A($toggle=${values._1})=${med(values._1)}%.2f s  " +
+        f"B(${values._2})=${med(values._2)}%.2f s")
     }
     spark.stop()
   }

@@ -509,7 +509,7 @@ object TextQueries {
 
   val q75_dup_spans: Q = (s, dir) => {
     // fanOut: positional shingle hashing is the heaviest scan-adjacent
-    // work in the text family — measured 1.44→0.86 s (Tables.fanOut doc)
+    // work in the text family — balanced A/B 1.02→0.95 s (Tables.fanOut doc)
     val pos = Tables.fanOut(s, t(s, dir).documents)
       .select(col("doc_id"),
         posexplode(shingles(tokens(col("text")), 3)).as(Seq("pos", "sh")))
@@ -539,7 +539,7 @@ object TextQueries {
     */
   val q88_span_removal: Q = (s, dir) => {
     val docs = t(s, dir).documents
-    // fanOut on the hashing side only (measured 1.34→0.92 s): the
+    // fanOut on the hashing side only (balanced A/B 1.43→1.38 s): the
     // join-back side's HOF rebuild is already distributed by the doc_id
     // exchange of the join itself
     val pos = Tables.fanOut(s, docs)

@@ -51,6 +51,10 @@ object AppEnv {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE size-gated SMJ->SHJ conversion - the measured engine default
+      // (see Bench.scala); safe at any scale because an oversized build
+      // partition keeps SMJ's spillable sort
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // the engine's native expressions (shingle_hashes, minhash_sig, …) are

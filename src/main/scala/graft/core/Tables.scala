@@ -62,13 +62,15 @@ object Tables {
     * production table with enough splits never triggers the guard, and
     * the target is the session's parallelism, not a constant.
     *
-    * PER CALL SITE, not blanket (round-9 A/B, measured): it pays only
+    * PER CALL SITE, not blanket (round-9 A/B, measured; the shipped
+    * numbers below are from the POSITION-BALANCED harness): it pays only
     * where the per-row work downstream of the scan is heavy AND the
     * plan references the fanned scan once or twice — positional shingle
-    * hashing won 0.4–0.6 s/query (q75 1.44→0.86 s, q88 1.34→0.92 s,
-    * q105 1.18→0.95 s), while light-compute or many-reference plans LOSE
-    * the exchange cost (q1 1.12→1.22 s, q109 1.69→2.11 s, q87
-    * 0.68→1.07 s). `-Dgraft.scan.fanout=false` restores raw scan
+    * hashing wins (q75 1.02→0.95 s, q88 1.43→1.38 s, q105 0.90→0.86 s),
+    * while light-compute or many-reference plans LOSE the exchange cost
+    * (q1 1.12→1.22 s, q109 1.69→2.11 s, q87 0.68→1.07 s — and those
+    * losses were measured under a harness BIASED toward the new
+    * variant, so they are conservative). `-Dgraft.scan.fanout=false` restores raw scan
     * parallelism everywhere.
     */
   def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {

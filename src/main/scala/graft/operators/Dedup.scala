@@ -148,8 +148,9 @@ object Dedup {
                    n: Int, k: Int, bands: Int, threshold: Double,
                    hotBucketThreshold: Option[Int] = None): DataFrame = {
     // signature pipeline referenced 3× (band keys + both hash-array
-    // attaches) under different keys — materialized once (the q49/q86
-    // round-9 pattern; `-Dgraft.mh.materialize=false` restores recompute)
+    // attaches) under different keys — materialized once (round-9;
+    // position-balanced A/B: q28 0.55→0.46 s, q85 1.23→0.95 s at sf0.1;
+    // `-Dgraft.mh.materialize=false` restores recompute)
     val sigs0 = minhashSignatures(df, idCol, textCol, n, k)
     val sigs = if (sys.props.get("graft.mh.materialize").forall(_.toBoolean))
       sigs0.localCheckpoint() else sigs0
@@ -292,14 +293,19 @@ object Dedup {
       sigs.select(col(idCol).as(side), explode(bandStructs).as("bb"))
         .select(col(side), col("bb.band").as("band"), col("bb.bk").as("bk"))
     }
-    // The shard's signature pipeline is referenced twice (band keys +
-    // hash-array attach) under different keys — materialize once (the
-    // SetSim.prepare pattern; `-Dgraft.mh.materialize=false` restores
-    // recompute). indexSigs is the CALLER's frame and is often a bare
-    // parquet/index read — cheap to re-reference — so it stays untouched.
-    val newSigs0 = minhashSignatures(newDocs, idCol, textCol, n, k)
-    val newSigs = if (sys.props.get("graft.mh.materialize").forall(_.toBoolean))
-      newSigs0.localCheckpoint() else newSigs0
+    // NOT materialized (round-9, measured TWICE): the shard pipeline is
+    // referenced twice (band keys + hash-array attach), and a
+    // localCheckpoint first looked like a win under the original
+    // fixed-order A/B harness (q86 0.91→0.85 s, q158 2.17→1.69 s) — but
+    // that harness had a systematic warm-slot bias toward its second
+    // variant (exposed by a no-op control; see ProbeAb), and the
+    // POSITION-BALANCED rerun shows the checkpoint as a slight LOSS
+    // (q86 0.41→0.46 s, q158 0.90→0.91 s over 10 passes): a shard is
+    // bounded by the ingest unit, so its pipeline recompute is cheaper
+    // than the eager materialization barrier. Contrast [[nearDupPairs]],
+    // whose CORPUS-sized 3-reference pipeline does pay (balanced A/B
+    // q28 0.55→0.46 s, q85 1.23→0.95 s).
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
     val cand = bandKeys(newSigs, "nid")
       .join(bandKeys(indexSigs, "xid"), Seq("band", "bk"))
       .select(col("nid"), col("xid")).distinct()

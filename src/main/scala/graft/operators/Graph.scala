@@ -452,7 +452,9 @@ object Graph {
     // wash here (±0.3 s inside host noise at sf0.1, both directions) and
     // the pageRank 100× lesson stands — a pinned hash build on a
     // graph-sized side dies when a partition outgrows execution memory,
-    // while SMJ spills.
+    // while SMJ spills. (The checkpoint's direct timing delta sits
+    // inside host noise too; the double-aggregate removal is the
+    // plan-shape evidence — see plans/r09/q122_triangles_after.txt.)
     val adj = g.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nb"))
       .localCheckpoint()

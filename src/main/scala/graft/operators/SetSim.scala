@@ -490,7 +490,10 @@ object SetSim {
     * executed once PER SIDE. Aliasing the SAME child plan lets runtime
     * exchange reuse serve the build side from the probe's shuffle.)
     * Filters are identical to [[candidates]] with selfPairs=true.
-    * `-Dgraft.setsim.selfAlias=false` restores the two-projection form.
+    * Position-balanced A/B at sf0.1: q125 1.88→1.74 s, q135
+    * 2.25→2.07 s, q134 a wash (its prefix reads the checkpointed gram
+    * stream). `-Dgraft.setsim.selfAlias=false` restores the
+    * two-projection form.
     */
   private def selfCandidates(pref: DataFrame, idCol: String,
                              tNum: Int, tDen: Int): DataFrame = {
