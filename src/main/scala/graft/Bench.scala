@@ -125,6 +125,20 @@ object Bench {
       // +0.08s) - the guide-recommended setting, kept because the
       // safety gate makes the downside a no-op.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      // Codegen CLASS cache sized for the whole declared workload
+      // (round-10, measured): Spark's default keeps only 100 generated
+      // classes, and this bench interleaves 142 queries × ~10 codegen
+      // stages round-robin — so by a query's next iteration its classes
+      // were evicted and EVERY iteration re-paid janino compilation
+      // (ProbeCache: q122 warm 2.29 s back-to-back vs 3.07 s after 60
+      // other queries at the default; 2.14 vs 2.38 at 2000 — eviction
+      // penalty gone). Compiled-code caching only — results always
+      // recompute from parquet; the cache dies with the JVM. Set in
+      // every session builder (Verify/AppEnv/probes), so the benched
+      // engine is the verified engine; a production driver re-running
+      // a many-query workload wants the same sizing (~500 KB/class
+      // metaspace bound, bounded by the workload's distinct stages).
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

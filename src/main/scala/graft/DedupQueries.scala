@@ -204,8 +204,8 @@ object DedupQueries {
     // three references under different keys, so exchange reuse can never
     // collapse them and the shingle+minhash pipeline re-executed per
     // reference (position-balanced A/B: 0.63→0.52 s at sf0.1). `-Dgraft.mh.materialize=false` restores recompute.
-    val sigs = if (sys.props.get("graft.mh.materialize").forall(_.toBoolean))
-      sigs0.localCheckpoint() else sigs0
+    val sigs = graft.core.Mat.checkpoint(sigs0, "q49_sigs",
+      sys.props.get("graft.mh.materialize").forall(_.toBoolean))
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", MINHASH_K, LSH_BANDS)
     val inter = size(array_intersect(col("h1"), col("h2"))).cast("double")
     val union = (size(col("h1")) + size(col("h2"))).cast("double") - inter

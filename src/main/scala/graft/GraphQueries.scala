@@ -38,16 +38,30 @@ object GraphQueries {
     * to canonical (<) or symmetric (≠) form.
     */
   private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
-                              dir: String): org.apache.spark.sql.DataFrame = {
-    val op = t(s, dir).lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+                              dir: String,
+                              dedupItems: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val op0 = t(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val op = if (dedupItems) op0.distinct() else op0
     op.alias("a").hint("shuffle_hash")
       .join(op.alias("b"), col("a.o") === col("b.o"))
   }
 
-  /** Canonical (x < y) co-purchase edge list (distinct). */
+  /** Canonical (x < y) co-purchase edge list (distinct).
+    *
+    * Round-10: the inner (order, part) `distinct` is SKIPPED here — the
+    * final edge-level distinct subsumes it (duplicate lineitems of one
+    * (order, part) only replicate pair rows the edge dedup drops anyway),
+    * and the inner distinct cost a whole extra exchange+aggregate of the
+    * lineitem projection before the self-join's own shuffle (measured:
+    * 599,935 distinct of 600,000 rows at sf0.1 — a near-no-op dedup for
+    * a full shuffle). The SYMMETRIC pair stream (q127/q129/q139/q142)
+    * keeps it: per-order multiplicity is semantic there.
+    * `-Dgraft.graph.innerDistinct=true` restores the old plan.
+    */
   private def coEdgesCanonical(s: org.apache.spark.sql.SparkSession, dir: String) =
-    coPurchasePairs(s, dir)
+    coPurchasePairs(s, dir,
+      dedupItems = sys.props.get("graft.graph.innerDistinct").exists(_.toBoolean))
       .filter(col("a.p") < col("b.p"))
       .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
 
@@ -102,17 +116,15 @@ object GraphQueries {
     * itself is orientation-independent, so the oracle needs no
     * orientation logic.
     */
-  val q122_triangles: Q = (s, dir) => {
-    // checkpointed: the co-occurrence self-join + distinct feeds the
-    // triangle pipeline AND the nodes/edges count aggregates — otherwise
-    // each reference re-runs the expensive pair-distinct
-    val e = coEdgesCanonical(s, dir).localCheckpoint()
-    val tri = Graph.triangleCount(e, "x", "y")
-    val nodes = e.select(col("x").as("n")).union(e.select(col("y").as("n")))
-      .distinct().agg(count(lit(1)).as("nodes"))
-    val edges = e.agg(count(lit(1)).as("edges"))
-    tri.crossJoin(broadcast(nodes)).crossJoin(broadcast(edges))
-  }
+  val q122_triangles: Q = (s, dir) =>
+    // Round-10: one composed pipeline — triangleCountStats' internal edge
+    // checkpoint serves the triangle build AND both count aggregates
+    // (nodes = COUNT over the degree table it computes anyway, edges =
+    // COUNT over the checkpointed edge set). The previous form
+    // pre-checkpointed the self-join+distinct here, paid a SECOND
+    // checkpoint copy inside triangleCount, and ran the O(E) endpoint
+    // union twice (once for degrees, once for the nodes count).
+    Graph.triangleCountStats(coEdgesCanonical(s, dir), "x", "y")
 
   val HITS_ITERS = 3
 

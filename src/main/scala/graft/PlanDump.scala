@@ -19,6 +19,7 @@ object PlanDump {
       // AQE size-gated SMJ->SHJ conversion - the Bench session's
       // measured default (see Bench.scala)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()

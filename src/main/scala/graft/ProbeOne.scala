@@ -16,6 +16,7 @@ object ProbeOne {
       // AQE size-gated SMJ->SHJ conversion - the Bench session's
       // measured default (see Bench.scala)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries("q1_agg")(spark, sfDir).write.format("noop").mode("overwrite").save()

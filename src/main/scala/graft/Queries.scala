@@ -157,7 +157,21 @@ object Queries {
     * broadcast). Ref: …/app/dws/DwsTradeTrademarkCategoryUserSpuOrderWindow.java:215-339 */
   val q12_join_chain: Q = (s, dir) => {
     val tp = t(s, dir)
-    tp.lineitem
+    // A/B toggle (round-10): fan the single-file lineitem scan out over
+    // the cores AFTER projecting to the 5 used columns — the round-9
+    // blanket fan-out lost here with full-width rows in the exchange.
+    // MEASURED (balanced ProbeAb, 8 passes, sf0.1/32c): 1.56 → 1.51 s —
+    // inside the harness noise band, so the default stays OFF; the
+    // narrow projection removed the loss but six broadcast-build jobs +
+    // seven single-task scans, not the fact pass, set q12's floor
+    // (AQE on/off measured a wash too: 1.65 vs 1.73 s — the builds
+    // already overlap).
+    val li = if (sys.props.get("graft.q12.fanout").exists(_.toBoolean))
+      graft.core.Tables.fanOut(s, tp.lineitem.select(
+        col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount")))
+    else tp.lineitem
+    li
       .join(broadcast(tp.part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(tp.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(tp.orders, col("l_orderkey") === col("o_orderkey"))

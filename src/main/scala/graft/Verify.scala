@@ -14,6 +14,7 @@ object Verify {
       // AQE size-gated SMJ->SHJ conversion - the Bench session's
       // measured default (see Bench.scala)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -55,6 +55,7 @@ object AppEnv {
       // (see Bench.scala); safe at any scale because an oversized build
       // partition keeps SMJ's spillable sort
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // the engine's native expressions (shingle_hashes, minhash_sig, …) are

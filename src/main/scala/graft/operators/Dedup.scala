@@ -152,8 +152,8 @@ object Dedup {
     // position-balanced A/B: q28 0.55→0.46 s, q85 1.23→0.95 s at sf0.1;
     // `-Dgraft.mh.materialize=false` restores recompute)
     val sigs0 = minhashSignatures(df, idCol, textCol, n, k)
-    val sigs = if (sys.props.get("graft.mh.materialize").forall(_.toBoolean))
-      sigs0.localCheckpoint() else sigs0
+    val sigs = graft.core.Mat.checkpoint(sigs0, "neardup_sigs",
+      sys.props.get("graft.mh.materialize").forall(_.toBoolean))
     val cand = hotBucketThreshold match {
       case Some(t) => lshCandidatePairsSalted(sigs, idCol, k, bands, t)
       case None    => lshCandidatePairs(sigs, idCol, k, bands)

@@ -401,68 +401,105 @@ object Graph {
     * ordered orientation leaves hub wedges quadratic in hub degree.
     * Returns a single row (triangles).
     */
-  def triangleCount(und: DataFrame, xCol: String, yCol: String): DataFrame = {
-    // Materialized ONCE: the edge set feeds the degree agg and the
-    // orientation join under different keys, so exchange reuse can never
-    // collapse them and without the checkpoint the caller's whole
-    // edge-construction pipeline (typically a co-occurrence self-join +
-    // distinct) re-executes per reference.
-    val e = und.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-      .localCheckpoint()
-    val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+  def triangleCount(und: DataFrame, xCol: String, yCol: String): DataFrame =
+    triangleClose(trianglePrep(und, xCol, yCol))
+
+  /** q122's composition — (triangles, nodes, edges) in ONE pipeline.
+    * Round-10: the caller previously pre-checkpointed its edge set and
+    * counted nodes with its own union+distinct aggregate while
+    * [[triangleCount]] checkpointed the edges AGAIN and computed the
+    * identical union internally for degrees — so the bench paid one
+    * redundant E-row copy job and two executions of the same O(E)
+    * node-union aggregate per run. Here the internal edge checkpoint and
+    * degree table serve all three outputs: nodes = COUNT(deg) (deg has
+    * exactly one row per distinct endpoint), edges = COUNT(e).
+    */
+  def triangleCountStats(und: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val p = trianglePrep(und, xCol, yCol)
+    triangleClose(p)
+      .crossJoin(broadcast(p.deg.agg(count(lit(1)).as("nodes"))))
+      .crossJoin(broadcast(p.e.agg(count(lit(1)).as("edges"))))
+  }
+
+  private case class TrianglePrep(e: DataFrame, deg: DataFrame, adj: DataFrame)
+
+  /** Shared orientation/adjacency build behind [[triangleCount]] /
+    * [[triangleCountStats]]. Materialization points (round-10 shape,
+    * all behind `graft.graph.materialize`, plan-dumpable via
+    * [[graft.core.Mat]]):
+    *
+    *  - `e` — the caller's edge-construction pipeline (typically a
+    *    co-occurrence self-join + distinct) feeds the degree agg, the
+    *    orientation join and the edge count under different keys, so
+    *    exchange reuse can never collapse them. SKIPPED when the input
+    *    is already checkpoint-backed (round-10: q130 checkpoints its
+    *    sampled edges, and the old unconditional internal checkpoint
+    *    copied every row a second time for nothing).
+    *  - `deg` — one row per node. It is referenced twice (the x- and
+    *    y-side degree attaches are differently-aliased projections, the
+    *    round-9 canonicalization-defeat pattern), so without the barrier
+    *    the O(E) node-union aggregate executes once PER SIDE — the same
+    *    double-aggregate the round-9 plan audit caught on `adj`.
+    *  - `adj` — (node, sorted out-neighbors): referenced by the explode
+    *    side and the closing attach. Σ out-deg = E array elements, the
+    *    bytes the closing join moves anyway.
+    *
+    * The oriented edge table `g` is round-10 DERIVED from `adj` by
+    * explode instead of being checkpointed and joined twice: adj's
+    * collect_list over the distinct oriented edges loses nothing, so
+    * `adj.select(src, nb, explode(nb) as dst)` IS g with nb(src) already
+    * attached — one join and one checkpoint fewer than the round-9 plan
+    * (g → join adj on dst → join adj on src).
+    */
+  private def trianglePrep(und: DataFrame, xCol: String, yCol: String): TrianglePrep = {
+    import graft.core.Mat
+    val matOn = sys.props.get("graft.graph.materialize").forall(_.toBoolean)
+    val e0 = und.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val e = if (Mat.isMaterialized(und)) e0
+            else Mat.checkpoint(e0, "triangle_edges", matOn)
+    val deg = Mat.checkpoint(
+      e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg")),
+      "triangle_deg", matOn)
     val withDeg = e
       .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
     val xFirst = (col("dx") < col("dy")) ||
       (col("dx") === col("dy") && col("x") < col("y"))
-    // the oriented table feeds the adjacency agg (keyed src) and both
-    // attach joins (keyed src and dst) — three references
     val g = withDeg.select(
       when(xFirst, col("x")).otherwise(col("y")).as("src"),
       when(xFirst, col("y")).otherwise(col("x")).as("dst"))
-      .localCheckpoint()
-    // Adjacency-intersection closing (replaces the wedge-enumeration
-    // join): a triangle u→v, u→w, v→w is counted exactly once at its base
-    // edge (u, v) as a common out-neighbor w of u and v — the same
-    // once-per-triangle guarantee the (deg, id)-ordered wedge filter gave,
-    // because the orientation is a strict total order. The old plan
-    // shuffled Σ out-deg² wedge ROWS into a second sort-merge join
-    // (measured 28 s at sf0.1, ~180M wedges); this one shuffles E edge
-    // rows + per-node sorted neighbor ARRAYS (Σ out-deg elements, the
-    // same bytes as the orientation bound allows, without the row and
-    // sort machinery around each wedge) and closes with one codegen'd
-    // merge walk per edge (sorted_inter_count — plans/VectorExprs).
-    // Out-deg stays O(√E) under the orientation, bounding both array
-    // length and per-edge walk cost on any graph. Measured at sf0.1:
-    // 28.0 s → 3.9 s (ProbeOne, same session protocol).
-    // adj materialized ONCE (round-9: the plan showed the collect_list
-    // aggregate running twice — the dst-rename defeats canonicalization,
-    // so exchange reuse can never serve the second attach); the stored
-    // rows are (node, sorted out-neighbors) — Σ out-deg = E elements, the
-    // same bytes the closing joins move anyway. shuffle_hash pins for the
-    // same reason as the degree attaches: adj is graph-sized and the SMJ
-    // sorts buy nothing over a hash build.
-    // adj materialized ONCE (round-9: the executed plan showed the
-    // collect_list aggregate running TWICE — the dst-rename defeats
-    // exchange canonicalization, so reuse can never serve the second
-    // attach). The stored rows are (node, sorted out-neighbors) —
-    // Σ out-deg = E elements, the bytes the closing joins move anyway.
-    // Join strategy stays with the planner: shuffle_hash pins measured a
-    // wash here (±0.3 s inside host noise at sf0.1, both directions) and
-    // the pageRank 100× lesson stands — a pinned hash build on a
-    // graph-sized side dies when a partition outgrows execution memory,
-    // while SMJ spills. (The checkpoint's direct timing delta sits
-    // inside host noise too; the double-aggregate removal is the
-    // plan-shape evidence — see plans/r09/q122_triangles_after.txt.)
-    val adj = g.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nb"))
-      .localCheckpoint()
-    g.join(adj.select(col("src").as("dst"), col("nb").as("nb2")), "dst")
-      .join(adj, "src")
+    val adj = Mat.checkpoint(
+      g.groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nb")),
+      "triangle_adj", matOn)
+    TrianglePrep(e, deg, adj)
+  }
+
+  /** Adjacency-intersection closing (replaces the wedge-enumeration
+    * join): a triangle u→v, u→w, v→w is counted exactly once at its base
+    * edge (u, v) as a common out-neighbor w of u and v — the same
+    * once-per-triangle guarantee the (deg, id)-ordered wedge filter gave,
+    * because the orientation is a strict total order. The round-8 plan
+    * shuffled Σ out-deg² wedge ROWS into a second sort-merge join
+    * (measured 28 s at sf0.1, ~180M wedges); this one recovers the
+    * oriented edges from `adj` itself (explode — nb(src) rides along, so
+    * only ONE attach join remains) and closes with one codegen'd merge
+    * walk per edge (sorted_inter_count — plans/VectorExprs). Edges whose
+    * dst has no out-neighbors drop at the inner join exactly as they
+    * contributed 0 before. Out-deg stays O(√E) under the orientation,
+    * bounding array length and per-edge walk cost on any graph.
+    * Join strategy stays with the planner: shuffle_hash pins measured a
+    * wash here (±0.3 s inside host noise at sf0.1, both directions) and
+    * the pageRank 100× lesson stands — a pinned hash build on a
+    * graph-sized side dies when a partition outgrows execution memory,
+    * while SMJ spills (the session's size-gated AQE SMJ→SHJ conversion
+    * is the safe form).
+    */
+  private def triangleClose(p: TrianglePrep): DataFrame =
+    p.adj.select(col("src"), col("nb"), explode(col("nb")).as("dst"))
+      .join(p.adj.select(col("src").as("dst"), col("nb").as("nb2")), "dst")
       .select(call_function("sorted_inter_count", col("nb"), col("nb2")).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("triangles"))
-  }
 
   /** DOULION (Tsourakakis et al. KDD'09): triangle-count ESTIMATE from a
     * pNum/pDen edge sample — the scale path where [[triangleCount]]'s
@@ -487,8 +524,11 @@ object Graph {
     val keep = pmod(pmod(col(xCol).cast("long") * 2654435761L +
         col(yCol).cast("long") * 40503L, lit(1000000007L)), lit(pDen)) < pNum
     // materialized once: feeds both the count and the triangle pipeline,
-    // so the caller's edge construction runs a single time
-    val sampled = und.filter(keep).localCheckpoint()
+    // so the caller's edge construction runs a single time (and
+    // triangleCount skips its own edge checkpoint — the input is already
+    // block-backed)
+    val sampled = graft.core.Mat.checkpoint(und.filter(keep), "triangle_sampled",
+      sys.props.get("graft.graph.materialize").forall(_.toBoolean))
     // pDen³/pNum³ as ONE IEEE division of exact integers — bit-identical
     // in any engine, unlike a pow() call
     val scale = (pDen.toLong * pDen * pDen).toDouble / (pNum.toLong * pNum * pNum)

@@ -346,10 +346,8 @@ object SetSim {
     // occurrence window — an exchange + sort over Σ grams) feeds BOTH the
     // frequency agg and the prefix ordering; without the checkpoint that
     // window pipeline runs twice (measured: q134 warm 1.1 → 0.9 s)
-    val gramsM =
-      if (sys.props.get("graft.setsim.materialize").forall(_.toBoolean))
-        grams.localCheckpoint()
-      else grams
+    val gramsM = graft.core.Mat.checkpoint(grams, "setsim_grams",
+      sys.props.get("graft.setsim.materialize").forall(_.toBoolean))
     // rarest-first global order; constant prefix of k·q + 1 elements
     // (orderedPrefix — the same order definition as the Jaccard joins)
     val dfreq = gramsM.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -434,9 +432,8 @@ object SetSim {
     val s = sets0.select(col(idCol), col(setCol).as("tk"))
       .withColumn("n", size(col("tk")))
       .filter(col("n") >= 1)
-    if (sys.props.get("graft.setsim.materialize").forall(_.toBoolean))
-      s.localCheckpoint()
-    else s
+    graft.core.Mat.checkpoint(s, "setsim_prepare",
+      sys.props.get("graft.setsim.materialize").forall(_.toBoolean))
   }
 
   /** Shared order-and-slice core — ONE definition of the global element

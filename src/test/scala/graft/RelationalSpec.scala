@@ -17,6 +17,27 @@ object TestSession {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftFunctions.register(s)
+    // Orderly shutdown (round-10: the driver's round-9 `sbt test` run
+    // died with "Task … rejected from ThreadPoolExecutor[Terminated]" —
+    // a job still in flight when JVM exit began stopping the executor
+    // pool). Spark registers its shutdown chain with Hadoop's manager at
+    // priority 40; this hook runs FIRST (priority 100), drains active
+    // jobs (bounded), cancels stragglers, and stops the context
+    // ourselves, so Spark's own hooks find it already closed instead of
+    // racing a live stage.
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        def run(): Unit = try {
+          val sc = s.sparkContext
+          if (!sc.isStopped) {
+            val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+            while (sc.statusTracker.getActiveJobIds().nonEmpty &&
+                   System.nanoTime() < deadline) Thread.sleep(50)
+            sc.cancelAllJobs()
+            s.stop()
+          }
+        } catch { case _: Throwable => () }
+      }, 100)
     s
   }
   val sf = "/root/testdata/sf0.001"
