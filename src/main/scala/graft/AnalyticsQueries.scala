@@ -363,9 +363,25 @@ object AnalyticsQueries {
       .filter(col("pair_cnt") >= BASKET_MIN_PAIR)
     val items = op0.groupBy(col("p").as("pid")).agg(count(lit(1)).as("item_cnt"))
     val nOrders = op0.select(col("o")).distinct().agg(count(lit(1)).as("n_orders"))
-    pairs
+    // Round-10: BOTH item-count attaches ride ONE broadcast build — the
+    // previous differently-renamed projections (pid→p1/c1, pid→p2/c2)
+    // defeated exchange canonicalization, so the scan+distinct+aggregate
+    // subtree built TWO broadcast relations per run. Dataset aliases over
+    // the same child leave the exchanges canonically equal and the second
+    // build is a ReusedExchange (the q121/SetSim round-9 pattern, now on
+    // the broadcast side). `-Dgraft.basket.itemsAlias=false` restores the
+    // two-projection form.
+    val attached = if (sys.props.get("graft.basket.itemsAlias").forall(_.toBoolean)) {
+      val ib = broadcast(items)
+      pairs
+        .join(ib.alias("i1"), col("p1") === col("i1.pid"))
+        .join(ib.alias("i2"), col("p2") === col("i2.pid"))
+        .select(col("p1"), col("p2"), col("pair_cnt"),
+          col("i1.item_cnt").as("c1"), col("i2.item_cnt").as("c2"))
+    } else pairs
       .join(broadcast(items.select(col("pid").as("p1"), col("item_cnt").as("c1"))), Seq("p1"))
       .join(broadcast(items.select(col("pid").as("p2"), col("item_cnt").as("c2"))), Seq("p2"))
+    attached
       .crossJoin(broadcast(nOrders))
       .select(col("p1"), col("p2"), col("pair_cnt"),
         round(col("pair_cnt").cast("double") / col("n_orders"), 6).as("support"),

@@ -34,7 +34,7 @@ object GraphQueries {
     * build (the q121 round-9 lesson: differently-aliased projections
     * defeat exchange canonicalization, so the scan+distinct subtree ran
     * once PER SIDE, and the static planner broadcast the corpus-sized
-    * table). Returns the raw joined pairs as (a.p, b.p); callers filter
+    * table). Returns the raw joined pairs as (p1, p2); callers filter
     * to canonical (<) or symmetric (≠) form.
     */
   private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
@@ -43,8 +43,21 @@ object GraphQueries {
     val op0 = t(s, dir).lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val op = if (dedupItems) op0.distinct() else op0
-    op.alias("a").hint("shuffle_hash")
-      .join(op.alias("b"), col("a.o") === col("b.o"))
+    // -Dgraft.graph.edgeAlias=false restores the round-8 TWO-PROJECTION
+    // build (the p1/p2 renames defeat exchange canonicalization, so the
+    // scan+distinct subtree executes once PER SIDE and the planner
+    // broadcasts a corpus-sized table) — kept as a measurement toggle so
+    // the round-9 aliasing fix (cb103a5) can be A/B'd on the
+    // bench-excluded fixpoint members at decade scale (VERDICT r09
+    // item 8), where their per-round data cost lives.
+    if (!sys.props.get("graft.graph.edgeAlias").forall(_.toBoolean))
+      op.select(col("o"), col("p").as("p1"))
+        .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+        .select(col("p1"), col("p2"))
+    else
+      op.alias("a").hint("shuffle_hash")
+        .join(op.alias("b"), col("a.o") === col("b.o"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
   }
 
   /** Canonical (x < y) co-purchase edge list (distinct).
@@ -62,15 +75,15 @@ object GraphQueries {
   private def coEdgesCanonical(s: org.apache.spark.sql.SparkSession, dir: String) =
     coPurchasePairs(s, dir,
       dedupItems = sys.props.get("graft.graph.innerDistinct").exists(_.toBoolean))
-      .filter(col("a.p") < col("b.p"))
-      .select(col("a.p").as("x"), col("b.p").as("y")).distinct()
+      .filter(col("p1") < col("p2"))
+      .select(col("p1").as("x"), col("p2").as("y")).distinct()
 
   /** Symmetric (src ≠ dst) co-purchase pair stream (NOT deduplicated —
     * per-order multiplicity preserved, exactly as the inline form was). */
   private def coPairsSymmetric(s: org.apache.spark.sql.SparkSession, dir: String) =
     coPurchasePairs(s, dir)
-      .filter(col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst"))
+      .filter(col("p1") =!= col("p2"))
+      .select(col("p1").as("src"), col("p2").as("dst"))
 
   /** Global PageRank over distinct part→supplier edges. */
   val q114_pagerank: Q = (s, dir) =>
