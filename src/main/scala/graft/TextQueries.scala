@@ -499,12 +499,30 @@ object TextQueries {
     * position stream within each h-partition.
     */
   private def crossDocMarked(pos: DataFrame): DataFrame = {
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    pos
-      .withColumn("d_min", min(col("doc_id")).over(wH))
-      .withColumn("d_max", max(col("doc_id")).over(wH))
-      .filter(col("d_min") =!= col("d_max"))
-      .drop("d_min", "d_max")
+    // Round-10 negative, kept as a toggle: replacing the window with a
+    // hash-aggregate (min/max doc per h) + SHJ back onto the same h
+    // exchange LOSES — balanced A/B q75 0.97→1.25 s, q88 1.45→1.49 s.
+    // Position hashes are nearly all DISTINCT (only true duplicate
+    // spans repeat), so the aggregate builds a hash table over ~every
+    // input row while WindowExec's partition-key sort is a cheap radix
+    // sort over longs — high-cardinality keys favor sort over hash
+    // here, and the oracle-equal join-back form pays a second probe
+    // pass on top. `-Dgraft.text.dupAgg=true` selects the measured-
+    // slower aggregate form.
+    if (sys.props.get("graft.text.dupAgg").exists(_.toBoolean)) {
+      val dupH = pos.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
+        .filter(col("d_min") =!= col("d_max"))
+        .select(col("h"))
+      pos.join(dupH.hint("shuffle_hash"), Seq("h"))
+    } else {
+      val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      pos
+        .withColumn("d_min", min(col("doc_id")).over(wH))
+        .withColumn("d_max", max(col("doc_id")).over(wH))
+        .filter(col("d_min") =!= col("d_max"))
+        .drop("d_min", "d_max")
+    }
   }
 
   val q75_dup_spans: Q = (s, dir) => {

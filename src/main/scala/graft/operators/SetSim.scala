@@ -206,7 +206,18 @@ object SetSim {
     val dfreq = l.select(explode(col("tk")).as("tok"))
       .unionAll(r.select(explode(col("tk")).as("tok")))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefL = prefixes(l, idCol, dfreq, tNum, tDen)
+    // l-prefix extension (same lemma as [[overlapSelfJoin]]): the
+    // required overlap C = ⌈t·n1⌉ is PER ROW here, so the extension and
+    // the collision-count floor are both least(L, C) — the probe prefix
+    // grows to n − C + min(L, C) and a candidate must collide on
+    // ≥ min(L, C) elements (the index side ships full sets, so every
+    // common probe-prefix element is a collision row).
+    val lConf = math.max(1,
+      sys.props.get("graft.setsim.overlapL").map(_.toInt).getOrElse(2))
+    def lOf(n: Column) = least(lit(lConf), ceilMul(n, tNum, tDen))
+    val prefL = orderedPrefix(
+      l.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
+      idCol, dfreq, col("n") - ceilMul(col("n"), tNum, tDen) + lOf(col("n")))
     val full = orderedPrefix(
       r.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
       idCol, dfreq, col("n"))
@@ -216,8 +227,10 @@ object SetSim {
       col("n").as("n2"), col("pos").as("p2"))
     val cand = a.join(b, Seq("tok"))
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
-      .filter(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"),
+        count(lit(1)).as("k"))
+      .filter(col("k") >= lOf(col("n1")) &&
+        lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
         >= ceilMul(col("n1"), tNum, tDen))
       .select(col("d1"), col("d2"))
     val s1 = l.select(col(idCol).as("d1"), col("tk").as("tk1"), col("n").as("n1"))
@@ -247,9 +260,23 @@ object SetSim {
     val sets = prepare(sets0, idCol, setCol).filter(col("n") >= minOverlap)
     val dfreq = sets.select(explode(col("tk")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // l-prefix extension (Wang et al. SIGMOD'12 "Can we beat the prefix
+    // filtering?"): with prefixes lengthened to n − C + l, any pair with
+    // overlap ≥ C shares ≥ l prefix elements (the l-th smallest common
+    // element t_l has ≥ C − l common elements after it, so
+    // pos(t_l) ≤ n − C + l in BOTH sets). Requiring count ≥ l at the
+    // candidate aggregate kills the single-shared-rare-element false
+    // positives the basic positional filter cannot touch when C is
+    // large relative to n (measured on q135: the first-collision bound
+    // 1 + min(n−p) passed 319 k of 342 k joined pairs straight into the
+    // array_intersect verify). Sound only for l ≤ C; l−1 extra rare
+    // elements per set is the entire join-side cost.
+    val lPref = math.min(
+      sys.props.get("graft.setsim.overlapL").map(_.toInt).getOrElse(2),
+      minOverlap)
     val pref = orderedPrefix(
       sets.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
-      idCol, dfreq, col("n") - minOverlap + 1)
+      idCol, dfreq, col("n") - minOverlap + lPref)
     // aliased self-join over ONE prefix subtree (see [[selfCandidates]])
     val joined =
       if (sys.props.get("graft.setsim.selfAlias").forall(_.toBoolean))
@@ -268,8 +295,10 @@ object SetSim {
       }
     val cand = joined
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
-      .filter(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"),
+        count(lit(1)).as("k"))
+      .filter(col("k") >= lPref &&
+        lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
         >= minOverlap)
       .select(col("d1"), col("d2"))
     val s1 = sets.select(col(idCol).as("d1"), col("tk").as("tk1"))
