@@ -352,13 +352,31 @@ object AnalyticsQueries {
     // exchange-canonicalization): both sides hash on `o` over one
     // canonical subtree, so ReusedExchange serves the build side and the
     // scan+distinct runs once for the pair stage.
-    val lhs0 = op0.alias("a")
-    val lhs = if (sys.props.get("graft.basket.shuffleHash").forall(_.toBoolean))
-      lhs0.hint("shuffle_hash") else lhs0
-    val pairs = lhs
-      .join(op0.alias("b"), col("a.o") === col("b.o"))
-      .filter(col("a.p") < col("b.p"))
-      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+    // Round-10 negative, kept as a toggle: pair generation via one
+    // per-order collect_set + array pair explode (q106's canonical
+    // form) measured SLOWER than the o-keyed self-join here — balanced
+    // A/B 1.52 vs 1.77 s. Baskets are small (~4 items), so the join's
+    // per-order fan-out is cheap while the set aggregate pays object
+    // arrays + sort per order and forfeits the reused exchange's
+    // codegen'd join. `-Dgraft.basket.pairsViaSets=true` selects it.
+    val pairs0 = if (sys.props.get("graft.basket.pairsViaSets").exists(_.toBoolean)) {
+      t(s, dir).lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .groupBy(col("o")).agg(array_sort(collect_set(col("p"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+            struct(x.as("p1"), y.as("p2")))))).as("pr"))
+        .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+    } else {
+      val lhs0 = op0.alias("a")
+      val lhs = if (sys.props.get("graft.basket.shuffleHash").forall(_.toBoolean))
+        lhs0.hint("shuffle_hash") else lhs0
+      lhs
+        .join(op0.alias("b"), col("a.o") === col("b.o"))
+        .filter(col("a.p") < col("b.p"))
+        .select(col("a.p").as("p1"), col("b.p").as("p2"))
+    }
+    val pairs = pairs0
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= BASKET_MIN_PAIR)
     val items = op0.groupBy(col("p").as("pid")).agg(count(lit(1)).as("item_cnt"))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch stage profiler for q135_overlap_join (SetSim.overlapSelfJoin):
@@ -21,6 +21,7 @@ object ProbeOvj {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val mode = sys.props.getOrElse("graft.probe.mode", "overlap")
     val C = DedupQueries.OVJ_C
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -34,15 +35,23 @@ object ProbeOvj {
       array_distinct(graft.functions.TextFunctions.shingleHashes(
         col("text"), DedupQueries.SHINGLE_N)).as("hs"))
 
+    val (fullName, minN) =
+      if (mode == "jaccard") ("q125_ppjoin", 1) else ("q135_overlap_join", C)
+    // jaccard 3/5: prefix n - ceil(3n/5) + 1; overlap C: prefix n - C + l
+    def prefLen: Column =
+      if (mode == "jaccard")
+        col("n") - floor((col("n") * 3 + 4) / 5).cast("int") + 1
+      else col("n") - C + 2
+
     // warmup
-    noop(SparkEntry.queries("q135_overlap_join")(spark, sfDir))
+    noop(SparkEntry.queries(fullName)(spark, sfDir))
 
     for (i <- 1 to iters) {
       println(s"-- iter $i")
       var sets: DataFrame = null
       time("1 prepare+checkpoint") {
         sets = sets0.select(col("doc_id"), col("hs").as("tk"))
-          .withColumn("n", size(col("tk"))).filter(col("n") >= C)
+          .withColumn("n", size(col("tk"))).filter(col("n") >= minN)
           .localCheckpoint()
       }
       val dfreq = sets.select(explode(col("tk")).as("tok"))
@@ -53,25 +62,34 @@ object ProbeOvj {
         .groupBy(col("doc_id"), col("n"))
         .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
         .select(col("doc_id"), col("n"),
-          posexplode(slice(col("ord"), lit(1), col("n") - C + 1)))
+          posexplode(slice(col("ord"), lit(1), prefLen)))
         .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"),
           col("col.tok").as("tok"))
       time("3 +orderedPrefix") { noop(pref) }
-      val joined = pref.alias("a").hint("shuffle_hash")
+      val joined0 = pref.alias("a").hint("shuffle_hash")
         .join(pref.alias("b"), col("a.tok") === col("b.tok"))
         .filter(col("a.doc_id") < col("b.doc_id"))
+      val joined = (if (mode == "jaccard")
+          joined0.filter(greatest(col("a.n"), col("b.n")) * 3 <=
+            least(col("a.n"), col("b.n")) * 5)
+        else joined0)
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
           col("a.n").as("n1"), col("b.n").as("n2"),
           col("a.pos").as("p1"), col("b.pos").as("p2"))
       time("4 +prefix self-join") { noop(joined) }
-      val cand = joined
+      val candAgg = joined
         .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-        .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
-        .filter(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >= C)
+        .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"),
+          count(lit(1)).as("k"))
+      val cand = (if (mode == "jaccard")
+          candAgg.filter((lit(1) + least(col("n1") - col("p1"),
+            col("n2") - col("p2"))) * 8 >= (col("n1") + col("n2")) * 3)
+        else candAgg.filter(col("k") >= 2 &&
+          lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")) >= C))
         .select(col("d1"), col("d2"))
       time("5 +cand agg") { noop(cand) }
-      time("6 full q135") {
-        noop(SparkEntry.queries("q135_overlap_join")(spark, sfDir))
+      time(s"6 full $fullName") {
+        noop(SparkEntry.queries(fullName)(spark, sfDir))
       }
       println(s"[ovj] rows: joined=${joined.count()} cand=${cand.count()} " +
         s"sets=${sets.count()} pref=${pref.count()}")

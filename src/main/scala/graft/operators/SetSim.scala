@@ -80,6 +80,22 @@ object SetSim {
       df.hint("shuffle_hash")
     else df
 
+  /** l-prefix depth (Wang et al. SIGMOD'12 "Can we beat the prefix
+    * filtering?", the ℓ-prefix scheme): prefixes are lengthened by l − 1
+    * elements and a candidate pair must collide on ≥ min(l, C) of them,
+    * where C is the pair's required overlap — if |x∩y| ≥ C, the l-th
+    * smallest common element t_l has ≥ C − l common elements after it,
+    * so pos(t_l) ≤ n − C + l in BOTH sets and t_1..t_l are all
+    * collisions. Kills the single-shared-rare-element false positives
+    * the first-collision positional bound cannot touch (measured on
+    * q135: 319 k of 342 k joined pairs reached the verify at l=1; q125:
+    * 68.7 k candidates). l=2 measured best at sf0.1 (l=3 adds more
+    * prefix-join rows than it removes candidates);
+    * `-Dgraft.setsim.lprefix` overrides.
+    */
+  private def lConf: Int = math.max(1,
+    sys.props.get("graft.setsim.lprefix").map(_.toInt).getOrElse(2))
+
   /** Per-doc distinct token sets: (id, tk: array<string>, n). Docs with
     * empty token sets are dropped — Jaccard is undefined on empty sets and
     * they can match nothing.
@@ -206,14 +222,12 @@ object SetSim {
     val dfreq = l.select(explode(col("tk")).as("tok"))
       .unionAll(r.select(explode(col("tk")).as("tok")))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // l-prefix extension (same lemma as [[overlapSelfJoin]]): the
-    // required overlap C = ⌈t·n1⌉ is PER ROW here, so the extension and
-    // the collision-count floor are both least(L, C) — the probe prefix
-    // grows to n − C + min(L, C) and a candidate must collide on
-    // ≥ min(L, C) elements (the index side ships full sets, so every
-    // common probe-prefix element is a collision row).
-    val lConf = math.max(1,
-      sys.props.get("graft.setsim.overlapL").map(_.toInt).getOrElse(2))
+    // l-prefix (see [[lConf]]): the required overlap C = ⌈t·n1⌉ is PER
+    // ROW here, so the extension and the collision-count floor are both
+    // least(L, C) — the probe prefix grows to n − C + min(L, C) and a
+    // candidate must collide on ≥ min(L, C) elements (the index side
+    // ships full sets, so every common probe-prefix element is a
+    // collision row).
     def lOf(n: Column) = least(lit(lConf), ceilMul(n, tNum, tDen))
     val prefL = orderedPrefix(
       l.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
@@ -260,20 +274,10 @@ object SetSim {
     val sets = prepare(sets0, idCol, setCol).filter(col("n") >= minOverlap)
     val dfreq = sets.select(explode(col("tk")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // l-prefix extension (Wang et al. SIGMOD'12 "Can we beat the prefix
-    // filtering?"): with prefixes lengthened to n − C + l, any pair with
-    // overlap ≥ C shares ≥ l prefix elements (the l-th smallest common
-    // element t_l has ≥ C − l common elements after it, so
-    // pos(t_l) ≤ n − C + l in BOTH sets). Requiring count ≥ l at the
-    // candidate aggregate kills the single-shared-rare-element false
-    // positives the basic positional filter cannot touch when C is
-    // large relative to n (measured on q135: the first-collision bound
-    // 1 + min(n−p) passed 319 k of 342 k joined pairs straight into the
-    // array_intersect verify). Sound only for l ≤ C; l−1 extra rare
-    // elements per set is the entire join-side cost.
-    val lPref = math.min(
-      sys.props.get("graft.setsim.overlapL").map(_.toInt).getOrElse(2),
-      minOverlap)
+    // l-prefix (see [[lConf]]): prefixes lengthened to n − C + l, and a
+    // candidate must collide on ≥ l prefix elements. C is the constant
+    // minOverlap here, so l is a plain min.
+    val lPref = math.min(lConf, minOverlap)
     val pref = orderedPrefix(
       sets.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
       idCol, dfreq, col("n") - minOverlap + lPref)
@@ -486,12 +490,19 @@ object SetSim {
       .select(col(idCol), col("n"), (col("pos") + 1).as("pos"),
         col("col.tok").as("tok"))
 
-  /** Jaccard prefix: the first n − ⌈t·n⌉ + 1 elements of each set. */
+  /** Jaccard prefix: the first n − ⌈t·n⌉ + min(L, ⌈t·n⌉) elements of
+    * each set (the l-prefix extension, see [[lConf]] — jacc ≥ t forces
+    * overlap ≥ ⌈t·n⌉ on each side, so the l-th smallest common element
+    * sits within this slice of BOTH sets and candidates must collide on
+    * ≥ min(L, ⌈t·n1⌉, ⌈t·n2⌉) elements, enforced in the candidate
+    * aggregates).
+    */
   private def prefixes(sets: DataFrame, idCol: String, dfreq: DataFrame,
                        tNum: Int, tDen: Int): DataFrame =
     orderedPrefix(
       sets.select(col(idCol), col("n"), explode(col("tk")).as("tok")),
-      idCol, dfreq, col("n") - ceilMul(col("n"), tNum, tDen) + 1)
+      idCol, dfreq, col("n") - ceilMul(col("n"), tNum, tDen) +
+        least(lit(lConf), ceilMul(col("n"), tNum, tDen)))
 
   /** Candidate pairs: share a prefix element, length-compatible, and
     * POSITION-compatible (PPJoin's positional filter). Both sets are
@@ -535,8 +546,11 @@ object SetSim {
         col("a.n").as("n1"), col("b.n").as("n2"),
         col("a.pos").as("p1"), col("b.pos").as("p2"))
     j.groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
-      .filter((lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"),
+        count(lit(1)).as("k"))
+      .filter(col("k") >= least(lit(lConf),
+          ceilMul(col("n1"), tNum, tDen), ceilMul(col("n2"), tNum, tDen)) &&
+        (lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")))
         * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
       .select(col("d1"), col("d2"))
   }
@@ -552,8 +566,11 @@ object SetSim {
         least(col("n1"), col("n2")) * tDen)
     val cut = if (selfPairs) joined.filter(col("d1") < col("d2")) else joined
     cut.groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"))
-      .filter((lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")))
+      .agg(min(col("p1")).as("p1"), min(col("p2")).as("p2"),
+        count(lit(1)).as("k"))
+      .filter(col("k") >= least(lit(lConf),
+          ceilMul(col("n1"), tNum, tDen), ceilMul(col("n2"), tNum, tDen)) &&
+        (lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2")))
         * (tNum + tDen) >= (col("n1") + col("n2")) * tNum)
       .select(col("d1"), col("d2"))
   }
