@@ -48,6 +48,29 @@ object ProbeTri {
     }
     println("[tri] rows: op=" + op.count() + " pairs=" + pairs.count() +
       " canon=" + canon.count())
+
+    // Per-task skew measurement (round-10: is the q122 close join skewed
+    // enough to want salting? guide §2): capture task durations per stage
+    // for one warm q122 run and report the spread of every stage with
+    // enough tasks for skew to mean anything.
+    val taskTimes = scala.collection.concurrent.TrieMap[
+      Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          taskTimes.getOrElseUpdate(t.stageId,
+            scala.collection.mutable.ArrayBuffer[Long]()) +=
+            t.taskInfo.duration
+      })
+    noop(SparkEntry.queries("q122_triangles")(spark, sfDir))
+    Thread.sleep(500) // listener bus drain
+    for ((st, ds0) <- taskTimes.toSeq.sortBy(_._1) if ds0.size >= 8) {
+      val ds = ds0.sorted
+      val med = ds(ds.size / 2).max(1L)
+      println(f"[tri-skew] stage=$st%-5d tasks=${ds.size}%-4d " +
+        f"med=${med}ms max=${ds.last}ms max/med=${ds.last.toDouble / med}%.2f")
+    }
     spark.stop()
   }
 }
