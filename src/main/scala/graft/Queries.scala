@@ -36,14 +36,26 @@ object Queries {
 
   /** A2/A4/A7 multi-measure grouped aggregation (flagship).
     * Ref: …/app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:225-275 */
-  val q1_agg: Q = (s, dir) =>
-    t(s, dir).lineitem
+  val q1_agg: Q = (s, dir) => {
+    // Round-10 negative, kept as a toggle: PROJECTED fan-out (round 9
+    // measured the full-width form losing; this retries with a 5-column
+    // row) is a WASH — balanced A/B 0.93 vs 0.91 s. q1's floor is the
+    // single-row-group scan DECODE (one task either way; the exchange
+    // cannot start before it), not the decimal aggregation the fan-out
+    // would parallelize. `-Dgraft.q1.fanout=true` selects it.
+    val li0 = t(s, dir).lineitem
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val li = if (sys.props.get("graft.q1.fanout").exists(_.toBoolean))
+      core.Tables.fanOut(s, li0) else li0
+    li
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         round(sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6))) / count(lit(1)), 2).cast("double").as("avg_price"),
         count(lit(1)).as("cnt"))
+  }
 
   /** A1 tumbling 10 s event-time window + count/sum per window & key.
     * Ref: …/app/dws/DwsTrafficSourceKeywordPageViewWindow.java:105-113 */
