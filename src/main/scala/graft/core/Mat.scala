@@ -34,7 +34,17 @@ object Mat {
       try w.println(df.queryExecution.explainString(FormattedMode))
       finally w.close()
     }
-    df.localCheckpoint()
+    // LAZY by default (round-10, measured): the blocks materialize inside
+    // the first job that needs them instead of a separate synchronous
+    // job per materialization — one fewer job-scheduling round each, and
+    // concurrent consumers serialize on the block locks (each partition
+    // still computes exactly once, BlockManager locking). Balanced A/B:
+    // q122 1.77→1.67 s, q125 1.38→1.32, q28 0.45→0.41, q109 0.73→0.70,
+    // q135 wash — a uniform win on every checkpoint-bearing family.
+    // Results are unchanged (the checkpoint is perf-only either way and
+    // inputs are immutable parquet). `-Dgraft.mat.lazy=false` restores
+    // the eager barrier (e.g. for debugging stage attribution).
+    df.localCheckpoint(!sys.props.get("graft.mat.lazy").forall(_.toBoolean))
   }
 
   /** True when `df` is already backed by materialized blocks (a
