@@ -22,6 +22,14 @@ import org.apache.spark.sql.execution.{FormattedMode, LogicalRDD}
   * constructor per run — nothing is reused across runs).
   */
 object Mat {
+  /** Shared eagerness flag for ALL perf-only localCheckpoints (round-10:
+    * lazy by default — see [[checkpoint]]; the fixpoint operators'
+    * per-round checkpoints use it directly, where the round's own
+    * convergence action forces materialization immediately anyway and
+    * the dedicated eager job is pure scheduling overhead ×rounds).
+    */
+  def eager: Boolean = !sys.props.get("graft.mat.lazy").forall(_.toBoolean)
+
   /** localCheckpoint `df` (when `enabled`), first dumping its formatted
     * plan to `$graft.dump.subtrees/<tag>.txt` if that property is set.
     */

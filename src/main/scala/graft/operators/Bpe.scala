@@ -94,7 +94,7 @@ object Bpe {
     var v = vocab.select(col(wordCol).as("word"),
         col(freqCol).cast("long").as("freq"),
         charSyms(col(wordCol)).as("syms"))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var k = 0
     var exhausted = false
@@ -113,7 +113,7 @@ object Bpe {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         v = v.withColumn("syms", mergeOnce(col("syms"), lit(a), lit(b)))
-          .localCheckpoint()
+          .localCheckpoint(graft.core.Mat.eager)
         k += 1
       }
     }

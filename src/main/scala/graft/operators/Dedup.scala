@@ -399,7 +399,7 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("d1").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     // convergence probe: min-propagation only ever DECREASES labels, so the
     // label sum is strictly monotone until fixpoint — "sum unchanged" is an
     // exact convergence test costing one scalar aggregation per round
@@ -421,7 +421,7 @@ object Dedup {
       val next = labels.union(viaNeighbor)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(graft.core.Mat.eager)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -472,7 +472,7 @@ object Dedup {
       .select(greatest(col("d1"), col("d2")).as("hi"),
         least(col("d1"), col("d2")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     val vertices = init.select(col("hi").as("doc_id"))
       .union(init.select(col("lo").as("doc_id"))).distinct()
 
@@ -506,7 +506,7 @@ object Dedup {
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(graft.core.Mat.eager)
       // exact fixpoint test: both sides are distinct canonical sets, so
       // equal count + empty one-sided anti-join ⇒ set equality
       converged = next.count() == e.count() &&

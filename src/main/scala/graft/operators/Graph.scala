@@ -72,19 +72,19 @@ object Graph {
     // re-shuffle.
     val ed = e.join(deg, Seq("src"))
       .select(col("src").as("e_src"), col("dst").as("e_dst"), col("deg").as("e_deg"))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // N rides along as a broadcast-scalar column so each superstep is one
     // self-contained 2-exchange plan
     val nn = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     // dangling nodes (no out-edges) — materialized once, only when the
     // conserving form needs them per iteration
     val dangling: Option[DataFrame] =
       if (conserveDanglingMass)
         Some(nodes.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
-          .localCheckpoint())
+          .localCheckpoint(graft.core.Mat.eager))
       else None
     var r = nn.select(col("node"), col("n"),
       round(lit(1.0) / col("n"), 12).as("r"))
@@ -120,7 +120,7 @@ object Graph {
                   col("dm").cast("double") / col("n")), 12).as("r"))
       }
       r = if ((checkpointRanks || conserveDanglingMass) && k < iters)
-        next.localCheckpoint()
+        next.localCheckpoint(graft.core.Mat.eager)
       else next
     }
     r.select(col("node"), round(col("r"), 6).as("pr"))
@@ -175,11 +175,11 @@ object Graph {
     val ed = e.join(wsum, Seq("src"))
       .select(col("src").as("e_src"), col("dst").as("e_dst"),
         col("w").as("e_w"), col("wsum").as("e_wsum"))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val nn = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     var r = nn.select(col("node"), col("n"),
       round(lit(1.0) / col("n"), 12).as("r"))
     for (k <- 1 to iters) {
@@ -192,7 +192,7 @@ object Graph {
         .select(col("node"), col("n"),
           round(lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
-      r = if (checkpointRanks && k < iters) next.localCheckpoint() else next
+      r = if (checkpointRanks && k < iters) next.localCheckpoint(graft.core.Mat.eager) else next
     }
     r.select(col("node"), round(col("r"), 6).as("pr"))
   }
@@ -217,9 +217,9 @@ object Graph {
     require(iters >= 1, s"hits: iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("e_src"),
                          col(dstCol).cast("long").as("e_dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(graft.core.Mat.eager)
     val nodes = e.select(col("e_src").as("node"))
-      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint(graft.core.Mat.eager)
     val n = nodes.count() // O(1) driver scalar, mirrors the oracle's count(*)
     var h = nodes.select(col("node"), round(lit(1.0 / n), 12).as("h"))
     var a = nodes.select(col("node"), lit(0.0).as("a")).limit(0)
@@ -242,7 +242,7 @@ object Graph {
           round(col("hr").cast("double") / col("hn").cast("double"), 12).as("h"))
       // same deep-iteration lineage trade as pageRank's checkpointRanks
       if (checkpointRanks && k < iters) {
-        h = h.localCheckpoint(); a = a.localCheckpoint()
+        h = h.localCheckpoint(graft.core.Mat.eager); a = a.localCheckpoint(graft.core.Mat.eager)
       }
     }
     nodes
@@ -283,9 +283,9 @@ object Graph {
     require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("e_src"),
                          col(dstCol).cast("long").as("e_dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(graft.core.Mat.eager)
     val nodes = e.select(col("e_src").as("node"))
-      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint(graft.core.Mat.eager)
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
     for (k <- 1 to iters) {
       val cnt = lbl.join(e, col("node") === col("e_src"))
@@ -300,7 +300,7 @@ object Graph {
         .join(lbl, Seq("node"))
         .join(top, Seq("node"), "left")
         .select(col("node"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(graft.core.Mat.eager)
     }
     lbl.select(col("node"), col("lbl").as("community"))
   }
@@ -336,9 +336,9 @@ object Graph {
       s"kCoreBounded: need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
     val e = edges.select(col(srcCol).cast("long").as("e_src"),
                          col(dstCol).cast("long").as("e_dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(graft.core.Mat.eager)
     var alive = e.select(col("e_src").as("node"))
-      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("e_dst").as("node"))).distinct().localCheckpoint(graft.core.Mat.eager)
     def degrees(a: DataFrame): DataFrame =
       e.join(a.select(col("node").as("e_src")), Seq("e_src"), "left_semi")
         .join(a.select(col("node").as("e_dst")), Seq("e_dst"), "left_semi")
@@ -346,7 +346,7 @@ object Graph {
         .agg(count(lit(1)).as("degree"))
     for (_ <- 1 to rounds)
       alive = degrees(alive).filter(col("degree") >= k)
-        .select(col("node")).localCheckpoint()
+        .select(col("node")).localCheckpoint(graft.core.Mat.eager)
     degrees(alive)
   }
 
@@ -367,9 +367,9 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, Seq("src"))
       .select(col("src").as("e_src"), col("dst").as("e_dst"), col("deg").as("e_deg"))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(graft.core.Mat.eager)
     val isSeed: Column = col("node").isin(seeds: _*)
     val teleport: Column =
       when(isSeed, lit(1.0 - damping) / seeds.size).otherwise(lit(0.0))
@@ -384,7 +384,7 @@ object Graph {
         .select(col("node"),
           round(teleport +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 12).as("r"))
-      r = if (checkpointRanks && k < iters) next.localCheckpoint() else next
+      r = if (checkpointRanks && k < iters) next.localCheckpoint(graft.core.Mat.eager) else next
     }
     r.select(col("node"), round(col("r"), 6).as("ppr"))
   }
@@ -562,16 +562,16 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("e_src"),
         col(dstCol).cast("long").as("e_dst"),
         col(wCol).cast("long").as("e_w")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     var d = seeds.distinct.toDF("node")
       .select(col("node").cast("long").as("node"), lit(0L).as("cost"))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     for (k <- 1 to rounds) {
       val relaxed = d.join(e, col("node") === col("e_src"))
         .select(col("e_dst").as("node"), (col("cost") + col("e_w")).as("cost"))
       d = d.union(relaxed)
         .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint()
+        .localCheckpoint(graft.core.Mat.eager)
     }
     d
   }
@@ -607,10 +607,10 @@ object Graph {
     import spark.implicits._
     val e = edges.select(col(srcCol).cast("long").as("e_src"),
         col(dstCol).cast("long").as("e_dst")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     var known = seeds.distinct.toDF("node")
       .select(col("node").cast("long").as("node"), lit(0).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(graft.core.Mat.eager)
     var frontier = known
     var k = 1
     while (k <= maxHops && !frontier.isEmpty) {
@@ -618,8 +618,8 @@ object Graph {
         .select(col("e_dst").as("node")).distinct()
         .join(known, Seq("node"), "left_anti")
         .select(col("node"), lit(k).as("dist"))
-        .localCheckpoint()
-      known = known.union(discovered).localCheckpoint()
+        .localCheckpoint(graft.core.Mat.eager)
+      known = known.union(discovered).localCheckpoint(graft.core.Mat.eager)
       frontier = discovered
       k += 1
     }
