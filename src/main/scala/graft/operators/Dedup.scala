@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Mat
 import graft.functions.TextFunctions._
 
 /** Corpus deduplication operators for the training-data pipeline:
@@ -293,19 +294,27 @@ object Dedup {
       sigs.select(col(idCol).as(side), explode(bandStructs).as("bb"))
         .select(col(side), col("bb.band").as("band"), col("bb.bk").as("bk"))
     }
-    // NOT materialized (round-9, measured TWICE): the shard pipeline is
-    // referenced twice (band keys + hash-array attach), and a
-    // localCheckpoint first looked like a win under the original
-    // fixed-order A/B harness (q86 0.91→0.85 s, q158 2.17→1.69 s) — but
-    // that harness had a systematic warm-slot bias toward its second
-    // variant (exposed by a no-op control; see ProbeAb), and the
-    // POSITION-BALANCED rerun shows the checkpoint as a slight LOSS
-    // (q86 0.41→0.46 s, q158 0.90→0.91 s over 10 passes): a shard is
-    // bounded by the ingest unit, so its pipeline recompute is cheaper
-    // than the eager materialization barrier. Contrast [[nearDupPairs]],
-    // whose CORPUS-sized 3-reference pipeline does pay (balanced A/B
+    // NOT materialized (round-9, measured TWICE; round-10 re-measured
+    // under LAZY checkpointing): the shard pipeline is referenced twice
+    // (band keys + hash-array attach), and a localCheckpoint first looked
+    // like a win under the original fixed-order A/B harness (q86
+    // 0.91→0.85 s, q158 2.17→1.69 s) — but that harness had a systematic
+    // warm-slot bias toward its second variant (exposed by a no-op
+    // control; see ProbeAb), and the POSITION-BALANCED rerun shows the
+    // checkpoint as a slight LOSS (q86 0.41→0.46 s, q158 0.90→0.91 s over
+    // 10 passes): a shard is bounded by the ingest unit, so its pipeline
+    // recompute is cheaper than the materialization. The round-10 lazy
+    // default (Mat.checkpoint eager=false) removed the barrier cost, so
+    // the decision was RE-QUALIFIED under lazy: still a WASH (balanced
+    // A/B, 10 passes: q86 0.72 vs 0.72 s, q158 1.65 vs 1.61 s), so the
+    // toggle default stays OFF — recompute keeps the shard pipeline
+    // scan-shaped with nothing to win from storing the blocks.
+    // Contrast [[nearDupPairs]], whose
+    // CORPUS-sized 3-reference pipeline does pay (balanced A/B
     // q28 0.55→0.46 s, q85 1.23→0.95 s).
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, n, k)
+    val newSigs = Mat.checkpoint(
+      minhashSignatures(newDocs, idCol, textCol, n, k), "incr_sigs",
+      sys.props.get("graft.incr.materialize").exists(_.toBoolean))
     val cand = bandKeys(newSigs, "nid")
       .join(bandKeys(indexSigs, "xid"), Seq("band", "bk"))
       .select(col("nid"), col("xid")).distinct()
